@@ -1,38 +1,1129 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship conditioned pipeline at sf0.001.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data extensions) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for the hash comparison.
+
+Determinism conventions (so Spark and DuckDB hash-match):
+- money/value aggregates go through DECIMAL casts (exact) and only then to
+  DOUBLE — bit-identical across engines regardless of summation order;
+- transcendental math (exp/log/sqrt chains) is rounded to 6 decimals;
+- every top-k / keep-first uses a total ordering (value, then id);
+- all computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tern_ep_data_pipeline_spark.functions import conversions as cv
+from tern_ep_data_pipeline_spark.functions import met
+from tern_ep_data_pipeline_spark.operators import (
+    conditioning,
+    dedup,
+    gaps,
+    masking,
+    merge,
+    regularise,
+    reshape,
+    similarity,
+    status,
+    text,
+    windows,
+)
+from tern_ep_data_pipeline_spark.plans.l1 import condition_events
+from tern_ep_data_pipeline_spark.session import apply_engine_conf
+from tern_ep_data_pipeline_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SF001 = "/root/testdata/sf0.001"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str, p: int = 12, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def _dsum(col: str, p: int = 12, s: int = 2) -> F.Column:
+    """Order-insensitive exact sum: decimal accumulate, double out."""
+    return F.sum(_dec(col, p, s)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Relational core (join/agg/sort conformance on the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy aggregation with pushed filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
+    charge_mul = F.lit(1).cast("decimal(6,4)") + _dec("l_tax", 6, 4)
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_extendedprice") * disc * charge_mul), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    out = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims, revenue by nation."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(_dec("l_extendedprice") * disc), 2).cast("double").alias("revenue")
+    )
+
+
+ORACLE_REGION = """
+SELECT n_name,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit (O-class): top-10 customers by exact total spend."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_custkey")
+        .agg(
+            _dsum("o_totalprice", 14, 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+    return out
+
+
+ORACLE_TOP_CUST = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11-style year extraction + counting aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderpriority",
+        ).agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_PRIORITY_YEAR = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Conditioning / dedupe (P4, P6, P7)
+# --------------------------------------------------------------------------
+
+def q_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: exact duplicate-record elimination (projected key)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    return conditioning.drop_duplicate_records(ev)
+
+
+ORACLE_DEDUPE_EXACT = "SELECT DISTINCT user_id, event_type, value FROM events"
+
+
+def q_dedupe_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: one row per (user, type) with deterministic latest-wins."""
+    ev = _t(spark, sf_dir, "events")
+    out = conditioning.keep_first_per_timestamp(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+ORACLE_KEEP_LATEST = """
+SELECT user_id, event_type, event_id, ts, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_duplicate_minute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 report: (user, minute) keys holding more than one event."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_minute", F.date_trunc("minute", F.col("ts"))
+    )
+    return conditioning.duplicate_timestamp_count(ev, ["user_id", "ts_minute"])
+
+
+ORACLE_DUP_MINUTE = """
+SELECT user_id, date_trunc('minute', ts) AS ts_minute, COUNT(*) AS n_rows
+FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Time regularisation / gaps (W3, A1, A2, A3)
+# --------------------------------------------------------------------------
+
+def q_grid_regularise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: dense hourly grid left-joined with hourly aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("grid_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )
+    grid = regularise.time_grid(ev, "ts", "1 hour", truncate_to="hour").withColumnRenamed(
+        "ts", "grid_ts"
+    )
+    return grid.join(hourly, on="grid_ts", how="left")
+
+
+ORACLE_GRID = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+g AS (SELECT unnest(generate_series(lo, hi, interval '1 hour')) AS grid_ts FROM b),
+h AS (SELECT date_trunc('hour', ts) AS grid_ts, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1)
+SELECT g.grid_ts, h.n_events, h.sum_value FROM g LEFT JOIN h USING (grid_ts)
+"""
+
+
+def q_interval_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-user (min, modal) successive timestamp delta in seconds."""
+    ev = _t(spark, sf_dir, "events")
+    out = regularise.infer_interval_seconds(ev, "ts", ["user_id"])
+    return out.select("user_id", "min_delta_s", "mode_delta_s", F.col("n_deltas").cast("bigint").alias("n_deltas"))
+
+
+ORACLE_INTERVAL_MODE = """
+WITH dist AS (SELECT DISTINCT user_id, ts FROM events),
+d AS (SELECT user_id, date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) // 1000000 AS ds FROM dist),
+c AS (SELECT user_id, ds, COUNT(*) AS n FROM d WHERE ds IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT user_id, ds AS mode_delta_s FROM c QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, ds ASC) = 1),
+s AS (SELECT user_id, min(ds) AS min_delta_s, CAST(SUM(n) AS BIGINT) AS n_deltas FROM c GROUP BY 1)
+SELECT s.user_id, s.min_delta_s, m.mode_delta_s, s.n_deltas FROM s JOIN m USING (user_id)
+"""
+
+
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: global gaps longer than 10 minutes with bounds."""
+    ev = _t(spark, sf_dir, "events")
+    return gaps.gap_report(ev, "ts", 600)
+
+
+ORACLE_GAP_REPORT = """
+WITH dist AS (SELECT DISTINCT ts FROM events),
+d AS (SELECT lag(ts) OVER (ORDER BY ts) AS prev_ts, ts FROM dist)
+SELECT prev_ts AS gap_start, ts AS gap_end,
+  date_diff('microsecond', prev_ts, ts) // 1000000 AS gap_seconds
+FROM d WHERE date_diff('microsecond', prev_ts, ts) // 1000000 > 600
+"""
+
+
+def q_missing_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-user expected-vs-actual record accounting at a 1 h interval."""
+    ev = _t(spark, sf_dir, "events")
+    return gaps.missing_record_stats(ev, "ts", 3600, ["user_id"])
+
+
+ORACLE_MISSING = """
+SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts, COUNT(*) AS n_actual,
+  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 // 3600 AS BIGINT) + 1 AS n_expected,
+  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 // 3600 AS BIGINT) + 1 - COUNT(*) AS n_missing,
+  round((CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 // 3600 AS BIGINT) + 1 - COUNT(*)) * 100.0
+        / (CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 // 3600 AS BIGINT) + 1), 6) AS pct_missing
+FROM events GROUP BY user_id
+"""
+
+
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A9: histogram of global gap sizes in 5-minute units."""
+    ev = _t(spark, sf_dir, "events")
+    return gaps.gap_histogram(ev, "ts", 300)
+
+
+ORACLE_GAP_HISTOGRAM = """
+WITH dist AS (SELECT DISTINCT ts FROM events),
+d AS (SELECT CAST(date_diff('microsecond', lag(ts) OVER (ORDER BY ts), ts) // 1000000 // 300 AS BIGINT) AS n_intervals FROM dist)
+SELECT n_intervals, COUNT(*) AS n_gaps FROM d WHERE n_intervals > 1 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Masking / QC (P3) and unit/met functions (§2.8)
+# --------------------------------------------------------------------------
+
+def q_range_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: null-masking range filter + QC flag (masks, never drops rows)."""
+    ev = _t(spark, sf_dir, "events")
+    masked = masking.mask_range(F.col("value"), 10.0, 400.0)
+    return ev.select(
+        "event_id",
+        masked.alias("value_masked"),
+        masking.qc_flag(masked).cast("bigint").alias("qc_flag"),
+    )
+
+
+ORACLE_RANGE_MASK = """
+SELECT event_id,
+  CASE WHEN value >= 10.0 AND value <= 400.0 THEN value END AS value_masked,
+  CAST(CASE WHEN value >= 10.0 AND value <= 400.0 THEN 0 ELSE 1 END AS BIGINT) AS qc_flag
+FROM events
+"""
+
+
+def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 conversion suite as one fused projection (all exact arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        cv.convert_co2_flux(v).alias("co2_flux_umol"),
+        cv.convert_co2_density(v).alias("co2_density_mg"),
+        cv.convert_temperature(v).alias("temp_c"),
+        cv.convert_pressure(v, "Pa").alias("press_kpa"),
+        cv.convert_rh(v).alias("rh_pct"),
+        cv.convert_sws(v).alias("sws_frac"),
+        cv.convert_precipitation(v, 0.2).alias("precip_mm"),
+        cv.convert_h2o_density(v, "mmol/m^3").alias("h2o_density_g"),
+        cv.convert_variance_to_stdev(v).alias("stdev"),
+        cv.convert_diagnostic(v, 18000).alias("diag_invalid"),
+    )
+
+
+ORACLE_UNIT_CONV = """
+SELECT event_id,
+  value * 1000.0 / 44.0 AS co2_flux_umol,
+  value * 44.0 AS co2_density_mg,
+  value - 273.15 AS temp_c,
+  value / 1000.0 AS press_kpa,
+  value * 100.0 AS rh_pct,
+  value / 100.0 AS sws_frac,
+  value * 0.2 AS precip_mm,
+  value * 18.0 / 1000.0 AS h2o_density_g,
+  sqrt(value) AS stdev,
+  18000 - value AS diag_invalid
+FROM events
+"""
+
+
+def q_met_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Met calculation chain (Buck es/e, VPD, dew point, AH) rounded to 6."""
+    ev = _t(spark, sf_dir, "events")
+    Ta = F.col("value") / 10.0
+    RH = F.least(F.col("value") / 5.0, F.lit(100.0))
+    ps = F.lit(95.0) + F.col("value") / 100.0
+    return ev.select(
+        "event_id",
+        F.round(met.calculate_es(Ta), 6).alias("es_kpa"),
+        F.round(met.calculate_e(Ta, RH), 6).alias("e_kpa"),
+        F.round(met.calculate_VPD(Ta, RH), 6).alias("vpd_kpa"),
+        F.round(met.calculate_dew_point(Ta, RH), 6).alias("dew_point_c"),
+        F.round(met.calculate_AH_from_RH(Ta, RH, ps), 6).alias("ah_gm3"),
+        F.round(met.calculate_molar_density(Ta, ps), 6).alias("molar_density"),
+    )
+
+
+ORACLE_MET = """
+WITH base AS (
+  SELECT event_id, value / 10.0 AS ta, least(value / 5.0, 100.0) AS rh, 95.0 + value / 100.0 AS ps
+  FROM events
+), es AS (
+  SELECT *, 0.61121 * exp((18.678 - ta / 234.5) * (ta / (257.14 + ta))) AS es_v FROM base
+), e AS (
+  SELECT *, es_v * rh / 100.0 AS e_v FROM es
+)
+SELECT event_id,
+  round(es_v, 6) AS es_kpa,
+  round(e_v, 6) AS e_kpa,
+  round(es_v - e_v, 6) AS vpd_kpa,
+  round(243.5 * ln(e_v / 0.61121) / (17.502 - ln(e_v / 0.61121)), 6) AS dew_point_c,
+  round(e_v / ps * (ps * 1000.0 / ((ta + 273.15) * 8.3143)) * 18.0, 6) AS ah_gm3,
+  round(ps * 1000.0 / ((ta + 273.15) * 8.3143), 6) AS molar_density
+FROM e
+"""
+
+
+def q_variance_stdev_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance<->stdev conversions incl. the unit-aware composed form."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(cv.convert_variance_to_stdev(v), 6).alias("stdev"),
+        F.round(cv.convert_stdev_to_variance(cv.convert_variance_to_stdev(v)), 6).alias("roundtrip"),
+        F.round(cv.convert_variance(v, cv.convert_co2_flux), 6).alias("variance_converted"),
+    )
+
+
+ORACLE_VAR_STDEV = """
+SELECT event_id,
+  round(sqrt(value), 6) AS stdev,
+  round(sqrt(value) * sqrt(value), 6) AS roundtrip,
+  round((sqrt(value) * 1000.0 / 44.0) * (sqrt(value) * 1000.0 / 44.0), 6) AS variance_converted
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows / time-series (W1, W4, W6, A4, A7)
+# --------------------------------------------------------------------------
+
+def q_storage_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-user lag difference (storage-flux shape, exact doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.lag_diff(ev, "value", "ts", ["user_id"], out_col="delta")
+    return out.select("event_id", "user_id", "ts", "value", "delta")
+
+
+ORACLE_STORAGE_LAG = """
+SELECT event_id, user_id, ts, value,
+  (value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) * 1.0 AS delta
+FROM events
+"""
+
+
+def q_tumbling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: 30-minute tumbling block reference + value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("block_start", windows.tumbling_bucket("ts", 30))
+        .groupBy("block_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS block_start, COUNT(*) AS n_recs,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_diel_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: diel (hour-of-day) mean per event type, exact decimal mean."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.hour("ts").cast("bigint").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (_dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_DIEL = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_last_valid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-user staleness/validity stats (valid = in [10, 400])."""
+    ev = _t(spark, sf_dir, "events")
+    valid = F.col("value").between(10.0, 400.0)
+    return status.last_valid_stats(ev, "ts", "value", valid, ["user_id"])
+
+
+ORACLE_LAST_VALID = """
+SELECT user_id, max(ts) AS last_ts,
+  max_by(value, ts) FILTER (WHERE value BETWEEN 10.0 AND 400.0) AS last_valid_value,
+  max(ts) FILTER (WHERE value BETWEEN 10.0 AND 400.0) AS last_valid_ts,
+  COUNT(*) AS n_records,
+  CAST(COUNT(*) FILTER (WHERE value BETWEEN 10.0 AND 400.0) AS BIGINT) AS n_valid,
+  round(CAST(COUNT(*) FILTER (WHERE value BETWEEN 10.0 AND 400.0) AS BIGINT) * 100.0 / COUNT(*), 6) AS pct_valid
+FROM events GROUP BY user_id
+"""
+
+
+def q_trailing_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: fraction of valid records in each user's trailing 24 h."""
+    ev = _t(spark, sf_dir, "events")
+    valid = F.col("value").between(10.0, 400.0)
+    return windows.trailing_validity_fraction(ev, "ts", valid, 86400, ["user_id"])
+
+
+ORACLE_TRAILING = """
+WITH m AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1)
+SELECT e.user_id, m.last_ts,
+  round(avg(CASE WHEN date_diff('microsecond', e.ts, m.last_ts) <= 86400000000
+       THEN CASE WHEN e.value BETWEEN 10.0 AND 400.0 THEN 1.0 ELSE 0.0 END END), 6) AS trailing_valid_frac
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id, m.last_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins / set ops (J4, J7, J8, J9, U1, U3)
+# --------------------------------------------------------------------------
+
+def q_nearest_size_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 argmin join: per brand, the part nearest target size 25."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.abs(F.col("p_size") - 25), F.col("p_size"), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("p_brand", F.col("p_partkey").alias("best_partkey"), F.col("p_size").alias("best_size"))
+    )
+
+
+ORACLE_NEAREST = """
+SELECT p_brand, p_partkey AS best_partkey, p_size AS best_size FROM part
+QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY abs(p_size - 25), p_size, p_partkey) = 1
+"""
+
+
+def q_calendar_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: expected-vs-available calendar anti-join on order days."""
+    orders = _t(spark, sf_dir, "orders")
+    grid = regularise.time_grid(orders, "o_orderdate", "1 day", truncate_to="day")
+    present = orders.select(
+        F.date_trunc("day", "o_orderdate").alias("o_orderdate")
+    ).distinct()
+    return grid.join(present, on="o_orderdate", how="left_anti").select(
+        F.col("o_orderdate").alias("missing_day")
+    )
+
+
+ORACLE_CALENDAR_ANTI = """
+WITH b AS (SELECT date_trunc('day', min(o_orderdate)) AS lo, date_trunc('day', max(o_orderdate)) AS hi FROM orders),
+g AS (SELECT unnest(generate_series(lo, hi, interval '1 day')) AS day FROM b),
+p AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders)
+SELECT day AS missing_day FROM g ANTI JOIN p USING (day)
+"""
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: intersect / difference of customer vs supplier nation sets."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    c_only = cust.subtract(supp).withColumn("tag", F.lit("customer_only"))
+    s_only = supp.subtract(cust).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS tag FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM
+  (SELECT DISTINCT s_nationkey AS nationkey FROM supplier EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: overlapping-slice union -> dedupe -> daily counts."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+    second = ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+    u = merge.union_dedup_sort([first, second], "ts")
+    return u.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_UNION_DEDUP = """
+WITH u AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  UNION
+  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+)
+SELECT date_trunc('day', ts) AS day, COUNT(*) AS n FROM u GROUP BY 1
+"""
+
+
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: watermark-filtered incremental selection."""
+    ev = _t(spark, sf_dir, "events")
+    import datetime
+
+    wm = datetime.datetime(2024, 1, 25)
+    return merge.incremental_new_files(ev, "ts", wm).select("event_id", "ts", "user_id")
+
+
+ORACLE_INCREMENTAL = """
+SELECT event_id, ts, user_id FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+def q_dim_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: broadcast catalog translation (event_type -> category)."""
+    ev = _t(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "conversion"),
+            ("purchase", "conversion"),
+            ("error", "fault"),
+        ],
+        ["event_type", "category"],
+    )
+    return ev.join(F.broadcast(mapping), on="event_type").select(
+        "event_id", "event_type", "category"
+    )
+
+
+ORACLE_DIM_TRANSLATE = """
+SELECT event_id, e.event_type, m.category
+FROM events e
+JOIN (VALUES ('click','engagement'),('view','engagement'),('signup','conversion'),
+             ('purchase','conversion'),('error','fault')) AS m(event_type, category)
+  ON e.event_type = m.event_type
+"""
+
+
+def q_status_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: status collation — three per-user aggregates joined on the key."""
+    ev = _t(spark, sf_dir, "events")
+    valid = F.col("value").between(10.0, 400.0)
+    s1 = status.last_valid_stats(ev, "ts", "value", valid, ["user_id"]).select(
+        "user_id", "last_ts", "pct_valid"
+    )
+    s2 = gaps.missing_record_stats(ev, "ts", 3600, ["user_id"]).select(
+        "user_id", "n_missing"
+    )
+    s3 = gaps.gap_report(ev, "ts", 14400, ["user_id"]).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_big_gaps")
+    )
+    return s1.join(s2, "user_id").join(s3, "user_id", "left")
+
+
+ORACLE_STATUS_COLLATION = """
+WITH s1 AS (
+  SELECT user_id, max(ts) AS last_ts,
+    round(CAST(COUNT(*) FILTER (WHERE value BETWEEN 10.0 AND 400.0) AS BIGINT) * 100.0 / COUNT(*), 6) AS pct_valid
+  FROM events GROUP BY 1
+), s2 AS (
+  SELECT user_id,
+    CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 // 3600 AS BIGINT) + 1 - COUNT(*) AS n_missing
+  FROM events GROUP BY 1
+), d AS (
+  SELECT user_id, date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) // 1000000 AS ds
+  FROM (SELECT DISTINCT user_id, ts FROM events)
+), s3 AS (
+  SELECT user_id, COUNT(*) AS n_big_gaps FROM d WHERE ds > 14400 GROUP BY 1
+)
+SELECT s1.user_id, s1.last_ts, s1.pct_valid, s2.n_missing, s3.n_big_gaps
+FROM s1 JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Reshape (R1, R2)
+# --------------------------------------------------------------------------
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: long -> wide pivot of daily mean value per event type."""
+    ev = _t(spark, sf_dir, "events")
+    avg_expr = (_dsum("value") / F.count(F.lit(1))).alias("v")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(avg_expr)
+    )
+
+
+ORACLE_PIVOT = """
+SELECT date_trunc('day', ts) AS day,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'click') AS DOUBLE)
+    / COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+    / COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+    / COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+    / COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+    / COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_melt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: the pivot melted back to long (round-trip through unpivot)."""
+    wide = q_pivot_daily(spark, sf_dir)
+    long = reshape.melt_long(wide, ["day"], EVENT_TYPES, "event_type", "avg_value")
+    return long.filter(F.col("avg_value").isNotNull())
+
+
+ORACLE_MELT = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: text analysis, dedup, similarity
+# --------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.token_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_token_len",
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  round(CASE WHEN length(trim(text)) > 0
+    THEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) END, 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quality_scores(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  round(CASE WHEN length(trim(text)) > 0
+    THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS digit_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS upper_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.lang_id(docs, "doc_id", "text")
+    casts = [F.col(f"n_{lang}").cast("bigint").alias(f"n_{lang}") for lang in text.LANG_MARKERS]
+    return out.select("doc_id", *casts, "pred_lang")
+
+
+def _lang_count_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> x IN ({lst}))) AS BIGINT)"
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH c AS (
+  SELECT doc_id,
+    {_lang_count_sql(text.LANG_MARKERS['en'])} AS n_en,
+    {_lang_count_sql(text.LANG_MARKERS['de'])} AS n_de,
+    {_lang_count_sql(text.LANG_MARKERS['fr'])} AS n_fr,
+    {_lang_count_sql(text.LANG_MARKERS['es'])} AS n_es,
+    {_lang_count_sql(text.LANG_MARKERS['zh'])} AS n_zh
+  FROM documents
+)
+SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
+  CASE WHEN greatest(n_en, n_de, n_fr, n_es, n_zh) = 0 THEN 'und'
+       WHEN n_en = greatest(n_en, n_de, n_fr, n_es, n_zh) THEN 'en'
+       WHEN n_de = greatest(n_en, n_de, n_fr, n_es, n_zh) THEN 'de'
+       WHEN n_fr = greatest(n_en, n_de, n_fr, n_es, n_zh) THEN 'fr'
+       WHEN n_es = greatest(n_en, n_de, n_fr, n_es, n_zh) THEN 'es'
+       ELSE 'zh' END AS pred_lang
+FROM c
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint_md5")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+FROM documents
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+  min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs blocked by language."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+    )) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.2
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64-based — no SQL oracle;
+    driver records rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", "query_id", k=10)
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, vec_id, cosine_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (hash-derived planes — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ann_lsh_topk(
+        emb, queries, dims=64, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10, planes=4,
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + vector count (IVF coarse stats)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label",
+        F.round(similarity.norm(F.col("centroid")), 6).alias("centroid_norm"),
+    ).join(
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")), on="label"
+    )
+
+
+ORACLE_CENTROIDS = """
+WITH ex AS (
+  SELECT label, u.dim, u.v FROM embeddings,
+    LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
+),
+per_dim AS (SELECT label, dim, avg(v) AS mean_v FROM ex GROUP BY 1, 2),
+norms AS (SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm FROM per_dim GROUP BY 1),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT norms.label, norms.centroid_norm, counts.n_vectors FROM norms JOIN counts USING (label)
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship pipeline (entry)
+# --------------------------------------------------------------------------
+
+def q_conditioned_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference conditioning chain (P6+P7+P3+QC+W6)."""
+    apply_engine_conf(spark)
+    return condition_events(spark, sf_dir)
+
+
+ORACLE_CONDITIONED = """
+WITH dedup AS (SELECT DISTINCT * FROM events),
+keyed AS (
+  SELECT * FROM dedup WHERE ts IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+),
+masked AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS block_start,
+    CASE WHEN value >= 10.0 AND value <= 400.0 THEN value END AS v,
+    CASE WHEN value >= 10.0 AND value <= 400.0 THEN 0 ELSE 1 END AS flag
+  FROM keyed
+)
+SELECT block_start, COUNT(*) AS n_recs,
+  CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(SUM(flag) AS BIGINT) AS n_flagged
+FROM masked GROUP BY 1
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    apply_engine_conf(spark)
+    return condition_events(spark, SF001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "order_priority_by_year": q_order_priority_by_year,
+        # conditioning / dedupe
+        "dedupe_exact": q_dedupe_exact,
+        "dedupe_keep_latest": q_dedupe_keep_latest,
+        "duplicate_minute_report": q_duplicate_minute_report,
+        # regularisation / gaps
+        "grid_regularise": q_grid_regularise,
+        "interval_mode": q_interval_mode,
+        "gap_report": q_gap_report,
+        "missing_records": q_missing_records,
+        "gap_histogram": q_gap_histogram,
+        # masking + functions
+        "range_mask": q_range_mask,
+        "unit_conversions": q_unit_conversions,
+        "met_derivations": q_met_derivations,
+        "variance_stdev_roundtrip": q_variance_stdev_roundtrip,
+        # windows / status
+        "storage_lag": q_storage_lag,
+        "tumbling_30min": q_tumbling_30min,
+        "diel_cycle": q_diel_cycle,
+        "last_valid_stats": q_last_valid_stats,
+        "trailing_validity": q_trailing_validity,
+        # joins / set ops
+        "nearest_size_match": q_nearest_size_match,
+        "calendar_anti_join": q_calendar_anti_join,
+        "set_ops_nations": q_set_ops_nations,
+        "union_dedup": q_union_dedup,
+        "incremental_append": q_incremental_append,
+        "dim_translate": q_dim_translate,
+        "status_collation": q_status_collation,
+        # reshape
+        "pivot_daily": q_pivot_daily,
+        "melt_daily": q_melt_daily,
+        # training-data ops
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "label_centroids": q_label_centroids,
+        # flagship
+        "conditioned_blocks": q_conditioned_blocks,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": ORACLE_PRICING,
+        "shipping_priority": ORACLE_SHIPPING,
+        "region_revenue": ORACLE_REGION,
+        "top_customers": ORACLE_TOP_CUST,
+        "order_priority_by_year": ORACLE_PRIORITY_YEAR,
+        "dedupe_exact": ORACLE_DEDUPE_EXACT,
+        "dedupe_keep_latest": ORACLE_KEEP_LATEST,
+        "duplicate_minute_report": ORACLE_DUP_MINUTE,
+        "grid_regularise": ORACLE_GRID,
+        "interval_mode": ORACLE_INTERVAL_MODE,
+        "gap_report": ORACLE_GAP_REPORT,
+        "missing_records": ORACLE_MISSING,
+        "gap_histogram": ORACLE_GAP_HISTOGRAM,
+        "range_mask": ORACLE_RANGE_MASK,
+        "unit_conversions": ORACLE_UNIT_CONV,
+        "met_derivations": ORACLE_MET,
+        "variance_stdev_roundtrip": ORACLE_VAR_STDEV,
+        "storage_lag": ORACLE_STORAGE_LAG,
+        "tumbling_30min": ORACLE_TUMBLING,
+        "diel_cycle": ORACLE_DIEL,
+        "last_valid_stats": ORACLE_LAST_VALID,
+        "trailing_validity": ORACLE_TRAILING,
+        "nearest_size_match": ORACLE_NEAREST,
+        "calendar_anti_join": ORACLE_CALENDAR_ANTI,
+        "set_ops_nations": ORACLE_SET_OPS,
+        "union_dedup": ORACLE_UNION_DEDUP,
+        "incremental_append": ORACLE_INCREMENTAL,
+        "dim_translate": ORACLE_DIM_TRANSLATE,
+        "status_collation": ORACLE_STATUS_COLLATION,
+        "pivot_daily": ORACLE_PIVOT,
+        "melt_daily": ORACLE_MELT,
+        "doc_token_stats": ORACLE_TOKEN_STATS,
+        "doc_quality": ORACLE_QUALITY,
+        "doc_lang_id": ORACLE_LANG_ID,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "exact_dedup_docs": ORACLE_EXACT_DEDUP,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ann_cosine_topk": ORACLE_ANN,
+        "label_centroids": ORACLE_CENTROIDS,
+        "conditioned_blocks": ORACLE_CONDITIONED,
+        # minhash_dedup / simhash_pairs / ann_lsh_topk: xxhash64-based,
+        # not SQL-expressible -> rows-only check by design.
+    }

@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local Spark.
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from tern_ep_data_pipeline_spark.session import get_spark
+
+#: Headline queries: one per major operator family (scan-agg, joins, top-k,
+#: time-series conditioning, windows, dedup, text, similarity).
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "top_customers",
+    "grid_regularise",
+    "tumbling_30min",
+    "storage_lag",
+    "last_valid_stats",
+    "status_collation",
+    "conditioned_blocks",
+    "exact_dedup_docs",
+    "doc_quality",
+    "minhash_dedup",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with the cheapest query once
+    qs["tumbling_30min"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

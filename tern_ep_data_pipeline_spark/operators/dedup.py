@@ -1,0 +1,262 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference operators for the large-scale training-data pipeline
+(driver mandate). Design point is 100 TB:
+
+- exact: hash-groupBy on normalised content — one shuffle on a 16-byte key.
+- n-gram Jaccard: exact pairwise similarity *within a blocking key* (caller
+  chooses, e.g. language or LSH bucket) — never an unblocked cross join.
+- MinHash+LSH: shingle -> K minhashes -> B bands -> bucket self-join.
+  Signatures are computed with built-in ``xxhash64``/array expressions
+  (JVM-side, no Python), so the only shuffles are the band-bucket
+  self-join and the final pair dedup.
+- SimHash: 64-bit sign-sum fingerprint via explode + 64 conditional sums.
+
+All hashes are deterministic (seeded by literal), so results are stable
+under retries and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def normalise_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, normalise: bool = True
+) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content with the
+    canonical (min) id and the copy count."""
+    content = normalise_text(F.col(text_col)) if normalise else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one (min-id) row per distinct content."""
+    groups = exact_dedup_groups(df, id_col, text_col)
+    keep = groups.select(F.col("canonical_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------- shingling
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenisation of already-clean text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles as an array<string> (pure array exprs)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a blocking key.
+
+    The self-join is on ``block_col`` — at scale pass an LSH band key; the
+    unblocked variant is O(n^2) and deliberately not offered.
+    Output: (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(block_col).alias("__block"),
+        F.col(id_col).alias("__id"),
+        token_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    a = sh.select(
+        F.col("__block"),
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("__block"),
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    pairs = a.join(b, on="__block").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """K minhash values as array<bigint>.
+
+    h_j(s) = xxhash64(j, s); empty shingle sets get sentinel signatures from
+    the empty string so they bucket together.
+    """
+    safe = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.lit("")))
+    return F.array(
+        *[
+            F.array_min(F.transform(safe, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash LSH candidate pairs: (id_a, id_b) sharing >= 1 band.
+
+    rows/band = num_hashes/bands; with 32/8 the S-curve crosses ~0.5 around
+    J ~ 0.6. The band self-join key is (band_idx, band_hash) — a compact
+    long pair — so the shuffle moves ids, not documents.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(token_shingles(F.col(text_col), n), num_hashes).alias("__sig"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__band")).select(
+        "__id", "__band.band", "__band.bh"
+    )
+    a = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates verified with exact Jaccard.
+
+    Output: (id_a, id_b, jaccard_sim >= threshold).
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(F.col(text_col), n).alias("__sh")
+    )
+    verified = (
+        cands.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard_sim")
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Explode tokens -> per-bit signed sums -> recombine. All built-in
+    expressions; the single shuffle is the groupBy on the id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs blocked on 16-bit bands (pigeonhole: any pair
+    with <= bands-1 differing bands shares a band), verified by exact
+    Hamming distance."""
+    fp = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(id_col, "simhash", F.explode(band_arr).alias("__band")).select(
+        id_col, "simhash", "__band.band", "__band.key"
+    )
+    a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,102 @@
+"""Missing-record accounting and gap analysis.
+
+Parity targets (ref ``code/file_handling/file_handler.py``):
+- A2 missing-record stats: expected count from the [start, end] span at the
+  site interval vs actual rows; n & pct missing (:241-263).
+- A3 gap bounds + distribution: lag-diff of timestamps -> gaps greater than
+  one interval; (last-before, first-after) bounds and a histogram of gap
+  sizes (:267-326). W2 is the same lag.
+
+Scale note: the lag window runs per partition key (site/user); an unkeyed
+global orderBy is fine for single-series data but callers should always pass
+partition cols on multi-entity tables to avoid a single-task sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def missing_record_stats(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A2: expected vs actual record counts per partition."""
+    gb = df.groupBy(*partition_cols) if partition_cols else df.groupBy()
+    out = gb.agg(
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.count(F.lit(1)).alias("n_actual"),
+    ).withColumn(
+        "n_expected",
+        F.expr(
+            f"timestampdiff(MICROSECOND, start_ts, end_ts) div 1000000 div {interval_seconds}"
+        )
+        + 1,
+    )
+    return out.withColumn("n_missing", F.col("n_expected") - F.col("n_actual")).withColumn(
+        "pct_missing",
+        F.round(F.col("n_missing") * 100.0 / F.col("n_expected"), 6),
+    )
+
+
+def _lagged(df: DataFrame, ts_col: str, partition_cols: Sequence[str]) -> DataFrame:
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(ts_col)
+        if partition_cols
+        else Window.orderBy(ts_col)
+    )
+    return df.select(*partition_cols, ts_col).distinct().withColumn(
+        "prev_ts", F.lag(ts_col).over(w)
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    ts_col: str,
+    min_gap_seconds: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A3: gaps longer than ``min_gap_seconds`` with bounds.
+
+    Output: partition cols + ``gap_start`` (last record before),
+    ``gap_end`` (first record after), ``gap_seconds``.
+    """
+    lagged = _lagged(df, ts_col, partition_cols)
+    return (
+        lagged.withColumn(
+            "gap_seconds",
+            F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col}) div 1000000"),
+        )
+        .filter(F.col("gap_seconds") > min_gap_seconds)
+        .select(
+            *partition_cols,
+            F.col("prev_ts").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            "gap_seconds",
+        )
+    )
+
+
+def gap_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A3/A9: histogram of gap sizes in units of the sampling interval."""
+    lagged = _lagged(df, ts_col, partition_cols)
+    gaps = lagged.withColumn(
+        "n_intervals",
+        F.expr(
+            f"timestampdiff(MICROSECOND, prev_ts, {ts_col}) div 1000000 div {interval_seconds}"
+        ),
+    ).filter(F.col("n_intervals") > 1)
+    return gaps.groupBy(*partition_cols, "n_intervals").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )

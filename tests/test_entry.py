@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"block_start", "n_recs", "sum_value", "n_flagged"} <= set(df.columns)
+
+
+def test_queries_have_oracles_or_are_flagged(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the only intentional rows-only checks:
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"minhash_dedup", "simhash_pairs", "ann_lsh_topk"}
+
+
+def test_all_queries_run_at_smoke_sf(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()
