@@ -1,0 +1,134 @@
+from __future__ import annotations
+
+import pytest
+
+from tern_ep_data_pipeline_spark.catalog import (
+    PFPNameError,
+    build_site_variables,
+    parse_variable_name,
+    plausible_bounds,
+    units_nonconforming,
+)
+from tern_ep_data_pipeline_spark.catalog.pfp_names import vertical_location_to_metres
+from tern_ep_data_pipeline_spark.catalog.variables import (
+    nearest_height_variable,
+    translation_by_file,
+)
+
+
+def test_parse_simple_quantity():
+    p = parse_variable_name("Ta_2m")
+    assert p.quantity == "Ta"
+    assert p.vertical_location == "2m"
+    assert p.standard_units == "degC"
+    assert p.plausible_min == -30.0
+
+
+def test_parse_fused_instrument():
+    p = parse_variable_name("CO2_IRGA")
+    assert p.quantity == "CO2_IRGA"
+    assert p.instrument_type == "IRGA"
+
+
+def test_parse_system_and_process():
+    p = parse_variable_name("Fco2_EP")
+    assert p.quantity == "Fco2"
+    assert p.system_type == "EddyPro"
+    p2 = parse_variable_name("Ws_SONIC_Av")
+    assert p2.quantity == "Ws_SONIC"
+    assert p2.process == "Av"
+
+
+def test_parse_variance_units_rewrite():
+    p = parse_variable_name("Tv_SONIC_Vr")
+    assert p.process == "Vr"
+    assert p.standard_units == "degC^2"
+
+
+def test_parse_count_and_qc_rewrites():
+    ct = parse_variable_name("Ta_2m_Ct")
+    assert ct.standard_units == "1"
+    assert ct.long_name.startswith("Number of samples")
+    qc = parse_variable_name("Ta_2m_QC")
+    assert qc.long_name.startswith("QC flag value")
+
+
+def test_parse_glued_location_replicate():
+    p = parse_variable_name("Sws_0.1ma2")
+    assert p.vertical_location == "0.1m"
+    assert p.horizontal_location == "a"
+    assert p.replicate == "2"
+
+
+def test_parse_depth_range():
+    p = parse_variable_name("Sws_0-30cm")
+    assert p.vertical_location == "0-30cm"
+    assert vertical_location_to_metres("0-30cm") == pytest.approx(0.15)
+    assert vertical_location_to_metres("1.5m") == 1.5
+
+
+def test_parse_rejects_unknown_quantity():
+    with pytest.raises(PFPNameError, match="not a valid quantity"):
+        parse_variable_name("Banana_2m")
+
+
+def test_parse_rejects_leftover():
+    with pytest.raises(PFPNameError, match="unrecognised element"):
+        parse_variable_name("Ta_2m_xx_yy")
+
+
+SITE_MAP = {
+    "Ta_2m": {
+        "name": "AirTC_Avg", "units": "degC", "height": "2m",
+        "instrument": "HMP155", "statistic_type": "average",
+        "logger": "L1", "table": "slow",
+    },
+    "Ta_10m": {
+        "name": "AirTC_10_Avg", "units": "K", "height": "10m",
+        "instrument": "HMP45", "statistic_type": "average",
+        "logger": "L1", "table": "slow",
+    },
+    "RH_2m": {
+        "name": "RH_Avg", "units": "frac", "height": "2m",
+        "instrument": "HMP155", "statistic_type": "average",
+        "file": "site_L1_slow.dat",
+    },
+}
+
+
+def test_build_site_variables():
+    cat = build_site_variables(SITE_MAP)
+    assert cat["Ta_2m"]["quantity"] == "Ta"
+    assert cat["Ta_2m"]["height_m"] == 2.0
+    assert cat["Ta_2m"]["standard_units"] == "degC"
+
+
+def test_build_rejects_missing_fields():
+    with pytest.raises(ValueError, match="missing requisite"):
+        build_site_variables({"Ta_2m": {"name": "x"}})
+
+
+def test_units_nonconforming_worklist():
+    cat = build_site_variables(SITE_MAP)
+    work = units_nonconforming(cat)
+    assert set(work) == {"Ta_10m", "RH_2m"}
+    assert work["Ta_10m"] == ("K", "degC")
+
+
+def test_plausible_bounds():
+    cat = build_site_variables(SITE_MAP)
+    assert plausible_bounds(cat)["RH_2m"] == (0.0, 100.0)
+
+
+def test_translation_by_file():
+    cat = build_site_variables(SITE_MAP)
+    t = translation_by_file(cat)
+    assert t["L1_slow.dat"]["AirTC_Avg"] == "Ta_2m"
+    assert t["site_L1_slow.dat"]["RH_Avg"] == "RH_2m"
+
+
+def test_nearest_height_match():
+    cat = build_site_variables(SITE_MAP)
+    assert nearest_height_variable(cat, "Ta", 9.0) == "Ta_10m"
+    assert nearest_height_variable(cat, "Ta", 2.5) == "Ta_2m"
+    assert nearest_height_variable(cat, "Fco2", 2.0) is None
