@@ -114,18 +114,33 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- minhash
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """K minhash values as array<bigint>.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """K minhash values per document as columns ``h0..h{K-1}``.
 
-    h_j(s) = xxhash64(j, s); empty shingle sets get sentinel signatures from
-    the empty string so they bucket together.
+    Shape chosen for scale: explode shingles once, hash each (shingle, seed)
+    exactly once, then min-aggregate — the partial (map-side) min means the
+    shuffle carries K longs per doc per partition, never the shingles.
+    (A single wide array expression would re-evaluate the shingling K times
+    per row inside one codegen stage.)
+
+    Documents with no tokens sign with xxhash64(j, '') sentinels via the
+    empty-shingle guard in ``token_shingles``.
     """
-    safe = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.lit("")))
-    return F.array(
-        *[
-            F.array_min(F.transform(safe, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-            for j in range(num_hashes)
-        ]
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    hashed = sh.select(
+        "__id", *[F.xxhash64(F.lit(j), F.col("__sh")).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return hashed.groupBy("__id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
     )
 
 
@@ -145,15 +160,12 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(token_shingles(F.col(text_col), n), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                *[F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
             ).alias("bh"),
         )
         for b in range(bands)

@@ -68,23 +68,34 @@ def cosine_topk(
     )
 
 
-def _plane_sign(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random +-1 from a hash — no RNG state needed."""
-    return (F.xxhash64(F.lit(plane), F.lit(dim)).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+def _plane_signs(plane: int, dims: int) -> list[float]:
+    """Deterministic +-1 hyperplane components from md5(plane:dim) — no RNG
+    state, reproducible across runs, processes, and cluster sizes."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"{plane}:{d}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
 
 
 def srp_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
     """Signed-random-projection LSH bucket id (long) from ``planes`` bits.
 
-    Hyperplanes have hash-derived +-1 components: projection_p = sum_d
-    sign(p,d) * vec[d]. Fully JVM-side; identical across runs and engines.
+    projection_p = sum_d sign(p,d) * vec[d] as a sequential ``aggregate``
+    fold over a literal sign array — compact codegen (one fold per plane)
+    and a deterministic summation order, so borderline vectors bucket
+    identically on every run.
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        proj = None
-        for d in range(dims):
-            term = _plane_sign(p, d) * vec_col[d].cast("double")
-            proj = term if proj is None else proj + term
+        signs = F.array(*[F.lit(s) for s in _plane_signs(p, dims)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
     return bucket
