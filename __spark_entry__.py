@@ -39,6 +39,8 @@ from tern_ep_data_pipeline_spark.operators import (
     text,
     windows,
 )
+from tern_ep_data_pipeline_spark.operators import multimodal
+from tern_ep_data_pipeline_spark.plans import profile as profile_plan
 from tern_ep_data_pipeline_spark.plans.l1 import condition_events
 from tern_ep_data_pipeline_spark.session import apply_engine_conf
 from tern_ep_data_pipeline_spark.sources.tables import load_table
@@ -991,6 +993,113 @@ SELECT norms.label, norms.centroid_norm, counts.n_vectors FROM norms JOIN counts
 
 
 # --------------------------------------------------------------------------
+# Profile (storage-flux) pipeline: J5 + R1 + A5 + W1 + A6 composite
+# --------------------------------------------------------------------------
+
+PROFILE_HEIGHTS = profile_plan.DEFAULT_HEIGHTS
+
+
+def q_profile_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valve-multiplexed profile chain on events: map valve->height, pivot
+    to (block x height), layer means, lag storage terms, null-propagating
+    total (the reference CO2-profile pipeline end-to-end)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("ts"),
+        (F.col("user_id") % 8).alias("valve"),
+        (F.lit(300.0) + F.col("value")).alias("co2"),
+    )
+    return profile_plan.profile_storage(base, "ts", "valve", "co2", PROFILE_HEIGHTS, 30)
+
+
+def _profile_oracle() -> str:
+    hs = [float(h) for h in PROFILE_HEIGHTS]
+    col = lambda h: f"co2_{str(h).replace('.', 'p')}"
+    pivots = ",\n  ".join(
+        f"CAST(SUM(CAST(co2 AS DECIMAL(18,2))) FILTER (WHERE valve = {i}) AS DOUBLE)"
+        f" / COUNT(*) FILTER (WHERE valve = {i}) AS {col(h)}"
+        for i, h in enumerate(hs)
+    )
+    layers, depths = [], []
+    for i, h in enumerate(hs):
+        if i == 0:
+            layers.append(f"{col(h)} AS layer_0")
+            depths.append(h)
+        else:
+            layers.append(f"({col(h)} + {col(hs[i - 1])}) / 2.0 AS layer_{i}")
+            depths.append(h - hs[i - 1])
+    layer_sql = ",\n  ".join(layers)
+    storages = ",\n  ".join(
+        f"(layer_{i} - lag(layer_{i}) OVER (ORDER BY block_start)) / 1800.0 * {depths[i]}"
+        f" AS storage_{i}"
+        for i in range(len(hs))
+    )
+    total = " + ".join(f"storage_{i}" for i in range(len(hs)))
+    return f"""
+WITH base AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS block_start,
+         user_id % 8 AS valve, 300.0 + value AS co2
+  FROM events
+),
+wide AS (
+  SELECT block_start,
+  {pivots}
+  FROM base GROUP BY 1
+),
+layered AS (
+  SELECT *,
+  {layer_sql}
+  FROM wide
+),
+stored AS (
+  SELECT *,
+  {storages}
+  FROM layered
+)
+SELECT *, {total} AS storage_total FROM stored
+"""
+
+
+ORACLE_PROFILE = _profile_oracle()
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_asset_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset byte stats over documents-as-assets (dedup keys)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.content_stats(assets).select(
+        "asset_id", "modality", "n_bytes", "content_md5"
+    )
+
+
+ORACLE_ASSET_STATS = """
+SELECT doc_id AS asset_id, 'text' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction plumbing (deterministic fake encoder
+    — rows-only check by design)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    feats = multimodal.extract_features(assets, dim=16)
+    return feats.select(
+        "asset_id",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feature_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Flagship pipeline (entry)
 # --------------------------------------------------------------------------
 
@@ -1077,6 +1186,10 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "label_centroids": q_label_centroids,
+        # profile pipeline + multimodal
+        "profile_storage": q_profile_storage,
+        "asset_content_stats": q_asset_content_stats,
+        "multimodal_features": q_multimodal_features,
         # flagship
         "conditioned_blocks": q_conditioned_blocks,
     }
@@ -1123,7 +1236,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": ORACLE_ANN,
         "label_centroids": ORACLE_CENTROIDS,
+        "profile_storage": ORACLE_PROFILE,
+        "asset_content_stats": ORACLE_ASSET_STATS,
         "conditioned_blocks": ORACLE_CONDITIONED,
-        # minhash_dedup / simhash_pairs / ann_lsh_topk: xxhash64-based,
-        # not SQL-expressible -> rows-only check by design.
+        # minhash_dedup / simhash_pairs / ann_lsh_topk / multimodal_features:
+        # hash- or Python-UDF-based, not SQL-expressible -> rows-only check.
     }

@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     gaps,
     masking,
     merge,
+    multimodal,
     regularise,
     reshape,
     similarity,

@@ -1,0 +1,5 @@
+from .ingest import (  # noqa: F401
+    conditioned_file_stream,
+    tumbling_block_stream,
+    watermarked_dedupe,
+)

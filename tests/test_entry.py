@@ -20,7 +20,12 @@ def test_queries_have_oracles_or_are_flagged(spark):
     assert set(oracles) <= set(qs)
     # the only intentional rows-only checks:
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"minhash_dedup", "simhash_pairs", "ann_lsh_topk"}
+    assert rows_only == {
+        "minhash_dedup",
+        "simhash_pairs",
+        "ann_lsh_topk",
+        "multimodal_features",
+    }
 
 
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):

@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import multimodal
+from tern_ep_data_pipeline_spark.sources.tables import load_table
+from tern_ep_data_pipeline_spark.streaming import (
+    conditioned_file_stream,
+    tumbling_block_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a plain parquet dir (streaming file source needs
+    a directory, and the testdata file uses nano timestamps)."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_available_now(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_conditioned_file_stream_dedupes(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    stream = conditioned_file_stream(
+        spark, events_dir, schema, ts_col="ts", key_cols=("user_id",)
+    )
+    _run_available_now(stream, tmp_path, "cond_stream")
+    got = spark.sql("select count(*) from cond_stream").collect()[0][0]
+    batch = spark.read.parquet(events_dir).dropDuplicates(["user_id", "ts"]).count()
+    assert got == batch
+
+
+def test_tumbling_block_stream_matches_batch(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    raw = (
+        spark.readStream.format("parquet").schema(schema).load(events_dir)
+    )
+    blocks = tumbling_block_stream(raw, "ts", "value", minutes=30, watermark="1 hour")
+    _run_available_now(blocks, tmp_path, "block_stream")
+    got = spark.sql(
+        "select sum(n_recs) as n, count(*) as blocks from block_stream"
+    ).collect()[0]
+    batch = spark.read.parquet(events_dir).count()
+    # availableNow + watermark: all-but-the-last open block are emitted
+    assert got["blocks"] > 0
+    assert got["n"] <= batch
+
+
+def test_assets_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    row = assets.limit(1).collect()[0]
+    assert row["modality"] == "text"
+    assert bytes(row["content"]).decode("utf-8")
+    stats = multimodal.content_stats(assets)
+    r = stats.limit(1).collect()[0]
+    assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.assets_from_documents(docs)
+    f1 = multimodal.extract_features(assets, dim=8).orderBy("asset_id").collect()
+    f2 = multimodal.extract_features(assets, dim=8).orderBy("asset_id").collect()
+    assert [r["feature"] for r in f1] == [r["feature"] for r in f2]
+    assert all(len(r["feature"]) == 8 for r in f1)
+    import math
+
+    norm = math.sqrt(sum(x * x for x in f1[0]["feature"]))
+    assert norm == pytest.approx(1.0, abs=1e-9)
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    assets = multimodal.assets_from_documents(docs)
+    frames = multimodal.frame_sample_plan(assets, frames_per_asset=4)
+    assert frames.count() == 12
+    assert frames.filter(F.col("frame_idx") == 3).count() == 3
