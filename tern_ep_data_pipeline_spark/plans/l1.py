@@ -31,9 +31,11 @@ def condition_events(
     range-mask (P3) -> QC flag -> 30-min tumbling block stats (W6/A4-shape).
     """
     ev = load_table(spark, sf_dir, "events")
+    # P6 exact dedupe is subsumed by the P7 keep-first window: identical rows
+    # share the (user_id, ts) key and collapse to one — saves a full shuffle
+    # versus dropDuplicates-then-window at scale.
     conditioned = (
-        ev.transform(conditioning.drop_duplicate_records)
-        .transform(lambda d: conditioning.drop_bad_timestamps(d, "ts"))
+        ev.transform(lambda d: conditioning.drop_bad_timestamps(d, "ts"))
         .transform(
             lambda d: conditioning.keep_first_per_timestamp(
                 d, ["user_id", "ts"], [F.col("event_id")]

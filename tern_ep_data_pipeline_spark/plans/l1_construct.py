@@ -51,7 +51,8 @@ def condition_file(
     from ..sources.toa5 import read_delimited
 
     df = read_delimited(spark, spec.paths, usecols=dict(spec.translation))
-    df = conditioning.drop_duplicate_records(df)
+    # exact-dup rows collapse inside the keep-first window (ordering on the
+    # value columns keeps the pick deterministic) — one shuffle, not two
     df = conditioning.keep_first_per_timestamp(
         df, [ts_col], [F.col(c) for c in df.columns if c != ts_col]
     )
