@@ -993,6 +993,154 @@ SELECT norms.label, norms.centroid_norm, counts.n_vectors FROM norms JOIN counts
 
 
 # --------------------------------------------------------------------------
+# Span scans, run coalescing, reporting joins (S6/A8/O4, J6, TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+
+def q_span_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A8: first/last timestamp + count per source, via cheap min/max aggs
+    (replaces the reference's backwards byte-seek tail probe)."""
+    ev = _t(spark, sf_dir, "events").select(F.lit("events").alias("source"), F.col("ts"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("source"), F.col("o_orderdate").alias("ts")
+    )
+    return (
+        ev.unionByName(orders)
+        .groupBy("source")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )
+
+
+ORACLE_SPAN = """
+WITH u AS (
+  SELECT 'events' AS source, ts FROM events
+  UNION ALL
+  SELECT 'orders' AS source, o_orderdate AS ts FROM orders
+)
+SELECT source, min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n_records
+FROM u GROUP BY source
+"""
+
+
+def q_first_last_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/U2: per-user first and last event (deterministic first-wins via
+    min_by/max_by on (ts, event_id))."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).alias("first_event_id"),
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+ORACLE_FIRST_LAST = """
+WITH f AS (
+  SELECT user_id, event_id AS first_event_id FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+),
+l AS (
+  SELECT user_id, event_id AS last_event_id FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+s AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY 1)
+SELECT s.user_id, f.first_event_id, l.last_event_id, s.first_ts, s.last_ts
+FROM s JOIN f USING (user_id) JOIN l USING (user_id)
+"""
+
+
+def q_priority_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 interval coalescing: consecutive same-priority orders per customer
+    collapsed into (priority, start, end, n) runs (gaps-and-islands)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return merge.coalesce_runs(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], "o_orderpriority"
+    )
+
+
+ORACLE_PRIORITY_RUNS = """
+WITH base AS (SELECT * FROM orders WHERE o_custkey < 100),
+marked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+           OR o_orderpriority <> lag(o_orderpriority) OVER w THEN 1 ELSE 0 END AS chg
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+)
+SELECT o_custkey, o_orderpriority, min(o_orderdate) AS run_start,
+  max(o_orderdate) AS run_end, COUNT(*) AS n_in_run
+FROM runs GROUP BY o_custkey, run, o_orderpriority
+"""
+
+
+def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_TOP = """
+SELECT c_custkey, c_name, n_name,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distinct-count scan across the lake (catalog cardinalities)."""
+    ev = _t(spark, sf_dir, "events")
+    part = _t(spark, sf_dir, "part")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    ).crossJoin(
+        part.agg(
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT
+  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+  (SELECT COUNT(DISTINCT event_type) FROM events) AS n_event_types,
+  (SELECT COUNT(DISTINCT p_brand) FROM part) AS n_brands,
+  (SELECT COUNT(DISTINCT p_type) FROM part) AS n_types
+"""
+
+
+# --------------------------------------------------------------------------
 # Profile (storage-flux) pipeline: J5 + R1 + A5 + W1 + A6 composite
 # --------------------------------------------------------------------------
 
@@ -1186,6 +1334,12 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "label_centroids": q_label_centroids,
+        # span scans / runs / reporting joins
+        "span_scan": q_span_scan,
+        "first_last_record": q_first_last_record,
+        "priority_runs": q_priority_runs,
+        "returned_revenue_top": q_returned_revenue_top,
+        "distinct_counts": q_distinct_counts,
         # profile pipeline + multimodal
         "profile_storage": q_profile_storage,
         "asset_content_stats": q_asset_content_stats,
@@ -1236,6 +1390,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": ORACLE_ANN,
         "label_centroids": ORACLE_CENTROIDS,
+        "span_scan": ORACLE_SPAN,
+        "first_last_record": ORACLE_FIRST_LAST,
+        "priority_runs": ORACLE_PRIORITY_RUNS,
+        "returned_revenue_top": ORACLE_RETURNED_TOP,
+        "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "profile_storage": ORACLE_PROFILE,
         "asset_content_stats": ORACLE_ASSET_STATS,
         "conditioned_blocks": ORACLE_CONDITIONED,

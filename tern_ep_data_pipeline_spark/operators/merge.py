@@ -69,6 +69,50 @@ def incremental_new_files(
     return listing.filter(F.col(watermark_col) > F.lit(watermark_value))
 
 
+def coalesce_runs(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """J6: interval coalescing — collapse consecutive equal values into
+    (value, start, end, n) runs (the reference's instrument-history merge,
+    nc_constructors.py:828-970: neighbour-compare then combine-concurrent).
+
+    Gaps-and-islands: a run id is the running count of value changes; one
+    window pass + one aggregation, both on the partition key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.col(value_col) != F.lag(value_col).over(w)),
+        1,
+    ).otherwise(0)
+    runs = df.withColumn("__run", F.sum(changed).over(w))
+    return (
+        runs.groupBy(*partition_cols, "__run", value_col)
+        .agg(
+            F.min(order_cols[0]).alias("run_start"),
+            F.max(order_cols[0]).alias("run_end"),
+            F.count(F.lit(1)).alias("n_in_run"),
+        )
+        .drop("__run")
+    )
+
+
+def assert_no_overlap(
+    intervals: Sequence[tuple], start_idx: int = 1, end_idx: int = 2
+) -> None:
+    """J6 validation: (label, start, end) ranges must not overlap
+    (nc_constructors.py:973-1004). Catalog-sized -> plain Python."""
+    ordered = sorted(intervals, key=lambda r: r[start_idx])
+    for prev, cur in zip(ordered, ordered[1:]):
+        if cur[start_idx] < prev[end_idx]:
+            raise ValueError(f"overlapping intervals: {prev} and {cur}")
+
+
 def variable_overlap(master_cols: Sequence[str], merge_cols: Sequence[str]) -> dict[str, list[str]]:
     """J10/U3: variable-set intersection and differences
     (ref file_concatenators.py:216-244). Catalog-sized -> plain Python."""
