@@ -32,6 +32,9 @@ HEADLINE = [
     "doc_quality",
     "minhash_dedup",
     "ann_cosine_topk",
+    "profile_storage",
+    "returned_revenue_top",
+    "priority_runs",
 ]
 
 
