@@ -140,6 +140,92 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Within-block self-join (pass an LSH bucket / shard key at scale; an
+    unblocked cross join is refused implicitly by requiring ``block_col``
+    for big inputs). Norms are precomputed once per side so the join
+    evaluates only the dot product per pair.
+    """
+    base = df.select(
+        *([F.col(block_col).alias("__block")] if block_col else [F.lit(0).alias("__block")]),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    a = base.select(
+        F.col("__block"), F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    )
+    b = base.select(
+        F.col("__block"), F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    pairs = a.join(b, on="__block").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 2,
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse lists + exact ranking within probed lists.
+
+    The corpus is pre-assigned to inverted lists (``list_col`` — at scale a
+    k-means assignment materialised as the table's partition/bucket column).
+    Each query ranks the list centroids (tiny, broadcast) and probes the
+    ``n_probe`` nearest lists, scanning only those partitions.
+    """
+    cents = label_centroids(corpus, list_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    ranked = q.crossJoin(F.broadcast(cents)).select(
+        F.col(query_id_col),
+        F.col(list_col),
+        F.col("__qv"),
+        cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col(list_col).asc()
+    )
+    probes = (
+        ranked.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select(query_id_col, list_col, "__qv")
+    )
+    scored = corpus.join(F.broadcast(probes), on=list_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

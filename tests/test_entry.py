@@ -25,6 +25,7 @@ def test_queries_have_oracles_or_are_flagged(spark):
         "simhash_pairs",
         "ann_lsh_topk",
         "multimodal_features",
+        "ann_ivf_topk",
     }
 
 
