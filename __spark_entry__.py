@@ -763,6 +763,40 @@ FROM events GROUP BY 1
 """
 
 
+def q_height_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3+R4: two measured heights -> linear interpolation to targets, plus
+    broadcast of one column across the height axis (profile prep shapes)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("value") / 10.0).alias("t_low"),
+        (F.col("value") / 10.0 + 2.0).alias("t_high"),
+    )
+    interp = reshape.interpolate_heights(base, "t_low", "t_high", 7.0, 30.0, [12.0, 20.0])
+    out = reshape.broadcast_to_heights(interp, [0.5, 7.0, 30.0], out_col="height")
+    return out.select(
+        "event_id",
+        "height",
+        F.col("`interp_12.0`").alias("t_12m"),
+        F.col("`interp_20.0`").alias("t_20m"),
+    )
+
+
+ORACLE_HEIGHT_INTERP = """
+WITH base AS (
+  SELECT event_id, value / 10.0 AS t_low, value / 10.0 + 2.0 AS t_high FROM events
+),
+interp AS (
+  SELECT event_id,
+    t_low + (t_high - t_low) / (30.0 - 7.0) * (12.0 - 7.0) AS t_12m,
+    t_low + (t_high - t_low) / (30.0 - 7.0) * (20.0 - 7.0) AS t_20m
+  FROM base
+)
+SELECT event_id, CAST(h.height AS DOUBLE) AS height, t_12m, t_20m
+FROM interp CROSS JOIN (VALUES (0.5), (7.0), (30.0)) AS h(height)
+"""
+
+
 def q_melt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2: the pivot melted back to long (round-trip through unpivot)."""
     wide = q_pivot_daily(spark, sf_dir)
@@ -1399,6 +1433,7 @@ def queries() -> dict[str, QueryFn]:
         # reshape
         "pivot_daily": q_pivot_daily,
         "melt_daily": q_melt_daily,
+        "height_interpolation": q_height_interpolation,
         # training-data ops
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1462,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "status_collation": ORACLE_STATUS_COLLATION,
         "pivot_daily": ORACLE_PIVOT,
         "melt_daily": ORACLE_MELT,
+        "height_interpolation": ORACLE_HEIGHT_INTERP,
         "doc_token_stats": ORACLE_TOKEN_STATS,
         "doc_quality": ORACLE_QUALITY,
         "doc_lang_id": ORACLE_LANG_ID,
