@@ -1227,6 +1227,26 @@ LIMIT 20
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (analytics the reference
+    computes ad hoc; exact here, approx_percentile is the >TB fallback)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: distinct-count scan across the lake (catalog cardinalities)."""
     ev = _t(spark, sf_dir, "events")
@@ -1455,6 +1475,7 @@ def queries() -> dict[str, QueryFn]:
         "priority_runs": q_priority_runs,
         "returned_revenue_top": q_returned_revenue_top,
         "distinct_counts": q_distinct_counts,
+        "value_quantiles": q_value_quantiles,
         # profile pipeline + multimodal
         "profile_storage": q_profile_storage,
         "asset_content_stats": q_asset_content_stats,
@@ -1513,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_runs": ORACLE_PRIORITY_RUNS,
         "returned_revenue_top": ORACLE_RETURNED_TOP,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
+        "value_quantiles": ORACLE_QUANTILES,
         "profile_storage": ORACLE_PROFILE,
         "asset_content_stats": ORACLE_ASSET_STATS,
         "conditioned_blocks": ORACLE_CONDITIONED,
