@@ -1227,6 +1227,17 @@ LIMIT 20
 """
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based stats — the >TB fallback for distincts/quantiles
+    (HLL++ and approx percentile; rows-only: sketches are engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.95)").alias("approx_p95"),
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event type (analytics the reference
     computes ad hoc; exact here, approx_percentile is the >TB fallback)."""
@@ -1476,6 +1487,7 @@ def queries() -> dict[str, QueryFn]:
         "returned_revenue_top": q_returned_revenue_top,
         "distinct_counts": q_distinct_counts,
         "value_quantiles": q_value_quantiles,
+        "approx_stats": q_approx_stats,
         # profile pipeline + multimodal
         "profile_storage": q_profile_storage,
         "asset_content_stats": q_asset_content_stats,

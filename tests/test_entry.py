@@ -26,6 +26,7 @@ def test_queries_have_oracles_or_are_flagged(spark):
         "ann_lsh_topk",
         "multimodal_features",
         "ann_ivf_topk",
+        "approx_stats",
     }
 
 
