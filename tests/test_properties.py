@@ -1,0 +1,88 @@
+"""Property-based tests for the invariants the reference enforces at runtime
+(SURVEY.md §5): dedupe idempotence, grid-regularisation count identity,
+unit-conversion round-trips, interval-inference consistency.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.functions import conversions as cv
+from tern_ep_data_pipeline_spark.functions import met
+from tern_ep_data_pipeline_spark.operators import conditioning, gaps, regularise
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+offsets = st.lists(
+    st.integers(min_value=0, max_value=200), min_size=2, max_size=40, unique=True
+)
+
+
+def _ts_df(spark, offs, minutes=30):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(minutes=minutes * o), float(o)) for o in offs]
+    return spark.createDataFrame(rows, ["DATETIME", "v"])
+
+
+@given(offs=offsets)
+@SET
+def test_dedupe_idempotent(spark, offs):
+    df = _ts_df(spark, offs)
+    doubled = df.unionByName(df)
+    once = conditioning.drop_duplicate_records(doubled)
+    assert once.count() == len(offs)
+    assert conditioning.drop_duplicate_records(once).count() == len(offs)
+
+
+@given(offs=offsets)
+@SET
+def test_grid_count_identity(spark, offs):
+    # A2 invariant: |grid| == span/interval + 1, and every input row survives
+    df = _ts_df(spark, offs)
+    out = regularise.regularise_to_grid(df, "DATETIME", "30 minutes")
+    span = max(offs) - min(offs)
+    assert out.count() == span + 1
+    assert out.filter(F.col("v").isNotNull()).count() == len(offs)
+
+
+@given(offs=offsets)
+@SET
+def test_missing_plus_actual_equals_expected(spark, offs):
+    df = _ts_df(spark, offs)
+    row = gaps.missing_record_stats(df, "DATETIME", 1800).collect()[0]
+    assert row["n_actual"] + row["n_missing"] == row["n_expected"]
+    assert row["n_expected"] == max(offs) - min(offs) + 1
+
+
+@given(
+    v=st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False)
+)
+@SET
+def test_variance_stdev_roundtrip_property(spark, v):
+    out = spark.range(1).select(
+        cv.convert_stdev_to_variance(cv.convert_variance_to_stdev(F.lit(v))).alias("r")
+    ).collect()[0]["r"]
+    assert out == pytest.approx(v, rel=1e-12)
+
+
+@given(
+    ta=st.floats(min_value=-20.0, max_value=45.0, allow_nan=False),
+    rh=st.floats(min_value=1.0, max_value=100.0, allow_nan=False),
+    ps=st.floats(min_value=85.0, max_value=105.0, allow_nan=False),
+)
+@SET
+def test_rh_ah_inverse_property(spark, ta, rh, ps):
+    expr = met.calculate_RH_from_AH(
+        F.lit(ta), met.calculate_AH_from_RH(F.lit(ta), F.lit(rh), F.lit(ps)), F.lit(ps)
+    )
+    out = spark.range(1).select(expr.alias("r")).collect()[0]["r"]
+    assert out == pytest.approx(rh, rel=1e-9)
