@@ -175,11 +175,11 @@ def read_delimited(
 
 # ------------------------------------------------------------------ writer
 
-def _format_value(v, float_sig: int = 7) -> str:
-    """Reference CSV value formatting: 7-significant-digit floats, 'NAN' for
-    missing (fast_file_io.py:228-243, 658-677)."""
+def _format_value(v, float_sig: int = 7, na_token: str = "NAN") -> str:
+    """Reference CSV value formatting: 7-significant-digit floats, format
+    NA token for missing (fast_file_io.py:228-243, 658-677)."""
     if v is None or v != v:
-        return "NAN"
+        return na_token
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(v)
@@ -202,23 +202,44 @@ def write_toa5(
     is collected and written on the driver; the heavy lifting (select,
     condition, block split) stays distributed upstream.
     """
-    cols = [c for c in df.columns]
+    write_delimited(df, path, header, "TOA5", timestamp_col)
+
+
+def write_delimited(
+    df,
+    path: str,
+    header: FileHeader,
+    output_format: str = "TOA5",
+    timestamp_col: str = "DATETIME",
+) -> None:
+    """S19 generalised: TOA5 (4 quoted header lines, comma, NAN) or EddyPro
+    (2 header lines, tab, NaN) output shaping (file_io.py:668-842)."""
+    fmt = FORMATS[output_format]
+    sep = fmt["separator"]
+    na_token = fmt["na_values"]
+    cols = list(df.columns)
     pdf = df.toPandas() if not hasattr(df, "to_csv") else df
 
-    info = header.info or {}
-    info_row = [info.get(k, "") for k in INFO_FIELD_NAMES]
     variables = ["TIMESTAMP" if c == timestamp_col else c for c in cols]
     units_row = [header.units.get(v, "") for v in variables]
-    units_row[variables.index("TIMESTAMP")] = header.units.get("TIMESTAMP", "TS")
-    sampling_row = [header.sampling.get(v, "") for v in variables]
+    if "TIMESTAMP" in variables:
+        units_row[variables.index("TIMESTAMP")] = header.units.get("TIMESTAMP", "TS")
+
+    def quote(vals):
+        return sep.join(f'"{v}"' for v in vals)
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", newline="") as fh:
-        w = csv.writer(fh, quoting=csv.QUOTE_ALL)
-        w.writerow(info_row)
-        w.writerow(variables)
-        w.writerow(units_row)
-        w.writerow(sampling_row)
+        if output_format == "TOA5":
+            info = header.info or {}
+            fh.write(quote(info.get(k, "") for k in INFO_FIELD_NAMES) + "\n")
+            fh.write(quote(variables) + "\n")
+            fh.write(quote(units_row) + "\n")
+            sampling_row = [header.sampling.get(v, "") for v in variables]
+            fh.write(quote(sampling_row) + "\n")
+        else:  # EddyPro: variable + units lines only, unquoted, tab sep
+            fh.write(sep.join(variables) + "\n")
+            fh.write(sep.join(units_row) + "\n")
         for _, row in pdf.iterrows():
             out = []
             for c in cols:
@@ -227,10 +248,10 @@ def write_toa5(
                     ts = v.strftime("%Y-%m-%d %H:%M:%S")
                     if getattr(v, "microsecond", 0):
                         ts += f".{v.microsecond // 100000}"  # 0.1 s suffix
-                    out.append(f'"{ts}"')
+                    out.append(f'"{ts}"' if output_format == "TOA5" else ts)
                 else:
-                    out.append(_format_value(v))
-            fh.write(",".join(out) + "\n")
+                    out.append(_format_value(v, na_token=na_token))
+            fh.write(sep.join(out) + "\n")
 
 
 def check_header_consistency(header: FileHeader, df_cols: list[str], timestamp_col: str = "DATETIME") -> None:

@@ -191,6 +191,17 @@ def test_toa5_write_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_eddypro_write_shape(spark, tmp_path):
+    p = make_toa5_file(tmp_path / "site.dat")
+    h = toa5.read_header(str(p))
+    df = toa5.read_delimited(spark, str(p)).orderBy("DATETIME")
+    out = tmp_path / "out_ep.txt"
+    toa5.write_delimited(df, str(out), h, output_format="EddyPro")
+    lines = out.read_text().splitlines()
+    assert lines[0].split("\t")[0] == "TIMESTAMP"  # 2 header lines, tab sep
+    assert "NaN" in lines[2 + 3]  # the masked row uses the EddyPro NA token
+
+
 # --------------------------------------------------------------------- TOB
 
 def test_fp2_roundtrip():
