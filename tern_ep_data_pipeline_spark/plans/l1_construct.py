@@ -98,6 +98,48 @@ def construct_l1(
     return masking.with_qc_flags(masked, value_cols)
 
 
+def derive_missing(
+    df: DataFrame,
+    targets: Sequence[str],
+    catalog: Mapping[str, Mapping] | None = None,
+) -> DataFrame:
+    """Auto-derive missing variables from available ones via the calc
+    registry's signature introspection (the reference's humidity padding —
+    nc_constructors.py:244-311, get_function dispatcher
+    convert_calc_filter.py:364-384).
+
+    For each target quantity (e.g. ``AH``) the registered function's
+    parameter names (Ta, RH, ps, ...) are bound to columns whose catalog
+    quantity (or name prefix) matches; targets whose inputs are absent are
+    skipped silently, matching the reference's best-effort padding.
+    """
+    from ..functions.met import get_function
+
+    def column_for(param: str) -> str | None:
+        if catalog:
+            for name, rec in catalog.items():
+                if rec.get("quantity", "").split("_")[0] == param and name in df.columns:
+                    return name
+        for c in df.columns:
+            if c == param or c.split("_")[0] == param:
+                return c
+        return None
+
+    out = df
+    for target in targets:
+        if column_for(target):
+            continue  # already present
+        try:
+            fn, params = get_function(target)
+        except KeyError:
+            continue
+        bindings = {p: column_for(p) for p in params}
+        if any(v is None for v in bindings.values()):
+            continue
+        out = out.withColumn(target, fn(*[F.col(bindings[p]) for p in params]))
+    return out
+
+
 def year_slice(df: DataFrame, year: int, interval_minutes: int, ts_col: str = "DATETIME") -> DataFrame:
     """P5: the reference's end-of-interval year convention — a year runs
     (Jan1 + step, nextJan1] (nc_constructors.py:498-518)."""

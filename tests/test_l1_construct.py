@@ -114,6 +114,22 @@ def test_construct_l1_end_to_end(spark, raw_files, tmp_path):
     )
 
 
+def test_derive_missing_humidity(spark):
+    from tern_ep_data_pipeline_spark.plans.l1_construct import derive_missing
+
+    df = spark.createDataFrame(
+        [(25.0, 60.0, 101.3)], ["Ta_2m", "RH_2m", "ps"]
+    )
+    out = derive_missing(df, ["AH", "VPD", "Td"])
+    row = out.collect()[0]
+    assert set(out.columns) == {"Ta_2m", "RH_2m", "ps", "AH", "VPD", "Td"}
+    assert 10.0 < row["AH"] < 20.0  # ~13.8 g/m^3 at 25C/60%
+    assert row["VPD"] > 0 and row["Td"] < 25.0
+    # inputs missing -> target silently skipped
+    out2 = derive_missing(df.select("Ta_2m"), ["AH"])
+    assert "AH" not in out2.columns
+
+
 def test_status_products(spark, raw_files, tmp_path):
     met, flux = raw_files
     catalog = build_site_variables(SITE_MAP)
