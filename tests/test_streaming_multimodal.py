@@ -60,6 +60,21 @@ def test_tumbling_block_stream_matches_batch(spark, events_dir, tmp_path):
     assert got["n"] <= batch
 
 
+def test_stateful_gap_stream_matches_batch(spark, events_dir, tmp_path):
+    from tern_ep_data_pipeline_spark.operators import gaps
+    from tern_ep_data_pipeline_spark.streaming.stateful import streaming_gap_report
+
+    schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.format("parquet").schema(schema).load(events_dir)
+    gap_stream = streaming_gap_report(raw, min_gap_seconds=14400)
+    _run_available_now(gap_stream, tmp_path, "gap_stream")
+    got = spark.sql("select count(*) as n from gap_stream").collect()[0]["n"]
+    batch = gaps.gap_report(
+        spark.read.parquet(events_dir), "ts", 14400, ["user_id"]
+    ).count()
+    assert got == batch
+
+
 def test_assets_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.assets_from_documents(docs)
