@@ -423,7 +423,9 @@ def q_met_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Met calculation chain (Buck es/e, VPD, dew point, AH) rounded to 6."""
     ev = _t(spark, sf_dir, "events")
     Ta = F.col("value") / 10.0
-    RH = F.least(F.col("value") / 5.0, F.lit(100.0))
+    # clamp RH to (0, 100]: value can be 0.0, and ln(e=0) in the dew-point
+    # chain is an error in strict engines
+    RH = F.least(F.greatest(F.col("value") / 5.0, F.lit(0.1)), F.lit(100.0))
     ps = F.lit(95.0) + F.col("value") / 100.0
     return ev.select(
         "event_id",
@@ -438,7 +440,9 @@ def q_met_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MET = """
 WITH base AS (
-  SELECT event_id, value / 10.0 AS ta, least(value / 5.0, 100.0) AS rh, 95.0 + value / 100.0 AS ps
+  SELECT event_id, value / 10.0 AS ta,
+         least(greatest(value / 5.0, 0.1), 100.0) AS rh,
+         95.0 + value / 100.0 AS ps
   FROM events
 ), es AS (
   SELECT *, 0.61121 * exp((18.678 - ta / 234.5) * (ta / (257.14 + ta))) AS es_v FROM base
