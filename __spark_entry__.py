@@ -964,6 +964,69 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
+def q_minhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH in portable hash mode (md5-derived seeds) — the fully
+    SQL-oracle-checked variant of the pipeline; the 'fast' xxhash64 mode is
+    what production/bench runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2,
+        hash_mode="portable",
+    )
+
+
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    rows_per_band = num_hashes // bands
+    h = lambda j: (
+        f"min(('0x'||substr(md5('{j}:'||sh),1,15))::BIGINT) AS h{j}"
+    )
+    sig_cols = ",\n    ".join(h(j) for j in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        concat = "||':'||".join(cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, ('0x'||substr(md5({concat}),1,15))::BIGINT AS bh FROM sig"
+        )
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh_arr AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> array_to_string(list_slice(t, i, i + 2), ' ')
+  )) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS sh FROM sh_arr),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)), 6) AS jaccard_sim
+  FROM cand
+  JOIN sh_arr sa ON sa.doc_id = id_a
+  JOIN sh_arr sb ON sb.doc_id = id_b
+)
+SELECT * FROM verified WHERE jaccard_sim >= {threshold}
+"""
+
+
+ORACLE_MINHASH_PORTABLE = _minhash_portable_oracle()
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1477,6 +1540,7 @@ def queries() -> dict[str, QueryFn]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_portable": q_minhash_dedup_portable,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1541,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "exact_dedup_docs": ORACLE_EXACT_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
         "ann_cosine_topk": ORACLE_ANN,
         "label_centroids": ORACLE_CENTROIDS,
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

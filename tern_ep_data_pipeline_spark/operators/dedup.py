@@ -114,12 +114,27 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- minhash
 
+def _seeded_hash(seed, col: Column, mode: str) -> Column:
+    """Seeded 64-bit hash of a string column.
+
+    mode='fast': xxhash64 (JVM-native, the production path).
+    mode='portable': first 60 bits of md5 — bit-identical in any engine with
+    md5 + hex conversion, so portable-mode pipelines are SQL-oracle-checkable.
+    """
+    if mode == "fast":
+        return F.xxhash64(F.lit(seed), col)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """K minhash values per document as columns ``h0..h{K-1}``.
 
@@ -137,7 +152,11 @@ def minhash_signatures(
         F.explode(token_shingles(F.col(text_col), n)).alias("__sh"),
     )
     hashed = sh.select(
-        "__id", *[F.xxhash64(F.lit(j), F.col("__sh")).alias(f"h{j}") for j in range(num_hashes)]
+        "__id",
+        *[
+            _seeded_hash(j, F.col("__sh"), hash_mode).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
     return hashed.groupBy("__id").agg(
         *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
@@ -151,6 +170,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """MinHash LSH candidate pairs: (id_a, id_b) sharing >= 1 band.
 
@@ -160,14 +180,18 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_mode == "fast":
+            return F.xxhash64(*cols)
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+        ).cast("bigint")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-            ).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
         for b in range(bands)
     ]
     banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__band")).select(
@@ -191,12 +215,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates verified with exact Jaccard.
 
     Output: (id_a, id_b, jaccard_sim >= threshold).
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, hash_mode
+    )
     sh = df.select(
         F.col(id_col).alias("__id"), token_shingles(F.col(text_col), n).alias("__sh")
     )
