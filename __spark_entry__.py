@@ -1033,6 +1033,52 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
 
 
+def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in portable hash mode — SQL-oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=10, hash_mode="portable"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _simhash_portable_oracle(max_hamming: int = 10, bands: int = 4) -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}" for i in range(60)
+    )
+    width = 64 // bands
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM ex),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM bits),
+bands AS (
+  SELECT doc_id, simhash, v.b AS band, (simhash >> (v.b * {width})) & {(1 << width) - 1} AS key
+  FROM fp, (VALUES {band_rows}) AS v(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH_PORTABLE = _simhash_portable_oracle()
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 vectors as queries."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1542,6 +1588,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_portable": q_minhash_dedup_portable,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "label_centroids": q_label_centroids,
@@ -1606,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": ORACLE_EXACT_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
+        "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
         "ann_cosine_topk": ORACLE_ANN,
         "label_centroids": ORACLE_CENTROIDS,
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -238,15 +238,23 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------------------------- simhash
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "fast"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (60-bit in portable mode).
 
     Explode tokens -> per-bit signed sums -> recombine. All built-in
     expressions; the single shuffle is the groupBy on the id.
     """
+    if hash_mode == "fast":
+        token_hash = F.xxhash64("__tok")
+    else:
+        token_hash = F.conv(
+            F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
+        ).cast("bigint")
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", token_hash)
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -264,12 +272,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on 16-bit bands (pigeonhole: any pair
     with <= bands-1 differing bands shares a band), verified by exact
     Hamming distance."""
-    fp = simhash64(df, id_col, text_col)
+    fp = simhash64(df, id_col, text_col, hash_mode)
     width = 64 // bands
     band_arr = F.array(
         *[
