@@ -1192,6 +1192,35 @@ GROUP BY 1, 2, 3
 """
 
 
+def _ann_lsh_oracle(planes: int = 4, dims: int = 64, k: int = 10) -> str:
+    from tern_ep_data_pipeline_spark.operators.similarity import _plane_signs
+
+    bucket_terms = []
+    for p in range(planes):
+        signs = ", ".join(str(s) for s in _plane_signs(p, dims))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{signs}]) >= 0 THEN 1 ELSE 0 END)::BIGINT * {1 << p}"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+    round(list_dot_product(b.v, q.qv)
+      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= {k}
+"""
+
+
+ORACLE_ANN_LSH = _ann_lsh_oracle()
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + vector count (IVF coarse stats)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1655,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
         "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
         "ann_cosine_topk": ORACLE_ANN,
+        "ann_lsh_topk": ORACLE_ANN_LSH,
         "label_centroids": ORACLE_CENTROIDS,
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
         "nation_trade_volume": ORACLE_NATION_TRADE,

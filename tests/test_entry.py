@@ -21,12 +21,11 @@ def test_queries_have_oracles_or_are_flagged(spark):
     # the only intentional rows-only checks:
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "minhash_dedup",
-        "simhash_pairs",
-        "ann_lsh_topk",
-        "multimodal_features",
-        "ann_ivf_topk",
-        "approx_stats",
+        "minhash_dedup",  # xxhash64 fast mode (portable variant is checked)
+        "simhash_pairs",  # xxhash64 fast mode (portable variant is checked)
+        "multimodal_features",  # Python encoder via mapInPandas
+        "ann_ivf_topk",  # centroid float sums are summation-order-sensitive
+        "approx_stats",  # engine-specific sketches
     }
 
 
