@@ -84,6 +84,32 @@ def translation_by_file(catalog: Mapping[str, Mapping]) -> dict[str, dict[str, s
     return out
 
 
+def pair_soil_variables(
+    catalog: Mapping[str, Mapping],
+    quantity_a: str = "Sws",
+    quantity_b: str = "Ts",
+) -> list[tuple[str, str]]:
+    """J4 soil pairing: match variables of two quantities installed at the
+    same depth (grafana_variable_mapper.py:247-265).
+
+    Returns (name_a, name_b) pairs ordered by depth; unmatched depths are
+    dropped, replicates pair by sorted order within a depth.
+    """
+    def by_depth(quantity: str) -> dict[float, list[str]]:
+        out: dict[float, list[str]] = {}
+        for name, rec in catalog.items():
+            if rec.get("quantity") == quantity and rec.get("height_m") is not None:
+                out.setdefault(rec["height_m"], []).append(name)
+        return {d: sorted(names) for d, names in out.items()}
+
+    a_map, b_map = by_depth(quantity_a), by_depth(quantity_b)
+    pairs: list[tuple[str, str]] = []
+    for depth in sorted(set(a_map) & set(b_map)):
+        for na, nb in zip(a_map[depth], b_map[depth]):
+            pairs.append((na, nb))
+    return pairs
+
+
 def nearest_height_variable(
     catalog: Mapping[str, Mapping],
     quantity: str,

@@ -127,6 +127,22 @@ def test_translation_by_file():
     assert t["site_L1_slow.dat"]["RH_Avg"] == "RH_2m"
 
 
+def test_pair_soil_variables():
+    from tern_ep_data_pipeline_spark.catalog.variables import pair_soil_variables
+
+    site_map = {
+        name: {
+            "name": name, "units": "m^3/m^3" if name.startswith("Sws") else "degC",
+            "height": "x", "instrument": "CS650", "statistic_type": "average",
+            "logger": "L1", "table": "soil",
+        }
+        for name in ("Sws_0.1m", "Sws_0.5m", "Ts_0.1m", "Ts_0.5m", "Ts_1m")
+    }
+    cat = build_site_variables(site_map)
+    pairs = pair_soil_variables(cat)
+    assert pairs == [("Sws_0.1m", "Ts_0.1m"), ("Sws_0.5m", "Ts_0.5m")]
+
+
 def test_nearest_height_match():
     cat = build_site_variables(SITE_MAP)
     assert nearest_height_variable(cat, "Ta", 9.0) == "Ta_10m"
