@@ -251,6 +251,35 @@ def test_tob1_decode(tmp_path):
     assert pdf["batt"].iloc[0] == pytest.approx(12.5)
 
 
+def test_block_writer_end_to_end(spark, tmp_path):
+    """The fast path: TOB3 bytes -> decode -> 30-min TOA5 block files."""
+    from tern_ep_data_pipeline_spark.sources.toa5_blocks import write_toa5_blocks
+
+    d = tmp_path / "tob"
+    d.mkdir()
+    make_tob3_file(d / "day1.tob3")
+    df = tob.read_tob(spark, str(d))
+    meta = tob.read_tob_meta(str(d / "day1.tob3"))
+    header = toa5.FileHeader(
+        file_type="TOA5",
+        variables=["TIMESTAMP", "RECORD", *meta.field_names],
+        units={"Ux": "m/s", "Ts_sonic": "degC", "diag": "arb", "RECORD": "RN"},
+        sampling={n: "Smp" for n in meta.field_names},
+        info={"format": "TOA5", "station_name": "TestSite_EC", "table_name": "fast"},
+    )
+    out = tmp_path / "blocks"
+    write_toa5_blocks(df, str(out), header, minutes=30)
+    files = sorted(out.rglob("*.dat"))
+    # all fixture records are within 12:00-12:30 -> exactly one block file
+    assert len(files) == 1
+    assert files[0].name == "TestSite_EC_20240101_1200.dat"
+    lines = files[0].read_text().splitlines()
+    assert lines[0].startswith('"TOA5","TestSite_EC"')
+    assert lines[1].startswith('"TIMESTAMP","RECORD"')
+    assert len(lines) == 4 + 7  # header + 7 decoded records
+    assert lines[5].startswith('"2024-01-01 12:00:00.1"')  # 0.1 s suffix
+
+
 def test_tob_python_datasource(spark, tmp_path):
     from tern_ep_data_pipeline_spark.sources.tob_datasource import register
 
