@@ -280,6 +280,23 @@ def test_block_writer_end_to_end(spark, tmp_path):
     assert lines[5].startswith('"2024-01-01 12:00:00.1"')  # 0.1 s suffix
 
 
+def test_fast_path_plan(spark, tmp_path):
+    from tern_ep_data_pipeline_spark.plans.fast_path import run_fast_path
+
+    d = tmp_path / "tob"
+    d.mkdir()
+    make_tob3_file(d / "day1.tob3")
+    make_tob3_file(d / "day2.tob3")
+    out = tmp_path / "fast_out"
+    n = run_fast_path(spark, str(d), str(out))
+    # day1+day2 have identical (TIMESTAMP, RECORD) rows -> keep-first dedupes
+    assert n == 7
+    files = sorted(out.rglob("*.dat"))
+    assert len(files) == 1
+    body = files[0].read_text().splitlines()[4:]
+    assert len(body) == 7
+
+
 def test_tob_python_datasource(spark, tmp_path):
     from tern_ep_data_pipeline_spark.sources.tob_datasource import register
 
