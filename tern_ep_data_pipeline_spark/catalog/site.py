@@ -50,6 +50,30 @@ def site_details_df(spark: SparkSession, records: Iterable[Mapping]) -> DataFram
     return spark.createDataFrame(rows, schema)
 
 
+def parse_sparql_bindings(payload: Mapping) -> list[dict]:
+    """SPARQL JSON results -> plain records (site_details.py:82-124).
+
+    Accepts the W3C SPARQL-results-JSON shape: ``results.bindings`` is a
+    list of {var: {"type": ..., "value": ...}}; values arrive as strings and
+    are kept as such — typing happens against SITE_DETAIL_FIELDS in
+    :func:`site_details_df` casts downstream.
+    """
+    out = []
+    for binding in payload.get("results", {}).get("bindings", []):
+        out.append({var: cell.get("value") for var, cell in binding.items()})
+    return out
+
+
+def to_site_time(ts_col, utc_offset_hours: float):
+    """Server-UTC -> site-local naive time shift (network_status.py:596-622:
+    the reference corrects staleness stats to site-local clocks, DST
+    stripped — a constant offset per site)."""
+    from pyspark.sql import functions as F
+
+    minutes = int(round(utc_offset_hours * 60))
+    return F.expr(f"timestampadd(MINUTE, {minutes}, {ts_col})")
+
+
 def samples_per_interval(freq_hz: int, time_step_minutes: int) -> int:
     """n_samples for diagnostic conversion: freq * step * 60
     (nc_constructors.py:193-219)."""

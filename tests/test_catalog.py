@@ -127,6 +127,38 @@ def test_translation_by_file():
     assert t["site_L1_slow.dat"]["RH_Avg"] == "RH_2m"
 
 
+def test_parse_sparql_bindings():
+    from tern_ep_data_pipeline_spark.catalog.site import parse_sparql_bindings
+
+    payload = {
+        "results": {
+            "bindings": [
+                {
+                    "site": {"type": "literal", "value": "CumberlandPlain"},
+                    "latitude": {"type": "literal", "value": "-33.615"},
+                },
+                {"site": {"type": "literal", "value": "Tumbarumba"}},
+            ]
+        }
+    }
+    recs = parse_sparql_bindings(payload)
+    assert recs[0] == {"site": "CumberlandPlain", "latitude": "-33.615"}
+    assert recs[1] == {"site": "Tumbarumba"}
+    assert parse_sparql_bindings({}) == []
+
+
+def test_to_site_time(spark):
+    import datetime
+
+    from tern_ep_data_pipeline_spark.catalog.site import to_site_time
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0),)], ["ts"]
+    )
+    out = df.select(to_site_time("ts", 9.5).alias("local")).collect()[0]["local"]
+    assert out == datetime.datetime(2024, 1, 1, 9, 30)
+
+
 def test_pair_soil_variables():
     from tern_ep_data_pipeline_spark.catalog.variables import pair_soil_variables
 
