@@ -59,6 +59,17 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def _fanout(df: DataFrame, key: str) -> DataFrame:
+    """Spread rows by key before an expensive per-row fan-out (shingling,
+    token explode). Uses an explicit partition count — AQE is free to
+    re-coalesce keyed repartitions without one, which re-serialises the
+    fan-out onto a few cores when the *input* bytes are small even though
+    the exploded output is large. Never reduces existing parallelism."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, F.col(key))
+
+
 def token_shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-token shingles as an array<string> (pure array exprs)."""
     toks = tokens(col)
@@ -114,6 +125,24 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- minhash
 
+# Universal-hash permutation family for the fast path: h_j(x) = (a_j*x + b_j)
+# mod p over the Mersenne prime 2^31-1. The shingle is string-hashed ONCE
+# (xxhash64) and reduced mod p; each of the K minhash functions is then two
+# integer ops, not another string hash. a_j/b_j come from a fixed-seed PRNG so
+# signatures are deterministic across runs and cluster sizes. All intermediate
+# products stay < 2^62, so the arithmetic is ANSI-mode safe (no overflow).
+_MERSENNE_P = (1 << 31) - 1
+
+def _permutation_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def _seeded_hash(seed, col: Column, mode: str) -> Column:
     """Seeded 64-bit hash of a string column.
 
@@ -135,29 +164,53 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     hash_mode: str = "fast",
+    _shingled: bool = False,
 ) -> DataFrame:
     """K minhash values per document as columns ``h0..h{K-1}``.
 
-    Shape chosen for scale: explode shingles once, hash each (shingle, seed)
+    With ``_shingled=True``, ``df`` is already a ``(__id, __sh)`` shingle
+    table (internal reuse path — lets one shingling pass feed both the
+    signatures and the verification join).
+
+    Shape chosen for scale: explode shingles once, hash each shingle string
     exactly once, then min-aggregate — the partial (map-side) min means the
     shuffle carries K longs per doc per partition, never the shingles.
-    (A single wide array expression would re-evaluate the shingling K times
-    per row inside one codegen stage.)
 
-    Documents with no tokens sign with xxhash64(j, '') sentinels via the
-    empty-shingle guard in ``token_shingles``.
+    fast mode: one xxhash64 per shingle, reduced mod 2^31-1, then K universal
+    linear permutations (two integer ops each) — K string hashes collapse to
+    one. portable mode: one md5 per (seed, shingle) so a SQL oracle can
+    reproduce every signature bit-for-bit.
+
+    Documents with no tokens sign with the hash of '' via the empty-shingle
+    guard in ``token_shingles``.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("__sh"),
-    )
-    hashed = sh.select(
-        "__id",
-        *[
-            _seeded_hash(j, F.col("__sh"), hash_mode).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
-    )
+    # Repartition by id before the explode: the shingle fan-out is the
+    # expensive stage and must not inherit the scan's partitioning (a handful
+    # of large parquet files would serialise it onto a handful of cores).
+    if _shingled:
+        sh = df.select("__id", F.explode("__sh").alias("__sh"))
+    else:
+        sh = _fanout(df, id_col).select(
+            F.col(id_col).alias("__id"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("__sh"),
+        )
+    if hash_mode == "fast":
+        base = F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MERSENNE_P))
+        hashed = sh.select("__id", base.alias("__x")).select(
+            "__id",
+            *[
+                F.pmod(F.col("__x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)).alias(f"h{j}")
+                for j, (a, b) in enumerate(_permutation_params(num_hashes))
+            ],
+        )
+    else:
+        hashed = sh.select(
+            "__id",
+            *[
+                _seeded_hash(j, F.col("__sh"), hash_mode).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
     return hashed.groupBy("__id").agg(
         *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
     )
@@ -171,6 +224,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_mode: str = "fast",
+    _shingled: bool = False,
 ) -> DataFrame:
     """MinHash LSH candidate pairs: (id_a, id_b) sharing >= 1 band.
 
@@ -180,7 +234,9 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
+    )
 
     def band_hash(b: int) -> Column:
         cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -220,12 +276,17 @@ def minhash_dedup_pairs(
     """Full MinHash pipeline: LSH candidates verified with exact Jaccard.
 
     Output: (id_a, id_b, jaccard_sim >= threshold).
+
+    The shingle table is built once and persisted (memory-and-disk) — it
+    feeds both the signature pass and the Jaccard verification join;
+    recomputing it would be a second full shingling pass over the corpus.
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, n, num_hashes, bands, hash_mode
-    )
-    sh = df.select(
+    sh = _fanout(df, id_col).select(
         F.col(id_col).alias("__id"), token_shingles(F.col(text_col), n).alias("__sh")
+    )
+    sh = sh.persist()
+    cands = minhash_lsh_candidates(
+        sh, "__id", None, n, num_hashes, bands, hash_mode, _shingled=True
     )
     verified = (
         cands.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
@@ -252,7 +313,7 @@ def simhash64(
         token_hash = F.conv(
             F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
         ).cast("bigint")
-    toks = df.select(
+    toks = _fanout(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     ).withColumn("__h", token_hash)
     bit_sums = toks.groupBy(id_col).agg(
