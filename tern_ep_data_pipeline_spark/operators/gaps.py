@@ -7,9 +7,12 @@ Parity targets (ref ``code/file_handling/file_handler.py``):
   one interval; (last-before, first-after) bounds and a histogram of gap
   sizes (:267-326). W2 is the same lag.
 
-Scale note: the lag window runs per partition key (site/user); an unkeyed
-global orderBy is fine for single-series data but callers should always pass
-partition cols on multi-entity tables to avoid a single-task sort.
+Scale note: the lag window runs per partition key (site/user) when keys are
+given. The unkeyed (global time axis) path does NOT use a global-orderBy
+window — that would sort every distinct timestamp in one task. Instead it
+range-partitions the distinct timestamps, lags within each range partition,
+and repairs the one missing pair per partition boundary from a tiny
+per-partition min/max aggregate: every stage is cluster-parallel.
 """
 
 from __future__ import annotations
@@ -46,14 +49,40 @@ def missing_record_stats(
 
 
 def _lagged(df: DataFrame, ts_col: str, partition_cols: Sequence[str]) -> DataFrame:
-    w = (
-        Window.partitionBy(*partition_cols).orderBy(ts_col)
-        if partition_cols
-        else Window.orderBy(ts_col)
+    dist = df.select(*partition_cols, ts_col).distinct()
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+        return dist.withColumn("prev_ts", F.lag(ts_col).over(w))
+    return _lagged_global(dist, ts_col)
+
+
+def _lagged_global(dist: DataFrame, ts_col: str) -> DataFrame:
+    """Distributed lag over a single global time axis.
+
+    Range-partition by timestamp (partition ranges are ordered, and AQE
+    coalescing merges only adjacent ranges, so partition id order == time
+    order), lag within each partition, then synthesise the per-boundary
+    pair (previous partition's max -> this partition's min) from a
+    per-partition min/max aggregate that is one row per partition. The
+    global first timestamp keeps prev_ts = null, as a plain lag would give.
+    """
+    ranged = dist.repartitionByRange(F.col(ts_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    return df.select(*partition_cols, ts_col).distinct().withColumn(
-        "prev_ts", F.lag(ts_col).over(w)
+    w = Window.partitionBy("__pid").orderBy(ts_col)
+    inner = (
+        ranged.withColumn("prev_ts", F.lag(ts_col).over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(ts_col, "prev_ts")
     )
+    bounds = ranged.groupBy("__pid").agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    bw = Window.orderBy("__pid")  # one row per partition — tiny
+    boundary = bounds.select(
+        F.col("__mn").alias(ts_col), F.lag("__mx").over(bw).alias("prev_ts")
+    )
+    return inner.unionByName(boundary)
 
 
 def gap_report(
