@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -30,15 +30,16 @@ def infer_interval_seconds(df: DataFrame, ts_col: str, partition_cols: Sequence[
     ``n_deltas``; the reference raises unless min == mode
     (file_io.py:1079-1087) — callers assert on the returned frame.
     """
-    w = Window.partitionBy(*partition_cols).orderBy(ts_col) if partition_cols else Window.orderBy(ts_col)
+    # The lag goes through gaps._lagged: per-key window when keys are given,
+    # range-partitioned + boundary-repaired when inferring over the global
+    # time axis (never a single-task global sort).
+    from .gaps import _lagged
+
     deltas = (
-        df.select(*partition_cols, ts_col)
-        .distinct()
+        _lagged(df, ts_col, partition_cols)
         .withColumn(
             "__delta_s",
-            F.expr(
-                f"timestampdiff(MICROSECOND, lag({ts_col}) over ({_w_sql(partition_cols, ts_col)}), {ts_col}) div 1000000"
-            ),
+            F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col}) div 1000000"),
         )
         .filter(F.col("__delta_s").isNotNull())
     )
@@ -51,11 +52,6 @@ def infer_interval_seconds(df: DataFrame, ts_col: str, partition_cols: Sequence[
     if partition_cols:
         return counted.groupBy(*partition_cols).agg(*agg_cols)
     return counted.groupBy().agg(*agg_cols)
-
-
-def _w_sql(partition_cols: Sequence[str], ts_col: str) -> str:
-    part = f"partition by {', '.join(partition_cols)} " if partition_cols else ""
-    return f"{part}order by {ts_col}"
 
 
 def time_grid(
