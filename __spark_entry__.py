@@ -923,6 +923,55 @@ FROM documents
 """
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via the GPT-2-style pretokenise regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs, "doc_id", "text")
+
+
+ORACLE_BPE_TOKENS = r"""
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+    len(regexp_extract_all(text, '''[sdmt]|''ll|''re|''ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+  round(CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens ELSE 0.0 END, 6) AS chars_per_bpe_token
+FROM c
+"""
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=8 char grams, window=4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+ORACLE_WINNOW = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s FROM documents
+),
+grams AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(length(s) - 7, 1)),
+    i -> ('0x' || substr(md5(substring(s, i, 8)), 1, 15))::BIGINT
+  ) AS hs
+  FROM norm
+),
+wins AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(hs) - 3, 1)),
+    i -> list_min(hs[i:i+3])
+  )) AS fps
+  FROM grams
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins
+"""
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
@@ -1612,6 +1661,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
@@ -1679,6 +1730,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": ORACLE_QUALITY,
         "doc_lang_id": ORACLE_LANG_ID,
         "doc_fingerprint": ORACLE_FINGERPRINT,
+        "doc_bpe_tokens": ORACLE_BPE_TOKENS,
+        "doc_winnow_fingerprint": ORACLE_WINNOW,
         "exact_dedup_docs": ORACLE_EXACT_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,

@@ -100,3 +100,138 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fingerprint_md5"),
         F.xxhash64(norm).alias("fingerprint64"),
     )
+
+
+#: GPT-2-style pretokeniser, restricted to syntax Java regex and RE2 share
+#: (no lookaheads): contraction suffixes, space-prefixed letter runs, digit
+#: runs, punctuation runs, whitespace runs. Leftmost-first alternation
+#: semantics agree between the two engines.
+BPE_SPLIT_PATTERN = r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting, BPE-ish: segments per the GPT-2-style pretokenise
+    regex (the count every byte-pair encoder starts from) next to the
+    whitespace count, plus chars-per-BPE-segment as a compression proxy."""
+    t = F.col(text_col)
+    n_ws = token_count(t)
+    n_bpe = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.when(n_bpe > 0, F.length(t) / n_bpe).otherwise(F.lit(0.0)), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every k-char gram of the normalised text, then keep the
+    minimum hash of each ``window`` consecutive grams. Near-identical
+    documents share most selected fingerprints, so the output joins as a
+    containment/overlap key at corpus scale.
+
+    Hashes use the md5-prefix-to-bigint idiom (portable: any engine with md5
+    reproduces them bit-for-bit — the expression-level stand-in for the
+    classic Rabin-Karp rolling polynomial). Output: distinct
+    (id, fingerprint) rows.
+
+    impl='arrow' (default, the scale path) runs an Arrow-batched
+    mapInPandas with an O(n) deque sliding minimum — Spark's higher-order
+    array functions are interpreted per element, which makes the pure
+    expression form ~10x slower; both produce identical values.
+    impl='expr' keeps everything JVM-side with zero Python workers.
+    """
+    from .dedup import _fanout
+
+    if impl == "arrow":
+        return _winnow_arrow(_fanout(df, id_col), id_col, text_col, k, window)
+
+    # Each intermediate array is staged as its own projection: Spark's
+    # higher-order functions are interpreted with NO common-subexpression
+    # elimination, so a lambda body that references a nested expression
+    # re-evaluates it per element (slice(hashes, i, w) would recompute the
+    # whole md5 gram array for every window — O(n^2) hashing). Binding each
+    # array to a column first makes every stage O(n).
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = _fanout(df, id_col).select(F.col(id_col), norm.alias("__s"))
+    s = F.col("__s")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+        lambda i: s.substr(i, F.lit(k)),
+    )
+    staged = staged.select(id_col, grams.alias("__grams"))
+    hashes = F.transform(
+        F.col("__grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    staged = staged.select(id_col, hashes.alias("__hs"))
+    hs = F.col("__hs")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def _winnow_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Arrow-batched winnowing: one Python pass per batch, O(n) per doc."""
+    import re as _re
+    from hashlib import md5 as _md5
+
+    # Build the output schema from the input id type so callers keep their
+    # id column type unchanged.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, fingerprint bigint"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps_out = [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
+                s = _re.sub(r"\s+", " ", ("" if raw is None else raw).strip().lower())
+                grams = (
+                    [s[i : i + k] for i in range(len(s) - k + 1)]
+                    if len(s) >= k
+                    else [s[:k]]
+                )
+                hs = [
+                    int(_md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    for g in grams
+                ]
+                if len(hs) < window:
+                    fps = {min(hs)}
+                else:
+                    fps = set()
+                    dq: list[int] = []  # indices, increasing hash values
+                    for j, h in enumerate(hs):
+                        while dq and hs[dq[-1]] >= h:
+                            dq.pop()
+                        dq.append(j)
+                        if dq[0] <= j - window:
+                            dq.pop(0)
+                        if j >= window - 1:
+                            fps.add(hs[dq[0]])
+                for fp in fps:
+                    ids.append(doc_id)
+                    fps_out.append(fp)
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps_out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -102,3 +102,33 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     out = text.fingerprint(df, "doc_id", "text").collect()
     assert out[0]["fingerprint_md5"] == out[1]["fingerprint_md5"]
+
+
+def test_bpe_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "I'll pay 42 dollars, ok?"), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.bpe_token_stats(df, "doc_id", "text").collect()}
+    # I | 'll | " pay" | " 42" | " dollars" | , | " ok" | ? -> 8 segments
+    assert out[1]["n_bpe_tokens"] == 8
+    assert out[1]["n_ws_tokens"] == 5
+    assert out[2]["n_bpe_tokens"] == 0
+
+
+def test_winnowing_impls_agree_and_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " with a small tail"), (3, "completely different words here")],
+        ["doc_id", "text"],
+    )
+    arrow = text.winnowing_fingerprints(df, "doc_id", "text")
+    expr = text.winnowing_fingerprints(df, "doc_id", "text", impl="expr")
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
+    fps = {
+        i: {r["fingerprint"] for r in arrow.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    # near-identical docs share most fingerprints; unrelated docs share none
+    assert len(fps[1] & fps[2]) > len(fps[1]) // 2
+    assert not fps[1] & fps[3]
