@@ -71,12 +71,33 @@ def _fanout(df: DataFrame, key: str) -> DataFrame:
 
 
 def token_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles as an array<string> (pure array exprs)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    """Distinct n-token shingles as an array<string> (pure array exprs).
+
+    NOTE: higher-order functions are interpreted with no common
+    subexpression elimination, so the lambda re-evaluates ``col``'s
+    tokenisation per element. Prefer :func:`shingle_frame` on the hot
+    path — it stages the token array as a column first.
+    """
+    return shingles_of(tokens(col), n)
+
+
+def shingles_of(tok_col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of an already-materialised token array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)))
     )
+
+
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """``(__id, __sh)`` shingle table with the token array staged as its own
+    projection so the per-shingle lambda reads a computed column instead of
+    re-running the regex split per element; fanned out across the cluster
+    before the expensive stage."""
+    staged = _fanout(df, id_col).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return staged.select("__id", shingles_of(F.col("__toks"), n).alias("__sh"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -100,11 +121,11 @@ def ngram_jaccard_pairs(
     unblocked variant is O(n^2) and deliberately not offered.
     Output: (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
-    sh = df.select(
+    sh = _fanout(df, id_col).select(
         F.col(block_col).alias("__block"),
         F.col(id_col).alias("__id"),
-        token_shingles(F.col(text_col), n).alias("__sh"),
-    )
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select("__block", "__id", shingles_of(F.col("__toks"), n).alias("__sh"))
     a = sh.select(
         F.col("__block"),
         F.col("__id").alias("id_a"),
@@ -187,13 +208,8 @@ def minhash_signatures(
     # Repartition by id before the explode: the shingle fan-out is the
     # expensive stage and must not inherit the scan's partitioning (a handful
     # of large parquet files would serialise it onto a handful of cores).
-    if _shingled:
-        sh = df.select("__id", F.explode("__sh").alias("__sh"))
-    else:
-        sh = _fanout(df, id_col).select(
-            F.col(id_col).alias("__id"),
-            F.explode(token_shingles(F.col(text_col), n)).alias("__sh"),
-        )
+    base = df if _shingled else shingle_frame(df, id_col, text_col, n)
+    sh = base.select("__id", F.explode("__sh").alias("__sh"))
     if hash_mode == "fast":
         base = F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MERSENNE_P))
         hashed = sh.select("__id", base.alias("__x")).select(
@@ -281,10 +297,7 @@ def minhash_dedup_pairs(
     feeds both the signature pass and the Jaccard verification join;
     recomputing it would be a second full shingling pass over the corpus.
     """
-    sh = _fanout(df, id_col).select(
-        F.col(id_col).alias("__id"), token_shingles(F.col(text_col), n).alias("__sh")
-    )
-    sh = sh.persist()
+    sh = shingle_frame(df, id_col, text_col, n).persist()
     cands = minhash_lsh_candidates(
         sh, "__id", None, n, num_hashes, bands, hash_mode, _shingled=True
     )
