@@ -1511,7 +1511,7 @@ def _profile_oracle() -> str:
             depths.append(h - hs[i - 1])
     layer_sql = ",\n  ".join(layers)
     storages = ",\n  ".join(
-        f"(layer_{i} - lag(layer_{i}) OVER (ORDER BY block_start)) / 1800.0 * {depths[i]}"
+        f"(w.layer_{i} - p.layer_{i}) / 1800.0 * {depths[i]}"
         f" AS storage_{i}"
         for i in range(len(hs))
     )
@@ -1533,9 +1533,11 @@ layered AS (
   FROM wide
 ),
 stored AS (
-  SELECT *,
+  SELECT w.*,
   {storages}
-  FROM layered
+  FROM layered w
+  LEFT JOIN layered p
+    ON p.block_start = w.block_start - INTERVAL '30 minutes'
 )
 SELECT *, {total} AS storage_total FROM stored
 """

@@ -12,7 +12,10 @@ Parity targets (SURVEY.md §2.5):
 
 Scale note: every window here partitions by an entity key; the tumbling
 bucket is a pure projection (no shuffle) and becomes the partition column of
-the 100 TB fast-data write path.
+the 100 TB fast-data write path. The unkeyed ``lag_diff`` path does NOT use
+a global-orderBy window (single-task sort): it range-partitions by
+timestamp, lags within each range, and repairs the first row of each range
+from the previous non-empty range's last value — every stage parallel.
 """
 
 from __future__ import annotations
@@ -32,13 +35,47 @@ def lag_diff(
     scale: float = 1.0,
 ) -> DataFrame:
     """W1: per-series difference vs previous record (storage-flux shape)."""
-    w = (
-        Window.partitionBy(*partition_cols).orderBy(ts_col)
-        if partition_cols
-        else Window.orderBy(ts_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+        return df.withColumn(
+            out_col, (F.col(value_col) - F.lag(value_col).over(w)) * F.lit(scale)
+        )
+    return _lag_diff_global(df, value_col, ts_col, out_col, scale)
+
+
+def _lag_diff_global(
+    df: DataFrame, value_col: str, ts_col: str, out_col: str, scale: float
+) -> DataFrame:
+    """Distributed lag-difference over a single global time axis.
+
+    Range-partition by timestamp (range ordering makes partition id order ==
+    time order), lag within each partition, then patch each partition's
+    first row with the previous non-empty partition's last value, taken from
+    a one-row-per-partition aggregate lagged on the (tiny) bounds frame.
+    The global first row keeps a null lag, as a plain window would give.
+    """
+    cols = df.columns
+    ranged = df.repartitionByRange(F.col(ts_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    return df.withColumn(
-        out_col, (F.col(value_col) - F.lag(value_col).over(w)) * F.lit(scale)
+    w = Window.partitionBy("__pid").orderBy(ts_col)
+    inner = ranged.withColumn("__prev", F.lag(value_col).over(w)).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    # struct max orders by ts first; carries the value even when it is null
+    bounds = ranged.groupBy("__pid").agg(
+        F.max(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))).alias(
+            "__m"
+        )
+    )
+    bw = Window.orderBy("__pid")  # one row per partition — tiny
+    prev_last = bounds.select(
+        "__pid", F.lag(F.col("__m").getField("v")).over(bw).alias("__prev_last")
+    )
+    patched = inner.join(F.broadcast(prev_last), on="__pid", how="left")
+    prev = F.when(F.col("__rn") == 1, F.col("__prev_last")).otherwise(F.col("__prev"))
+    return patched.select(
+        *cols, ((F.col(value_col) - prev) * F.lit(scale)).alias(out_col)
     )
 
 

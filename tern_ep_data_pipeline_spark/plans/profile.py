@@ -10,14 +10,23 @@ Parity target: the reference profile chain —
 - null-propagating sum over layers (:150-156, A6).
 
 The chain is one Catalyst plan: map -> bucket -> pivot (single shuffle) ->
-window lag (second shuffle on the time axis) -> arithmetic projection.
+grid self-join for the lag term -> arithmetic projection.
+
+Scale note: the storage lag is NOT a global ``Window.orderBy`` (which would
+funnel every block through one task). Blocks sit on a regular tumbling grid,
+and the reference computes ``shift(Time=1)`` over a resample-regularised
+index (profile_data_processor.py:134-148 after the handler's asfreq), so
+"previous row" is exactly "previous grid point": a self equi-join on
+``block_start - interval`` expresses the same semantics as a fully
+shuffle-parallel join, with a missing block correctly yielding a null
+storage term.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.reshape import map_valve_to_height
@@ -78,16 +87,28 @@ def profile_storage(
         depths.append(depth)
     layered = wide.select("block_start", *[F.col(_col_name(h)) for h in heights], *layer_cols)
 
-    # W1 storage term: d(layer)/dt * depth, dt = block length in seconds
-    w = Window.orderBy("block_start")
+    # W1 storage term: d(layer)/dt * depth, dt = block length in seconds.
+    # Previous grid point via self equi-join (see module docstring).
     dt = float(block_minutes * 60)
+    prev = layered.select(
+        F.expr(f"timestampadd(MINUTE, {block_minutes}, block_start)").alias(
+            "block_start"
+        ),
+        *[F.col(f"layer_{i}").alias(f"__prev_{i}") for i in range(len(heights))],
+    )
+    joined = layered.join(prev, on="block_start", how="left")
     storage_cols = [
-        ((F.col(f"layer_{i}") - F.lag(f"layer_{i}").over(w)) / dt * depths[i]).alias(
+        ((F.col(f"layer_{i}") - F.col(f"__prev_{i}")) / dt * depths[i]).alias(
             f"storage_{i}"
         )
         for i in range(len(heights))
     ]
-    stored = layered.select("*", *storage_cols)
+    stored = joined.select(
+        "block_start",
+        *[F.col(_col_name(h)) for h in heights],
+        *[F.col(f"layer_{i}") for i in range(len(heights))],
+        *storage_cols,
+    )
 
     # A6: null-propagating sum over layers (skipna=False)
     total = None
