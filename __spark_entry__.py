@@ -231,6 +231,121 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_returned_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with >=1 returned lineitem,
+    counted by priority. The semi-join shuffles only (orderkey) pairs; the
+    probe side never materialises lineitem payload columns."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_RETURNED_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + double aggregation — how many
+    customers placed exactly N orders (including zero). Both aggregations
+    are partial-combinable; the second input is one row per customer."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+ORACLE_CUSTOMER_DIST = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def q_never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-adjacent: NOT EXISTS anti-join — parts that never shipped a
+    near-full-quantity (>48) lineitem, counted by brand. The anti-join build
+    side is the filtered distinct partkey set (longs), not lineitem rows."""
+    part = _t(spark, sf_dir, "part")
+    bulk = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(_dec("l_quantity") > 48)
+        .select("l_partkey")
+    )
+    return (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+ORACLE_NEVER_ORDERED = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND CAST(l_quantity AS DECIMAL(12,2)) > 48)
+GROUP BY p_brand
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — revenue from lineitems
+    whose quantity is below half their part's average quantity. The
+    correlation is decorrelated into a per-part aggregate joined back on
+    partkey; the predicate ``2*qty*cnt < sum`` keeps the comparison in exact
+    decimal/integer arithmetic (no float-boundary divergence between
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec("l_quantity")).alias("__sum_qty"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    joined = li.join(per_part, li.l_partkey == F.col("__pk"))
+    below = joined.filter(
+        _dec("l_quantity") * 2 * F.col("__cnt") < F.col("__sum_qty")
+    )
+    return below.agg(
+        _dsum("l_extendedprice", 14, 2).alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_SMALL_QTY = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS small_qty_revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+) p ON l.l_partkey = p.pk
+WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * p.cnt < p.sum_qty
+"""
+
+
 # --------------------------------------------------------------------------
 # Conditioning / dedupe (P4, P6, P7)
 # --------------------------------------------------------------------------
@@ -1625,6 +1740,10 @@ def queries() -> dict[str, QueryFn]:
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
         "order_priority_by_year": q_order_priority_by_year,
+        "returned_order_priority": q_returned_order_priority,
+        "customer_order_distribution": q_customer_order_distribution,
+        "never_ordered_parts": q_never_ordered_parts,
+        "small_quantity_revenue": q_small_quantity_revenue,
         # conditioning / dedupe
         "dedupe_exact": q_dedupe_exact,
         "dedupe_keep_latest": q_dedupe_keep_latest,
@@ -1701,6 +1820,10 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": ORACLE_REGION,
         "top_customers": ORACLE_TOP_CUST,
         "order_priority_by_year": ORACLE_PRIORITY_YEAR,
+        "returned_order_priority": ORACLE_RETURNED_PRIORITY,
+        "customer_order_distribution": ORACLE_CUSTOMER_DIST,
+        "never_ordered_parts": ORACLE_NEVER_ORDERED,
+        "small_quantity_revenue": ORACLE_SMALL_QTY,
         "dedupe_exact": ORACLE_DEDUPE_EXACT,
         "dedupe_keep_latest": ORACLE_KEEP_LATEST,
         "duplicate_minute_report": ORACLE_DUP_MINUTE,
