@@ -7,21 +7,68 @@ This is the 100 TB path: with N sites x 48 blocks/day x years, the writes
 must happen on executors, not the driver.
 
 Shape: assign the block bucket (pure projection), repartition by block so
-each block lands in one task, then ``foreachPartition`` writes each block's
-rows as a complete TOA5 file (header + body) directly from the executor.
-The reference's per-file layout ``TOA5/%Y_%m/%d/`` maps to the output
-directory template.
+each block lands in one task, then an Arrow-batched ``mapInPandas`` writes
+each block's rows as a complete TOA5 file (header + body) directly from the
+executor. Formatting is vectorised (numpy ``%.7g`` / integer fast paths)
+and byte-identical to the per-value golden formatter
+(``toa5._format_value``) — pinned by test_sources round-trip tests.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .toa5 import INFO_FIELD_NAMES, FileHeader, _format_value
+from .toa5 import INFO_FIELD_NAMES, FileHeader
 from ..operators.windows import tumbling_bucket
+
+
+def _format_float_array(v: np.ndarray, float_sig: int = 7, na_token: str = "NAN") -> np.ndarray:
+    """Vectorised ``toa5._format_value`` for a float array.
+
+    Same bytes: NA token for NaN/None, ``str(v)`` for whole-valued floats
+    (integer part + ".0", incl. the "-0.0" case), ``%.<sig>g`` otherwise.
+    """
+    v = np.asarray(v, dtype="float64")
+    out = np.char.mod(f"%.{float_sig}g", v).astype(object)
+    whole = np.isfinite(v) & (v == np.trunc(v)) & (np.abs(v) < 1e15)
+    if whole.any():
+        ints = np.trunc(v[whole]).astype("int64").astype("U")
+        out[whole] = np.char.add(ints, ".0")
+        negzero = whole & (v == 0) & np.signbit(v)
+        if negzero.any():
+            out[negzero] = "-0.0"
+    out[np.isnan(v)] = na_token
+    return out
+
+
+def _format_frame(pdf: pd.DataFrame, ts_col: str, cols: list[str]) -> pd.Series:
+    """One CSV line per row (QUOTE_NONNUMERIC timestamps, golden floats)."""
+    ts = pdf[ts_col]
+    tenths = ts.dt.microsecond // 100000
+    frac = pd.Series(
+        np.where(tenths > 0, "." + tenths.astype(str), ""), index=pdf.index
+    )
+    line = '"' + ts.dt.strftime("%Y-%m-%d %H:%M:%S") + frac + '"'
+    for c in cols:
+        if c == ts_col:
+            continue
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            part = pd.Series(
+                _format_float_array(s.to_numpy(dtype="float64")), index=pdf.index
+            )
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            part = s.astype("int64").astype(str)
+        else:
+            part = s.astype("string").fillna("NAN").astype(str)
+        line = line + "," + part
+    return line
 
 
 def write_toa5_blocks(
@@ -51,6 +98,7 @@ def write_toa5_blocks(
         ),
         ",".join(f'"{header.sampling.get(v, "")}"' for v in variables),
     ]
+    header_text = "\n".join(header_lines) + "\n"
     station_name = info.get("station_name", "station")
 
     blocked = (
@@ -60,34 +108,32 @@ def write_toa5_blocks(
     )
     cols = [ts_col, *value_cols]
 
-    def write_partition(rows) -> None:
+    def write_partition(batches):
+        # Arrow batches arrive in partition order (pre-sorted); a block can
+        # span batches, so handles persist across the iterator.
         handles: dict = {}
+        n = 0
         try:
-            for row in rows:
-                block = row["__block"]
-                fh = handles.get(block)
-                if fh is None:
-                    subdir = os.path.join(
-                        out_dir, block.strftime("%Y_%m"), block.strftime("%d")
-                    )
-                    os.makedirs(subdir, exist_ok=True)
-                    fname = f"{station_name}_{block.strftime('%Y%m%d_%H%M')}.dat"
-                    fh = open(os.path.join(subdir, fname), "w")
-                    fh.write("\n".join(header_lines) + "\n")
-                    handles[block] = fh
-                out = []
-                for c in cols:
-                    v = row[c]
-                    if c == ts_col:
-                        ts = v.strftime("%Y-%m-%d %H:%M:%S")
-                        if v.microsecond:
-                            ts += f".{v.microsecond // 100000}"
-                        out.append(f'"{ts}"')
-                    else:
-                        out.append(_format_value(v))
-                fh.write(",".join(out) + "\n")
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                n += len(pdf)
+                lines = _format_frame(pdf, ts_col, cols)
+                for block, idx in pdf.groupby("__block", sort=False).groups.items():
+                    fh = handles.get(block)
+                    if fh is None:
+                        subdir = os.path.join(
+                            out_dir, block.strftime("%Y_%m"), block.strftime("%d")
+                        )
+                        os.makedirs(subdir, exist_ok=True)
+                        fname = f"{station_name}_{block.strftime('%Y%m%d_%H%M')}.dat"
+                        fh = open(os.path.join(subdir, fname), "w")
+                        fh.write(header_text)
+                        handles[block] = fh
+                    fh.write("\n".join(lines.loc[idx]) + "\n")
         finally:
             for fh in handles.values():
                 fh.close()
+        yield pd.DataFrame({"n": [n]})
 
-    blocked.foreachPartition(write_partition)
+    blocked.mapInPandas(write_partition, "n long").agg(F.sum("n")).collect()
