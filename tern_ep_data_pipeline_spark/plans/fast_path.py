@@ -35,9 +35,15 @@ def run_fast_path(
     df = conditioning.keep_first_per_timestamp(
         df, ["TIMESTAMP"], [F.col("RECORD")]
     )
+    # Persist BEFORE the downcast probe: the probe is the first action, so it
+    # materialises the cache and the Python binary decode runs exactly once —
+    # the count and the block write then read the cached conditioned frame.
+    # MEMORY_AND_DISK: at scale the decoded frame spills to executor-local
+    # disk, still far cheaper than a second mapInPandas decode pass.
+    df = df.persist()
     # storage-width policy (fast_file_io.py:228-243): int when lossless,
     # float32 + significant-digit rounding otherwise
-    df = downcast.downcast_for_storage(df, exclude=["RECORD"], sig_digits=sig_digits)
+    stored = downcast.downcast_for_storage(df, exclude=["RECORD"], sig_digits=sig_digits)
 
     meta = read_tob_meta(sample_path) if sample_path else None
     if meta is None:
@@ -57,8 +63,7 @@ def run_fast_path(
             )
         ),
     )
-    df = df.cache()
     n = df.count()
-    write_toa5_blocks(df, out_dir, header, minutes=minutes)
+    write_toa5_blocks(stored, out_dir, header, minutes=minutes)
     df.unpersist()
     return n

@@ -47,26 +47,44 @@ def _format_float_array(v: np.ndarray, float_sig: int = 7, na_token: str = "NAN"
     return out
 
 
-def _format_frame(pdf: pd.DataFrame, ts_col: str, cols: list[str]) -> pd.Series:
-    """One CSV line per row (QUOTE_NONNUMERIC timestamps, golden floats)."""
-    ts = pdf[ts_col]
-    tenths = ts.dt.microsecond // 100000
-    frac = pd.Series(
-        np.where(tenths > 0, "." + tenths.astype(str), ""), index=pdf.index
-    )
-    line = '"' + ts.dt.strftime("%Y-%m-%d %H:%M:%S") + frac + '"'
+def _format_timestamps(ts: pd.Series) -> np.ndarray:
+    """Golden timestamp strings: ``YYYY-mm-dd HH:MM:SS[.t]`` (0.1 s suffix
+    only when non-zero). C-speed path: ``np.datetime_as_string`` (~4x faster
+    than ``Series.dt.strftime``), then patch the fixed-width 'T' separator
+    in place via a U1 view."""
+    t64 = ts.to_numpy().astype("datetime64[us]")
+    secs = np.datetime_as_string(t64.astype("datetime64[s]"), unit="s")
+    # fixed-width (NUL-padded) U array: patch the 'T' separator in place at
+    # char 10 via a U1 view — free compared to np.char.replace's full scan
+    width = secs.dtype.itemsize // np.dtype("U1").itemsize
+    secs.view("U1").reshape(-1, width)[:, 10] = " "
+    secs = secs.astype(object)
+    tenths = (t64.astype("int64") % 1_000_000) // 100_000
+    if (tenths > 0).any():
+        frac = np.where(tenths > 0, np.char.add(".", tenths.astype("U1")), "").astype(
+            object
+        )
+        return '"' + secs + frac + '"'
+    return '"' + secs + '"'
+
+
+def _format_frame(pdf: pd.DataFrame, ts_col: str, cols: list[str]) -> np.ndarray:
+    """One CSV line per row (QUOTE_NONNUMERIC timestamps, golden floats).
+
+    All-numpy object-array assembly: elementwise ``+`` on object arrays is
+    several times faster than the pandas ``Series`` equivalent (no index
+    alignment, no block manager churn per column)."""
+    line = _format_timestamps(pdf[ts_col])
     for c in cols:
         if c == ts_col:
             continue
         s = pdf[c]
         if pd.api.types.is_float_dtype(s):
-            part = pd.Series(
-                _format_float_array(s.to_numpy(dtype="float64")), index=pdf.index
-            )
+            part = _format_float_array(s.to_numpy(dtype="float64"))
         elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
-            part = s.astype("int64").astype(str)
+            part = s.to_numpy(dtype="int64").astype("U").astype(object)
         else:
-            part = s.astype("string").fillna("NAN").astype(str)
+            part = s.astype("string").fillna("NAN").to_numpy(dtype=object)
         line = line + "," + part
     return line
 
@@ -130,7 +148,7 @@ def write_toa5_blocks(
                         fh = open(os.path.join(subdir, fname), "w")
                         fh.write(header_text)
                         handles[block] = fh
-                    fh.write("\n".join(lines.loc[idx]) + "\n")
+                    fh.write("\n".join(lines[np.asarray(idx)]) + "\n")
         finally:
             for fh in handles.values():
                 fh.close()
