@@ -36,6 +36,7 @@ from tern_ep_data_pipeline_spark.operators import (
     reshape,
     similarity,
     status,
+    temporal,
     text,
     windows,
 )
@@ -1499,6 +1500,143 @@ FROM runs GROUP BY o_custkey, run, o_orderpriority
 """
 
 
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (beyond-reference temporal operator): each error
+    event attributes to the latest same-user click within 2 h. Union +
+    running-last window — one shuffle, no interval explosion
+    (operators.temporal.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = temporal.asof_join(
+        errors,
+        clicks,
+        "ts",
+        ["user_id"],
+        ["value"],
+        right_ts_out="click_ts",
+        tolerance_seconds=7200,
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        "click_ts",
+        F.col("value").alias("click_value"),
+    )
+
+
+ORACLE_ASOF_CLICK = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+  CASE WHEN date_diff('microsecond', c.ts, e.ts) <= 7200000000 THEN c.ts END AS click_ts,
+  CASE WHEN date_diff('microsecond', c.ts, e.ts) <= 7200000000 THEN c.value END AS click_value
+FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (beyond-reference): per-user activity sessions with a
+    30-min inactivity gap via native ``session_window`` (batch/streaming
+    identical; operators.temporal.sessionize). session_end = last event
+    + gap; boundary-equal gaps merge."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.sessionize(
+        ev,
+        "ts",
+        ["user_id"],
+        30,
+        [
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value")
+        ],
+    )
+
+
+ORACLE_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  CAST(round(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_clicks_in_error_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join (beyond-reference): sessionise
+    error events into per-user incident windows (2 h gap), then join each
+    click to the incident window containing it. Coarse-bucket equi-join +
+    refine — no theta/nested-loop join (operators.temporal.range_join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    incidents = temporal.sessionize(errors, "ts", ["user_id"], 120).select(
+        "user_id", "session_start", "session_end"
+    )
+    out = temporal.range_join(
+        clicks,
+        incidents,
+        "ts",
+        "session_start",
+        "session_end",
+        key_cols=["user_id"],
+        bucket_seconds=7200,
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").alias("incident_start"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+
+ORACLE_CLICKS_IN_INCIDENTS = """
+WITH err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 120 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM err WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL 120 MINUTE AS session_end
+  FROM sess GROUP BY user_id, sid
+)
+SELECT c.user_id, iv.session_start AS incident_start,
+  c.event_id AS click_event_id, c.ts AS click_ts
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+JOIN iv ON c.user_id = iv.user_id
+  AND c.ts >= iv.session_start AND c.ts < iv.session_end
+"""
+
+
 def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue by customer, top 20."""
     cust = _t(spark, sf_dir, "customer")
@@ -1800,6 +1938,9 @@ def queries() -> dict[str, QueryFn]:
         "span_scan": q_span_scan,
         "first_last_record": q_first_last_record,
         "priority_runs": q_priority_runs,
+        "asof_click_attribution": q_asof_click_attribution,
+        "user_sessions": q_user_sessions,
+        "clicks_in_error_incidents": q_clicks_in_error_incidents,
         "returned_revenue_top": q_returned_revenue_top,
         "distinct_counts": q_distinct_counts,
         "value_quantiles": q_value_quantiles,
@@ -1869,6 +2010,9 @@ def oracle_sql() -> dict[str, str]:
         "span_scan": ORACLE_SPAN,
         "first_last_record": ORACLE_FIRST_LAST,
         "priority_runs": ORACLE_PRIORITY_RUNS,
+        "asof_click_attribution": ORACLE_ASOF_CLICK,
+        "user_sessions": ORACLE_USER_SESSIONS,
+        "clicks_in_error_incidents": ORACLE_CLICKS_IN_INCIDENTS,
         "returned_revenue_top": ORACLE_RETURNED_TOP,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "value_quantiles": ORACLE_QUANTILES,
