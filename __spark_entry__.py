@@ -34,6 +34,7 @@ from tern_ep_data_pipeline_spark.operators import (
     merge,
     regularise,
     reshape,
+    rollup,
     similarity,
     status,
     temporal,
@@ -1637,6 +1638,60 @@ JOIN iv ON c.user_id = iv.user_id
 """
 
 
+def q_monthly_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade (beyond-reference): 30-min partials
+    -> daily -> monthly, each level re-aggregating the previous level's
+    (n, sum, min, max) partials — the raw stream is scanned exactly once
+    (operators.rollup). Oracle computes the monthly level directly; equal
+    results prove the cascade is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    base = rollup.base_rollup(ev, "ts", ["event_type"], "value", minutes=30)
+    daily = rollup.rollup_up(base, ["event_type"], "day")
+    monthly = rollup.with_avg(rollup.rollup_up(daily, ["event_type"], "month"))
+    return monthly.select(
+        "event_type",
+        F.col("bucket_start").alias("month_start"),
+        "n",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("min_v").cast("double").alias("min_value"),
+        F.col("max_v").cast("double").alias("max_value"),
+        F.col("avg_v").alias("avg_value"),
+    )
+
+
+ORACLE_MONTHLY_ROLLUP = """
+SELECT event_type, date_trunc('month', ts) AS month_start, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+  CAST(MIN(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS min_value,
+  CAST(MAX(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS max_value,
+  round(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events GROUP BY event_type, date_trunc('month', ts)
+"""
+
+
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (beyond-reference; SURVEY §2.4 notes grouping sets are
+    absent from the reference): lineitem quantity/revenue over all
+    subsets of (returnflag, linestatus), exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+ORACLE_CUBE_RETURNS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue by customer, top 20."""
     cust = _t(spark, sf_dir, "customer")
@@ -1941,6 +1996,8 @@ def queries() -> dict[str, QueryFn]:
         "asof_click_attribution": q_asof_click_attribution,
         "user_sessions": q_user_sessions,
         "clicks_in_error_incidents": q_clicks_in_error_incidents,
+        "monthly_rollup_cascade": q_monthly_rollup_cascade,
+        "cube_returns": q_cube_returns,
         "returned_revenue_top": q_returned_revenue_top,
         "distinct_counts": q_distinct_counts,
         "value_quantiles": q_value_quantiles,
@@ -2013,6 +2070,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_attribution": ORACLE_ASOF_CLICK,
         "user_sessions": ORACLE_USER_SESSIONS,
         "clicks_in_error_incidents": ORACLE_CLICKS_IN_INCIDENTS,
+        "monthly_rollup_cascade": ORACLE_MONTHLY_ROLLUP,
+        "cube_returns": ORACLE_CUBE_RETURNS,
         "returned_revenue_top": ORACLE_RETURNED_TOP,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "value_quantiles": ORACLE_QUANTILES,
