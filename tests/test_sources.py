@@ -338,3 +338,31 @@ def test_excel_source_gate(spark):
         import pandas as pd
 
         assert isinstance(excel.read_excel, object)
+
+
+def test_tob_decode_truncated_inputs(tmp_path):
+    """Truncation robustness (SURVEY 7.4: fuzz with truncated frames): a
+    partial trailing frame / record is dropped, never mis-parsed; cutting
+    into the header raises cleanly."""
+    p3 = make_tob3_file(tmp_path / "t3.tob3")
+    full3 = tob.decode_tob_bytes(p3.read_bytes())
+    content = p3.read_bytes()
+    meta = tob.read_tob_meta(content)
+    # chop half of the final frame: every complete frame still decodes
+    cut = content[: meta.header_nbytes + meta.frame_size + meta.frame_size // 2]
+    part = tob.decode_tob_bytes(cut)
+    assert len(part) == 5  # the major frame's records
+    assert list(part["RECORD"]) == list(full3["RECORD"])[:5]
+    # only the header -> zero rows with the full schema
+    empty = tob.decode_tob_bytes(content[: meta.header_nbytes])
+    assert len(empty) == 0 and list(empty.columns) == list(full3.columns)
+
+    p1 = make_tob1_file(tmp_path / "t1.tob1", n=4)
+    c1 = p1.read_bytes()
+    m1 = tob.read_tob_meta(c1)
+    rec_size = (len(c1) - m1.header_nbytes) // 4
+    part1 = tob.decode_tob_bytes(c1[: m1.header_nbytes + 2 * rec_size + 3])
+    assert list(part1["RECORD"]) == [1000, 1001]
+
+    with pytest.raises(ValueError):
+        tob.read_tob_meta(c1[:10])

@@ -124,3 +124,50 @@ def test_sessionize_boundary_gap_merges(spark):
     ]
     # session_end = last event + gap
     assert out[0]["session_end"] == T(2024, 1, 1, 1, 0, 0)
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """sessionize works unchanged over a watermarked stream: with an
+    availableNow trigger and a generous watermark, emitted sessions equal
+    the batch sessionisation of the same input."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 10, 0), 2.0),
+        (1, dt.datetime(2024, 1, 1, 2, 0, 0), 3.0),
+        (2, dt.datetime(2024, 1, 1, 1, 0, 0), 4.0),
+        (2, dt.datetime(2024, 1, 2, 1, 0, 0), 5.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    batch_df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    batch_df.write.parquet(src)
+
+    stream = spark.readStream.format("parquet").schema(batch_df.schema).load(src)
+    sess_stream = sessionize(
+        stream.withWatermark("ts", "0 seconds"), "ts", ["uid"], 30,
+        [F.sum("v").alias("sum_v")],
+    )
+    q = (
+        sess_stream.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], r["session_start"], r["session_end"], r["n_events"], r["sum_v"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # append mode emits a session only after the watermark (here: the max
+    # event time) passes its end — the final still-open session stays in
+    # state, everything else must match the batch sessionisation exactly
+    max_ts = max(r[1] for r in rows)
+    want = {
+        (r["uid"], r["session_start"], r["session_end"], r["n_events"], r["sum_v"])
+        for r in sessionize(batch_df, "ts", ["uid"], 30, [F.sum("v").alias("sum_v")]).collect()
+        if r["session_end"] <= max_ts
+    }
+    assert got == want and len(got) == 3
