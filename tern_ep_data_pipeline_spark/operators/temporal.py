@@ -100,6 +100,95 @@ def asof_join(
     return out
 
 
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    slice_seconds: int,
+    right_ts_out: str = "matched_ts",
+    tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-hardened :func:`asof_join`: identical semantics, but the window
+    partitions on ``(by_cols, time slice)`` instead of ``by_cols`` alone.
+
+    Window stages get no AQE skew splitting, so one hot key (a device
+    emitting a large share of all events) serialises the plain as-of onto
+    one task. Slicing bounds every partition at ~``slice_seconds`` of one
+    key's data. Cross-slice correctness comes from injecting, per (key,
+    slice), the latest right row from ALL earlier slices as a synthetic
+    right row: it is built with one slice-grain aggregate plus a running
+    window over slice numbers (rows per key = slices, not events), then
+    sorts before every in-slice row. Pick ``slice_seconds`` so a hot key's
+    densest slice fits one task comfortably.
+    """
+    us = slice_seconds * 1_000_000
+    slice_of = lambda df: (_epoch_micros(df, ts_col) / us).cast("long")  # noqa: E731
+
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    r_s = right.withColumn("__slice", slice_of(right))
+    # newest right row per (key, slice): max_by over (ts, tiebreak)
+    order_key = F.struct(F.col(ts_col), tb.cast("long"))
+    last_per_slice = r_s.groupBy(*by_cols, "__slice").agg(
+        F.max_by(
+            F.struct(F.col(ts_col).alias("__ts"), tb.cast("long").alias("__tb"),
+                     *[F.col(c).alias(c) for c in value_cols]),
+            order_key,
+        ).alias("__last")
+    )
+    l_s = left.withColumn("__slice", slice_of(left))
+    # every (key, slice) either side touches, with the running
+    # latest-right-state strictly before the slice
+    slices = (
+        l_s.select(*by_cols, "__slice")
+        .unionByName(r_s.select(*by_cols, "__slice"))
+        .distinct()
+        .join(last_per_slice, on=[*by_cols, "__slice"], how="left")
+    )
+    w_prev = (
+        Window.partitionBy(*by_cols)
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        slices.withColumn("__prev", F.last("__last", ignorenulls=True).over(w_prev))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            *by_cols,
+            "__slice",
+            F.col("__prev.__ts").alias(ts_col),
+            F.col("__prev.__tb").alias("__tb_in"),
+            *[F.col(f"__prev.{c}").alias(c) for c in value_cols],
+        )
+    )
+    # synthetic right rows carrying the pre-slice state; they keep their
+    # ORIGINAL ts but belong to the TARGET slice, so __slice is explicit
+    injected = carry_in.select(
+        *[F.col(c) for c in [*by_cols, "__slice", ts_col]],
+        F.col("__tb_in"),
+        *[F.col(c) for c in value_cols],
+    )
+    r_aug = r_s.select(
+        *[F.col(c) for c in [*by_cols, "__slice", ts_col]],
+        tb.cast("long").alias("__tb_in"),
+        *[F.col(c) for c in value_cols],
+    )
+    r_all = injected.unionByName(r_aug)
+    out = asof_join(
+        l_s,
+        r_all,
+        ts_col,
+        [*by_cols, "__slice"],
+        value_cols,
+        right_ts_out=right_ts_out,
+        tolerance_seconds=tolerance_seconds,
+        right_tiebreak="__tb_in",
+    )
+    return out.drop("__slice")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

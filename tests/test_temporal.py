@@ -171,3 +171,41 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
         if r["session_end"] <= max_ts
     }
     assert got == want and len(got) == 3
+
+
+def test_asof_sliced_equals_plain(spark):
+    """The skew-hardened sliced as-of must equal the plain one on random
+    data with a hot key (most events on one key) and cross-slice matches."""
+    import random
+
+    from tern_ep_data_pipeline_spark.operators.temporal import asof_join_sliced
+
+    rng = random.Random(7)
+    base = T(2024, 1, 1).timestamp()
+    def rand_rows(n, hot_share=0.7):
+        rows = []
+        for i in range(n):
+            uid = 1 if rng.random() < hot_share else rng.randint(2, 5)
+            ts = dt.datetime.fromtimestamp(base + rng.uniform(0, 6 * 3600))
+            rows.append((uid, ts, float(i), i))
+        return rows
+
+    left = spark.createDataFrame(rand_rows(300), "uid long, ts timestamp, lv double, lid long")
+    right = spark.createDataFrame(rand_rows(200), "uid long, ts timestamp, v double, rid long")
+
+    def key(df):
+        return sorted(
+            (r["uid"], r["ts"], r["lid"], r["matched_ts"], r["v"])
+            for r in df.collect()
+        )
+
+    for tol in (None, 1800):
+        plain = asof_join(
+            left, right, "ts", ["uid"], ["v"],
+            tolerance_seconds=tol, right_tiebreak="rid",
+        )
+        sliced = asof_join_sliced(
+            left, right, "ts", ["uid"], ["v"], slice_seconds=900,
+            tolerance_seconds=tol, right_tiebreak="rid",
+        )
+        assert key(plain) == key(sliced)
