@@ -100,10 +100,44 @@ def write_site_details_json(records: Sequence[Mapping], path: str) -> None:
         json.dump({rec.get("site", str(i)): dict(rec) for i, rec in enumerate(records)}, fh, default=str)
 
 
-def write_status_xlsx(rows, path: str):  # pragma: no cover - gated
-    """S21: styled multi-sheet Excel status workbook.
+def write_status_xlsx(
+    rows: Sequence[Mapping],
+    path: str,
+    stale_after_days: float = 2.0,
+) -> None:
+    """S21: styled multi-sheet Excel status workbook
+    (network_status.py:131-238, 635-884).
 
-    Requires openpyxl/xlsxwriter (not installed in this container); the
-    GeoJSON/JSON products above carry the same content.
+    Sheets: a summary per site and the full per-(site, variable) detail;
+    cells whose ``days_since_last_record`` exceeds ``stale_after_days``
+    get the alert fill — the reference's conditional colour styling.
+    Written by the dependency-free OOXML writer (sources.xlsx); the
+    collected status result is tiny, so this is pure driver work.
     """
-    raise NotImplementedError("xlsx status sink requires openpyxl or xlsxwriter")
+    from ..sources.xlsx import write_xlsx
+
+    rows = [dict(r) for r in rows]
+    detail_cols = sorted({k for r in rows for k in r})
+    detail = [[r.get(c) for c in detail_cols] for r in rows]
+
+    per_site: dict[str, float] = {}
+    for r in rows:
+        site = str(r.get("site", ""))
+        days = r.get("days_since_last_record")
+        if days is not None:
+            per_site[site] = max(per_site.get(site, 0.0), float(days))
+    summary = [[s, d, d > stale_after_days] for s, d in sorted(per_site.items())]
+
+    def alert(sheet: str, row_idx: int, col: str, value) -> bool:
+        if col != "days_since_last_record" or value is None:
+            return False
+        return float(value) > stale_after_days
+
+    write_xlsx(
+        path,
+        {
+            "summary": (["site", "max_days_stale", "is_stale"], summary),
+            "detail": (detail_cols, detail),
+        },
+        alert=alert,
+    )
