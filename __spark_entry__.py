@@ -1542,6 +1542,37 @@ FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
 """
 
 
+def q_asof_click_attribution_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened sliced as-of (operators.temporal.asof_join_sliced)
+    on the same attribution task — identical oracle as the plain variant,
+    proving the bounded-partition scale path end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = temporal.asof_join_sliced(
+        errors,
+        clicks,
+        "ts",
+        ["user_id"],
+        ["value"],
+        slice_seconds=6 * 3600,
+        right_ts_out="click_ts",
+        tolerance_seconds=7200,
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        "click_ts",
+        F.col("value").alias("click_value"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (beyond-reference): per-user activity sessions with a
     30-min inactivity gap via native ``session_window`` (batch/streaming
@@ -1994,6 +2025,7 @@ def queries() -> dict[str, QueryFn]:
         "first_last_record": q_first_last_record,
         "priority_runs": q_priority_runs,
         "asof_click_attribution": q_asof_click_attribution,
+        "asof_click_attribution_sliced": q_asof_click_attribution_sliced,
         "user_sessions": q_user_sessions,
         "clicks_in_error_incidents": q_clicks_in_error_incidents,
         "monthly_rollup_cascade": q_monthly_rollup_cascade,
@@ -2068,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "first_last_record": ORACLE_FIRST_LAST,
         "priority_runs": ORACLE_PRIORITY_RUNS,
         "asof_click_attribution": ORACLE_ASOF_CLICK,
+        "asof_click_attribution_sliced": ORACLE_ASOF_CLICK,
         "user_sessions": ORACLE_USER_SESSIONS,
         "clicks_in_error_incidents": ORACLE_CLICKS_IN_INCIDENTS,
         "monthly_rollup_cascade": ORACLE_MONTHLY_ROLLUP,
