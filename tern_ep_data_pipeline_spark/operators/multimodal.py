@@ -136,3 +136,48 @@ def frame_sample_plan(
     return assets.withColumn("frame_idx", idx).select(
         "asset_id", "modality", "frame_idx", "content", "meta"
     )
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    use_fake: bool = True,
+) -> DataFrame:
+    """Image-resize plumbing: (asset_id, width, height, thumbnail binary).
+
+    Arrow-batched over ``mapInPandas``; the resample kernel is the stubbed
+    codec step (``decode_image`` until an image library is installed). The
+    deterministic fake emits a width*height byte thumbnail by striding the
+    source bytes, so batch shapes, output schema, and sizes are real and
+    testable; Spark-side partitioning is inherited from the asset scan
+    (one task per input split, no shuffle).
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for raw in pdf["content"]:
+                raw = bytes(raw)
+                if not use_fake:
+                    thumbs.append(decode_image(raw))
+                    continue
+                if not raw:
+                    thumbs.append(b"\x00" * n_out)
+                    continue
+                # stride-subsample the payload to exactly n_out bytes
+                idx = (np.arange(n_out) * len(raw) // n_out) % len(raw)
+                thumbs.append(np.frombuffer(raw, dtype=np.uint8)[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id BIGINT, width INT, height INT, thumbnail BINARY"
+    )

@@ -112,3 +112,17 @@ def test_frame_sample_plan(spark, sf_dir):
     frames = multimodal.frame_sample_plan(assets, frames_per_asset=4)
     assert frames.count() == 12
     assert frames.filter(F.col("frame_idx") == 3).count() == 3
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.assets_from_documents(docs)
+    out = multimodal.resize_images(assets, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["thumbnail"]) == 32  # exactly width*height bytes
+    # deterministic: same input -> same thumbnail bytes
+    again = {r["asset_id"]: bytes(r["thumbnail"]) for r in out.collect()}
+    assert {r["asset_id"]: bytes(r["thumbnail"]) for r in rows} == again
