@@ -13,6 +13,7 @@ import json
 import sys
 
 from . import tasks
+from . import tasks_builtin  # noqa: F401 - registers the built-in tasks
 from .session import get_spark
 
 

@@ -1,0 +1,92 @@
+"""Built-in tasks: the reference's main entry points, runnable out of the box.
+
+Parity target: the reference ships ~23 registered tasks in ``code/tasks``
+(``construct_L1_nc``, ``construct_status_xlsx/geojson``,
+``parse_main_fast_data``...). These built-ins mirror the main ones over the
+engine's own surfaces, configured by environment:
+
+- ``SPARK_GRAFT_SF_DIR``   input table dir (default /root/testdata/sf0.001)
+- ``SPARK_GRAFT_OUT``      output dir (default ./products)
+- ``SPARK_GRAFT_TOB_GLOB`` TOB3 input glob for the fast path (task errors
+  cleanly when unset — binary inputs are deployment-specific)
+
+Each task takes ``(spark, site)`` per the registry contract and returns a
+small JSON-able summary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .plans.l1 import condition_events
+from .plans.status import staleness_days, write_status_geojson, write_status_xlsx
+from .operators.status import last_valid_stats
+from .session import apply_engine_conf
+from .sources.tables import load_table
+from .tasks import register
+
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _out_dir() -> str:
+    out = os.environ.get("SPARK_GRAFT_OUT", "products")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+@register("construct_l1")
+def construct_l1(spark: SparkSession, site: str) -> dict:
+    """Flagship conditioning chain -> partitioned parquet lake
+    (construct_L1_nc analogue; the lake is the canonical store, SURVEY S20)."""
+    apply_engine_conf(spark)
+    conditioned = condition_events(spark, _sf_dir())
+    dest = os.path.join(_out_dir(), "l1", f"site={site}")
+    conditioned.write.mode("overwrite").parquet(dest)
+    return {"rows": spark.read.parquet(dest).count(), "path": dest}
+
+
+@register("construct_status_products")
+def construct_status_products(spark: SparkSession, site: str) -> dict:
+    """Per-variable staleness/validity status -> geojson + json + xlsx
+    (construct_status_xlsx/geojson analogue)."""
+    apply_engine_conf(spark)
+    ev = load_table(spark, _sf_dir(), "events")
+    long_df = ev.select(
+        F.lit(site).alias("site"),
+        F.col("event_type").alias("variable"),
+        F.col("ts").alias("DATETIME"),
+        F.col("value"),
+    )
+    stats = last_valid_stats(
+        long_df, "DATETIME", "value", F.col("value") >= 0, ["site", "variable"]
+    )
+    as_of = ev.agg(F.max("ts")).collect()[0][0]
+    rows = [r.asDict() for r in staleness_days(stats, as_of).collect()]
+    for r in rows:
+        r.setdefault("latitude", -34.0)
+        r.setdefault("longitude", 140.6)
+    out = _out_dir()
+    geojson = os.path.join(out, f"status_{site}.geojson")
+    xlsx = os.path.join(out, f"status_{site}.xlsx")
+    write_status_geojson(rows, geojson)
+    write_status_xlsx(rows, xlsx)
+    return {"n_variables": len(rows), "geojson": geojson, "xlsx": xlsx}
+
+
+@register("parse_fast_data")
+def parse_fast_data(spark: SparkSession, site: str) -> dict:
+    """10 Hz TOB3 -> 30-min TOA5 blocks (parse_main_fast_data analogue);
+    needs SPARK_GRAFT_TOB_GLOB pointing at daily TOB3 files."""
+    glob = os.environ.get("SPARK_GRAFT_TOB_GLOB")
+    if not glob:
+        raise ValueError("set SPARK_GRAFT_TOB_GLOB to the TOB3 input glob")
+    from .plans.fast_path import run_fast_path
+
+    dest = os.path.join(_out_dir(), "blocks", site)
+    n = run_fast_path(spark, glob, dest)
+    return {"records": n, "path": dest}

@@ -48,3 +48,30 @@ def test_run_task_with_isolation(spark):
 def test_unknown_task_raises(spark):
     with pytest.raises(KeyError, match="unknown task"):
         tasks.run_task(spark, "nope", MATRIX)
+
+
+def test_builtin_tasks_register_and_run(spark, tmp_path, monkeypatch):
+    import tern_ep_data_pipeline_spark.tasks_builtin  # noqa: F401
+    from tern_ep_data_pipeline_spark import tasks as task_mod
+    from tern_ep_data_pipeline_spark.__main__ import main
+
+    names = task_mod.registered_tasks()
+    assert {"construct_l1", "construct_status_products", "parse_fast_data"} <= set(names)
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_OUT", str(tmp_path / "products"))
+    matrix = task_mod.SiteTaskMatrix({"TestSite": {"construct_status_products": True}})
+    results = task_mod.run_task(spark, "construct_status_products", matrix)
+    assert len(results) == 1 and results[0].ok, results[0].error
+    out = results[0].result
+    import os
+    assert os.path.exists(out["geojson"]) and os.path.exists(out["xlsx"])
+    assert out["n_variables"] > 0
+
+    # fast path task fails cleanly (isolated) without its input glob
+    monkeypatch.delenv("SPARK_GRAFT_TOB_GLOB", raising=False)
+    res = task_mod.run_task(
+        spark, "parse_fast_data",
+        task_mod.SiteTaskMatrix({"TestSite": {"parse_fast_data": True}}),
+    )
+    assert not res[0].ok and "SPARK_GRAFT_TOB_GLOB" in res[0].error
