@@ -124,3 +124,32 @@ def write_bronze(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     return writer
+
+
+def write_toa5_block_files(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    header,
+    ts_col: str = "TIMESTAMP",
+    minutes: int = 30,
+):
+    """Streaming fast-path sink: each micro-batch lands as complete TOA5
+    block files via the distributed block writer (sources.toa5_blocks) in a
+    ``foreachBatch``. Re-delivery of a batch after failure rewrites the
+    same block files (same names, same contents) — idempotent, so
+    checkpointed progress gives effectively-once file output. Pair with a
+    watermarked/deduped upstream so a block's rows arrive in one batch.
+    """
+    from ..sources.toa5_blocks import write_toa5_blocks
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_toa5_blocks(batch_df, out_dir, header, ts_col=ts_col, minutes=minutes)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

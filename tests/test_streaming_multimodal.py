@@ -126,3 +126,42 @@ def test_resize_images_plumbing(spark, sf_dir):
     # deterministic: same input -> same thumbnail bytes
     again = {r["asset_id"]: bytes(r["thumbnail"]) for r in out.collect()}
     assert {r["asset_id"]: bytes(r["thumbnail"]) for r in rows} == again
+
+
+def test_streaming_toa5_block_sink(spark, tmp_path):
+    """Streaming fast-path sink: micro-batches land as complete TOA5 block
+    files identical to the batch block writer's output."""
+    import datetime as dt
+    import glob as globmod
+
+    from tern_ep_data_pipeline_spark.sources.toa5 import FileHeader, read_delimited
+    from tern_ep_data_pipeline_spark.streaming import write_toa5_block_files
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m), float(m))
+        for m in range(0, 90, 10)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "TIMESTAMP timestamp, Ta double")
+    df.write.parquet(src)
+    header = FileHeader(
+        file_type="TOA5",
+        variables=["TIMESTAMP", "Ta"],
+        units={"Ta": "degC"},
+        sampling={"Ta": "Smp"},
+        info={"format": "TOA5", "station_name": "StreamSite"},
+    )
+    out = str(tmp_path / "blocks")
+    stream = spark.readStream.format("parquet").schema(df.schema).load(src)
+    q = (
+        write_toa5_block_files(
+            stream, out, str(tmp_path / "ckpt"), header
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = sorted(globmod.glob(out + "/**/*.dat", recursive=True))
+    assert len(files) == 3  # 90 min of data -> three 30-min blocks
+    back = read_delimited(spark, files[0])
+    assert back.count() == 3  # 10-min cadence -> 3 rows per block
