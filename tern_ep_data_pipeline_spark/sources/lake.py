@@ -12,6 +12,8 @@ the test suite asserts the no-Exchange property on the resulting plans.
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,3 +48,46 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchanges in the executed plan (test/audit hook)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: Sequence[str] = (),
+) -> dict:
+    """Compact a lake partition directory: streaming micro-batches and
+    per-block writes leave many small parquet files; small files dominate
+    task-scheduling and footer-reading cost at 100 TB. Rewrites the
+    directory to ``ceil(bytes / target_mb)`` files, optionally sorted
+    within files (``sort_cols``) for better min/max pruning and encoding.
+
+    Write is atomic-by-rename: the rewrite lands in a sibling temp dir and
+    swaps in only after success, so readers never see a half-compacted
+    partition. Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import shutil
+    import uuid
+
+    files = [
+        (p, os.path.getsize(p))
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    total = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if len(files) <= n_out:
+        return {"files_before": len(files), "files_after": len(files), "bytes": total}
+
+    df = spark.read.parquet(path)
+    df = df.repartition(n_out)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -20,3 +20,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # contrast: the same join on unbucketed frames shuffles both sides
     plain = left.join(right, on="user_id")
     assert lake.exchange_count(plain) > 0
+
+
+def test_compact_partition_atomic(spark, tmp_path):
+    from tern_ep_data_pipeline_spark.sources.lake import compact_partition
+
+    path = str(tmp_path / "part")
+    # 40 tiny files (a streaming micro-batch pattern)
+    for i in range(40):
+        spark.range(i * 10, (i + 1) * 10).toDF("v").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(r["v"] for r in before.collect())
+
+    stats = compact_partition(spark, path, target_mb=128, sort_cols=["v"])
+    assert stats["files_before"] >= 40 and stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    assert sorted(r["v"] for r in after.collect()) == before_rows
+    # idempotent: a second call is a no-op
+    stats2 = compact_partition(spark, path, target_mb=128)
+    assert stats2["files_before"] == stats2["files_after"]
