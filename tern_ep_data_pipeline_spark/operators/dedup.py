@@ -253,9 +253,13 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # persist: the band self-join reads the signatures from BOTH sides and
+    # Catalyst does not reuse the exchange across the aliased branches —
+    # uncached, the whole explode+hash+min pipeline would run twice. The
+    # table is tiny (K longs per doc), so this caches K*8 bytes/doc.
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
-    )
+    ).persist()
 
     def band_hash(b: int) -> str:
         cols = ", ".join(f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
