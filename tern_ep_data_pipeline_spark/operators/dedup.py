@@ -126,6 +126,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         tokens(F.col(text_col)).alias("__toks"),
     ).select("__block", "__id", shingles_of(F.col("__toks"), n).alias("__sh"))
+    # persist: both self-join sides read the shingle table and Catalyst does
+    # not reuse the exchange across aliased branches (see minhash sig note)
+    sh = sh.persist()
     a = sh.select(
         F.col("__block"),
         F.col("__id").alias("id_a"),
@@ -360,7 +363,9 @@ def simhash_near_pairs(
     """SimHash near-dup pairs blocked on 16-bit bands (pigeonhole: any pair
     with <= bands-1 differing bands shares a band), verified by exact
     Hamming distance."""
-    fp = simhash64(df, id_col, text_col, hash_mode)
+    # persist: the band self-join reads the fingerprints from both sides;
+    # uncached, the explode + 64 conditional sums would execute twice
+    fp = simhash64(df, id_col, text_col, hash_mode).persist()
     width = 64 // bands
     band_arr = F.array(
         *[

@@ -160,6 +160,8 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
     )
+    # persist: the self-join reads vectors+norms from both aliased sides
+    base = base.persist()
     a = base.select(
         F.col("__block"), F.col("__id").alias("id_a"),
         F.col("__v").alias("va"), F.col("__n").alias("na"),
