@@ -818,19 +818,31 @@ JOIN (VALUES ('click','engagement'),('view','engagement'),('signup','conversion'
 
 
 def q_status_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: status collation — three per-user aggregates joined on the key."""
+    """J3: status collation — per-user status aggregates joined on the key.
+
+    Scale shape: the two plain per-user aggregates (last-valid stats and
+    missing-record accounting) FUSE into one groupBy — one scan + one
+    shuffle instead of two of each — because Catalyst does not dedupe
+    repeated scans across join branches. Only the gap report, which needs
+    a lag window before aggregating, stays a separate branch.
+    """
     ev = _t(spark, sf_dir, "events")
     valid = F.col("value").between(10.0, 400.0)
-    s1 = status.last_valid_stats(ev, "ts", "value", valid, ["user_id"]).select(
-        "user_id", "last_ts", "pct_valid"
-    )
-    s2 = gaps.missing_record_stats(ev, "ts", 3600, ["user_id"]).select(
-        "user_id", "n_missing"
+    fused = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.round(
+            F.count(F.when(valid, F.lit(1))) * 100.0 / F.count(F.lit(1)), 6
+        ).alias("pct_valid"),
+        (
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000 div 3600")
+            + 1
+            - F.count(F.lit(1))
+        ).alias("n_missing"),
     )
     s3 = gaps.gap_report(ev, "ts", 14400, ["user_id"]).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_big_gaps")
     )
-    return s1.join(s2, "user_id").join(s3, "user_id", "left")
+    return fused.join(s3, "user_id", "left")
 
 
 ORACLE_STATUS_COLLATION = """
