@@ -1934,6 +1934,431 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fused driver-gate suites
+#
+# The round-1 driver verified exactly the FIRST 50 ``queries()`` entries (the
+# 21 entries past position 50 got no CORRECTNESS row at all), so the registry
+# is consolidated to <=50 entries. Same-shaped queries are fused — tagged
+# UNIONs for results that share a schema, key-joins for per-key projections of
+# the same table — so every operator still lands inside the driver's window
+# with a full value-hash oracle. The underlying q_* functions are unchanged
+# (bench.py and pytest still exercise them individually); COVERAGE.md maps
+# operator -> registry entry.
+# --------------------------------------------------------------------------
+
+
+def q_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused A11 + Q4: by-year priority counts UNION returned-order priority
+    counts (tagged; returned rows carry a NULL order_year)."""
+    a = q_order_priority_by_year(spark, sf_dir).select(
+        F.lit("by_year").alias("tag"), "order_year", "o_orderpriority", "n_orders"
+    )
+    b = q_returned_order_priority(spark, sf_dir).select(
+        F.lit("returned").alias("tag"),
+        F.lit(None).cast("bigint").alias("order_year"),
+        "o_orderpriority",
+        "n_orders",
+    )
+    return a.unionByName(b)
+
+
+ORACLE_ORDER_PRIORITIES = f"""
+SELECT 'by_year' AS tag, * FROM ({ORACLE_PRIORITY_YEAR})
+UNION ALL
+SELECT 'returned' AS tag, CAST(NULL AS BIGINT) AS order_year, o_orderpriority, n_orders
+FROM ({ORACLE_RETURNED_PRIORITY})
+"""
+
+
+def q_dedupe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused P6 + P7: distinct-records, keep-latest-per-key, and
+    duplicate-minute report as one tagged union over the events table."""
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    a = q_dedupe_exact(spark, sf_dir).select(
+        F.lit("distinct").alias("tag"),
+        "user_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("event_id"),
+        null_ts.alias("ts"),
+        "value",
+        F.lit(None).cast("bigint").alias("n_rows"),
+    )
+    b = q_dedupe_keep_latest(spark, sf_dir).select(
+        F.lit("keep_latest").alias("tag"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.lit(None).cast("bigint").alias("n_rows"),
+    )
+    c = q_duplicate_minute_report(spark, sf_dir).select(
+        F.lit("dup_minute").alias("tag"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts_minute").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        "n_rows",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+ORACLE_DEDUPE_SUITE = f"""
+SELECT 'distinct' AS tag, user_id, event_type, CAST(NULL AS BIGINT) AS event_id,
+  CAST(NULL AS TIMESTAMP) AS ts, value, CAST(NULL AS BIGINT) AS n_rows
+FROM ({ORACLE_DEDUPE_EXACT})
+UNION ALL
+SELECT 'keep_latest' AS tag, user_id, event_type, event_id, ts, value,
+  CAST(NULL AS BIGINT) AS n_rows
+FROM ({ORACLE_KEEP_LATEST})
+UNION ALL
+SELECT 'dup_minute' AS tag, user_id, CAST(NULL AS VARCHAR) AS event_type,
+  CAST(NULL AS BIGINT) AS event_id, ts_minute AS ts,
+  CAST(NULL AS DOUBLE) AS value, n_rows
+FROM ({ORACLE_DUP_MINUTE})
+"""
+
+
+def q_cadence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused A1 + A2: per-user interval inference joined with missing-record
+    accounting — one row per user."""
+    a = q_interval_mode(spark, sf_dir)
+    b = q_missing_records(spark, sf_dir)
+    return a.join(b, "user_id")
+
+
+ORACLE_CADENCE = f"""
+WITH a AS ({ORACLE_INTERVAL_MODE}), b AS ({ORACLE_MISSING})
+SELECT a.user_id, a.min_delta_s, a.mode_delta_s, a.n_deltas,
+  b.start_ts, b.end_ts, b.n_actual, b.n_expected, b.n_missing, b.pct_missing
+FROM a JOIN b USING (user_id)
+"""
+
+
+def q_gap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused A3 + A9: gap bounds report UNION gap-size histogram (tagged)."""
+    nb = F.lit(None).cast("bigint")
+    nt = F.lit(None).cast("timestamp_ntz")
+    a = q_gap_report(spark, sf_dir).select(
+        F.lit("gap").alias("tag"), "gap_start", "gap_end", "gap_seconds",
+        nb.alias("n_intervals"), nb.alias("n_gaps"),
+    )
+    b = q_gap_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("tag"), nt.alias("gap_start"), nt.alias("gap_end"),
+        nb.alias("gap_seconds"), "n_intervals", "n_gaps",
+    )
+    return a.unionByName(b)
+
+
+ORACLE_GAP_SUITE = f"""
+SELECT 'gap' AS tag, gap_start, gap_end, gap_seconds,
+  CAST(NULL AS BIGINT) AS n_intervals, CAST(NULL AS BIGINT) AS n_gaps
+FROM ({ORACLE_GAP_REPORT})
+UNION ALL
+SELECT 'hist' AS tag, CAST(NULL AS TIMESTAMP) AS gap_start,
+  CAST(NULL AS TIMESTAMP) AS gap_end, CAST(NULL AS BIGINT) AS gap_seconds,
+  n_intervals, n_gaps
+FROM ({ORACLE_GAP_HISTOGRAM})
+"""
+
+
+def q_unit_met_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused §2.8 function suite: all unit conversions, met derivations, and
+    variance<->stdev round-trips in ONE projection over one events scan (the
+    shape a real conditioning pass uses — Catalyst fuses it into a single
+    WholeStageCodegen stage)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    Ta = v / 10.0
+    RH = F.least(F.greatest(v / 5.0, F.lit(0.1)), F.lit(100.0))
+    ps = F.lit(95.0) + v / 100.0
+    return ev.select(
+        "event_id",
+        # conversions (exact arithmetic)
+        cv.convert_co2_flux(v).alias("co2_flux_umol"),
+        cv.convert_co2_density(v).alias("co2_density_mg"),
+        cv.convert_temperature(v).alias("temp_c"),
+        cv.convert_pressure(v, "Pa").alias("press_kpa"),
+        cv.convert_rh(v).alias("rh_pct"),
+        cv.convert_sws(v).alias("sws_frac"),
+        cv.convert_precipitation(v, 0.2).alias("precip_mm"),
+        cv.convert_h2o_density(v, "mmol/m^3").alias("h2o_density_g"),
+        cv.convert_variance_to_stdev(v).alias("stdev"),
+        cv.convert_diagnostic(v, 18000).alias("diag_invalid"),
+        # met derivations (rounded to 6)
+        F.round(met.calculate_es(Ta), 6).alias("es_kpa"),
+        F.round(met.calculate_e(Ta, RH), 6).alias("e_kpa"),
+        F.round(met.calculate_VPD(Ta, RH), 6).alias("vpd_kpa"),
+        F.round(met.calculate_dew_point(Ta, RH), 6).alias("dew_point_c"),
+        F.round(met.calculate_AH_from_RH(Ta, RH, ps), 6).alias("ah_gm3"),
+        F.round(met.calculate_molar_density(Ta, ps), 6).alias("molar_density"),
+        # variance round-trips (rounded to 6; 'stdev' above is the raw one)
+        F.round(cv.convert_variance_to_stdev(v), 6).alias("stdev_r6"),
+        F.round(cv.convert_stdev_to_variance(cv.convert_variance_to_stdev(v)), 6).alias("roundtrip"),
+        F.round(cv.convert_variance(v, cv.convert_co2_flux), 6).alias("variance_converted"),
+    )
+
+
+ORACLE_UNIT_MET = """
+WITH base AS (
+  SELECT event_id, value, value / 10.0 AS ta,
+         least(greatest(value / 5.0, 0.1), 100.0) AS rh,
+         95.0 + value / 100.0 AS ps
+  FROM events
+), es AS (
+  SELECT *, 0.61121 * exp((18.678 - ta / 234.5) * (ta / (257.14 + ta))) AS es_v FROM base
+), e AS (
+  SELECT *, es_v * rh / 100.0 AS e_v FROM es
+)
+SELECT event_id,
+  value * 1000.0 / 44.0 AS co2_flux_umol,
+  value * 44.0 AS co2_density_mg,
+  value - 273.15 AS temp_c,
+  value / 1000.0 AS press_kpa,
+  value * 100.0 AS rh_pct,
+  value / 100.0 AS sws_frac,
+  value * 0.2 AS precip_mm,
+  value * 18.0 / 1000.0 AS h2o_density_g,
+  sqrt(value) AS stdev,
+  18000 - value AS diag_invalid,
+  round(es_v, 6) AS es_kpa,
+  round(e_v, 6) AS e_kpa,
+  round(es_v - e_v, 6) AS vpd_kpa,
+  round(243.5 * ln(e_v / 0.61121) / (17.502 - ln(e_v / 0.61121)), 6) AS dew_point_c,
+  round(e_v / ps * (ps * 1000.0 / ((ta + 273.15) * 8.3143)) * 18.0, 6) AS ah_gm3,
+  round(ps * 1000.0 / ((ta + 273.15) * 8.3143), 6) AS molar_density,
+  round(sqrt(value), 6) AS stdev_r6,
+  round(sqrt(value) * sqrt(value), 6) AS roundtrip,
+  round((sqrt(value) * 1000.0 / 44.0) * (sqrt(value) * 1000.0 / 44.0), 6) AS variance_converted
+FROM e
+"""
+
+
+def q_status_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused A7 + W4: per-user last-valid stats joined with the trailing-24 h
+    validity fraction."""
+    a = q_last_valid_stats(spark, sf_dir)
+    b = q_trailing_validity(spark, sf_dir).select("user_id", "trailing_valid_frac")
+    return a.join(b, "user_id")
+
+
+ORACLE_STATUS_SUITE = f"""
+WITH a AS ({ORACLE_LAST_VALID}), b AS ({ORACLE_TRAILING})
+SELECT a.*, b.trailing_valid_frac FROM a JOIN b USING (user_id)
+"""
+
+
+def q_calendar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused U1 + J9: overlapping-slice union-dedup daily counts UNION the
+    expected-vs-available missing order days (tagged)."""
+    a = q_union_dedup(spark, sf_dir).select(
+        F.lit("union_daily").alias("tag"), "day", "n"
+    )
+    b = q_calendar_anti_join(spark, sf_dir).select(
+        F.lit("missing_order_day").alias("tag"),
+        F.col("missing_day").alias("day"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return a.unionByName(b)
+
+
+ORACLE_CALENDAR_DAYS = f"""
+SELECT 'union_daily' AS tag, day, n FROM ({ORACLE_UNION_DEDUP})
+UNION ALL
+SELECT 'missing_order_day' AS tag, missing_day AS day, CAST(NULL AS BIGINT) AS n
+FROM ({ORACLE_CALENDAR_ANTI})
+"""
+
+
+def q_pivot_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 + R2 in one entry: the daily pivot melted back to long form —
+    verifying both directions against the direct groupBy oracle."""
+    return q_melt_daily(spark, sf_dir)
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document text-analysis suite: token stats, quality scores,
+    language ID, fingerprint, BPE-ish counts, and exact-dup group stats — one
+    row per document, joined on doc_id (dup stats via the content hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = text.token_stats(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_token_len",
+    )
+    q = text.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio"
+    )
+    lang_casts = [
+        F.col(f"n_{lang}").cast("bigint").alias(f"n_{lang}") for lang in text.LANG_MARKERS
+    ]
+    l = text.lang_id(docs, "doc_id", "text").select("doc_id", *lang_casts, "pred_lang")
+    f = text.fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint_md5")
+    b = text.bpe_token_stats(docs, "doc_id", "text")
+    d = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    return (
+        t.join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(f, "doc_id")
+        .join(b, "doc_id")
+        .join(d, f.fingerprint_md5 == d.content_hash)
+        .select(
+            "doc_id", "n_chars", "n_tokens", "avg_token_len",
+            "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio",
+            *[f"n_{lang}" for lang in text.LANG_MARKERS], "pred_lang",
+            "fingerprint_md5", "n_ws_tokens", "n_bpe_tokens", "chars_per_bpe_token",
+            "canonical_id", "n_copies",
+        )
+    )
+
+
+ORACLE_DOC_PROFILE = f"""
+WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
+fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP})
+SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
+  q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
+  l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
+  fp.fingerprint_md5, b.n_ws_tokens, b.n_bpe_tokens, b.chars_per_bpe_token,
+  d.canonical_id, d.n_copies
+FROM t
+JOIN q USING (doc_id)
+JOIN l USING (doc_id)
+JOIN fp USING (doc_id)
+JOIN b USING (doc_id)
+JOIN d ON fp.fingerprint_md5 = d.content_hash
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused ANN suite: brute-force cosine top-k (exactness baseline) UNION
+    the SRP-LSH bucketed variant (scale path), tagged by method."""
+    a = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "query_id", "vec_id", "cosine_sim"
+    )
+    b = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine_sim"
+    )
+    return a.unionByName(b)
+
+
+ORACLE_ANN_TOPK = f"""
+SELECT 'brute' AS method, * FROM ({ORACLE_ANN})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({ORACLE_ANN_LSH})
+"""
+
+
+def q_asof_attribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused as-of join: the plain union+window variant UNION the
+    skew-hardened sliced variant on the same attribution task — equal results
+    under one oracle prove both paths."""
+    a = q_asof_click_attribution(spark, sf_dir)
+    b = q_asof_click_attribution_sliced(spark, sf_dir)
+    return a.select(F.lit("plain").alias("variant"), *a.columns).unionByName(
+        b.select(F.lit("sliced").alias("variant"), *b.columns)
+    )
+
+
+ORACLE_ASOF_SUITE = f"""
+SELECT 'plain' AS variant, * FROM ({ORACLE_ASOF_CLICK})
+UNION ALL
+SELECT 'sliced' AS variant, * FROM ({ORACLE_ASOF_CLICK})
+"""
+
+
+def q_span_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused S6/A8 + O4/U2: per-source span scan UNION per-user first/last
+    record resolution (user rows keyed 'user:<id>')."""
+    nb = F.lit(None).cast("bigint")
+    spans = q_span_scan(spark, sf_dir).select(
+        "source", "first_ts", "last_ts", "n_records",
+        nb.alias("first_event_id"), nb.alias("last_event_id"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.min_by("event_id", key).alias("first_event_id"),
+        F.max_by("event_id", key).alias("last_event_id"),
+    ).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("source"),
+        "first_ts", "last_ts", "n_records", "first_event_id", "last_event_id",
+    )
+    return spans.unionByName(users)
+
+
+ORACLE_SPAN_FIRST_LAST = f"""
+SELECT source, first_ts, last_ts, n_records,
+  CAST(NULL AS BIGINT) AS first_event_id, CAST(NULL AS BIGINT) AS last_event_id
+FROM ({ORACLE_SPAN})
+UNION ALL
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS source, first_ts, last_ts,
+  n_records, first_event_id, last_event_id
+FROM (
+  WITH f AS (
+    SELECT user_id, event_id AS first_event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+  ),
+  l AS (
+    SELECT user_id, event_id AS last_event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+  ),
+  s AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n_records
+        FROM events GROUP BY 1)
+  SELECT s.user_id, s.first_ts, s.last_ts, s.n_records, f.first_event_id, l.last_event_id
+  FROM s JOIN f USING (user_id) JOIN l USING (user_id)
+)
+"""
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused A9 + quantiles: exact per-type quantiles cross-joined with the
+    global distinct-count cardinalities (one broadcastable row)."""
+    return q_value_quantiles(spark, sf_dir).crossJoin(
+        F.broadcast(q_distinct_counts(spark, sf_dir))
+    )
+
+
+ORACLE_SUMMARY_STATS = f"""
+SELECT q.*, d.* FROM ({ORACLE_QUANTILES}) q CROSS JOIN ({ORACLE_DISTINCT_COUNTS}) d
+"""
+
+
+def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multimodal plumbing: JVM-side byte stats joined with the
+    Arrow-batched feature extraction (deterministic unit-norm fake encoder —
+    the norm check proves the mapInPandas plumbing end-to-end)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    stats = multimodal.content_stats(assets).select(
+        "asset_id", "modality", "n_bytes", "content_md5"
+    )
+    feats = multimodal.extract_features(assets, dim=16)
+    featured = feats.select(
+        "asset_id",
+        F.size("feature").cast("bigint").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feature_norm"),
+    )
+    return stats.join(featured, "asset_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS asset_id, 'text' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(16 AS BIGINT) AS feature_dim,
+  CAST(1.0 AS DOUBLE) AS feature_norm
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Flagship pipeline (entry)
 # --------------------------------------------------------------------------
 
@@ -1969,160 +2394,123 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    """Registry capped at <=50 entries (the driver checks exactly the first
+    50): same-shaped queries are fused (see the fused-suite section) so every
+    SURVEY §2 operator gets a driver CORRECTNESS row. The flagship and the
+    entries that were driver-unverified in round 1 lead the dict."""
     return {
-        # relational core
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "region_revenue": q_region_revenue,
-        "top_customers": q_top_customers,
-        "order_priority_by_year": q_order_priority_by_year,
-        "returned_order_priority": q_returned_order_priority,
-        "customer_order_distribution": q_customer_order_distribution,
-        "never_ordered_parts": q_never_ordered_parts,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        # conditioning / dedupe
-        "dedupe_exact": q_dedupe_exact,
-        "dedupe_keep_latest": q_dedupe_keep_latest,
-        "duplicate_minute_report": q_duplicate_minute_report,
-        # regularisation / gaps
-        "grid_regularise": q_grid_regularise,
-        "interval_mode": q_interval_mode,
-        "gap_report": q_gap_report,
-        "missing_records": q_missing_records,
-        "gap_histogram": q_gap_histogram,
-        # masking + functions
-        "range_mask": q_range_mask,
-        "unit_conversions": q_unit_conversions,
-        "met_derivations": q_met_derivations,
-        "variance_stdev_roundtrip": q_variance_stdev_roundtrip,
-        # windows / status
-        "storage_lag": q_storage_lag,
-        "tumbling_30min": q_tumbling_30min,
-        "diel_cycle": q_diel_cycle,
-        "last_valid_stats": q_last_valid_stats,
-        "trailing_validity": q_trailing_validity,
-        # joins / set ops
-        "nearest_size_match": q_nearest_size_match,
-        "calendar_anti_join": q_calendar_anti_join,
-        "set_ops_nations": q_set_ops_nations,
-        "union_dedup": q_union_dedup,
-        "incremental_append": q_incremental_append,
-        "dim_translate": q_dim_translate,
-        "status_collation": q_status_collation,
-        # reshape
-        "pivot_daily": q_pivot_daily,
-        "melt_daily": q_melt_daily,
-        "height_interpolation": q_height_interpolation,
-        # training-data ops
-        "doc_token_stats": q_doc_token_stats,
-        "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_portable": q_minhash_dedup_portable,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_pairs_portable": q_simhash_pairs_portable,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "label_centroids": q_label_centroids,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "nation_trade_volume": q_nation_trade_volume,
-        # span scans / runs / reporting joins
-        "span_scan": q_span_scan,
-        "first_last_record": q_first_last_record,
+        # flagship + round-1-unverified entries first
+        "conditioned_blocks": q_conditioned_blocks,
+        "profile_storage": q_profile_storage,
         "priority_runs": q_priority_runs,
-        "asof_click_attribution": q_asof_click_attribution,
-        "asof_click_attribution_sliced": q_asof_click_attribution_sliced,
+        "asof_click_attribution": q_asof_attribution_suite,
         "user_sessions": q_user_sessions,
         "clicks_in_error_incidents": q_clicks_in_error_incidents,
         "monthly_rollup_cascade": q_monthly_rollup_cascade,
         "cube_returns": q_cube_returns,
         "returned_revenue_top": q_returned_revenue_top,
-        "distinct_counts": q_distinct_counts,
-        "value_quantiles": q_value_quantiles,
+        "nation_trade_volume": q_nation_trade_volume,
+        "span_first_last": q_span_first_last,
+        "summary_stats": q_summary_stats,
         "approx_stats": q_approx_stats,
-        # profile pipeline + multimodal
-        "profile_storage": q_profile_storage,
-        "asset_content_stats": q_asset_content_stats,
-        "multimodal_features": q_multimodal_features,
-        # flagship
-        "conditioned_blocks": q_conditioned_blocks,
+        "label_centroids": q_label_centroids,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_topk": q_ann_topk,
+        "multimodal_suite": q_multimodal_suite,
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "order_priorities": q_order_priorities,
+        "customer_order_distribution": q_customer_order_distribution,
+        "never_ordered_parts": q_never_ordered_parts,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        # conditioning / regularisation / gaps
+        "dedupe_suite": q_dedupe_suite,
+        "grid_regularise": q_grid_regularise,
+        "cadence_report": q_cadence_report,
+        "gap_suite": q_gap_suite,
+        # masking + functions
+        "range_mask": q_range_mask,
+        "unit_met_suite": q_unit_met_suite,
+        # windows / status
+        "storage_lag": q_storage_lag,
+        "tumbling_30min": q_tumbling_30min,
+        "diel_cycle": q_diel_cycle,
+        "status_suite": q_status_suite,
+        "status_collation": q_status_collation,
+        # joins / set ops
+        "nearest_size_match": q_nearest_size_match,
+        "calendar_days": q_calendar_days,
+        "set_ops_nations": q_set_ops_nations,
+        "incremental_append": q_incremental_append,
+        "dim_translate": q_dim_translate,
+        # reshape
+        "pivot_melt_roundtrip": q_pivot_melt_roundtrip,
+        "height_interpolation": q_height_interpolation,
+        # training-data ops
+        "doc_profile": q_doc_profile,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup_portable": q_minhash_dedup_portable,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "pricing_summary": ORACLE_PRICING,
-        "shipping_priority": ORACLE_SHIPPING,
-        "region_revenue": ORACLE_REGION,
-        "top_customers": ORACLE_TOP_CUST,
-        "order_priority_by_year": ORACLE_PRIORITY_YEAR,
-        "returned_order_priority": ORACLE_RETURNED_PRIORITY,
-        "customer_order_distribution": ORACLE_CUSTOMER_DIST,
-        "never_ordered_parts": ORACLE_NEVER_ORDERED,
-        "small_quantity_revenue": ORACLE_SMALL_QTY,
-        "dedupe_exact": ORACLE_DEDUPE_EXACT,
-        "dedupe_keep_latest": ORACLE_KEEP_LATEST,
-        "duplicate_minute_report": ORACLE_DUP_MINUTE,
-        "grid_regularise": ORACLE_GRID,
-        "interval_mode": ORACLE_INTERVAL_MODE,
-        "gap_report": ORACLE_GAP_REPORT,
-        "missing_records": ORACLE_MISSING,
-        "gap_histogram": ORACLE_GAP_HISTOGRAM,
-        "range_mask": ORACLE_RANGE_MASK,
-        "unit_conversions": ORACLE_UNIT_CONV,
-        "met_derivations": ORACLE_MET,
-        "variance_stdev_roundtrip": ORACLE_VAR_STDEV,
-        "storage_lag": ORACLE_STORAGE_LAG,
-        "tumbling_30min": ORACLE_TUMBLING,
-        "diel_cycle": ORACLE_DIEL,
-        "last_valid_stats": ORACLE_LAST_VALID,
-        "trailing_validity": ORACLE_TRAILING,
-        "nearest_size_match": ORACLE_NEAREST,
-        "calendar_anti_join": ORACLE_CALENDAR_ANTI,
-        "set_ops_nations": ORACLE_SET_OPS,
-        "union_dedup": ORACLE_UNION_DEDUP,
-        "incremental_append": ORACLE_INCREMENTAL,
-        "dim_translate": ORACLE_DIM_TRANSLATE,
-        "status_collation": ORACLE_STATUS_COLLATION,
-        "pivot_daily": ORACLE_PIVOT,
-        "melt_daily": ORACLE_MELT,
-        "height_interpolation": ORACLE_HEIGHT_INTERP,
-        "doc_token_stats": ORACLE_TOKEN_STATS,
-        "doc_quality": ORACLE_QUALITY,
-        "doc_lang_id": ORACLE_LANG_ID,
-        "doc_fingerprint": ORACLE_FINGERPRINT,
-        "doc_bpe_tokens": ORACLE_BPE_TOKENS,
-        "doc_winnow_fingerprint": ORACLE_WINNOW,
-        "exact_dedup_docs": ORACLE_EXACT_DEDUP,
-        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-        "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
-        "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
-        "ann_cosine_topk": ORACLE_ANN,
-        "ann_lsh_topk": ORACLE_ANN_LSH,
-        "label_centroids": ORACLE_CENTROIDS,
-        "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
-        "nation_trade_volume": ORACLE_NATION_TRADE,
-        "span_scan": ORACLE_SPAN,
-        "first_last_record": ORACLE_FIRST_LAST,
+        "conditioned_blocks": ORACLE_CONDITIONED,
+        "profile_storage": ORACLE_PROFILE,
         "priority_runs": ORACLE_PRIORITY_RUNS,
-        "asof_click_attribution": ORACLE_ASOF_CLICK,
-        "asof_click_attribution_sliced": ORACLE_ASOF_CLICK,
+        "asof_click_attribution": ORACLE_ASOF_SUITE,
         "user_sessions": ORACLE_USER_SESSIONS,
         "clicks_in_error_incidents": ORACLE_CLICKS_IN_INCIDENTS,
         "monthly_rollup_cascade": ORACLE_MONTHLY_ROLLUP,
         "cube_returns": ORACLE_CUBE_RETURNS,
         "returned_revenue_top": ORACLE_RETURNED_TOP,
-        "distinct_counts": ORACLE_DISTINCT_COUNTS,
-        "value_quantiles": ORACLE_QUANTILES,
-        "profile_storage": ORACLE_PROFILE,
-        "asset_content_stats": ORACLE_ASSET_STATS,
-        "conditioned_blocks": ORACLE_CONDITIONED,
-        # minhash_dedup / simhash_pairs / ann_lsh_topk / multimodal_features:
-        # hash- or Python-UDF-based, not SQL-expressible -> rows-only check.
+        "nation_trade_volume": ORACLE_NATION_TRADE,
+        "span_first_last": ORACLE_SPAN_FIRST_LAST,
+        "summary_stats": ORACLE_SUMMARY_STATS,
+        "label_centroids": ORACLE_CENTROIDS,
+        "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
+        "ann_topk": ORACLE_ANN_TOPK,
+        "multimodal_suite": ORACLE_MULTIMODAL,
+        "pricing_summary": ORACLE_PRICING,
+        "shipping_priority": ORACLE_SHIPPING,
+        "region_revenue": ORACLE_REGION,
+        "top_customers": ORACLE_TOP_CUST,
+        "order_priorities": ORACLE_ORDER_PRIORITIES,
+        "customer_order_distribution": ORACLE_CUSTOMER_DIST,
+        "never_ordered_parts": ORACLE_NEVER_ORDERED,
+        "small_quantity_revenue": ORACLE_SMALL_QTY,
+        "dedupe_suite": ORACLE_DEDUPE_SUITE,
+        "grid_regularise": ORACLE_GRID,
+        "cadence_report": ORACLE_CADENCE,
+        "gap_suite": ORACLE_GAP_SUITE,
+        "range_mask": ORACLE_RANGE_MASK,
+        "unit_met_suite": ORACLE_UNIT_MET,
+        "storage_lag": ORACLE_STORAGE_LAG,
+        "tumbling_30min": ORACLE_TUMBLING,
+        "diel_cycle": ORACLE_DIEL,
+        "status_suite": ORACLE_STATUS_SUITE,
+        "status_collation": ORACLE_STATUS_COLLATION,
+        "nearest_size_match": ORACLE_NEAREST,
+        "calendar_days": ORACLE_CALENDAR_DAYS,
+        "set_ops_nations": ORACLE_SET_OPS,
+        "incremental_append": ORACLE_INCREMENTAL,
+        "dim_translate": ORACLE_DIM_TRANSLATE,
+        "pivot_melt_roundtrip": ORACLE_MELT,
+        "height_interpolation": ORACLE_HEIGHT_INTERP,
+        "doc_profile": ORACLE_DOC_PROFILE,
+        "doc_winnow_fingerprint": ORACLE_WINNOW,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
+        "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
+        # ann_ivf_topk / approx_stats: centroid float sums and engine-specific
+        # sketches are not SQL-reproducible -> rows-only check by design.
+        # The xxhash64 fast modes of minhash/simhash are pinned equal to the
+        # portable (oracle-checked) modes in tests/test_dedup.py instead of
+        # occupying registry slots.
     }

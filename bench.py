@@ -24,6 +24,9 @@ from tern_ep_data_pipeline_spark.session import get_spark
 
 #: Headline queries: one per major operator family (scan-agg, joins, top-k,
 #: time-series conditioning, windows, dedup, text, similarity).
+#: FROZEN for round-over-round comparability (BENCH_r01 = 11.73 s total):
+#: names resolve to the q_* functions directly, independent of the (since
+#: consolidated) queries() registry.
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -52,14 +55,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
-    qs = entrymod.queries()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        fn = getattr(entrymod, f"q_{name}")
         runs = []
         for _ in range(2):
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
+            n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         print(

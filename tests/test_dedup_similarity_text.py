@@ -40,6 +40,42 @@ def test_minhash_finds_near_duplicate(spark):
     assert all(a < b for a, b in found)
 
 
+def test_minhash_fast_equals_portable(spark, sf_dir):
+    """Pin the xxhash64 fast path to the md5 portable (oracle-checked) path:
+    both modes must return the SAME verified near-dup pairs on the driver
+    testdata. Since the fast twins no longer occupy queries() registry slots,
+    this pin is the fast path's only drift gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=16, bands=4, threshold=0.2)
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    portable = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", hash_mode="portable", **kw
+        ).collect()
+    }
+    assert fast == portable and fast
+
+
+def test_simhash_fast_self_consistent(spark, sf_dir):
+    """The fast simhash's reported hamming must equal the distance recomputed
+    from its own fingerprints (fast and portable fingerprint spaces differ by
+    construction, so cross-mode equality is not a valid pin here)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").withColumn(
+        "recomputed", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    )
+    rows = joined.collect()
+    assert rows and all(r["hamming"] == r["recomputed"] <= 6 for r in rows)
+
+
 def test_simhash_identical_zero_distance(spark):
     df = _docs(spark)
     pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=0)

@@ -18,12 +18,11 @@ def test_queries_have_oracles_or_are_flagged(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
+    # the driver's correctness gate checks exactly the first 50 entries
+    assert len(qs) <= 50
     # the only intentional rows-only checks:
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "minhash_dedup",  # xxhash64 fast mode (portable variant is checked)
-        "simhash_pairs",  # xxhash64 fast mode (portable variant is checked)
-        "multimodal_features",  # Python encoder via mapInPandas
         "ann_ivf_topk",  # centroid float sums are summation-order-sensitive
         "approx_stats",  # engine-specific sketches
     }
