@@ -1101,6 +1101,17 @@ SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins
 """
 
 
+def q_doc_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy-vectorised winnowing kernel (Rabin-Karp polynomial + strided
+    sliding min — the 100 TB path; values are a different hash family than
+    the portable/oracle mode, so this runs in bench's extended section, not
+    the registry)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(
+        docs, "doc_id", "text", k=8, window=4, hash_mode="fast"
+    )
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs, "doc_id", "text")

@@ -47,6 +47,16 @@ HEADLINE = [
     "priority_runs",
 ]
 
+#: Extended section: heavy queries added after the headline set was frozen.
+#: Reported separately so the headline total stays round-over-round
+#: comparable; same best-of-2 methodology.
+EXTENDED = [
+    "doc_winnow_fingerprint",  # portable md5 mode (oracle-checked)
+    "doc_winnow_fast",  # numpy Rabin-Karp mode (the 100 TB kernel)
+    "simhash_pairs",
+    "asof_click_attribution",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,19 +66,24 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("bench")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = getattr(entrymod, f"q_{name}")
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        print(
-            f"# {name}: {timings[name]:.2f}s best-of-{len(runs)} ({n} rows)",
-            file=sys.stderr,
-        )
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = getattr(entrymod, f"q_{name}")
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            out[name] = round(min(runs), 3)
+            print(
+                f"# {name}: {out[name]:.2f}s best-of-{len(runs)} ({n} rows)",
+                file=sys.stderr,
+            )
+        return out
+
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "sf": sf,
             }
         )

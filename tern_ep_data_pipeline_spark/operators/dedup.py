@@ -18,8 +18,39 @@ under retries and across cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Persisted intermediates (shingle tables, signatures, fingerprints) per
+# Spark application, so long-lived sessions can release them: every LSH-style
+# self-join persists its staged frame (Catalyst does not reuse exchanges
+# across aliased branches), and without an owner those caches accumulate
+# until LRU eviction pressure. Pipelines call ``release_staged(spark)`` after
+# their terminal action; one-shot processes can ignore it.
+_STAGED: dict[str, list[DataFrame]] = {}
+
+
+def _stage(df: DataFrame) -> DataFrame:
+    """Persist a self-join input and register it for later release."""
+    staged = df.persist()
+    app_id = staged.sparkSession.sparkContext.applicationId
+    _STAGED.setdefault(app_id, []).append(staged)
+    return staged
+
+
+def release_staged(spark: SparkSession) -> int:
+    """Unpersist every staged frame this module cached for ``spark``.
+
+    Safe at any time — an unpersisted frame is simply recomputed if a plan
+    still references it. Returns the number of frames released.
+    """
+    frames = _STAGED.pop(spark.sparkContext.applicationId, [])
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return len(frames)
 
 
 # ---------------------------------------------------------------- exact
@@ -64,9 +95,15 @@ def _fanout(df: DataFrame, key: str) -> DataFrame:
     token explode). Uses an explicit partition count — AQE is free to
     re-coalesce keyed repartitions without one, which re-serialises the
     fan-out onto a few cores when the *input* bytes are small even though
-    the exploded output is large. Never reduces existing parallelism."""
-    sc = df.sparkSession.sparkContext
-    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    the exploded output is large.
+
+    The count comes from cluster parallelism and the shuffle-partitions conf
+    only — NOT ``df.rdd.getNumPartitions()``, which forces a full
+    logical-plan -> RDD conversion on the driver per query build and fails
+    outright on streaming DataFrames."""
+    spark = df.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = max(spark.sparkContext.defaultParallelism, shuffle_parts)
     return df.repartition(n, F.col(key))
 
 
@@ -126,9 +163,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         tokens(F.col(text_col)).alias("__toks"),
     ).select("__block", "__id", shingles_of(F.col("__toks"), n).alias("__sh"))
-    # persist: both self-join sides read the shingle table and Catalyst does
-    # not reuse the exchange across aliased branches (see minhash sig note)
-    sh = sh.persist()
+    # stage (persist+register): both self-join sides read the shingle table
+    # and Catalyst does not reuse the exchange across aliased branches (see
+    # minhash sig note); release with release_staged(spark)
+    sh = _stage(sh)
     a = sh.select(
         F.col("__block"),
         F.col("__id").alias("id_a"),
@@ -260,9 +298,9 @@ def minhash_lsh_candidates(
     # Catalyst does not reuse the exchange across the aliased branches —
     # uncached, the whole explode+hash+min pipeline would run twice. The
     # table is tiny (K longs per doc), so this caches K*8 bytes/doc.
-    sig = minhash_signatures(
+    sig = _stage(minhash_signatures(
         df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
-    ).persist()
+    ))
 
     def band_hash(b: int) -> str:
         cols = ", ".join(f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
@@ -304,7 +342,7 @@ def minhash_dedup_pairs(
     feeds both the signature pass and the Jaccard verification join;
     recomputing it would be a second full shingling pass over the corpus.
     """
-    sh = shingle_frame(df, id_col, text_col, n).persist()
+    sh = _stage(shingle_frame(df, id_col, text_col, n))
     cands = minhash_lsh_candidates(
         sh, "__id", None, n, num_hashes, bands, hash_mode, _shingled=True
     )
@@ -365,7 +403,7 @@ def simhash_near_pairs(
     Hamming distance."""
     # persist: the band self-join reads the fingerprints from both sides;
     # uncached, the explode + 64 conditional sums would execute twice
-    fp = simhash64(df, id_col, text_col, hash_mode).persist()
+    fp = _stage(simhash64(df, id_col, text_col, hash_mode))
     width = 64 // bands
     band_arr = F.array(
         *[

@@ -14,8 +14,15 @@ Beyond-reference operators for the training-data pipeline (driver mandate):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import _stage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -160,8 +167,9 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
     )
-    # persist: the self-join reads vectors+norms from both aliased sides
-    base = base.persist()
+    # stage (persist+register): the self-join reads vectors+norms from both
+    # aliased sides; release with dedup.release_staged(spark)
+    base = _stage(base)
     a = base.select(
         F.col("__block"), F.col("__id").alias("id_a"),
         F.col("__v").alias("va"), F.col("__n").alias("na"),
@@ -231,26 +239,51 @@ def ivf_topk(
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Per-label centroid + stats — the IVF coarse-quantiser building block.
+    """Per-label centroid — the IVF coarse-quantiser building block.
 
-    posexplode -> per-(label, dim) mean -> re-assemble. Two shuffles on small
-    keys; at scale this is the k-means-lite seeding step for IVF lists.
+    Tree-aggregate shape: phase 1 is a shuffle-free ``mapInPandas`` that
+    numpy-sums vectors per (input partition, label), so the only shuffle
+    carries ONE (count, sum-array) row per (partition, label); phase 2
+    combines the partials with element-wise array expressions.
+
+    The previous posexplode formulation fanned every vector x D rows into the
+    shuffle — invisible at D=16, a ~768x row amplification at real embedding
+    widths. Here shuffle bytes are ~(#partitions x #labels x D) doubles,
+    independent of row count.
     """
-    exploded = df.select(
-        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    label_type = df.schema[label_col].dataType.simpleString()
+    out_schema = f"`{label_col}` {label_type}, __cnt BIGINT, __sum ARRAY<DOUBLE>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}  # label -> [count, sum ndarray]
+        for pdf in batches:
+            for lab, grp in pdf.groupby(label_col, dropna=False)[vec_col]:
+                stacked = np.stack([np.asarray(v, dtype=np.float64) for v in grp])
+                entry = acc.get(lab)
+                if entry is None:
+                    acc[lab] = [len(grp), stacked.sum(axis=0)]
+                else:
+                    entry[0] += len(grp)
+                    entry[1] += stacked.sum(axis=0)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    label_col: list(acc.keys()),
+                    "__cnt": [e[0] for e in acc.values()],
+                    "__sum": [e[1].tolist() for e in acc.values()],
+                }
+            )
+
+    partial = df.select(label_col, vec_col).mapInPandas(partials, schema=out_schema)
+    combined = partial.groupBy(label_col).agg(
+        F.sum("__cnt").alias("__n"),
+        F.collect_list("__sum").alias("__sums"),
     )
-    per_dim = exploded.groupBy(label_col, "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("mean_v")
+    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at("__sums", 1)))
+    total = F.aggregate(
+        F.col("__sums"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
     )
-    return (
-        per_dim.groupBy(label_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dim"), F.col("mean_v")))
-            ).alias("__pairs")
-        )
-        .select(
-            F.col(label_col),
-            F.transform(F.col("__pairs"), lambda s: s["mean_v"]).alias("centroid"),
-        )
+    return combined.select(
+        F.col(label_col),
+        F.transform(total, lambda s: s / F.col("__n")).alias("centroid"),
     )

@@ -133,26 +133,38 @@ def winnowing_fingerprints(
     k: int = 8,
     window: int = 4,
     impl: str = "arrow",
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
     SIGMOD'03): hash every k-char gram of the normalised text, then keep the
     minimum hash of each ``window`` consecutive grams. Near-identical
     documents share most selected fingerprints, so the output joins as a
-    containment/overlap key at corpus scale.
-
-    Hashes use the md5-prefix-to-bigint idiom (portable: any engine with md5
-    reproduces them bit-for-bit — the expression-level stand-in for the
-    classic Rabin-Karp rolling polynomial). Output: distinct
+    containment/overlap key at corpus scale. Output: distinct
     (id, fingerprint) rows.
 
-    impl='arrow' (default, the scale path) runs an Arrow-batched
-    mapInPandas with an O(n) deque sliding minimum — Spark's higher-order
-    array functions are interpreted per element, which makes the pure
-    expression form ~10x slower; both produce identical values.
-    impl='expr' keeps everything JVM-side with zero Python workers.
+    hash_mode='portable' hashes each gram with the md5-prefix-to-bigint
+    idiom — any engine with md5 reproduces the values bit-for-bit, so this
+    mode is SQL-oracle-checkable. It pays one Python ``hashlib.md5`` per
+    gram inside the Arrow batch loop, which is the bottleneck at corpus
+    scale.
+
+    hash_mode='fast' (the 100 TB path) is fully numpy-vectorised: a
+    Rabin-Karp polynomial over the utf-8 byte array via a strided
+    (n, k)-window matmul in wraparound uint64, then a strided sliding-window
+    minimum — no per-gram Python call anywhere. Fingerprint VALUES differ
+    from portable mode (different hash family); the winnowing structure and
+    overlap semantics are identical.
+
+    impl='arrow' (default) runs an Arrow-batched mapInPandas — Spark's
+    higher-order array functions are interpreted per element, which makes
+    the pure expression form ~10x slower; impl='expr' (portable only) keeps
+    everything JVM-side with zero Python workers and identical values to
+    the portable Arrow path.
     """
     from .dedup import _fanout
 
+    if hash_mode == "fast":
+        return _winnow_arrow_fast(_fanout(df, id_col), id_col, text_col, k, window)
     if impl == "arrow":
         return _winnow_arrow(_fanout(df, id_col), id_col, text_col, k, window)
 
@@ -235,3 +247,61 @@ def _winnow_arrow(
             yield pd.DataFrame({id_col: ids, "fingerprint": fps_out})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+#: Rabin-Karp base for the fast winnowing hash (odd 64-bit constant; products
+#: wrap in uint64, which IS the modulus — no Python bignum anywhere).
+_WINNOW_BASE = 0x100000001B3  # the FNV-1a prime
+
+
+def _winnow_arrow_fast(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Numpy-vectorised winnowing: polynomial gram hashes via a strided
+    windowed matmul + strided sliding-window minimum. Zero per-gram Python
+    calls — the per-doc cost is a handful of C-level array ops."""
+    import re as _re
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, fingerprint bigint"
+    ws_re = _re.compile(r"\s+")
+
+    def doc_fingerprints(raw) -> "np.ndarray":
+        import numpy as np
+
+        s = ws_re.sub(" ", ("" if raw is None else raw).strip().lower())
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(b) == 0:
+            return np.zeros(1, dtype=np.uint64)
+        kk = min(k, len(b))
+        with np.errstate(over="ignore"):
+            powers = np.power(
+                np.uint64(_WINNOW_BASE), np.arange(kk - 1, -1, -1, dtype=np.uint64)
+            )
+            grams = np.lib.stride_tricks.sliding_window_view(b, kk).astype(np.uint64)
+            hs = grams @ powers  # (n-k+1,) uint64, wraparound == mod 2^64
+        if len(hs) <= window:
+            return np.array([hs.min()], dtype=np.uint64)
+        mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+        return np.unique(mins)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            per_doc = [doc_fingerprints(raw) for raw in pdf[text_col]]
+            counts = [len(a) for a in per_doc]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), counts),
+                    "fingerprint": np.concatenate(per_doc).view(np.int64)
+                    if per_doc
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    # np.unique dedups within a doc; duplicates can only re-enter if the same
+    # (id, fingerprint) spans Arrow batches, which the per-doc loop precludes
+    return out

@@ -115,6 +115,32 @@ def test_label_centroids(spark):
     assert out["centroid"] == [1.0, 1.0]
 
 
+def test_label_centroids_partition_invariant(spark):
+    """The tree-aggregate centroid must not depend on input partitioning
+    (partials are per (partition, label); combining them must be exact)."""
+    rows = [(i, [float(i), float(i % 3), 1.0], i % 2) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    one = {
+        r["label"]: r["centroid"]
+        for r in similarity.label_centroids(emb.coalesce(1)).collect()
+    }
+    many = {
+        r["label"]: r["centroid"]
+        for r in similarity.label_centroids(emb.repartition(7, "vec_id")).collect()
+    }
+    assert set(one) == set(many) == {0, 1}
+    for lab in one:
+        assert one[lab] == pytest.approx(many[lab], abs=1e-12)
+    # exact expectation for label 0: vec_ids 0,2,...,38
+    ids = [i for i in range(40) if i % 2 == 0]
+    expect = [
+        sum(float(i) for i in ids) / len(ids),
+        sum(float(i % 3) for i in ids) / len(ids),
+        1.0,
+    ]
+    assert one[0] == pytest.approx(expect, abs=1e-12)
+
+
 def test_token_count_and_stats(spark):
     df = spark.createDataFrame([(1, "  a bb  ccc "), (2, "")], ["doc_id", "text"])
     out = {r["doc_id"]: r for r in text.token_stats(df, "doc_id", "text").collect()}
@@ -168,3 +194,33 @@ def test_winnowing_impls_agree_and_overlap(spark):
     # near-identical docs share most fingerprints; unrelated docs share none
     assert len(fps[1] & fps[2]) > len(fps[1]) // 2
     assert not fps[1] & fps[3]
+
+
+def test_winnowing_fast_mode_structure(spark):
+    """The numpy Rabin-Karp mode must be deterministic, dedup within doc,
+    and preserve the winnowing overlap property (its hash family differs
+    from the portable mode, so values are checked structurally)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail"),
+            (3, "completely different words here"),
+            (4, ""),  # empty text must not crash and yields one sentinel row
+            (5, "tiny"),  # shorter than k
+        ],
+        ["doc_id", "text"],
+    )
+    fast = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="fast")
+    rows = fast.collect()
+    again = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="fast").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    fps: dict[int, set] = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # per-doc output is already distinct
+    by_doc = [(r["doc_id"], r["fingerprint"]) for r in rows]
+    assert len(by_doc) == len(set(by_doc))
+    assert len(fps[1] & fps[2]) > len(fps[1]) // 2
+    assert not fps[1] & fps[3]
+    assert len(fps[4]) == 1 and len(fps[5]) == 1
