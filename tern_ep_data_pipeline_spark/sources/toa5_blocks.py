@@ -59,9 +59,12 @@ def _format_timestamps(ts: pd.Series) -> np.ndarray:
     width = secs.dtype.itemsize // np.dtype("U1").itemsize
     secs.view("U1").reshape(-1, width)[:, 10] = " "
     secs = secs.astype(object)
-    tenths = (t64.astype("int64") % 1_000_000) // 100_000
-    if (tenths > 0).any():
-        frac = np.where(tenths > 0, np.char.add(".", tenths.astype("U1")), "").astype(
+    # suffix on ANY sub-second remainder (golden: toa5.py emits ".0" for
+    # 0 < microsecond < 100000, not just whole tenths)
+    rem = t64.astype("int64") % 1_000_000
+    if (rem > 0).any():
+        tenths = rem // 100_000
+        frac = np.where(rem > 0, np.char.add(".", tenths.astype("U1")), "").astype(
             object
         )
         return '"' + secs + frac + '"'
@@ -89,6 +92,25 @@ def _format_frame(pdf: pd.DataFrame, ts_col: str, cols: list[str]) -> np.ndarray
     return line
 
 
+def _merge_block_file(path: str, header_text: str, new_lines: np.ndarray) -> None:
+    """Merge new body lines into an existing block file, atomically.
+
+    Keyed by the timestamp field (first CSV field); new rows win on a key
+    collision, so re-delivery of identical rows is a no-op and a block whose
+    rows arrive across micro-batches accumulates instead of truncating.
+    The zero-padded quoted timestamp sorts lexicographically in time order
+    ('"' < '.', so a bare second sorts before its .t variants)."""
+    with open(path) as fh:
+        existing = fh.read().splitlines()
+    rows = {ln.split(",", 1)[0]: ln for ln in existing[4:] if ln}
+    rows.update((ln.split(",", 1)[0], ln) for ln in new_lines)
+    tmp = path + ".__merge_tmp"
+    with open(tmp, "w") as fh:
+        fh.write(header_text)
+        fh.write("\n".join(rows[k] for k in sorted(rows)) + "\n")
+    os.replace(tmp, path)
+
+
 def write_toa5_blocks(
     df: DataFrame,
     out_dir: str,
@@ -96,13 +118,22 @@ def write_toa5_blocks(
     ts_col: str = "TIMESTAMP",
     minutes: int = 30,
     station: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Write one TOA5 file per N-minute block, in parallel on executors.
 
     File name: ``<station>_<yyyymmdd_HHMM>.dat`` under
     ``out_dir/%Y_%m/%d/`` (reference layout). Executors must share the
     filesystem (true locally and on any shared/object store via a mount).
+
+    ``mode='overwrite'`` (batch semantics) rewrites each touched block file
+    from scratch — correct when this call owns every row of the block.
+    ``mode='merge'`` unions new rows into any block file that already
+    exists (timestamp-keyed, new wins, atomic replace) — required when rows
+    for one block can arrive across calls, e.g. streaming micro-batches.
     """
+    if mode not in ("overwrite", "merge"):
+        raise ValueError(f"mode must be 'overwrite' or 'merge', got {mode!r}")
     info = dict(header.info or {})
     if station:
         info["station_name"] = station
@@ -126,10 +157,16 @@ def write_toa5_blocks(
     )
     cols = [ts_col, *value_cols]
 
+    merge = mode == "merge"
+
     def write_partition(batches):
         # Arrow batches arrive in partition order (pre-sorted); a block can
-        # span batches, so handles persist across the iterator.
+        # span batches, so handles persist across the iterator. In merge
+        # mode, a block whose file already exists accumulates its lines and
+        # is merged once at the end (atomic replace) instead of truncating.
         handles: dict = {}
+        pending: dict = {}
+        pending_paths: dict = {}
         n = 0
         try:
             for pdf in batches:
@@ -138,20 +175,33 @@ def write_toa5_blocks(
                 n += len(pdf)
                 lines = _format_frame(pdf, ts_col, cols)
                 for block, idx in pdf.groupby("__block", sort=False).groups.items():
+                    blines = lines[np.asarray(idx)]
+                    if block in pending:
+                        pending[block].append(blines)
+                        continue
                     fh = handles.get(block)
                     if fh is None:
                         subdir = os.path.join(
                             out_dir, block.strftime("%Y_%m"), block.strftime("%d")
                         )
-                        os.makedirs(subdir, exist_ok=True)
                         fname = f"{station_name}_{block.strftime('%Y%m%d_%H%M')}.dat"
-                        fh = open(os.path.join(subdir, fname), "w")
+                        path = os.path.join(subdir, fname)
+                        if merge and os.path.exists(path):
+                            pending[block] = [blines]
+                            pending_paths[block] = path
+                            continue
+                        os.makedirs(subdir, exist_ok=True)
+                        fh = open(path, "w")
                         fh.write(header_text)
                         handles[block] = fh
-                    fh.write("\n".join(lines[np.asarray(idx)]) + "\n")
+                    fh.write("\n".join(blines) + "\n")
         finally:
             for fh in handles.values():
                 fh.close()
+        for block, parts in pending.items():
+            _merge_block_file(
+                pending_paths[block], header_text, np.concatenate(parts)
+            )
         yield pd.DataFrame({"n": [n]})
 
     blocked.mapInPandas(write_partition, "n long").agg(F.sum("n")).collect()
