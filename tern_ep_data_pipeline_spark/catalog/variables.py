@@ -132,3 +132,108 @@ def nearest_height_variable(
         return (abs(r["height_m"] - target_height_m), inst_rank, n)
 
     return min(candidates, key=key)[0]
+
+
+# --- cross-field site-config validation (var_metadata.py:738-935) -----------
+
+#: flux naming-system suffixes (var_metadata.py:43)
+VALID_FLUX_SYSTEMS = {"EF": "EasyFlux", "EP": "EddyPro", "DL": "TERNflux"}
+DIAG_PREFIXES = ("Diag_",)
+SONIC_SUFFIX = "_SONIC"
+IRGA_SUFFIX = "_IRGA"
+FLUX_PREFIXES = ("Fco2", "Fe", "Fh", "Fm", "ustar")
+VALID_DIAG_TYPES = {"valid_count", "invalid_count"}
+
+
+def validate_site_config(variables: Mapping[str, Mapping]) -> dict:
+    """Cross-field validation of a site variable map, mirroring the
+    reference's pydantic model validators (var_metadata.py:738-935):
+
+    - source schema: each variable uses EITHER ``file`` OR
+      (``logger`` AND ``table``), never both, never a partial pair
+      (:777-788);
+    - ``diag_type`` values restricted to valid_count/invalid_count
+      (:768-775), required on every ``Diag_*`` variable, and consistent
+      across all of them (:825-846);
+    - all ``*_SONIC`` variables share one instrument, likewise ``*_IRGA``
+      (:852-882);
+    - flux variables (Fco2/Fe/Fh/Fm/ustar prefixes) carry a naming-system
+      suffix from EP/EF/DL and all share the same one (:888-915).
+
+    Raises ValueError listing every violation (the reference fails on the
+    first; collecting them all is strictly more useful at analysis time).
+    Returns the derived site-wide attributes the reference's validators
+    set: {sonic_instrument, irga_instrument, diag_type, flux_suffix,
+    system_type}.
+    """
+    errors: list[str] = []
+
+    for name, cfg in variables.items():
+        has_file = cfg.get("file") is not None
+        has_logger = cfg.get("logger") is not None
+        has_table = cfg.get("table") is not None
+        if has_file and (has_logger or has_table):
+            errors.append(f"{name}: use either file OR logger+table, not both")
+        elif not has_file and not (has_logger and has_table):
+            errors.append(f"{name}: must define either file OR (logger AND table)")
+
+        dt = cfg.get("diag_type")
+        if dt is not None and dt not in VALID_DIAG_TYPES:
+            errors.append(
+                f"{name}: diag_type must be one of {sorted(VALID_DIAG_TYPES)}, got {dt!r}"
+            )
+
+    diag_types = set()
+    for name, cfg in variables.items():
+        if name.startswith(DIAG_PREFIXES):
+            if cfg.get("diag_type") is None:
+                errors.append(f"diagnostic variable {name!r} must define diag_type")
+            elif cfg["diag_type"] in VALID_DIAG_TYPES:
+                diag_types.add(cfg["diag_type"])
+    if len(diag_types) > 1:
+        errors.append(
+            f"diagnostic variables have inconsistent diag_type values: {sorted(diag_types)}"
+        )
+
+    sonic = {
+        cfg.get("instrument") for n, cfg in variables.items() if n.endswith(SONIC_SUFFIX)
+    }
+    irga = {
+        cfg.get("instrument") for n, cfg in variables.items() if n.endswith(IRGA_SUFFIX)
+    }
+    if len(sonic) > 1:
+        errors.append(f"SONIC variables must share one instrument; found {sorted(map(str, sonic))}")
+    if len(irga) > 1:
+        errors.append(f"IRGA variables must share one instrument; found {sorted(map(str, irga))}")
+
+    flux_suffixes = set()
+    for name in variables:
+        if name.startswith(FLUX_PREFIXES):
+            parts = name.split("_", 1)
+            if len(parts) != 2:
+                errors.append(f"flux variable {name!r} must end with _EP/_EF/_DL")
+                continue
+            suffix = parts[1]
+            if suffix not in VALID_FLUX_SYSTEMS:
+                errors.append(
+                    f"flux variable {name!r} has invalid suffix {suffix!r} "
+                    "(must be EP, EF or DL)"
+                )
+                continue
+            flux_suffixes.add(suffix)
+    if len(flux_suffixes) > 1:
+        errors.append(
+            f"flux variables must share the same suffix (EP/EF/DL); found {sorted(flux_suffixes)}"
+        )
+
+    if errors:
+        raise ValueError("site config invalid:\n  " + "\n  ".join(errors))
+
+    flux_suffix = next(iter(flux_suffixes), None)
+    return {
+        "sonic_instrument": next(iter(sonic), None),
+        "irga_instrument": next(iter(irga), None),
+        "diag_type": next(iter(diag_types), None),
+        "flux_suffix": flux_suffix,
+        "system_type": VALID_FLUX_SYSTEMS.get(flux_suffix),
+    }

@@ -62,9 +62,15 @@ def compact_partition(
     directory to ``ceil(bytes / target_mb)`` files, optionally sorted
     within files (``sort_cols``) for better min/max pruning and encoding.
 
-    Write is atomic-by-rename: the rewrite lands in a sibling temp dir and
-    swaps in only after success, so readers never see a half-compacted
-    partition. Returns {files_before, files_after, bytes}.
+    The rewrite lands in a sibling temp dir and swaps in only after
+    success, so no reader ever sees a half-compacted partition — but the
+    swap itself is two renames, not one atomic exchange (POSIX has no
+    portable renameat2), so the caller must hold exclusive access to the
+    partition for the duration (the reference's batch jobs do; streaming
+    writers must pause the block sink first). A crash between the two
+    renames is repaired automatically: the old directory is restored to
+    ``path`` before the error propagates, so data is never stranded.
+    Returns {files_before, files_after, bytes}.
     """
     import math
     import shutil
@@ -87,7 +93,12 @@ def compact_partition(
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore — never leave `path` missing
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     after = len(glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -1,29 +1,55 @@
-"""L1 product store: partitioned Parquet lake (canonical) + netCDF shim.
+"""L1 product store: partitioned Parquet lake (canonical) + real netCDF IO.
 
 Parity targets:
-- NetCDF L1 sink/scan (reference nc_constructors.py:461-554, nc_io.py:27-83):
+- NetCDF L1 sink/scan (reference nc_constructors.py:461-720, nc_io.py:27-83):
   the reference's canonical product is per-year netCDF with CF attrs, QC
-  flag companions, and a crs variable. Here the canonical store is a
-  Parquet lake partitioned by (site, year) — real partition pruning at
-  100 TB — with netCDF import/export as a driver-side xarray shim, gated
-  because the container ships no xarray/netCDF libraries.
-- Multi-file scan + attr merge (nc_constructors.py:796-825): a multi-path
-  parquet read unions by name for free.
+  flag companions, a crs variable, and ``seconds since 1800-01-01`` time
+  encoding. Here the canonical store is a Parquet lake partitioned by
+  (site, year) — real partition pruning at 100 TB — and the netCDF product
+  is written/read byte-for-byte by the stdlib classic-format codec in
+  ``sources/netcdf3.py`` (no xarray/netCDF4 needed).
+- Multi-file scan + attr merge (nc_constructors.py:796-825): parquet side
+  unions by name for free; ``scan_netcdf`` does the same for .nc inputs.
 """
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+import datetime as dt
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover - not installed in this container
-    import xarray  # noqa: F401
+from .netcdf3 import Variable, read_netcdf3, write_netcdf3
 
-    HAS_XARRAY = True
-except ImportError:
-    HAS_XARRAY = False
+#: the reference's time encoding epoch (nc_constructors.py:643)
+_NC_EPOCH = dt.datetime(1800, 1, 1)
+
+#: CRS attrs mirroring the reference's nc_dim_attrs 'coordinate_reference_system'
+_CRS_ATTRS = {
+    "grid_mapping_name": "latitude_longitude",
+    "long_name": "WGS 1984 datum",
+    "longitude_of_prime_meridian": 0.0,
+    "semi_major_axis": 6378137.0,
+    "inverse_flattening": 298.257223563,
+}
+
+_DIM_ATTRS = {
+    "time": {"long_name": "time", "standard_name": "time"},
+    "latitude": {
+        "long_name": "latitude",
+        "standard_name": "latitude",
+        "units": "degrees_north",
+    },
+    "longitude": {
+        "long_name": "longitude",
+        "standard_name": "longitude",
+        "units": "degrees_east",
+    },
+}
 
 
 def write_l1_lake(
@@ -61,34 +87,119 @@ def read_l1_lake(spark: SparkSession, path: str, site: str | None = None, year: 
 
 
 def export_netcdf(
-    pdf,
+    pdf: pd.DataFrame,
     path: str,
-    global_attrs: Mapping[str, str] | None = None,
-    var_attrs: Mapping[str, Mapping[str, str]] | None = None,
+    global_attrs: Mapping[str, object] | None = None,
+    var_attrs: Mapping[str, Mapping[str, object]] | None = None,
     latitude: float = 0.0,
     longitude: float = 0.0,
     ts_col: str = "DATETIME",
 ) -> None:
     """Driver-side netCDF export of a collected year slice.
 
-    Mirrors the reference cube shape — (time, latitude, longitude) with
-    singleton lat/lon dims, per-variable attrs, 'seconds since 1800-01-01'
-    time encoding (nc_constructors.py:521-643). Requires xarray+netCDF4.
+    Mirrors the reference cube byte product (nc_constructors.py:521-720):
+    dims (time, latitude, longitude) with singleton lat/lon; per-variable
+    attrs; 'seconds since 1800-01-01' time encoding; a NaN-filled ``crs``
+    variable carrying the WGS84 grid-mapping attrs; one int ``<var>_QCFlag``
+    companion per data variable (1 where the value is null). Written by the
+    stdlib classic-format codec — no xarray/netCDF4 dependency.
     """
-    if not HAS_XARRAY:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "netCDF export requires xarray + netCDF4 (not installed); "
-            "the canonical store is the parquet lake (write_l1_lake)"
-        )
-    import xarray as xr  # pragma: no cover
+    if ts_col in pdf.columns:
+        pdf = pdf.set_index(ts_col)
+    times = pd.to_datetime(pdf.index)
+    secs = (times - _NC_EPOCH) / pd.Timedelta(seconds=1)
+    n = len(pdf)
+    cube = ("time", "latitude", "longitude")
 
-    pdf = pdf.set_index(ts_col)  # pragma: no cover
-    ds = xr.Dataset.from_dataframe(pdf)  # pragma: no cover
-    ds = ds.expand_dims({"latitude": [latitude], "longitude": [longitude]})  # pragma: no cover
-    ds.attrs.update(global_attrs or {})  # pragma: no cover
-    for name, attrs in (var_attrs or {}).items():  # pragma: no cover
-        if name in ds:
-            ds[name].attrs.update(attrs)
-    ds.to_netcdf(  # pragma: no cover
-        path, encoding={ts_col: {"units": "seconds since 1800-01-01 00:00:00"}}
+    variables: dict[str, Variable] = {
+        "time": Variable(
+            ("time",),
+            np.asarray(secs, dtype="f8"),
+            {**_DIM_ATTRS["time"], "units": "seconds since 1800-01-01 00:00:00.0"},
+        ),
+        "latitude": Variable(
+            ("latitude",), np.array([latitude], dtype="f8"), _DIM_ATTRS["latitude"]
+        ),
+        "longitude": Variable(
+            ("longitude",), np.array([longitude], dtype="f8"), _DIM_ATTRS["longitude"]
+        ),
+    }
+    flags: dict[str, Variable] = {}
+    for col in pdf.columns:
+        vals = pd.to_numeric(pdf[col], errors="coerce").to_numpy(dtype="f8")
+        attrs = dict((var_attrs or {}).get(col, {}))
+        # the reference drops empty-string attrs (nc_constructors.py:671-675)
+        attrs = {k: v for k, v in attrs.items() if not (isinstance(v, str) and not v)}
+        variables[col] = Variable(cube, vals.reshape(n, 1, 1), attrs)
+        flags[f"{col}_QCFlag"] = Variable(
+            cube,
+            np.isnan(vals).astype("i4").reshape(n, 1, 1),
+            {"long_name": f"{col}QC flag", "units": "1"},
+        )
+    variables["crs"] = Variable(cube, np.full((n, 1, 1), np.nan), dict(_CRS_ATTRS))
+    variables.update(flags)
+
+    gattrs = {
+        "latitude": latitude,
+        "longitude": longitude,
+        "nc_nrecs": n,
+        "time_coverage_start": str(times[0]) if n else "",
+        "time_coverage_end": str(times[-1]) if n else "",
+        **(global_attrs or {}),
+    }
+    write_netcdf3(
+        path,
+        {"time": n, "latitude": 1, "longitude": 1},
+        variables,
+        gattrs,
     )
+
+
+#: companion/coordinate vars the reference reader drops (nc_io.py:48-52)
+_NON_DATA = ("crs",)
+
+
+def import_netcdf(path: str) -> pd.DataFrame:
+    """Read one L1 netCDF file back to the reference's dataframe shape
+    (nc_io.py:66-83): drop crs and *_QCFlag companions, decode the time
+    axis to a DATETIME index, squeeze the singleton lat/lon dims."""
+    f = read_netcdf3(path)
+    t = f.variables["time"]
+    units = str(t.attrs.get("units", "seconds since 1800-01-01"))
+    epoch = pd.Timestamp(units.split("since", 1)[1].strip() or _NC_EPOCH)
+    idx = epoch + pd.to_timedelta(t.data, unit="s")
+    data = {}
+    for name, var in f.variables.items():
+        if name in ("time", "latitude", "longitude") or name in _NON_DATA:
+            continue
+        if name.endswith("_QCFlag"):
+            continue
+        data[name] = np.asarray(var.data).reshape(len(idx))
+    return pd.DataFrame(data, index=pd.DatetimeIndex(idx, name="DATETIME"))
+
+
+def netcdf_attrs(path: str) -> tuple[dict, dict]:
+    """(global_attrs, {var: attrs}) for the merge path (nc_constructors.py:796-825)."""
+    f = read_netcdf3(path)
+    return f.attrs, {n: v.attrs for n, v in f.variables.items()}
+
+
+def scan_netcdf(
+    spark: SparkSession, paths: Sequence[str] | str, ts_col: str = "DATETIME"
+) -> DataFrame:
+    """Multi-file netCDF scan -> one Spark DataFrame, unioned by name with
+    missing columns null-filled (the reference's NCMerger concat semantics,
+    nc_constructors.py:796-825). netCDF year files are driver-readable
+    (one year of 30-min records ~ 17k rows x vars); the heavy lifting after
+    this point is Spark-side."""
+    if isinstance(paths, str):
+        paths = [paths]
+    frames = []
+    for p in paths:
+        pdf = import_netcdf(p).reset_index()
+        pdf[ts_col] = pd.to_datetime(pdf[ts_col])
+        frames.append(spark.createDataFrame(pdf))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

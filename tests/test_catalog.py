@@ -180,3 +180,110 @@ def test_nearest_height_match():
     assert nearest_height_variable(cat, "Ta", 9.0) == "Ta_10m"
     assert nearest_height_variable(cat, "Ta", 2.5) == "Ta_2m"
     assert nearest_height_variable(cat, "Fco2", 2.0) is None
+
+
+# --- cross-field site-config validation (var_metadata.py:738-935) ----------
+
+
+def _base_vars():
+    return {
+        "Ta_2m_SONIC": {"instrument": "CSAT3B", "logger": "L1", "table": "fast"},
+        "Ah_2m_IRGA": {"instrument": "EC155", "logger": "L1", "table": "fast"},
+        "Fco2_EP": {"instrument": "EC155", "file": "eddypro.csv"},
+        "Diag_SONIC": {
+            "instrument": "CSAT3B",
+            "logger": "L1",
+            "table": "fast",
+            "diag_type": "invalid_count",
+        },
+    }
+
+
+def test_site_config_valid_and_derived_attrs():
+    from tern_ep_data_pipeline_spark.catalog.variables import validate_site_config
+
+    derived = validate_site_config(_base_vars())
+    assert derived["sonic_instrument"] == "CSAT3B"
+    assert derived["irga_instrument"] == "EC155"
+    assert derived["diag_type"] == "invalid_count"
+    assert derived["flux_suffix"] == "EP"
+    assert derived["system_type"] == "EddyPro"
+
+
+@pytest.mark.parametrize(
+    "mutate,match",
+    [
+        # file AND logger+table together
+        (lambda v: v["Fco2_EP"].update(logger="L1", table="fast"), "not both"),
+        # neither file nor a complete logger+table pair
+        (lambda v: v["Ta_2m_SONIC"].pop("table"), "file OR \\(logger AND table\\)"),
+        # bad diag_type value
+        (lambda v: v["Diag_SONIC"].update(diag_type="bogus"), "diag_type must be one of"),
+        # Diag_* without diag_type
+        (lambda v: v["Diag_SONIC"].pop("diag_type"), "must define diag_type"),
+        # inconsistent diag_type across diagnostics
+        (
+            lambda v: v.update(
+                Diag_IRGA={
+                    "instrument": "EC155",
+                    "logger": "L1",
+                    "table": "fast",
+                    "diag_type": "valid_count",
+                }
+            ),
+            "inconsistent diag_type",
+        ),
+        # two different SONIC instruments
+        (
+            lambda v: v.update(
+                Ux_2m_SONIC={"instrument": "CSAT3A", "logger": "L1", "table": "fast"}
+            ),
+            "SONIC variables must share",
+        ),
+        # two different IRGA instruments
+        (
+            lambda v: v.update(
+                CO2_2m_IRGA={"instrument": "LI7500", "logger": "L1", "table": "fast"}
+            ),
+            "IRGA variables must share",
+        ),
+        # flux var with no suffix
+        (
+            lambda v: v.update(ustar={"instrument": "CSAT3B", "file": "f.csv"}),
+            "must end with _EP/_EF/_DL",
+        ),
+        # flux var with invalid suffix
+        (
+            lambda v: v.update(Fh_XX={"instrument": "CSAT3B", "file": "f.csv"}),
+            "invalid suffix",
+        ),
+        # mixed EP/EF naming systems
+        (
+            lambda v: v.update(Fe_EF={"instrument": "EC155", "file": "f.csv"}),
+            "must share the same suffix",
+        ),
+    ],
+)
+def test_site_config_rejects(mutate, match):
+    from tern_ep_data_pipeline_spark.catalog.variables import validate_site_config
+
+    v = _base_vars()
+    mutate(v)
+    with pytest.raises(ValueError, match=match):
+        validate_site_config(v)
+
+
+def test_site_config_collects_all_errors():
+    """Unlike the reference's first-failure pydantic raise, every violation
+    is reported in one pass."""
+    from tern_ep_data_pipeline_spark.catalog.variables import validate_site_config
+
+    v = _base_vars()
+    v["Fco2_EP"].update(logger="L1", table="fast")
+    v["Diag_SONIC"].pop("diag_type")
+    try:
+        validate_site_config(v)
+        raise AssertionError("should have raised")
+    except ValueError as e:
+        msg = str(e)
+        assert "not both" in msg and "must define diag_type" in msg

@@ -10,6 +10,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from tern_ep_data_pipeline_spark.sources import tob, toa5
@@ -324,20 +325,54 @@ def test_tob3_spark_read(spark, tmp_path):
     assert got == pytest.approx(2 * (1 + 2 + 3 + 4 + 5 + 7.0 + 7.1))
 
 
-def test_excel_source_gate(spark):
-    """S17: gated driver-side Excel reader — clear error without an engine,
-    real read with one."""
+def test_excel_stdlib_reader_roundtrip(tmp_path, spark):
+    """S17: the stdlib OOXML reader re-reads what the stdlib writer wrote —
+    sheet selection by name/index, shared header/value fidelity, usecols
+    and converters per reference file_io.py:421-446."""
     from tern_ep_data_pipeline_spark.sources import excel
+    from tern_ep_data_pipeline_spark.sources.xlsx import write_xlsx
 
-    if not excel.excel_available():
-        import pytest
+    p = str(tmp_path / "config.xlsx")
+    write_xlsx(
+        p,
+        {
+            "sites": (
+                ["site", "latitude", "elevation", "active"],
+                [
+                    ["Calperum", -34.00206, 62, True],
+                    ["Gingin", -31.375, 51.4, False],
+                    ["Tumbarumba", None, 1200, True],
+                ],
+            ),
+            "vars": (["name", "units"], [["Ta", "degC"], ["RH", "%"]]),
+        },
+    )
+    assert excel.sheet_names(p) == ["sites", "vars"]
 
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            excel.read_excel(spark, "/nonexistent.xlsx")
-    else:  # pragma: no cover - env-dependent branch
-        import pandas as pd
+    pdf = excel.read_excel_pandas(p, sheet_name="sites")
+    assert list(pdf.columns) == ["site", "latitude", "elevation", "active"]
+    assert pdf["site"].tolist() == ["Calperum", "Gingin", "Tumbarumba"]
+    assert pdf["latitude"][0] == pytest.approx(-34.00206)
+    assert pd.isna(pdf["latitude"][2])  # empty cell -> null (NaN in pandas)
+    assert pdf["elevation"].tolist() == [62, 51.4, 1200]  # int stays int
+    assert pdf["active"].tolist() == [True, False, True]
 
-        assert isinstance(excel.read_excel, object)
+    # sheet by index + usecols + converters
+    pdf2 = excel.read_excel_pandas(
+        p, sheet_name=1, usecols=["name"], converters={"name": str.upper}
+    )
+    assert list(pdf2.columns) == ["name"]
+    assert pdf2["name"].tolist() == ["TA", "RH"]
+
+    # Spark entry point
+    df = excel.read_excel(spark, p, sheet_name="vars")
+    rows = {r["name"]: r["units"] for r in df.collect()}
+    assert rows == {"Ta": "degC", "RH": "%"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="nope"):
+        excel.read_excel_pandas(p, sheet_name="nope")
 
 
 def test_tob_decode_truncated_inputs(tmp_path):
