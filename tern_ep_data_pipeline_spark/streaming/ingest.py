@@ -136,17 +136,24 @@ def write_toa5_block_files(
 ):
     """Streaming fast-path sink: each micro-batch lands as complete TOA5
     block files via the distributed block writer (sources.toa5_blocks) in a
-    ``foreachBatch``. Re-delivery of a batch after failure rewrites the
-    same block files (same names, same contents) — idempotent, so
-    checkpointed progress gives effectively-once file output. Pair with a
-    watermarked/deduped upstream so a block's rows arrive in one batch.
+    ``foreachBatch``.
+
+    Batches write in ``merge`` mode: a block file that already exists
+    accumulates the new rows (timestamp-keyed union, new wins, atomic
+    replace) instead of being truncated to the latest batch's rows. That
+    makes the sink safe both when a 30-min block's rows span micro-batches
+    (file-source triggers routinely split them) and on batch re-delivery
+    after failure — replayed rows key-collide with themselves, so the merge
+    is a no-op and checkpointed progress gives effectively-once output.
     """
     from ..sources.toa5_blocks import write_toa5_blocks
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_toa5_blocks(batch_df, out_dir, header, ts_col=ts_col, minutes=minutes)
+        write_toa5_blocks(
+            batch_df, out_dir, header, ts_col=ts_col, minutes=minutes, mode="merge"
+        )
 
     return (
         stream.writeStream.foreachBatch(_write)

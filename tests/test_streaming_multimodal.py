@@ -165,3 +165,57 @@ def test_streaming_toa5_block_sink(spark, tmp_path):
     assert len(files) == 3  # 90 min of data -> three 30-min blocks
     back = read_delimited(spark, files[0])
     assert back.count() == 3  # 10-min cadence -> 3 rows per block
+
+
+def test_streaming_block_sink_split_block(spark, tmp_path):
+    """A 30-min block whose rows span two micro-batches accumulates instead
+    of being truncated to the later batch's rows (merge-mode sink), and
+    re-delivery of the same rows is a no-op."""
+    import datetime as dt
+    import glob as globmod
+
+    from tern_ep_data_pipeline_spark.sources.toa5 import FileHeader, read_delimited
+    from tern_ep_data_pipeline_spark.streaming import write_toa5_block_files
+
+    schema = "TIMESTAMP timestamp, Ta double"
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    first = [(base + dt.timedelta(minutes=m), float(m)) for m in (0, 10)]
+    second = [(base + dt.timedelta(minutes=m), float(m)) for m in (20,)]
+    # two source files, one per trigger -> the 00:00 block spans two batches
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(str(src / "b"))
+    header = FileHeader(
+        file_type="TOA5",
+        variables=["TIMESTAMP", "Ta"],
+        units={"Ta": "degC"},
+        sampling={"Ta": "Smp"},
+        info={"format": "TOA5", "station_name": "SplitSite"},
+    )
+    out = str(tmp_path / "blocks")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    q = (
+        write_toa5_block_files(stream, out, str(tmp_path / "ckpt"), header)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = globmod.glob(out + "/**/*.dat", recursive=True)
+    assert len(files) == 1
+    back = read_delimited(spark, files[0]).toPandas().sort_values("DATETIME")
+    assert len(back) == 3  # both batches' rows survive in the one block file
+    assert list(back["Ta"]) == [0.0, 10.0, 20.0]
+    # re-delivery: writing batch 1's rows again changes nothing
+    from tern_ep_data_pipeline_spark.sources.toa5_blocks import write_toa5_blocks
+
+    before = open(files[0]).read()
+    write_toa5_blocks(
+        spark.createDataFrame(first, schema), out, header, mode="merge"
+    )
+    assert open(files[0]).read() == before
