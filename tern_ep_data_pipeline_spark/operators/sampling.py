@@ -1,0 +1,97 @@
+"""Deterministic sampling and budgeted selection for training-data curation.
+
+Training corpora are not sampled with ``rand()``: a rerun must pick the
+*same* documents (resumable pipelines, reproducible ablations, leak-free
+train/eval splits), so production samplers key on a content/id hash.
+Everything here is a pure column expression — JVM-side, no Python, no
+state — and therefore stable across retries, partitionings, and cluster
+sizes.
+
+The hash is the first 15 hex chars of ``md5(salt || key)`` read as an
+integer (same construction as the portable MinHash seeds, reproducible
+in any engine — DuckDB spells it ``('0x'||substr(md5(..),1,15))::BIGINT``,
+Spark ``conv(substr(md5(..),1,15),16,10)``), reduced mod ``buckets``.
+Different salts give independent samples; the same salt gives the same
+sample forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str = "smp", buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(salt:key)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % buckets).alias(
+        "bucket"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "smp",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — deterministic,
+    rerun-stable, and disjoint across salts. Resolution is 1/buckets."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * buckets))
+    return df.where(hash_bucket(F.col(key_col), salt, buckets) < cut)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    salt: str = "smp",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (domain mixing): each stratum
+    keeps its own fraction of rows, still keyed on the row hash so the
+    selection is reproducible. Strata not in ``fractions`` keep
+    ``default``. The cut table is tiny — it folds into the plan as a
+    CASE expression, no join."""
+    cut = F.lit(int(round(default * buckets)))
+    expr = cut
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * buckets)))
+        ).otherwise(expr)
+    return df.where(hash_bucket(F.col(key_col), salt, buckets) < expr)
+
+
+def budget_select(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[Column | str],
+    weight_col: str,
+    budget: float,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Greedy budgeted selection: within each partition (e.g. source
+    domain), take rows in priority order until the cumulative weight
+    (e.g. token count) exceeds ``budget``. The running sum is one window
+    over the partition key — a single shuffle, no iteration.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker)
+    or the cumulative sum is nondeterministic across runs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(cum_col, F.sum(weight_col).over(w)).where(
+        F.col(cum_col) <= budget
+    )

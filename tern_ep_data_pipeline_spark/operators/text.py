@@ -305,3 +305,85 @@ def _winnow_arrow_fast(
     # np.unique dedups within a doc; duplicates can only re-enter if the same
     # (id, fingerprint) spans Arrow batches, which the per-doc loop precludes
     return out
+
+
+# ------------------------------------------------------------- PII scrub
+
+#: Redaction patterns, restricted to syntax Java regex and RE2 agree on
+#: (character classes, bounded repetition, \b word boundaries — no
+#: lookarounds, no backrefs) so the same rules run in the SQL oracle.
+#: Order matters: emails before bare-number rules so the user part of an
+#: address is never half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3,4}[-. ]?\d{0,4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers — chained
+    ``regexp_replace`` (JVM regex, whole-stage codegen; replaces ALL
+    occurrences). The pattern set is deliberately conservative: a
+    curation pipeline scrubs wide and audits with ``pii_hits``."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hits(col: Column) -> Column:
+    """Total redactions :func:`scrub_pii` would make (audit metric)."""
+    hits = F.lit(0)
+    scrubbed = col
+    for pat, token in PII_PATTERNS:
+        hits = hits + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return hits
+
+
+# ---------------------------------------------------------------- TF-IDF
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    Selection rank is the integer triple ``(tf DESC, df ASC, term ASC)``
+    — a total order that is monotone in ``tf·ln(N/df)`` for fixed df and,
+    being all-integer, reproducible bit-for-bit in any engine (float
+    score ordering is not: one ulp of ln() difference can flip
+    near-ties). The float ``tfidf`` is reported, rounded to 6 places.
+
+    Shape at scale: one explode (flatMap, no shuffle), one (doc, term)
+    aggregation, one term aggregation whose result joins back by term —
+    at real corpus sizes the term table is Zipf-small after a
+    ``min_df``-style cut, and AQE broadcasts it; N is a scalar broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+            "rank",
+        )
+    )

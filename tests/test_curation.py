@@ -1,0 +1,158 @@
+"""Tests for the curation operators: connected components, deterministic
+sampling, budget selection, PII scrub, TF-IDF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import sampling, text
+from tern_ep_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+# ---------------------------------------------------------------- graph
+
+def test_connected_components_basic(spark):
+    # two components {1,2,3,4} (path) and {10,11}; 20-21-22 triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_path(spark):
+    """A 64-node path converges well inside the iteration cap (pointer
+    jumping gives O(log n) rounds)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=10)
+    assert out.where(F.col("component") != 0).count() == 0
+    assert out.count() == 64
+
+
+def test_dedup_clusters_canonical_keep(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (2, 3)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    keep = {r["node"] for r in clusters.where("node = component").collect()}
+    assert keep == {5, 2}  # canonical = min id per cluster
+
+
+# ------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s1 = sampling.hash_sample(df, "k", 0.2, salt="a")
+    s2 = sampling.hash_sample(df, "k", 0.2, salt="a")
+    assert s1.count() == s2.count()
+    assert sorted(r["k"] for r in s1.collect()) == sorted(
+        r["k"] for r in s2.collect()
+    )
+    # within 3% of the target fraction on 10k keys
+    assert abs(s1.count() / 10_000 - 0.2) < 0.03
+    # different salt -> a genuinely different (near-independent) sample
+    s3 = sampling.hash_sample(df, "k", 0.2, salt="b")
+    overlap = s1.join(s3, "k").count()
+    assert abs(overlap / 10_000 - 0.04) < 0.02  # ~fraction^2
+
+
+def test_hash_sample_fraction_edges(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert sampling.hash_sample(df, "k", 0.0).count() == 0
+    assert sampling.hash_sample(df, "k", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, "k", 1.5)
+
+
+def test_stratified_hash_sample(spark):
+    df = (
+        spark.range(6_000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "dom", F.when(F.col("k") % 2 == 0, "web").otherwise("code")
+        )
+    )
+    out = sampling.stratified_hash_sample(
+        df, "k", "dom", {"web": 0.5, "code": 0.1}
+    )
+    by = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert abs(by["web"] / 3_000 - 0.5) < 0.05
+    assert abs(by["code"] / 3_000 - 0.1) < 0.05
+    # unlisted stratum defaults to 0
+    out2 = sampling.stratified_hash_sample(df, "k", "dom", {"web": 0.5})
+    assert out2.where("dom = 'code'").count() == 0
+
+
+def test_budget_select(spark):
+    rows = [
+        ("a", 1, 400), ("a", 2, 400), ("a", 3, 400),
+        ("b", 4, 900), ("b", 5, 200),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc long, tokens long")
+    out = sampling.budget_select(
+        df, "src", [F.col("tokens").desc(), F.col("doc")], "tokens", 1000
+    )
+    got = {(r["src"], r["doc"], r["cum_weight"]) for r in out.collect()}
+    # a: docs 1,2 fit (800), doc 3 would hit 1200 > 1000; b: 900 then 1100 > 1000
+    assert got == {("a", 1, 400), ("a", 2, 800), ("b", 4, 900)}
+
+
+# ------------------------------------------------------------ PII scrub
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or (02) 9999 1234"),
+            (3, "host 192.168.0.1 up"),
+            (4, "clean text with numbers 42 and 2024"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+        text.pii_hits(F.col("text")).alias("hits"),
+    )
+    got = {r["id"]: (r["scrubbed"], r["hits"]) for r in out.collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert "<PHONE>" in got[2][0] and got[2][1] >= 1
+    assert got[3] == ("host <IP> up", 1)
+    assert got[4] == ("clean text with numbers 42 and 2024", 0)
+
+
+# --------------------------------------------------------------- TF-IDF
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, "doc_id", "text", k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 beats banana tf=1
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(1, 1)][1] == pytest.approx(2 * 1.098612, abs=1e-5)
+    # doc 3: cherry tf=3 df=2
+    assert rows[(3, 1)][0] == "cherry"
+    # 'common' (df=3 -> idf=0) scores 0 and never outranks rarer terms
+    assert all(term != "common" or rank > 1 for (_, rank), (term, _) in rows.items())
+    assert out.count() == 6  # k=2 per doc
