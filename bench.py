@@ -55,6 +55,7 @@ EXTENDED = [
     "doc_winnow_fast",  # numpy Rabin-Karp mode (the 100 TB kernel)
     "simhash_pairs",
     "asof_click_attribution",
+    "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
 ]
 
 

@@ -74,18 +74,27 @@ def connected_components(
         )
         # 2. pointer jump: label <- label(label); labels are node ids so
         # the self-join always finds the row, but stay safe under
-        # coalesce for the (impossible) miss.
-        x, y = stepped.alias("x"), stepped.alias("y")
-        jumped = x.join(y, F.col("x.label") == F.col("y.node"), "left").select(
-            F.col("x.node").alias("node"),
-            F.coalesce(F.col("y.label"), F.col("x.label")).alias("label"),
+        # coalesce for the (impossible) miss. The right side is re-aliased
+        # column-by-column: plain DataFrame.alias keeps the original
+        # expression ids on both branches of a self-join and Catalyst can
+        # mis-resolve them under complex upstream plans.
+        right = stepped.select(
+            F.col("node").alias("ptr_node"), F.col("label").alias("ptr_label")
+        )
+        jumped = stepped.join(
+            right, stepped["label"] == right["ptr_node"], "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("ptr_label"), F.col("label")).alias("label"),
         )
         new_labels = jumped.localCheckpoint()
 
+        prev = labels.select(
+            F.col("node").alias("prev_node"), F.col("label").alias("prev_label")
+        )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
+            new_labels.join(prev, new_labels["node"] == prev["prev_node"])
+            .where(F.col("label") != F.col("prev_label"))
             .limit(1)
             .count()
         )
