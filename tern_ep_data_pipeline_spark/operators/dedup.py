@@ -374,17 +374,34 @@ def simhash64(
     toks = _fanout(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     ).withColumn("__h", token_hash)
+    # Packed per-bit set-counts: two 32-bit counters ride in each long sum
+    # (token contribution `bit_i + bit_{i+32} << 32`; counts stay < 2^31 so
+    # lanes can't borrow into each other), halving both the aggregate
+    # expression count (32 sums, not 64) and the shuffled bytes per doc.
+    # sign(Σ±1) == (2·cnt > n), so the fingerprint is bit-identical to the
+    # textbook ±1 formulation in both hash modes.
     bit_sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{i}")
-            for i in range(64)
-        ]
+                F.shiftright("__h", i).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright("__h", i + 32).bitwiseAND(F.lit(1)), 32
+                )
+            ).alias(f"__p{i}")
+            for i in range(32)
+        ],
     )
     fingerprint = None
     for i in range(64):
-        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        cnt = (
+            F.col(f"__p{i}").bitwiseAND(F.lit(0xFFFFFFFF))
+            if i < 32
+            else F.shiftright(f"__p{i - 32}", 32)
+        )
+        bit = F.when(cnt * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
