@@ -1166,8 +1166,13 @@ def q_minhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
     rows_per_band = num_hashes // bands
+    # Same universal-permutation family as the Spark side: one md5 per
+    # shingle reduced mod p, then h_j = (a_j*x + b_j) mod p. Constants come
+    # from the shared generator so the two sides cannot drift.
+    p = dedup._MERSENNE_P
+    perms = dedup._permutation_params(num_hashes)
     h = lambda j: (
-        f"min(('0x'||substr(md5('{j}:'||sh),1,15))::BIGINT) AS h{j}"
+        f"min((x * {perms[j][0]} + {perms[j][1]}) % {p}) AS h{j}"
     )
     sig_cols = ",\n    ".join(h(j) for j in range(num_hashes))
     band_selects = []
@@ -1190,10 +1195,13 @@ sh_arr AS (
   FROM toks
 ),
 ex AS (SELECT doc_id, unnest(s) AS sh FROM sh_arr),
+exh AS (
+  SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT % {p} AS x FROM ex
+),
 sig AS (
   SELECT doc_id,
     {sig_cols}
-  FROM ex GROUP BY doc_id
+  FROM exh GROUP BY doc_id
 ),
 bands AS (
   {bands_sql}

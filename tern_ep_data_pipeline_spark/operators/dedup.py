@@ -264,11 +264,23 @@ def minhash_signatures(
             ],
         )
     else:
-        hashed = sh.select(
+        # Portable mode shares the fast path's shape — ONE string hash per
+        # shingle (md5, engine-reproducible) reduced mod p, then K integer
+        # permutations. The old form took K md5s per shingle; at K=16
+        # that was the dominant cost of every oracle-checked dedup query.
+        # All products stay < 2^62, so strict-overflow engines (DuckDB)
+        # compute the identical value.
+        base = F.pmod(
+            F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(_MERSENNE_P),
+        )
+        hashed = sh.select("__id", base.alias("__x")).selectExpr(
             "__id",
             *[
-                _seeded_hash(j, F.col("__sh"), hash_mode).alias(f"h{j}")
-                for j in range(num_hashes)
+                f"pmod(__x * {a}L + {b}L, {_MERSENNE_P}L) as h{j}"
+                for j, (a, b) in enumerate(_permutation_params(num_hashes))
             ],
         )
     return hashed.groupBy("__id").agg(

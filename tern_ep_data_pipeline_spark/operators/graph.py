@@ -32,11 +32,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact same contract as the distributed loop, solved on the driver
+    with path-compressed union-find. Used below the edge threshold where
+    a distributed round's scheduling overhead dwarfs the work (the CC
+    analogue of broadcasting a small join side). A million edges is
+    ~32 MB collected — driver-trivial."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min so the root IS the canonical id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    node_type = sym.schema[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return sym.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -45,6 +81,13 @@ def connected_components(
     by every dedup consumer. Only nodes that appear in ``edges`` are
     returned (isolated nodes are their own trivial components and carry
     no dedup information).
+
+    Adaptive execution: at or below ``driver_threshold`` symmetric edges
+    the transitive closure is solved with driver-side union-find (one
+    collect, microseconds of CPU) — near-dup edge sets are usually tiny
+    relative to the corpus, and a distributed round costs whole shuffles.
+    Above it, the iterative min-label loop runs fully distributed; pass
+    ``driver_threshold=0`` to force that path.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge —
     pathological for real near-dup graphs, whose components are small
@@ -55,10 +98,24 @@ def connected_components(
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()
 
+    # Size the iteration's shuffles to the graph, not the session conf: the
+    # edge set is usually orders of magnitude smaller than the corpus that
+    # produced it (near-dup pairs, not documents), and every round pays per
+    # -partition scheduling overhead times two shuffles. ~50k edges per
+    # partition keeps small graphs on a few tasks while still fanning out
+    # arbitrarily for billion-edge inputs.
+    n_edges = sym.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(sym)
+    parallelism = sym.sparkSession.sparkContext.defaultParallelism
+    parts = max(2, min(parallelism, n_edges // 50_000 + 1))
+    sym = sym.repartition(parts, "b").localCheckpoint()
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
         .localCheckpoint()
     )
 

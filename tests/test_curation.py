@@ -15,7 +15,10 @@ from tern_ep_data_pipeline_spark.operators.graph import (
 
 # ---------------------------------------------------------------- graph
 
-def test_connected_components_basic(spark):
+@pytest.mark.parametrize("threshold", [0, 200_000])
+def test_connected_components_basic(spark, threshold):
+    """Both execution paths (0 forces distributed, 200k takes the
+    driver union-find) produce identical components."""
     # two components {1,2,3,4} (path) and {10,11}; 20-21-22 triangle
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
@@ -23,7 +26,7 @@ def test_connected_components_basic(spark):
     )
     got = {
         (r["node"], r["component"])
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, driver_threshold=threshold).collect()
     }
     assert got == {
         (1, 1), (2, 1), (3, 1), (4, 1),
@@ -33,12 +36,12 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_long_path(spark):
-    """A 64-node path converges well inside the iteration cap (pointer
-    jumping gives O(log n) rounds)."""
+    """A 64-node path converges well inside the iteration cap on the
+    distributed path (pointer jumping gives O(log n) rounds)."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    out = connected_components(edges, max_iter=10)
+    out = connected_components(edges, max_iter=10, driver_threshold=0)
     assert out.where(F.col("component") != 0).count() == 0
     assert out.count() == 64
 
