@@ -72,6 +72,8 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("bench")
 
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+
     def time_set(names: list[str], n_runs: int = 2) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -81,6 +83,9 @@ def main() -> None:
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
+                # each timed run owns its caches: no cross-run cache reuse
+                # (the doc'd no-caching methodology), no storage pile-up
+                release_staged(spark)
             out[name] = round(min(runs), 3)
             print(
                 f"# {name}: {out[name]:.2f}s best-of-{len(runs)} ({n} rows)",

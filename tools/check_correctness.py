@@ -82,6 +82,8 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -90,6 +92,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_staged(spark)  # drop per-query staged persists
         except Exception as exc:
             failures.append(name)
             print(f"[SPARK-ERR] {name}: {type(exc).__name__}: {str(exc)[:300]}")
