@@ -1,0 +1,64 @@
+"""Streaming training-data curation: the batch curation operators
+(quality gate, deterministic sampling, exact dedup) re-expressed over an
+unbounded document stream.
+
+A live ingestion pipeline (crawl drops, log shippers) wants the same
+decisions the batch pass makes, made once per document, with bounded
+state. Everything stateful here is watermark-scoped:
+
+- the quality gate and hash sample are pure row predicates (no state);
+- exact dedup keys on the normalised content hash via
+  ``dropDuplicatesWithinWatermark`` — state for a hash is held only
+  until the watermark passes its arrival time, so the store is bounded
+  by (arrival rate x horizon), not corpus size.
+
+Near-dup (MinHash) dedup is deliberately NOT offered as a streaming
+operator: LSH banding needs a self-join across the whole corpus, which
+has no bounded-state streaming form — run the batch pass over the
+bronze lake on a schedule instead (the lambda shape the reference's
+scheduled tasks use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalise_text
+from ..operators.sampling import hash_bucket
+from ..operators.text import scrub_pii
+
+
+def curated_document_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    min_chars: int = 20,
+    max_chars: int = 1_000_000,
+    sample_fraction: float = 1.0,
+    salt: str = "smp",
+    scrub: bool = False,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Quality gate -> deterministic hash sample -> PII scrub (optional)
+    -> exact content dedup, over a streaming document source.
+
+    Keeps the FIRST arrival of each distinct normalised content within
+    the watermark horizon; later duplicates are dropped while their
+    hash is still in state. Decisions are reproducible across restarts:
+    the sample is md5-keyed (same salt -> same documents), and the
+    content hash is a pure function of the text.
+    """
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    n = F.length(F.trim(F.col(text_col)))
+    s = s.where((n >= min_chars) & (n <= max_chars))
+    if sample_fraction < 1.0:
+        cut = int(round(sample_fraction * 10_000))
+        s = s.where(hash_bucket(F.col(id_col), salt) < cut)
+    if scrub:
+        s = s.withColumn(text_col, scrub_pii(F.col(text_col)))
+    s = s.withColumn("content_hash", F.md5(normalise_text(F.col(text_col))))
+    return s.dropDuplicatesWithinWatermark(["content_hash"])

@@ -159,3 +159,91 @@ def test_tfidf_top_terms(spark):
     # 'common' (df=3 -> idf=0) scores 0 and never outranks rarer terms
     assert all(term != "common" or rank > 1 for (_, rank), (term, _) in rows.items())
     assert out.count() == 6  # k=2 per doc
+
+
+# ------------------------------------------------------- streaming path
+
+def test_curated_document_stream(spark, tmp_path):
+    """Streaming curation: the quality gate drops shorts, the sample is
+    deterministic, and a duplicate arriving in a later micro-batch is
+    dropped while its content hash is in watermark state."""
+    import datetime as dt
+
+    from tern_ep_data_pipeline_spark.streaming import curated_document_stream
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [
+        (1, "a genuinely long enough document body one", t0),
+        (2, "short", t0),  # fails the quality gate
+        (3, "another long enough document body two here", t0),
+    ]
+    batch2 = [
+        # same content as doc 1 (normalisation collapses whitespace)
+        (4, "a  genuinely   long enough document body one", t0 + dt.timedelta(minutes=5)),
+        (5, "a fresh long enough document body three here", t0 + dt.timedelta(minutes=5)),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    out = curated_document_stream(stream, min_chars=20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from curated_docs").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 3, 5]  # 2 too short; 4 is a content-dup of 1
+    assert all(r["content_hash"] for r in rows)
+
+
+def test_curated_stream_sample_matches_batch(spark, tmp_path):
+    """The streaming hash sample selects exactly the documents the batch
+    sampler selects — same salt, same decisions."""
+    import datetime as dt
+
+    from tern_ep_data_pipeline_spark.operators import sampling
+    from tern_ep_data_pipeline_spark.streaming import curated_document_stream
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, f"document body number {i} padded to pass the gate", t0)
+        for i in range(200)
+    ]
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(rows, schema)
+    df.write.parquet(src)
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = curated_document_stream(stream, sample_fraction=0.3, salt="mix")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sampled_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"] for r in spark.sql("select doc_id from sampled_docs").collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in sampling.hash_sample(df, "doc_id", 0.3, salt="mix").collect()
+    }
+    assert streamed == batch and batch
