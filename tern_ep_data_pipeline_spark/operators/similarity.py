@@ -287,3 +287,32 @@ def label_centroids(
         F.col(label_col),
         F.transform(total, lambda s: s / F.col("__n")).alias("centroid"),
     )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k.
+
+    The evaluation harness every approximate index needs before it
+    replaces the brute-force path: recall@k = |approx ∩ exact| / |exact|,
+    computed with one semi-join and one aggregation — run it on a hash
+    sample of queries at scale, not the full query log.
+    Output: (query_id, n_exact, n_hit, recall).
+    """
+    e = exact.select(query_id_col, id_col)
+    hits = e.join(
+        approx.select(query_id_col, id_col), on=[query_id_col, id_col], how="left_semi"
+    )
+    n_exact = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, on=query_id_col, how="left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+    )

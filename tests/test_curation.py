@@ -247,3 +247,34 @@ def test_curated_stream_sample_matches_batch(spark, tmp_path):
         for r in sampling.hash_sample(df, "doc_id", 0.3, salt="mix").collect()
     }
     assert streamed == batch and batch
+
+
+# ------------------------------------------------------- ANN evaluation
+
+def test_ann_recall_harness(spark):
+    """recall_at_k invariants on the driver embeddings: probing every IVF
+    list recovers the exact result (recall 1.0), recall is monotone in
+    n_probe, and SRP-LSH recall rises as planes shrink the bucket count."""
+    from tern_ep_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dims = len(emb.first()["embedding"])
+    exact = sim.cosine_topk(emb, queries, k=10)
+
+    def mean_recall(approx):
+        return sim.recall_at_k(exact, approx).agg(F.avg("recall")).first()[0]
+
+    n_lists = emb.select("label").distinct().count()
+    r_all = mean_recall(sim.ivf_topk(emb, queries, k=10, n_probe=n_lists))
+    assert r_all == pytest.approx(1.0)  # exhaustive probe == brute force
+
+    r2 = mean_recall(sim.ivf_topk(emb, queries, k=10, n_probe=2))
+    r4 = mean_recall(sim.ivf_topk(emb, queries, k=10, n_probe=4))
+    assert r2 <= r4 <= 1.0 and r2 > 0
+
+    r_lsh4 = mean_recall(sim.ann_lsh_topk(emb, queries, dims, k=10, planes=4))
+    r_lsh8 = mean_recall(sim.ann_lsh_topk(emb, queries, dims, k=10, planes=8))
+    assert r_lsh8 <= r_lsh4  # bigger buckets -> recall never drops
