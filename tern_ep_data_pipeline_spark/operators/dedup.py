@@ -296,6 +296,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_mode: str = "fast",
+    max_bucket: int | None = 100_000,
     _shingled: bool = False,
 ) -> DataFrame:
     """MinHash LSH candidate pairs: (id_a, id_b) sharing >= 1 band.
@@ -303,6 +304,14 @@ def minhash_lsh_candidates(
     rows/band = num_hashes/bands; with 32/8 the S-curve crosses ~0.5 around
     J ~ 0.6. The band self-join key is (band_idx, band_hash) — a compact
     long pair — so the shuffle moves ids, not documents.
+
+    ``max_bucket`` is the degenerate-bucket guard for the 100 TB path: a
+    band bucket holding B docs contributes B^2 join rows, and real corpora
+    have pathological keys (empty docs, boilerplate, licence headers)
+    whose buckets hold millions — one such key turns the self-join
+    quadratic. Buckets above the cap are dropped from the candidate join
+    (their members are near-exact duplicates of each other and belong to
+    the much cheaper exact-dedup pass). ``None`` disables the guard.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -326,6 +335,18 @@ def minhash_lsh_candidates(
     banded = sig.selectExpr(
         "__id", f"explode(array({band_arr})) as __band"
     ).select("__id", "__band.band", "__band.bh")
+    if max_bucket is not None:
+        # Window count over the join key itself — one exchange on
+        # (band, bh), no size-table join; the self-join re-shuffles on the
+        # same key right after.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh")
+        banded = _stage(
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )  # staged: both self-join branches read the capped table once
     a = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_b"))
     return (

@@ -278,3 +278,23 @@ def test_ann_recall_harness(spark):
     r_lsh4 = mean_recall(sim.ann_lsh_topk(emb, queries, dims, k=10, planes=4))
     r_lsh8 = mean_recall(sim.ann_lsh_topk(emb, queries, dims, k=10, planes=8))
     assert r_lsh8 <= r_lsh4  # bigger buckets -> recall never drops
+
+
+def test_minhash_degenerate_bucket_cap(spark):
+    """The LSH bucket-size guard: identical boilerplate docs flood one
+    band bucket; capping drops that bucket from the candidate join (the
+    quadratic path), while the default cap leaves small corpora intact."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+
+    rows = [(i, "the same boilerplate licence header text " * 3) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, max_bucket=5
+    )
+    assert capped.count() == 0  # every bucket holds all 12 docs -> dropped
+    dedup.release_staged(spark)
+    full = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4
+    )
+    assert full.count() == 12 * 11 // 2  # default cap doesn't bite
+    dedup.release_staged(spark)
