@@ -298,3 +298,28 @@ def test_minhash_degenerate_bucket_cap(spark):
     )
     assert full.count() == 12 * 11 // 2  # default cap doesn't bite
     dedup.release_staged(spark)
+
+
+def test_cc_distributed_equals_driver_on_real_pairs(spark, sf_dir):
+    """The oracle-checked suite takes the driver union-find branch (tiny
+    edge sets at test SF); pin the distributed loop — the 100 TB path — to
+    identical cluster assignments on the same real near-dup pairs."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2,
+        hash_mode="portable",
+    )
+    via_driver = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    via_distributed = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs, "id_a", "id_b", driver_threshold=0
+        ).collect()
+    }
+    assert via_driver == via_distributed and via_driver
+    dedup.release_staged(spark)
