@@ -323,3 +323,67 @@ def test_cc_distributed_equals_driver_on_real_pairs(spark, sf_dir):
     }
     assert via_driver == via_distributed and via_driver
     dedup.release_staged(spark)
+
+
+# ------------------------------------------------- product quantisation
+
+def test_pq_roundtrip_and_recall(spark, sf_dir):
+    """PQ pipeline on the driver embeddings: deterministic codebooks,
+    compact codes, raw-ADC recall above the data-limited floor, and the
+    production shortlist+re-rank composition recovering most of the true
+    euclidean neighbours."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = sim.pq_train(emb, m=8, k=16, iters=4)
+    d = len(emb.first()["embedding"])
+    assert books.shape == (8, 16, d // 8)
+    # deterministic: retraining yields identical codebooks
+    books2 = sim.pq_train(emb, m=8, k=16, iters=4)
+    assert np.array_equal(books, books2)
+
+    codes = sim.pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["pq_code"]) == 8
+    assert codes.count() == emb.count()
+
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sim.pq_topk(codes, books, queries, k=10)
+    assert approx.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 10
+
+    # euclidean ground truth via exact pairwise distances on the driver
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qrows = queries.collect()
+    exact_sets = {}
+    for qr in qrows:
+        qv = np.array(qr["embedding"], dtype=np.float64)
+        dist = ((x - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, dist))
+        top = [i for i in order if ids[i] != qr["query_id"]][:10]
+        exact_sets[qr["query_id"]] = {ids[i] for i in top}
+
+    def recall(df):
+        hits = total = 0
+        for r in df.collect():
+            total += 1
+            if r["vec_id"] in exact_sets[r["query_id"]]:
+                hits += 1
+        return hits / total
+
+    # raw ADC is data-limited on uniform random 16-dim vectors (measured
+    # ~0.24 at this setting); pin a conservative floor
+    r_adc = recall(approx)
+    assert r_adc >= 0.15, f"PQ ADC recall collapsed: {r_adc}"
+
+    # shortlist + exact re-rank is the production pattern: quantisation
+    # error only has to land true neighbours in the shortlist
+    reranked = sim.pq_topk_rerank(codes, emb, books, queries, k=10, shortlist=100)
+    r_rr = recall(reranked)
+    assert r_rr >= 0.6, f"re-ranked recall collapsed: {r_rr}"
+    assert r_rr >= r_adc
