@@ -33,3 +33,13 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_bench_names_resolve():
+    """Every bench headline/extended name must resolve to a q_ function —
+    a rename otherwise surfaces as a crashed driver BENCH run."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    for name in [*bench.HEADLINE, *bench.EXTENDED]:
+        assert callable(getattr(entrymod, f"q_{name}", None)), name
