@@ -90,3 +90,21 @@ def parse_fast_data(spark: SparkSession, site: str) -> dict:
     dest = os.path.join(_out_dir(), "blocks", site)
     n = run_fast_path(spark, glob, dest)
     return {"records": n, "path": dest}
+
+
+@register("curate_documents")
+def curate_documents(spark: SparkSession, site: str) -> dict:
+    """Training-corpus curation over the documents table: exact + near-dup
+    dedup (canonical keep), quality gate, deterministic sampling -> curated
+    parquet (driver-mandate extension; see plans.curation)."""
+    from .operators.dedup import release_staged
+    from .plans.curation import curate_corpus
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, _sf_dir(), "documents")
+    curated = curate_corpus(docs, minhash_threshold=0.2, num_hashes=16, bands=4)
+    dest = os.path.join(_out_dir(), "curated", f"site={site}")
+    curated.write.mode("overwrite").parquet(dest)
+    release_staged(spark)
+    n_in, n_out = docs.count(), spark.read.parquet(dest).count()
+    return {"rows_in": n_in, "rows_out": n_out, "path": dest}

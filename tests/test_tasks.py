@@ -75,3 +75,24 @@ def test_builtin_tasks_register_and_run(spark, tmp_path, monkeypatch):
         task_mod.SiteTaskMatrix({"TestSite": {"parse_fast_data": True}}),
     )
     assert not res[0].ok and "SPARK_GRAFT_TOB_GLOB" in res[0].error
+
+
+def test_curate_documents_task(spark, tmp_path, monkeypatch):
+    import importlib
+
+    import tern_ep_data_pipeline_spark.tasks_builtin as builtin_mod
+    from tern_ep_data_pipeline_spark import tasks as task_mod
+
+    # the autouse fixture cleared the registry; a cached import won't
+    # re-register, so reload to re-run the @register decorators
+    importlib.reload(builtin_mod)
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_OUT", str(tmp_path / "products"))
+    matrix = task_mod.SiteTaskMatrix({"TestSite": {"curate_documents": True}})
+    results = task_mod.run_task(spark, "curate_documents", matrix)
+    assert len(results) == 1 and results[0].ok, results[0].error
+    out = results[0].result
+    assert 0 < out["rows_out"] <= out["rows_in"]
+    curated = spark.read.parquet(out["path"])
+    assert {"doc_id", "text", "n_chars_clean"} <= set(curated.columns)
