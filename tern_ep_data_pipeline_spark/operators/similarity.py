@@ -339,6 +339,10 @@ def pq_train(
     Lloyd iterations in numpy. Everything is deterministic: the sample is
     md5-ordered, init takes the first ``k`` sampled points per subspace,
     empty clusters keep their previous centroid.
+
+    Scale note: ``orderBy(md5).limit(n)`` compiles to
+    TakeOrderedAndProject — a per-partition top-n merged on the driver,
+    NOT a full corpus sort (verified in the executed plan).
     """
     d = len(corpus.select(vec_col).first()[0])
     if d % m:
