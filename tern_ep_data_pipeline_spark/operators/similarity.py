@@ -509,3 +509,83 @@ def pq_topk_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    list_col: str = "label",
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — coarse inverted lists prune
+    the corpus to ``n_probe`` partitions, PQ codes make the scan of those
+    partitions byte-cheap (ADC shortlist), and an exact re-rank of the
+    shortlist restores recall.
+
+    At 100 TB the corpus is stored partitioned by ``list_col`` with
+    ``pq_code`` as a column, so the probe is partition pruning and the
+    full ``vec_col`` is only read for shortlist rows. Output:
+    (query_id, vec_id, dist, rank).
+    """
+    cents = label_centroids(corpus, list_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    ranked = q.crossJoin(F.broadcast(cents)).select(
+        F.col(query_id_col),
+        F.col(list_col),
+        cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col(list_col).asc()
+    )
+    probes = (
+        ranked.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select(query_id_col, list_col)
+    )
+    # lists any query probes; at scale this is the partition-pruning filter
+    probed_lists = probes.select(list_col).distinct()
+    probed = corpus.join(F.broadcast(probed_lists), on=list_col)
+
+    codes = pq_encode(probed, codebooks, id_col, vec_col)
+    shortlisted = pq_topk(
+        codes, codebooks, queries, id_col, vec_col, query_id_col, k=shortlist
+    ).join(probes, on=[query_id_col], how="left_semi")
+    # keep only (query, candidate) pairs whose candidate sits in a probed
+    # list OF THAT query — the semi-join above keeps probed queries; now
+    # restrict candidates to the query's own lists
+    cand_lists = corpus.select(id_col, list_col)
+    shortlisted = (
+        shortlisted.join(cand_lists, on=id_col)
+        .join(probes, on=[query_id_col, list_col], how="left_semi")
+        .select(query_id_col, id_col)
+    )
+
+    qv = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv2")
+    )
+    full = shortlisted.join(corpus.select(id_col, vec_col), on=id_col).join(
+        F.broadcast(qv), F.col(query_id_col) == F.col("__qid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__qv2"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = full.select(query_id_col, id_col, F.round(d2, 6).alias("dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -442,3 +442,45 @@ def test_curate_corpus_plan(spark, sf_dir):
         spark.createDataFrame([(i,) for i in mixed_ids], "doc_id long"), "doc_id"
     ).select("source").distinct().collect()}
     assert srcs <= {"src0", "src1"}
+
+
+def test_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composition: probing every list with a full-corpus shortlist
+    reproduces the exact euclidean top-k (the re-rank is exact once nothing
+    is pruned); fewer probes trade recall for scan cost but keep the
+    contract (<= k rows per query, ranked by true distance)."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = sim.pq_train(emb, m=8, k=16, iters=3)
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_lists = emb.select("label").distinct().count()
+    n_corpus = emb.count()
+
+    full = sim.ivf_pq_topk(
+        emb, books, queries, k=10, n_probe=n_lists, shortlist=n_corpus
+    )
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    for qr in queries.collect():
+        qv = np.array(qr["embedding"], dtype=np.float64)
+        dist = ((x - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, np.round(dist, 6)))
+        want = [ids[i] for i in order if ids[i] != qr["query_id"]][:10]
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                full.where(F.col("query_id") == qr["query_id"]).collect(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want, f"query {qr['query_id']}"
+
+    pruned = sim.ivf_pq_topk(emb, books, queries, k=10, n_probe=2, shortlist=50)
+    per_q = {r["query_id"]: r["n"] for r in pruned.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 10 for v in per_q.values()) and per_q
