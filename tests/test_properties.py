@@ -86,3 +86,66 @@ def test_rh_ah_inverse_property(spark, ta, rh, ps):
     )
     out = spark.range(1).select(expr.alias("r")).collect()[0]["r"]
     assert out == pytest.approx(rh, rel=1e-9)
+
+
+# ------------------------------------------------ curation invariants
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_components(edges):
+    """Reference union-find, independent of the production implementation."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SET
+@given(edge_lists)
+def test_distributed_cc_matches_union_find(spark, edges):
+    """The distributed min-label loop agrees with a plain union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from tern_ep_data_pipeline_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == _py_components(edges)
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hash_sample_is_a_pure_filter(spark, keys, fraction):
+    """Sampling commutes with union/filtering: membership depends only on
+    the key, never on the rest of the dataset."""
+    from tern_ep_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    whole = {r["k"] for r in sampling.hash_sample(df, "k", fraction).collect()}
+    half = df.where(F.col("k") % 2 == 0)
+    sub = {r["k"] for r in sampling.hash_sample(half, "k", fraction).collect()}
+    assert sub == {k for k in whole if k % 2 == 0}
