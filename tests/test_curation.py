@@ -484,3 +484,47 @@ def test_ivf_pq_topk(spark, sf_dir):
     pruned = sim.ivf_pq_topk(emb, books, queries, k=10, n_probe=2, shortlist=50)
     per_q = {r["query_id"]: r["n"] for r in pruned.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert all(v <= 10 for v in per_q.values()) and per_q
+
+
+# ------------------------------------------------------------------ BPE
+
+def test_bpe_train_and_encode(spark):
+    """BPE training learns the classic frequent-pair merges and encoding
+    is deterministic, word-boundary-safe, and length-consistent."""
+    from tern_ep_data_pipeline_spark.operators import bpe
+
+    rows = [(i, "low low low low low lower lower newest newest") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(docs, num_merges=10)
+    assert merges  # learned something
+    # 'lo' must merge early: 'l','o' is the most frequent adjacent pair
+    assert ("l", "o") == merges[0]
+    # determinism
+    assert merges == bpe.bpe_train(docs, num_merges=10)
+
+    enc = bpe_out = bpe.bpe_encode(docs, merges)
+    r = enc.first()
+    assert r["n_tokens"] == len(r["tokens"]) > 0
+    # every doc identical -> identical encodings
+    assert enc.select("n_tokens").distinct().count() == 1
+    # whole words compress to single tokens once fully merged
+    toks = set(r["tokens"])
+    assert "low</w>" in toks  # 5 occurrences -> merged to a full-word token
+
+    # token budget integration: n_tokens weights budget_select directly
+    sel = sampling.budget_select(
+        enc.withColumn("src", F.lit("a")),
+        "src", [F.col("doc_id")], "n_tokens", int(r["n_tokens"] * 2.5),
+    )
+    assert sel.count() == 2  # two docs fit in a 2.5-doc token budget
+
+
+def test_bpe_word_frequencies_capped(spark):
+    from tern_ep_data_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a")], "doc_id long, text string"
+    )
+    wf = bpe.word_frequencies(docs, "text", max_words=2)
+    rows = [(r["word"], r["freq"]) for r in wf.collect()]
+    assert rows == [("a", 3), ("b", 2)]  # top-2 by freq, deterministic order
