@@ -2056,14 +2056,23 @@ FROM a JOIN b USING (user_id)
 
 
 def q_gap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused A3 + A9: gap bounds report UNION gap-size histogram (tagged)."""
+    """Fused A3 + A9: gap bounds report UNION gap-size histogram (tagged).
+
+    The expensive shared input — distinct timestamps + range-partitioned
+    lag with boundary repair — is built ONCE and staged; both branches
+    read it instead of each rebuilding the whole pipeline (15 -> 8
+    exchanges, half the distinct/lag work)."""
+    from tern_ep_data_pipeline_spark.operators.dedup import _stage
+
+    ev = _t(spark, sf_dir, "events")
+    lagged = _stage(gaps.lagged_timestamps(ev, "ts"))
     nb = F.lit(None).cast("bigint")
     nt = F.lit(None).cast("timestamp_ntz")
-    a = q_gap_report(spark, sf_dir).select(
+    a = gaps.gap_report_from_lagged(lagged, "ts", 600).select(
         F.lit("gap").alias("tag"), "gap_start", "gap_end", "gap_seconds",
         nb.alias("n_intervals"), nb.alias("n_gaps"),
     )
-    b = q_gap_histogram(spark, sf_dir).select(
+    b = gaps.gap_histogram_from_lagged(lagged, "ts", 300).select(
         F.lit("hist").alias("tag"), nt.alias("gap_start"), nt.alias("gap_end"),
         nb.alias("gap_seconds"), "n_intervals", "n_gaps",
     )

@@ -48,12 +48,21 @@ def missing_record_stats(
     )
 
 
-def _lagged(df: DataFrame, ts_col: str, partition_cols: Sequence[str]) -> DataFrame:
+def lagged_timestamps(
+    df: DataFrame, ts_col: str, partition_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct timestamps with their predecessor (``prev_ts``) — the
+    shared input of gap_report and gap_histogram. Callers deriving BOTH
+    should build this once (and usually persist it): the distinct +
+    range-lag pipeline is the expensive part of either output."""
     dist = df.select(*partition_cols, ts_col).distinct()
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(ts_col)
         return dist.withColumn("prev_ts", F.lag(ts_col).over(w))
     return _lagged_global(dist, ts_col)
+
+
+_lagged = lagged_timestamps
 
 
 def _lagged_global(dist: DataFrame, ts_col: str) -> DataFrame:
@@ -96,7 +105,18 @@ def gap_report(
     Output: partition cols + ``gap_start`` (last record before),
     ``gap_end`` (first record after), ``gap_seconds``.
     """
-    lagged = _lagged(df, ts_col, partition_cols)
+    return gap_report_from_lagged(
+        _lagged(df, ts_col, partition_cols), ts_col, min_gap_seconds, partition_cols
+    )
+
+
+def gap_report_from_lagged(
+    lagged: DataFrame,
+    ts_col: str,
+    min_gap_seconds: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """gap_report over a pre-built :func:`lagged_timestamps` frame."""
     return (
         lagged.withColumn(
             "gap_seconds",
@@ -119,7 +139,18 @@ def gap_histogram(
     partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """A3/A9: histogram of gap sizes in units of the sampling interval."""
-    lagged = _lagged(df, ts_col, partition_cols)
+    return gap_histogram_from_lagged(
+        _lagged(df, ts_col, partition_cols), ts_col, interval_seconds, partition_cols
+    )
+
+
+def gap_histogram_from_lagged(
+    lagged: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """gap_histogram over a pre-built :func:`lagged_timestamps` frame."""
     gaps = lagged.withColumn(
         "n_intervals",
         F.expr(
