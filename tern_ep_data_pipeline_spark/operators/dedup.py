@@ -407,19 +407,27 @@ def simhash64(
     toks = _fanout(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     ).withColumn("__h", token_hash)
+    # Pre-reduce to (doc, hash, term-count) first — natural-language docs
+    # repeat tokens (Zipf), and the cheap count-agg shrinks the row set
+    # the 32-wide packed aggregation below must scan. SimHash is term-
+    # frequency weighted, so weighting each hash by its count is the
+    # identical computation.
+    weighted = toks.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__w"))
     # Packed per-bit set-counts: two 32-bit counters ride in each long sum
-    # (token contribution `bit_i + bit_{i+32} << 32`; counts stay < 2^31 so
-    # lanes can't borrow into each other), halving both the aggregate
-    # expression count (32 sums, not 64) and the shuffled bytes per doc.
-    # sign(Σ±1) == (2·cnt > n), so the fingerprint is bit-identical to the
-    # textbook ±1 formulation in both hash modes.
-    bit_sums = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
+    # (contribution `w·bit_i + (w·bit_{i+32}) << 32`; per-doc token counts
+    # stay < 2^31 so lanes can't borrow into each other), halving both the
+    # aggregate expression count (32 sums, not 64) and the shuffled bytes
+    # per doc. sign(Σ±1) == (2·cnt > n), so the fingerprint is
+    # bit-identical to the textbook ±1 formulation in both hash modes.
+    bit_sums = weighted.groupBy(id_col).agg(
+        F.sum("__w").alias("__n"),
         *[
             F.sum(
-                F.shiftright("__h", i).bitwiseAND(F.lit(1))
+                F.col("__w") * F.shiftright("__h", i).bitwiseAND(F.lit(1))
                 + F.shiftleft(
-                    F.shiftright("__h", i + 32).bitwiseAND(F.lit(1)), 32
+                    F.col("__w")
+                    * F.shiftright("__h", i + 32).bitwiseAND(F.lit(1)),
+                    32,
                 )
             ).alias(f"__p{i}")
             for i in range(32)
