@@ -1,0 +1,178 @@
+"""Incremental dedup: match new document batches against a persisted index.
+
+At 100 TB you do not re-run corpus-wide dedup per ingest batch. The
+corpus maintains a *dedup index* — two small-per-doc tables:
+
+- ``exact``: (content_hash, doc_id) — md5 of normalised text;
+- ``bands``: (band, bh, doc_id)   — the MinHash LSH band buckets.
+
+A new batch is then classified with joins that touch only the batch and
+the index (never the corpus text): exact duplicates semi-join the hash
+table; near-dup candidates equi-join the band table and verify with
+MinHash signature agreement; everything else is fresh. Appending the
+accepted batch's rows keeps the index current — each ingest batch costs
+O(batch), not O(corpus).
+
+The index lives as plain parquet directories. At cluster scale, write
+the band table bucketed by (band, bh) (``sources.lake.write_bucketed``)
+so batch-vs-index joins co-locate without shuffling the index side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as dedup_ops
+
+
+def _exact_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.md5(dedup_ops.normalise_text(F.col(text_col))).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+    )
+
+
+def _band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_mode: str,
+) -> DataFrame:
+    """(band, bh, doc_id, sig array<long>) — band buckets plus the full
+    signature so candidate verification needs no text access."""
+    sig = dedup_ops.minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_mode
+    )
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> str:
+        cols = ", ".join(
+            f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        if hash_mode == "fast":
+            return f"xxhash64({cols})"
+        return (
+            f"cast(conv(substring(md5(concat_ws(':', {cols})), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+
+    band_arr = ", ".join(
+        f"struct({b} as band, {band_hash(b)} as bh)" for b in range(bands)
+    )
+    sig_arr = ", ".join(f"h{j}" for j in range(num_hashes))
+    return sig.selectExpr(
+        "__id as doc_id", f"array({sig_arr}) as sig", f"explode(array({band_arr})) as __band"
+    ).select("__band.band", "__band.bh", "doc_id", "sig")
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+) -> dict:
+    """Materialise the index for an (already deduplicated) corpus."""
+    _exact_table(docs, id_col, text_col).write.mode("overwrite").parquet(
+        os.path.join(path, "exact")
+    )
+    _band_table(docs, id_col, text_col, n, num_hashes, bands, hash_mode).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "bands"))
+    spark = docs.sparkSession
+    return {
+        "exact_rows": spark.read.parquet(os.path.join(path, "exact")).count(),
+        "band_rows": spark.read.parquet(os.path.join(path, "bands")).count(),
+    }
+
+
+def match_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    min_band_matches: int = 1,
+) -> DataFrame:
+    """Classify a new batch against the index.
+
+    Output: one row per new doc — (doc_id, status, match_id) with status
+    ``exact`` (content hash already indexed), ``near`` (shares >=
+    ``min_band_matches`` LSH bands with an indexed doc; match_id is the
+    lowest-id such doc), or ``fresh``. Joins touch the batch and the
+    index only; the corpus text is never read.
+    """
+    ex_idx = spark.read.parquet(os.path.join(path, "exact"))
+    band_idx = spark.read.parquet(os.path.join(path, "bands"))
+
+    new_exact = _exact_table(new_docs, id_col, text_col)
+    exact_hits = (
+        new_exact.join(
+            ex_idx.select("content_hash", F.col("doc_id").alias("match_id")),
+            on="content_hash",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .withColumn("status", F.lit("exact"))
+    )
+
+    new_bands = _band_table(
+        new_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+    )
+    near_hits = (
+        new_bands.join(
+            band_idx.select(
+                "band", "bh", F.col("doc_id").alias("match_id")
+            ),
+            on=["band", "bh"],
+        )
+        .groupBy("doc_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= min_band_matches)
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .withColumn("status", F.lit("near"))
+    )
+
+    classified = exact_hits.unionByName(
+        near_hits.join(exact_hits.select("doc_id"), on="doc_id", how="left_anti")
+    )
+    fresh = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(classified.select("doc_id"), on="doc_id", how="left_anti")
+        .withColumn("match_id", F.lit(None).cast("long"))
+        .withColumn("status", F.lit("fresh"))
+    )
+    return classified.unionByName(fresh)
+
+
+def append_to_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+) -> None:
+    """Append accepted (fresh) docs' rows so later batches see them."""
+    _exact_table(accepted_docs, id_col, text_col).write.mode("append").parquet(
+        os.path.join(path, "exact")
+    )
+    _band_table(
+        accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+    ).write.mode("append").parquet(os.path.join(path, "bands"))

@@ -528,3 +528,60 @@ def test_bpe_word_frequencies_capped(spark):
     wf = bpe.word_frequencies(docs, "text", max_words=2)
     rows = [(r["word"], r["freq"]) for r in wf.collect()]
     assert rows == [("a", 3), ("b", 2)]  # top-2 by freq, deterministic order
+
+
+# -------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_index(spark, tmp_path):
+    """Batch-vs-index dedup: exact dups, near dups, and fresh docs are
+    classified without re-reading the corpus, and appending a batch makes
+    later batches see it. 8 bands of 2 rows: one changed word in a
+    12-word doc (J~0.75) still matches a band with P ~ 1-(1-J^2)^8 > 0.99."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different text about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    stats = di.build_dedup_index(corpus, idx, num_hashes=16, bands=8)
+    assert stats["exact_rows"] == 2 and stats["band_rows"] == 16
+
+    batch = spark.createDataFrame(
+        [
+            # exact dup of 1 (whitespace-normalised)
+            (10, "the quick  brown fox jumps over the lazy dog again and again"),
+            # near dup of 1 (one word changed)
+            (11, "the quick brown fox jumps over the lazy cat again and again"),
+            # fresh
+            (12, "entirely new content mentioning neither foxes nor partitions at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in di.match_against_index(
+            spark, batch, idx, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got[10] == ("exact", 1)
+    assert got[11] == ("near", 1)
+    assert got[12] == ("fresh", None)
+
+    # accept the fresh doc; the next batch now sees it
+    fresh = batch.where("doc_id = 12")
+    di.append_to_index(fresh, idx, num_hashes=16, bands=8)
+    batch2 = spark.createDataFrame(
+        [(20, "entirely new content mentioning neither foxes nor partitions at all")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in di.match_against_index(
+            spark, batch2, idx, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got2[20] == ("exact", 12)
