@@ -219,3 +219,79 @@ def test_streaming_block_sink_split_block(spark, tmp_path):
         spark.createDataFrame(first, schema), out, header, mode="merge"
     )
     assert open(files[0]).read() == before
+
+
+def _bmp_bytes(width, height, rgb):
+    """Minimal 24-bit bottom-up BMP with a solid colour."""
+    import struct
+
+    row = (bytes(rgb[::-1]) * width)
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    pixels = (row + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return header + info + pixels
+
+
+def _ppm_bytes(width, height, rgb):
+    return (f"P6\n{width} {height}\n255\n").encode() + bytes(rgb) * width * height
+
+
+def _wav_bytes(freq_frames, rate=8000):
+    """Mono 16-bit WAV: silence then full-scale square — a known envelope."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        half = freq_frames // 2
+        w.writeframes(
+            struct.pack(f"<{half}h", *([0] * half))
+            + struct.pack(f"<{freq_frames - half}h", *([20000] * (freq_frames - half)))
+        )
+    return buf.getvalue()
+
+
+def test_real_stdlib_codecs(spark):
+    """BMP/PPM/WAV decode for real — features and thumbnails are computed
+    from actual pixel/sample values, not fakes."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    # direct decoder checks
+    img = mm.decode_image_bmp(_bmp_bytes(6, 4, (255, 0, 0)))
+    assert img.shape == (4, 6, 3) and (img[:, :, 0] == 255).all() and (img[:, :, 1] == 0).all()
+    img2 = mm.decode_image_ppm(_ppm_bytes(3, 2, (0, 128, 0)))
+    assert img2.shape == (2, 3, 3) and (img2[:, :, 1] == 128).all()
+    samples, rate = mm.decode_audio(_wav_bytes(1600))
+    assert rate == 8000 and len(samples) == 1600
+    assert abs(samples[:800]).max() == 0 and abs(samples[800:]).min() > 0.5
+
+    # through the Spark path with the REAL encoder
+    rows = [
+        (1, "image", bytearray(_bmp_bytes(8, 8, (255, 255, 255))), None),
+        (2, "image", bytearray(_ppm_bytes(8, 8, (0, 0, 0))), None),
+        (3, "audio", bytearray(_wav_bytes(1600)), None),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    feats = {
+        r["asset_id"]: np.array(r["feature"])
+        for r in mm.extract_features(assets, use_fake_encoder=False).collect()
+    }
+    # white image -> uniform unit vector; black image -> zeros
+    assert feats[1] == pytest.approx(np.full(16, 0.25), abs=1e-9)
+    assert feats[2] == pytest.approx(np.zeros(16), abs=1e-9)
+    # silence-then-square envelope: first half ~0, second half equal bins
+    assert abs(feats[3][:8]).max() < 1e-9 and feats[3][8:].min() > 0.3
+
+    # real resize: white BMP -> all-255 thumbnail bytes
+    thumb = (
+        mm.resize_images(assets.where("asset_id = 1"), width=4, height=4, use_fake=False)
+        .first()["thumbnail"]
+    )
+    assert bytes(thumb) == b"\xff" * 16
