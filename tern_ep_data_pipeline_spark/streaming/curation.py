@@ -62,3 +62,36 @@ def curated_document_stream(
         s = s.withColumn(text_col, scrub_pii(F.col(text_col)))
     s = s.withColumn("content_hash", F.md5(normalise_text(F.col(text_col))))
     return s.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    the right events for the same key that happened in
+    ``(left_ts - max_delay, left_ts]`` — the streaming form of the batch
+    range/as-of join family (operators.temporal).
+
+    Both sides carry watermarks, so Spark bounds the join state: a
+    buffered right row is dropped once the left watermark passes
+    ``right_ts + max_delay``. This is the standard impressions-to-clicks
+    attribution shape running continuously instead of as a backfill.
+    """
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark
+    )
+    r = right.withColumn(
+        right_ts, F.col(right_ts).cast("timestamp")
+    ).withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= F.expr(f"{left_ts} - interval {max_delay}"))
+    )
+    return l.join(r, cond).drop(r[on])

@@ -295,3 +295,53 @@ def test_real_stdlib_codecs(spark):
         .first()["thumbnail"]
     )
     assert bytes(thumb) == b"\xff" * 16
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join produces exactly the pairs
+    the equivalent batch range join produces on the same data."""
+    import datetime as dt
+
+    from tern_ep_data_pipeline_spark.streaming.curation import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = [
+        (1, t0 + dt.timedelta(minutes=m), f"c{m}") for m in (0, 10, 45, 50)
+    ] + [(2, t0 + dt.timedelta(minutes=5), "c5")]
+    buys = [
+        (1, t0 + dt.timedelta(minutes=12), "b12"),   # pairs with c0(12m<=30), c10
+        (1, t0 + dt.timedelta(minutes=55), "b55"),   # pairs with c45, c50
+        (2, t0 + dt.timedelta(minutes=50), "b50"),   # c5 is 45m earlier -> no pair
+    ]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    cdf = spark.createDataFrame(clicks, "user_id long, click_ts timestamp, click_id string")
+    bdf = spark.createDataFrame(buys, "user_id long, buy_ts timestamp, buy_id string")
+    cdf.write.parquet(cdir)
+    bdf.write.parquet(bdir)
+
+    cs = spark.readStream.format("parquet").schema(cdf.schema).load(cdir)
+    bs = spark.readStream.format("parquet").schema(bdf.schema).load(bdir)
+    joined = stream_interval_join(
+        bs, cs, "buy_ts", "click_ts", on="user_id", max_delay="30 minutes"
+    ).select("user_id", "buy_id", "click_id")
+    _run_available_now(joined, tmp_path, "ssj")
+    got = {
+        (r["user_id"], r["buy_id"], r["click_id"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+    assert got == {
+        (1, "b12", "c0"), (1, "b12", "c10"),
+        (1, "b55", "c45"), (1, "b55", "c50"),
+    }
+
+    # batch equivalence on the same frames
+    batch = {
+        (r["user_id"], r["buy_id"], r["click_id"])
+        for r in bdf.alias("b").join(
+            cdf.alias("c"),
+            (F.col("b.user_id") == F.col("c.user_id"))
+            & (F.col("c.click_ts") <= F.col("b.buy_ts"))
+            & (F.col("c.click_ts") >= F.expr("b.buy_ts - interval 30 minutes")),
+        ).select("b.user_id", "buy_id", "click_id").collect()
+    }
+    assert got == batch
