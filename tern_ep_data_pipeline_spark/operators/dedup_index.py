@@ -106,14 +106,21 @@ def match_against_index(
     bands: int = 8,
     hash_mode: str = "fast",
     min_band_matches: int = 1,
+    min_est_jaccard: float | None = 0.5,
 ) -> DataFrame:
     """Classify a new batch against the index.
 
     Output: one row per new doc — (doc_id, status, match_id) with status
-    ``exact`` (content hash already indexed), ``near`` (shares >=
-    ``min_band_matches`` LSH bands with an indexed doc; match_id is the
-    lowest-id such doc), or ``fresh``. Joins touch the batch and the
-    index only; the corpus text is never read.
+    ``exact`` (content hash already indexed), ``near`` (LSH band
+    collision verified by signature agreement), or ``fresh``. Joins
+    touch the batch and the index only; the corpus text is never read.
+
+    Verification: a band collision is a *candidate*; the fraction of
+    agreeing minhash lanes between the two full signatures is an
+    unbiased estimate of the Jaccard similarity, so candidates with
+    estimated similarity below ``min_est_jaccard`` are rejected without
+    any text access (pass ``None`` to accept every band collision).
+    ``match_id`` is the lowest-id surviving match.
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
@@ -132,17 +139,34 @@ def match_against_index(
     new_bands = _band_table(
         new_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     )
-    near_hits = (
+    cand = (
         new_bands.join(
             band_idx.select(
-                "band", "bh", F.col("doc_id").alias("match_id")
+                "band",
+                "bh",
+                F.col("doc_id").alias("match_id"),
+                F.col("sig").alias("sig_idx"),
             ),
             on=["band", "bh"],
         )
         .groupBy("doc_id", "match_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.first("sig").alias("sig"),
+            F.first("sig_idx").alias("sig_idx"),
+        )
         .where(F.col("n_bands") >= min_band_matches)
-        .groupBy("doc_id")
+    )
+    if min_est_jaccard is not None:
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig", "sig_idx", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        cand = cand.where(agree / F.lit(num_hashes) >= min_est_jaccard)
+    near_hits = (
+        cand.groupBy("doc_id")
         .agg(F.min("match_id").alias("match_id"))
         .withColumn("status", F.lit("near"))
     )

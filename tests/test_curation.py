@@ -585,3 +585,28 @@ def test_incremental_dedup_index(spark, tmp_path):
         ).collect()
     }
     assert got2[20] == ("exact", 12)
+
+
+def test_dedup_index_jaccard_verification(spark, tmp_path):
+    """Signature-agreement verification rejects low-similarity band
+    collisions: the same near-dup flips to fresh at a strict threshold."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    di.build_dedup_index(corpus, idx, num_hashes=16, bands=8)
+    batch = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy cat again and again")],
+        "doc_id long, text string",
+    )
+    loose = di.match_against_index(
+        spark, batch, idx, num_hashes=16, bands=8, min_est_jaccard=0.3
+    ).first()
+    strict = di.match_against_index(
+        spark, batch, idx, num_hashes=16, bands=8, min_est_jaccard=0.95
+    ).first()
+    assert loose["status"] == "near" and loose["match_id"] == 1
+    assert strict["status"] == "fresh"
