@@ -40,9 +40,19 @@ def curate_corpus(
     domain_col: str | None = None,
     domain_fractions: Mapping[str, float] | None = None,
     sample_salt: str = "smp",
+    bpe_merges: list[tuple[str, str]] | None = None,
+    token_budget: float | None = None,
 ) -> DataFrame:
-    """Curated corpus: the input schema plus ``n_chars_clean``; one row per
-    surviving document. See module docstring for the stage order."""
+    """Curated corpus: the input schema plus ``n_chars_clean`` (and
+    ``n_tokens``/``cum_weight`` when token budgeting is on); one row per
+    surviving document. See module docstring for the stage order.
+
+    With ``bpe_merges`` + ``token_budget``, each domain keeps documents in
+    (quality, id) order until the budget — measured in REAL tokens under
+    the trained tokenizer, not characters — is exhausted. Data mixes are
+    specified in tokens; a character proxy misallocates across domains
+    with different token densities (code vs prose).
+    """
     # 1. exact dedup first — near-exact copies would otherwise flood the
     # LSH band buckets (the degenerate case the bucket cap guards).
     deduped = dedup_ops.exact_dedup(docs, id_col, text_col)
@@ -76,5 +86,22 @@ def curate_corpus(
     if domain_col and domain_fractions:
         kept = sampling.stratified_hash_sample(
             kept, id_col, domain_col, domain_fractions, salt=sample_salt
+        )
+
+    # 5. token budgeting under the real tokenizer.
+    if bpe_merges is not None and token_budget is not None:
+        if not domain_col:
+            raise ValueError("token_budget requires domain_col")
+        from ..operators.bpe import bpe_encode
+
+        counts = bpe_encode(kept, bpe_merges, id_col, text_col).select(
+            id_col, "n_tokens"
+        )
+        kept = sampling.budget_select(
+            kept.join(counts, on=id_col),
+            domain_col,
+            [F.col("n_chars_clean").desc(), F.col(id_col)],
+            "n_tokens",
+            token_budget,
         )
     return kept

@@ -610,3 +610,31 @@ def test_dedup_index_jaccard_verification(spark, tmp_path):
     ).first()
     assert loose["status"] == "near" and loose["match_id"] == 1
     assert strict["status"] == "fresh"
+
+
+def test_curate_corpus_token_budget(spark, sf_dir):
+    """Token-budgeted curation: per-domain cumulative REAL-token counts
+    stop at the budget, and the selection is reproducible."""
+    from tern_ep_data_pipeline_spark.operators import bpe, dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.bpe_train(docs, num_merges=50)
+    out = curate_corpus(
+        docs, minhash_threshold=0.2, num_hashes=16, bands=4, min_chars=10,
+        domain_col="source", bpe_merges=merges, token_budget=800,
+    )
+    rows = out.select("source", "doc_id", "n_tokens", "cum_weight").collect()
+    dedup.release_staged(spark)
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert max(r["cum_weight"] for r in rs) <= 800, src
+        assert all(r["n_tokens"] > 0 for r in rs)
+    # budget requires a domain column
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curate_corpus(docs, bpe_merges=merges, token_budget=100)
