@@ -401,3 +401,26 @@ def test_tob_decode_truncated_inputs(tmp_path):
 
     with pytest.raises(ValueError):
         tob.read_tob_meta(c1[:10])
+
+
+def test_checksummed_move(tmp_path):
+    """S26: the source is deleted only after the archived copy's sha256
+    verifies; an existing destination refuses unless overwrite."""
+    from tern_ep_data_pipeline_spark.sources.files import checksummed_move, sha256_file
+
+    src = tmp_path / "day1.tob3"
+    src.write_bytes(b"\x00\x01payload" * 100)
+    want = sha256_file(str(src))
+    dest_dir = tmp_path / "TOB3" / "2024_01"
+    dest = checksummed_move(str(src), str(dest_dir))
+    assert not src.exists()
+    assert sha256_file(dest) == want
+
+    src2 = tmp_path / "day1.tob3"
+    src2.write_bytes(b"different")
+    import pytest as _pt
+
+    with _pt.raises(FileExistsError):
+        checksummed_move(str(src2), str(dest_dir))
+    checksummed_move(str(src2), str(dest_dir), overwrite=True)
+    assert not src2.exists()
