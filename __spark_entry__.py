@@ -2500,6 +2500,20 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not in the registry — PQ codebook float iteration is not
+    SQL-reproducible): the full IVF-PQ pipeline — train codebooks, encode,
+    coarse-probe, ADC shortlist, exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, k=16, iters=4)
+    queries_df = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_pq_topk(
+        emb, books, queries_df, k=10, n_probe=3, shortlist=100
+    )
+
+
 def _llm_curation_oracle() -> str:
     # PII patterns interpolated from the operator module so the SQL can
     # never drift from the Spark implementation.

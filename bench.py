@@ -61,6 +61,7 @@ EXTENDED = [
     "simhash_pairs",
     "asof_click_attribution",
     "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
+    "ivf_pq_rerank",  # PQ train+encode+coarse-probe+ADC+exact re-rank
 ]
 
 
