@@ -48,8 +48,8 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.toLocalIterator():
-        a, b = row[0], row[1]
+    pdf = sym.toPandas()  # Arrow transfer: one batch, no per-row py4j cost
+    for a, b in zip(pdf.iloc[:, 0].to_list(), pdf.iloc[:, 1].to_list()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
