@@ -1333,12 +1333,55 @@ WHERE round(list_dot_product(a.v, b.v)
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: rank label-list centroids, probe 2 lists, exact top-10
-    within (rows-only: centroid float sums are order-sensitive)."""
+    within. Fully oracle-checked: probe selection ranks on the ROUNDED
+    centroid similarity (ties by list id), so list choice is reproducible
+    across engines despite order-sensitive float centroid sums."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.ivf_topk(emb, queries, k=10, n_probe=2, list_col="label")
+
+
+ORACLE_IVF_TOPK = """
+WITH ex AS (
+  SELECT label, u.dim, u.v FROM embeddings,
+    LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
+),
+cent AS (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qex AS (
+  SELECT query_id, u.dim, u.v FROM q,
+    LATERAL (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v) u
+),
+qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS qn FROM qex GROUP BY 1),
+csim AS (
+  SELECT qex.query_id, cent.label,
+    round(sum(qex.v * cent.cv) / (any_value(qnorm.qn) * any_value(cnorm.cn)), 6) AS sim
+  FROM qex
+  JOIN cent ON qex.dim = cent.dim
+  JOIN qnorm ON qnorm.query_id = qex.query_id
+  JOIN cnorm ON cnorm.label = cent.label
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, label FROM csim
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, label ASC) <= 2
+),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT p.query_id, e.vec_id,
+    round(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM probes p
+  JOIN e ON e.label = p.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= 10
+"""
 
 
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2718,8 +2761,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
         "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
         "llm_curation_suite": ORACLE_LLM_CURATION,
-        # ann_ivf_topk / approx_stats: centroid float sums and engine-specific
-        # sketches are not SQL-reproducible -> rows-only check by design.
+        "ann_ivf_topk": ORACLE_IVF_TOPK,
+        # approx_stats: engine-specific sketches (HLL/KLL) are not
+        # SQL-reproducible -> rows-only check by design.
         # The xxhash64 fast modes of minhash/simhash are pinned equal to the
         # portable (oracle-checked) modes in tests/test_dedup.py instead of
         # occupying registry slots.

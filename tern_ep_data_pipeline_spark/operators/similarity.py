@@ -206,11 +206,14 @@ def ivf_topk(
     """
     cents = label_centroids(corpus, list_col, vec_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    # probe ranking on the ROUNDED similarity (ties by list id): selection
+    # becomes reproducible across engines/summation orders, which lets the
+    # whole operator be SQL-oracle-checked instead of rows-only
     ranked = q.crossJoin(F.broadcast(cents)).select(
         F.col(query_id_col),
         F.col(list_col),
         F.col("__qv"),
-        cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+        F.round(cosine(F.col("__qv"), F.col("centroid")), 6).alias("__csim"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("__csim").desc(), F.col(list_col).asc()
