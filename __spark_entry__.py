@@ -1832,14 +1832,46 @@ LIMIT 20
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based stats — the >TB fallback for distincts/quantiles
-    (HLL++ and approx percentile; rows-only: sketches are engine-specific)."""
+    """Sketch-based distinct estimation, fully oracle-checked: the KMV
+    (k-minimum-values) sketch over the portable md5 hash reproduces the
+    SAME estimate — and its measured error vs the exact count — in any
+    engine. Spark's native HLL++/approx_percentile remain the production
+    >TB tools (exercised in pytest); they are engine-specific by design
+    and cannot be hash-compared."""
+    from tern_ep_data_pipeline_spark.operators.sketch import kmv_distinct
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
-        F.expr("approx_percentile(value, 0.95)").alias("approx_p95"),
-    )
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+ORACLE_APPROX_STATS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x'||substr(md5('kmv:'||user_id),1,15))::BIGINT AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+    COUNT(*) AS exact_distinct,
+    max(CASE WHEN rn = 64 THEN hv END) AS hk
+  FROM ranked GROUP BY 1
+),
+est AS (
+  SELECT event_type, exact_distinct,
+    CASE WHEN hk IS NOT NULL
+         THEN round(63.0 * 1152921504606846976.0 / hk, 4)
+         ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
+  FROM agg
+)
+SELECT event_type, kmv_estimate, exact_distinct,
+  round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM est
+"""
 
 
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2762,8 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
         "llm_curation_suite": ORACLE_LLM_CURATION,
         "ann_ivf_topk": ORACLE_IVF_TOPK,
-        # approx_stats: engine-specific sketches (HLL/KLL) are not
-        # SQL-reproducible -> rows-only check by design.
+        "approx_stats": ORACLE_APPROX_STATS,
         # The xxhash64 fast modes of minhash/simhash are pinned equal to the
         # portable (oracle-checked) modes in tests/test_dedup.py instead of
         # occupying registry slots.

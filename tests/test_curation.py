@@ -638,3 +638,40 @@ def test_curate_corpus_token_budget(spark, sf_dir):
 
     with _pt.raises(ValueError):
         curate_corpus(docs, bpe_merges=merges, token_budget=100)
+
+
+# ------------------------------------------------------------- sketches
+
+def test_kmv_distinct_accuracy(spark):
+    """KMV estimates a known cardinality within the expected error band,
+    degenerates to exact counting below k, and the native HLL production
+    path stays exercised."""
+    from tern_ep_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    df = (
+        spark.range(20_000)
+        .withColumn("g", F.lit("big"))
+        .withColumn("v", F.col("id") % 5_000)  # 5000 distinct
+        .union(
+            spark.range(10)
+            .withColumn("g", F.lit("small"))
+            .withColumn("v", F.col("id"))  # 10 distinct < k
+        )
+    )
+    out = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    big = out["big"]
+    assert big["exact_distinct"] == 5_000
+    # std error of KMV is ~1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert abs(big["kmv_estimate"] - 5_000) / 5_000 < 0.4
+    assert big["rel_error"] == pytest.approx(
+        abs(big["kmv_estimate"] - 5_000) / 5_000, abs=1e-3
+    )
+    small = out["small"]
+    assert small["kmv_estimate"] == 10.0 and small["rel_error"] == 0.0
+
+    # the engine-specific production sketches still run (rows-only by nature)
+    native = df.groupBy("g").agg(
+        F.approx_count_distinct("v").alias("hll"),
+        F.expr("approx_percentile(v, 0.5)").alias("p50"),
+    ).collect()
+    assert {r["g"] for r in native} == {"big", "small"}
