@@ -20,12 +20,10 @@ def test_queries_have_oracles_or_are_flagged(spark):
     assert set(oracles) <= set(qs)
     # the driver's correctness gate checks exactly the first 50 entries
     assert len(qs) <= 50
-    # the only intentional rows-only checks:
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ann_ivf_topk",  # centroid float sums are summation-order-sensitive
-        "approx_stats",  # engine-specific sketches
-    }
+    # every registry entry is fully oracle-checked: IVF probes rank on
+    # rounded similarity, and the sketch entry uses the portable KMV
+    # estimator instead of engine-specific HLL
+    assert set(qs) == set(oracles)
 
 
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):
