@@ -77,3 +77,33 @@ def kmv_distinct(
         ),
     )
     return out.select(*group_cols, "kmv_estimate", "exact_distinct", "rel_error")
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    fraction: float = 0.1,
+    key_col: str | None = None,
+    salt: str = "qs",
+) -> DataFrame:
+    """Verifiable approximate quantiles: exact percentile over a
+    deterministic hash sample — the portable twin of
+    ``approx_percentile`` (whose KLL/GK sketch internals are
+    engine-specific). The sample is keyed on ``key_col`` (default: the
+    value itself), so reruns and other engines select the identical rows
+    and compute the identical estimate.
+
+    Output: group cols + one ``q_<pct>`` column per requested quantile.
+    """
+    key = F.col(key_col) if key_col else F.col(value_col)
+    cut = int(round(fraction * 10_000))
+    sampled = df.where((portable_hash(key, salt) % 10_000) < cut)
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return sampled.groupBy(*group_cols).agg(*aggs)

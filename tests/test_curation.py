@@ -675,3 +675,19 @@ def test_kmv_distinct_accuracy(spark):
         F.expr("approx_percentile(v, 0.5)").alias("p50"),
     ).collect()
     assert {r["g"] for r in native} == {"big", "small"}
+
+
+def test_sampled_quantiles_portable(spark):
+    """The deterministic-sample quantile twin: rerun-stable, close to the
+    exact quantile on a known distribution."""
+    from tern_ep_data_pipeline_spark.operators.sketch import sampled_quantiles
+
+    df = (
+        spark.range(50_000)
+        .withColumn("g", F.lit("a"))
+        .withColumn("v", (F.col("id") % 1000).cast("double"))
+    )
+    r1 = sampled_quantiles(df, ["g"], "v", (0.5,), fraction=0.2, key_col="id").first()
+    r2 = sampled_quantiles(df, ["g"], "v", (0.5,), fraction=0.2, key_col="id").first()
+    assert r1["q_0_5"] == r2["q_0_5"]  # deterministic
+    assert abs(r1["q_0_5"] - 499.5) < 25  # near the true median
