@@ -1848,7 +1848,7 @@ ORACLE_APPROX_STATS = """
 WITH h AS (
   SELECT DISTINCT event_type,
     ('0x'||substr(md5('kmv:'||user_id),1,15))::BIGINT AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, hv,

@@ -205,18 +205,24 @@ def _permutation_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def _seeded_hash(seed, col: Column, mode: str) -> Column:
-    """Seeded 64-bit hash of a string column.
-
-    mode='fast': xxhash64 (JVM-native, the production path).
-    mode='portable': first 60 bits of md5 — bit-identical in any engine with
-    md5 + hex conversion, so portable-mode pipelines are SQL-oracle-checkable.
-    """
-    if mode == "fast":
-        return F.xxhash64(F.lit(seed), col)
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
-    ).cast("bigint")
+def band_hash_sql(
+    b: int, num_hashes: int, bands: int, hash_mode: str
+) -> str:
+    """SQL expression for band ``b``'s bucket hash over signature columns
+    ``h0..h{K-1}`` — the ONE definition both the LSH candidate join and
+    the persisted dedup index use; a drift between them would silently
+    stop index lookups from colliding with batch LSH results."""
+    assert num_hashes % bands == 0, (num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    cols = ", ".join(
+        f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+    )
+    if hash_mode == "fast":
+        return f"xxhash64({cols})"
+    return (
+        f"cast(conv(substring(md5(concat_ws(':', {cols})), 1, 15), 16, 10)"
+        " as bigint)"
+    )
 
 
 def minhash_signatures(
@@ -323,14 +329,9 @@ def minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
     ))
 
-    def band_hash(b: int) -> str:
-        cols = ", ".join(f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
-        if hash_mode == "fast":
-            return f"xxhash64({cols})"
-        return f"cast(conv(substring(md5(concat_ws(':', {cols})), 1, 15), 16, 10) as bigint)"
-
     band_arr = ", ".join(
-        f"struct({b} as band, {band_hash(b)} as bh)" for b in range(bands)
+        f"struct({b} as band, {band_hash_sql(b, num_hashes, bands, hash_mode)} as bh)"
+        for b in range(bands)
     )
     banded = sig.selectExpr(
         "__id", f"explode(array({band_arr})) as __band"

@@ -49,21 +49,12 @@ def _band_table(
     sig = dedup_ops.minhash_signatures(
         df, id_col, text_col, n, num_hashes, hash_mode
     )
-    rows_per_band = num_hashes // bands
-
-    def band_hash(b: int) -> str:
-        cols = ", ".join(
-            f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        )
-        if hash_mode == "fast":
-            return f"xxhash64({cols})"
-        return (
-            f"cast(conv(substring(md5(concat_ws(':', {cols})), 1, 15), 16, 10)"
-            " as bigint)"
-        )
-
+    # the ONE band-hash definition, shared with minhash_lsh_candidates —
+    # a drift would silently stop index lookups colliding with batch LSH
     band_arr = ", ".join(
-        f"struct({b} as band, {band_hash(b)} as bh)" for b in range(bands)
+        f"struct({b} as band, "
+        f"{dedup_ops.band_hash_sql(b, num_hashes, bands, hash_mode)} as bh)"
+        for b in range(bands)
     )
     sig_arr = ", ".join(f"h{j}" for j in range(num_hashes))
     return sig.selectExpr(

@@ -107,6 +107,8 @@ def decode_image_ppm(content: bytes) -> np.ndarray:
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> pixels
     parts, i, token = [], 2, b""
     while len(parts) < 3:
+        if i >= len(content):  # truncated/malformed header: fail, don't spin
+            raise ValueError("truncated P6 PPM header")
         c = content[i : i + 1]
         i += 1
         if c == b"#":  # comment to EOL
@@ -115,6 +117,8 @@ def decode_image_ppm(content: bytes) -> np.ndarray:
             continue
         if c.isspace():
             if token:
+                if not token.isdigit():
+                    raise ValueError(f"bad P6 PPM header token {token!r}")
                 parts.append(int(token))
                 token = b""
         else:

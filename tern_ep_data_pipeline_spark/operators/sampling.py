@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(key: Column, salt: str = "smp", buckets: int = 10_000) -> Column:
-    """Deterministic bucket in [0, buckets) from md5(salt:key)."""
-    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
-    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % buckets).alias(
-        "bucket"
-    )
+    """Deterministic bucket in [0, buckets) from md5(salt:key) — the shared
+    portable-hash construction (one definition: sketch.portable_hash)."""
+    from .sketch import portable_hash
+
+    return (portable_hash(key, salt) % buckets).alias("bucket")
 
 
 def hash_sample(

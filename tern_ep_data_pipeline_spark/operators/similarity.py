@@ -358,6 +358,10 @@ def pq_train(
         .limit(sample)
     )
     x = np.array([r[vec_col] for r in sampled.collect()], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(
+            f"PQ training needs >= k={k} vectors, sample has {len(x)}"
+        )
     sub = d // m
     books = np.empty((m, k, sub))
     for j in range(m):
@@ -555,17 +559,55 @@ def ivf_pq_topk(
     probed_lists = probes.select(list_col).distinct()
     probed = corpus.join(F.broadcast(probed_lists), on=list_col)
 
+    # Candidates are restricted to each query's OWN probed lists BEFORE
+    # the ADC ranking — ranking first over the union of all queries' lists
+    # and filtering after would silently shrink the per-query shortlist
+    # (and waste ADC work scoring other queries' lists).
     codes = pq_encode(probed, codebooks, id_col, vec_col)
-    shortlisted = pq_topk(
-        codes, codebooks, queries, id_col, vec_col, query_id_col, k=shortlist
-    ).join(probes, on=[query_id_col], how="left_semi")
-    # keep only (query, candidate) pairs whose candidate sits in a probed
-    # list OF THAT query — the semi-join above keeps probed queries; now
-    # restrict candidates to the query's own lists
-    cand_lists = corpus.select(id_col, list_col)
+    cand = codes.join(corpus.select(id_col, list_col), on=id_col).join(
+        F.broadcast(probes), on=list_col
+    )
+
+    m, kk, sub = codebooks.shape
+    books = codebooks.copy()
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    tables_by_qid: dict = {}
+    for r in q_rows:
+        qv_arr = np.array(r[vec_col], dtype=np.float64)
+        t = np.empty((m, kk))
+        for j in range(m):
+            qj = qv_arr[j * sub : (j + 1) * sub]
+            t[j, :] = ((qj[None, :] - books[j]) ** 2).sum(axis=1)
+        tables_by_qid[r[query_id_col]] = t
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["pq_code"]), dtype=np.int64)
+            qids = pdf[query_id_col].to_numpy()
+            out = np.empty(len(c))
+            for qid in pd.unique(qids):
+                mask = qids == qid
+                t = tables_by_qid[qid]
+                out[mask] = t[np.arange(m)[None, :], c[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "adc_dist": np.round(out, 6),
+                }
+            )
+
+    scored_codes = cand.select(query_id_col, id_col, "pq_code").mapInPandas(
+        adc, schema=f"{query_id_col} long, {id_col} long, adc_dist double"
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
     shortlisted = (
-        shortlisted.join(cand_lists, on=id_col)
-        .join(probes, on=[query_id_col, list_col], how="left_semi")
+        scored_codes.withColumn("__rk", F.row_number().over(ws))
+        .filter(F.col("__rk") <= shortlist)
         .select(query_id_col, id_col)
     )
 

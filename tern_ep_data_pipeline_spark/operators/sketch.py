@@ -55,9 +55,15 @@ def kmv_distinct(
     production scans and this operator when the estimate must be
     verifiable.
     """
-    hashed = df.select(
-        *group_cols, portable_hash(F.col(value_col), salt).alias("__hv")
-    ).distinct()
+    # NULLs are excluded (count-distinct semantics), and excluding them
+    # also keeps the rank window engine-portable: Spark sorts NULLS FIRST,
+    # ANSI engines NULLS LAST — a NULL hash would shift which value lands
+    # at rank k and silently break oracle parity.
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, portable_hash(F.col(value_col), salt).alias("__hv"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__hv")
     ranked = hashed.withColumn("__rn", F.row_number().over(w))
     agg = ranked.groupBy(*group_cols).agg(

@@ -89,9 +89,11 @@ def stream_interval_join(
     r = right.withColumn(
         right_ts, F.col(right_ts).cast("timestamp")
     ).withWatermark(right_ts, watermark)
+    # side-qualified references only: a bare F.expr("<ts> - interval ...")
+    # is ambiguous the moment both streams name their timestamp the same
     cond = (
         (l[on] == r[on])
         & (r[right_ts] <= l[left_ts])
-        & (r[right_ts] >= F.expr(f"{left_ts} - interval {max_delay}"))
+        & (r[right_ts] >= l[left_ts] - F.expr(f"interval {max_delay}"))
     )
     return l.join(r, cond).drop(r[on])

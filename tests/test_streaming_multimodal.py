@@ -345,3 +345,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).select("b.user_id", "buy_id", "click_id").collect()
     }
     assert got == batch
+
+
+def test_stream_interval_join_same_ts_name(spark, tmp_path):
+    """Both streams naming their timestamp identically must not trip
+    ambiguous-reference resolution in the join condition."""
+    import datetime as dt
+
+    from tern_ep_data_pipeline_spark.streaming.curation import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    a = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), "L")], "user_id long, ts timestamp, tag string"
+    )
+    b = spark.createDataFrame(
+        [(1, t0, "R")], "user_id long, ts timestamp, other string"
+    )
+    adir, bdir = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(adir)
+    b.write.parquet(bdir)
+    sa = spark.readStream.format("parquet").schema(a.schema).load(adir)
+    sb = spark.readStream.format("parquet").schema(b.schema).load(bdir)
+    joined = stream_interval_join(sa, sb, "ts", "ts", on="user_id", max_delay="30 minutes")
+    _run_available_now(joined.select("user_id", "tag", "other"), tmp_path, "ssj_same")
+    rows = spark.sql("select * from ssj_same").collect()
+    assert len(rows) == 1 and rows[0]["other"] == "R"
+
+
+def test_decode_ppm_truncated_header_raises():
+    import pytest as _pt
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    with _pt.raises(ValueError):
+        mm.decode_image_ppm(b"P6 3 2")  # header ends before maxval
+    with _pt.raises(ValueError):
+        mm.decode_image_ppm(b"P6 not numbers here ")
