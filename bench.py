@@ -2,7 +2,7 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Methodology: each headline query runs three times at the target scale
+Methodology: each headline query runs four times at the target scale
 factor and the fastest run is reported (per query); extended queries run
 twice. The first execution of a query shape on a cold JVM pays 2-3 s of
 one-shot JIT/codegen/analysis cost that at small scale factors swamps the
@@ -94,7 +94,7 @@ def main() -> None:
             )
         return out
 
-    timings = time_set(HEADLINE, n_runs=3)
+    timings = time_set(HEADLINE, n_runs=4)
     extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
