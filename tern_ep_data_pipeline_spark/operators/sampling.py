@@ -95,3 +95,39 @@ def budget_select(
     return df.withColumn(cum_col, F.sum(weight_col).over(w)).where(
         F.col(cum_col) <= budget
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    group_cols: Sequence[str] = (),
+    salt: str = "wsmp",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): each row scores ``u^(1/w)`` with ``u`` the
+    key's portable hash mapped to (0, 1]; the top ``n`` scores per group
+    are a weight-proportional sample. Rows with non-positive weights are
+    excluded. Same salt -> same sample, on any engine, at any
+    parallelism; the top-n is a window (or TakeOrderedAndProject when
+    ungrouped), never a global sort.
+    """
+    from .sketch import _KMV_DOMAIN, portable_hash
+
+    u = (portable_hash(F.col(key_col), salt) + 1).cast("double") / F.lit(
+        _KMV_DOMAIN
+    )
+    scored = df.where(F.col(weight_col) > 0).withColumn(
+        "__ws", F.pow(u, 1.0 / F.col(weight_col))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__ws").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__ws", "__rn")
+    )

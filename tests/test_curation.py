@@ -691,3 +691,25 @@ def test_sampled_quantiles_portable(spark):
     r2 = sampled_quantiles(df, ["g"], "v", (0.5,), fraction=0.2, key_col="id").first()
     assert r1["q_0_5"] == r2["q_0_5"]  # deterministic
     assert abs(r1["q_0_5"] - 499.5) < 25  # near the true median
+
+
+def test_weighted_hash_sample(spark):
+    """Weighted sampling: deterministic, weight-proportional (heavier keys
+    appear far more often across salts), excludes non-positive weights."""
+    from tern_ep_data_pipeline_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(k, 100.0 if k < 10 else 1.0) for k in range(1000)]
+        + [(5000, 0.0), (5001, -3.0)],
+        "k long, w double",
+    )
+    s1 = {r["k"] for r in weighted_hash_sample(df, "k", "w", 50).collect()}
+    s2 = {r["k"] for r in weighted_hash_sample(df, "k", "w", 50).collect()}
+    assert s1 == s2 and len(s1) == 50
+    assert 5000 not in s1 and 5001 not in s1
+    # the ten 100x-weighted keys should essentially always be selected
+    heavy_hits = sum(
+        len({r["k"] for r in weighted_hash_sample(df, "k", "w", 50, salt=s).collect()} & set(range(10)))
+        for s in ("a", "b", "c")
+    )
+    assert heavy_hits >= 24  # ~30 expected (10 heavy keys x 3 salts)
