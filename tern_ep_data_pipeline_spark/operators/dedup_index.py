@@ -99,12 +99,17 @@ def match_against_index(
     min_band_matches: int = 1,
     min_est_jaccard: float | None = 0.5,
 ) -> DataFrame:
-    """Classify a new batch against the index.
+    """Classify a new batch against the index AND against itself.
 
     Output: one row per new doc — (doc_id, status, match_id) with status
-    ``exact`` (content hash already indexed), ``near`` (LSH band
-    collision verified by signature agreement), or ``fresh``. Joins
-    touch the batch and the index only; the corpus text is never read.
+    ``exact`` (content hash already indexed, or duplicated within the
+    batch — match_id is the indexed doc / the batch's min-id copy),
+    ``near`` (LSH band collision verified by signature agreement, vs the
+    index or a lower-id batch doc), or ``fresh``. Without the intra-batch
+    pass, two copies arriving in the same batch would both classify
+    fresh and both enter the index — permanently breaking the
+    already-deduplicated-corpus invariant. Joins touch the batch and the
+    index only; the corpus text is never read.
 
     Verification: a band collision is a *candidate*; the fraction of
     agreeing minhash lanes between the two full signatures is an
@@ -162,9 +167,57 @@ def match_against_index(
         .withColumn("status", F.lit("near"))
     )
 
-    classified = exact_hits.unionByName(
-        near_hits.join(exact_hits.select("doc_id"), on="doc_id", how="left_anti")
+    # ---- intra-batch passes: a batch must also be deduped against itself
+    canon = new_exact.groupBy("content_hash").agg(
+        F.min("doc_id").alias("__canon")
     )
+    batch_exact = (
+        new_exact.join(canon, on="content_hash")
+        .where(F.col("doc_id") != F.col("__canon"))
+        .select("doc_id", F.col("__canon").alias("match_id"))
+        .withColumn("status", F.lit("exact"))
+    )
+
+    a = new_bands.select(
+        "band", "bh", F.col("doc_id").alias("__ida"), F.col("sig").alias("__siga")
+    )
+    b = new_bands.select(
+        "band", "bh", F.col("doc_id").alias("doc_id"), F.col("sig").alias("__sigb")
+    )
+    batch_cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("__ida") < F.col("doc_id"))  # match the lower id
+        .groupBy("doc_id", "__ida")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.first("__siga").alias("__siga"),
+            F.first("__sigb").alias("__sigb"),
+        )
+        .where(F.col("n_bands") >= min_band_matches)
+    )
+    if min_est_jaccard is not None:
+        bagree = F.size(
+            F.filter(
+                F.zip_with("__siga", "__sigb", lambda x, y: x == y), lambda x: x
+            )
+        )
+        batch_cand = batch_cand.where(
+            bagree / F.lit(num_hashes) >= min_est_jaccard
+        )
+    batch_near = (
+        batch_cand.groupBy("doc_id")
+        .agg(F.min("__ida").alias("match_id"))
+        .withColumn("status", F.lit("near"))
+    )
+
+    # precedence: exact (index, then batch) over near (index, then batch)
+    classified = exact_hits
+    for extra in (batch_exact, near_hits, batch_near):
+        classified = classified.unionByName(
+            extra.join(
+                classified.select("doc_id"), on="doc_id", how="left_anti"
+            )
+        )
     fresh = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(classified.select("doc_id"), on="doc_id", how="left_anti")

@@ -713,3 +713,35 @@ def test_weighted_hash_sample(spark):
         for s in ("a", "b", "c")
     )
     assert heavy_hits >= 24  # ~30 expected (10 heavy keys x 3 salts)
+
+
+def test_dedup_index_intra_batch(spark, tmp_path):
+    """Duplicates arriving in the SAME batch are caught too: only the
+    min-id copy stays fresh; its exact twin and near twin match it."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+    corpus = spark.createDataFrame(
+        [(1, "indexed corpus document about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    di.build_dedup_index(corpus, idx, num_hashes=16, bands=8)
+    batch = spark.createDataFrame(
+        [
+            (30, "a brand new document body about winnowing fingerprints today"),
+            (31, "a brand  new document body about winnowing fingerprints today"),  # exact dup of 30
+            (32, "a brand new document body about winnowing fingerprints now"),  # near dup of 30 (last word)
+            (33, "totally unrelated content with none of those other words present"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in di.match_against_index(
+            spark, batch, idx, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got[30] == ("fresh", None)
+    assert got[31] == ("exact", 30)
+    assert got[32] == ("near", 30)
+    assert got[33] == ("fresh", None)
