@@ -102,3 +102,69 @@ def compact_partition(
     shutil.rmtree(old)
     after = len(glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Z-order (Morton) key: normalise each column to a ``bits``-bit
+    integer over its [min, max] range, then bit-interleave — rows close
+    in EVERY dimension get close keys, so clustering by this key gives
+    parquet min/max pruning on all the z-ordered columns at once
+    (single-column sorting prunes only its leading column).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) if hi != lo else 1.0
+        v = (
+            ((F.col(c).cast("double") - float(lo)) / span)
+            * float((1 << bits) - 1)
+        ).cast("bigint")
+        scaled.append(F.greatest(F.lit(0), F.least(v, F.lit((1 << bits) - 1))))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, bit).bitwiseAND(F.lit(1)), bit * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by the Z-order key of ``cols``: one cheap
+    min/max aggregation to fix the normalisation ranges, range-partition
+    on the key (parallel, no global sort), sort within partitions, drop
+    the key. Point/range scans on ANY z-ordered column then prune files
+    and row groups by footer statistics."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    mins = [stats[f"__mn_{c}"] for c in cols]
+    maxs = [stats[f"__mx_{c}"] for c in cols]
+    z = zorder_value(list(cols), mins, maxs, bits)
+    ranged = df.withColumn("__z", z)
+    # explicit file count when given: AQE happily coalesces a small
+    # keyed range-partitioning down to one file
+    ranged = (
+        ranged.repartitionByRange(n_files, "__z")
+        if n_files
+        else ranged.repartitionByRange("__z")
+    )
+    (
+        ranged
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

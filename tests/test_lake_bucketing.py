@@ -42,3 +42,55 @@ def test_compact_partition_atomic(spark, tmp_path):
     # idempotent: a second call is a no-op
     stats2 = compact_partition(spark, path, target_mb=128)
     assert stats2["files_before"] == stats2["files_after"]
+
+
+def test_zorder_value_interleaving(spark):
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.sources.lake import zorder_value
+
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3)], "x long, y long")
+    z = df.select(
+        "x", "y", zorder_value(["x", "y"], [0, 0], [3, 3], bits=2).alias("z")
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in z.collect()}
+    # 2-bit interleave: x bits land at even positions, y at odd
+    assert got[(0, 0)] == 0b0000
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(3, 3)] == 0b1111
+
+
+def test_write_zordered_clusters_files(spark, tmp_path):
+    """Z-ordered output files cover narrow ranges of BOTH cluster columns
+    (a random layout gives every file the full span)."""
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.sources.lake import write_zordered
+
+    df = (
+        spark.range(40_000)
+        .withColumn("a", (F.col("id") * 2654435761) % 10_000)  # shuffled order
+        .withColumn("b", (F.col("id") * 40503) % 10_000)
+        .repartition(8)
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], n_files=8)
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    assert len(spans) > 1
+    # z-order guarantees AVERAGE locality (a range partition can straddle
+    # a curve quadrant boundary): the mean per-file span must be well
+    # under the full 10k span on BOTH dims, and most files narrow
+    mean_a = sum(r["sa"] for r in spans) / len(spans)
+    mean_b = sum(r["sb"] for r in spans) / len(spans)
+    assert mean_a < 6_000 and mean_b < 6_000, (mean_a, mean_b)
+    narrow = sum(1 for r in spans if r["sa"] < 6_000 and r["sb"] < 6_000)
+    assert narrow >= len(spans) * 3 // 4, [(r["sa"], r["sb"]) for r in spans]
