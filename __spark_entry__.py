@@ -1074,9 +1074,14 @@ FROM c
 
 
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (k=8 char grams, window=4)."""
+    """Rolling-hash winnowing fingerprints (k=8 char grams, window=4).
+
+    Explicitly portable (md5) so the DuckDB oracle reproduces the values —
+    the package default is the numpy ``fast`` mode (the 100 TB path)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return text.winnowing_fingerprints(
+        docs, "doc_id", "text", k=8, window=4, hash_mode="portable"
+    )
 
 
 ORACLE_WINNOW = r"""

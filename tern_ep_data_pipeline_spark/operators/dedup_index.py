@@ -98,6 +98,7 @@ def match_against_index(
     hash_mode: str = "fast",
     min_band_matches: int = 1,
     min_est_jaccard: float | None = 0.5,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Classify a new batch against the index AND against itself.
 
@@ -132,8 +133,19 @@ def match_against_index(
         .withColumn("status", F.lit("exact"))
     )
 
+    # Exact-dedup the batch BEFORE banding: identical docs (the common
+    # degenerate case — boilerplate, empty docs) collapse to one canonical
+    # representative, so the intra-batch (band, bh) self-join below cannot
+    # go quadratic on them. Non-canonical copies are classified by the
+    # cheap ``batch_exact`` pass and never need a signature at all.
+    canon = new_exact.groupBy("content_hash").agg(
+        F.min("doc_id").alias("__canon")
+    )
+    canon_docs = new_docs.join(
+        canon.select(F.col("__canon").alias(id_col)), on=id_col, how="left_semi"
+    )
     new_bands = _band_table(
-        new_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+        canon_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     )
     cand = (
         new_bands.join(
@@ -168,9 +180,6 @@ def match_against_index(
     )
 
     # ---- intra-batch passes: a batch must also be deduped against itself
-    canon = new_exact.groupBy("content_hash").agg(
-        F.min("doc_id").alias("__canon")
-    )
     batch_exact = (
         new_exact.join(canon, on="content_hash")
         .where(F.col("doc_id") != F.col("__canon"))
@@ -178,10 +187,24 @@ def match_against_index(
         .withColumn("status", F.lit("exact"))
     )
 
-    a = new_bands.select(
+    self_bands = new_bands
+    if max_bucket is not None:
+        # same degenerate-bucket guard as minhash_lsh_candidates: one
+        # near-identical boilerplate key must not make the self-join
+        # quadratic (the batch-vs-index join above is linear per bucket
+        # hit and keeps the full table).
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh")
+        self_bands = (
+            new_bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    a = self_bands.select(
         "band", "bh", F.col("doc_id").alias("__ida"), F.col("sig").alias("__siga")
     )
-    b = new_bands.select(
+    b = self_bands.select(
         "band", "bh", F.col("doc_id").alias("doc_id"), F.col("sig").alias("__sigb")
     )
     batch_cand = (
@@ -221,7 +244,12 @@ def match_against_index(
     fresh = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(classified.select("doc_id"), on="doc_id", how="left_anti")
-        .withColumn("match_id", F.lit(None).cast("long"))
+        .withColumn(
+            # match_id must union cleanly with the classified rows, whose
+            # type is the caller's id type (string/UUID ids included)
+            "match_id",
+            F.lit(None).cast(new_docs.schema[id_col].dataType),
+        )
         .withColumn("status", F.lit("fresh"))
     )
     return classified.unionByName(fresh)

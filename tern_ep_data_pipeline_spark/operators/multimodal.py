@@ -172,6 +172,12 @@ def image_feature(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     unit-normalised — deterministic pixel DSP, no model."""
     g = img.astype(np.float64).mean(axis=2)
     side = int(np.sqrt(dim))
+    if side * side != dim:
+        # a shorter image vector would silently break zip_with/cosine
+        # against same-table text/audio features of length ``dim``
+        raise ValueError(
+            f"image_feature dim must be a perfect square, got {dim}"
+        )
     h, w = g.shape
     ys = (np.arange(side + 1) * h) // side
     xs = (np.arange(side + 1) * w) // side

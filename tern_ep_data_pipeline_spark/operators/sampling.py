@@ -121,6 +121,15 @@ def weighted_hash_sample(
     scored = df.where(F.col(weight_col) > 0).withColumn(
         "__ws", F.pow(u, 1.0 / F.col(weight_col))
     )
+    if not group_cols:
+        # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+        # top-n, merged on the driver) — a window over partitionBy() would
+        # funnel every row through one task
+        return (
+            scored.orderBy(F.col("__ws").desc(), F.col(key_col).asc())
+            .limit(n)
+            .drop("__ws")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(

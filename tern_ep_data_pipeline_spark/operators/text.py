@@ -133,7 +133,7 @@ def winnowing_fingerprints(
     k: int = 8,
     window: int = 4,
     impl: str = "arrow",
-    hash_mode: str = "portable",
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
     SIGMOD'03): hash every k-char gram of the normalised text, then keep the

@@ -110,10 +110,18 @@ def zorder_value(cols, mins, maxs, bits: int = 16):
     in EVERY dimension get close keys, so clustering by this key gives
     parquet min/max pruning on all the z-ordered columns at once
     (single-column sorting prunes only its leading column).
+
+    ``bits`` is clamped so ``bits * len(cols) <= 63``: bit 63 is the
+    long sign bit (rows landing there would sort before everything)
+    and Java shift amounts wrap at 64, so exceeding the budget would
+    silently scramble the key instead of clustering.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(bits, 63 // n)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = float(hi - lo) if hi != lo else 1.0

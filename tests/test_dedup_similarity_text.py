@@ -183,8 +183,8 @@ def test_winnowing_impls_agree_and_overlap(spark):
         [(1, base), (2, base + " with a small tail"), (3, "completely different words here")],
         ["doc_id", "text"],
     )
-    arrow = text.winnowing_fingerprints(df, "doc_id", "text")
-    expr = text.winnowing_fingerprints(df, "doc_id", "text", impl="expr")
+    arrow = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="portable")
+    expr = text.winnowing_fingerprints(df, "doc_id", "text", impl="expr", hash_mode="portable")
     assert arrow.exceptAll(expr).count() == 0
     assert expr.exceptAll(arrow).count() == 0
     fps = {
@@ -212,6 +212,12 @@ def test_winnowing_fast_mode_structure(spark):
         ["doc_id", "text"],
     )
     fast = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="fast")
+    # the package default IS the fast mode (the 100 TB path); portable is
+    # opt-in for oracle/cross-engine callers
+    default = text.winnowing_fingerprints(df, "doc_id", "text")
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
     rows = fast.collect()
     again = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="fast").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
