@@ -1230,7 +1230,7 @@ ORACLE_MINHASH_PORTABLE = _minhash_portable_oracle()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs (fast numpy Arrow kernel — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
 
@@ -2800,7 +2800,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_curation_suite": ORACLE_LLM_CURATION,
         "ann_ivf_topk": ORACLE_IVF_TOPK,
         "approx_stats": ORACLE_APPROX_STATS,
-        # The xxhash64 fast modes of minhash/simhash are pinned equal to the
-        # portable (oracle-checked) modes in tests/test_dedup.py instead of
-        # occupying registry slots.
+        # The fast modes of minhash (xxhash64) and simhash (numpy Arrow
+        # kernel) are pinned in tests/test_dedup_similarity_text.py —
+        # minhash pair-equal to portable, simhash self-consistent — instead
+        # of occupying registry slots.
     }

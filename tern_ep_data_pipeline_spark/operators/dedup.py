@@ -10,7 +10,9 @@ Beyond-reference operators for the large-scale training-data pipeline
   Signatures are computed with built-in ``xxhash64``/array expressions
   (JVM-side, no Python), so the only shuffles are the band-bucket
   self-join and the final pair dedup.
-- SimHash: 64-bit sign-sum fingerprint via explode + 64 conditional sums.
+- SimHash: 64-bit sign-sum fingerprint. Fast mode is a zero-shuffle numpy
+  Arrow kernel (one mapInPandas pass); portable mode is the expression
+  form (explode + packed conditional sums) an external oracle can verify.
 
 All hashes are deterministic (seeded by literal), so results are stable
 under retries and across cluster sizes.
@@ -391,15 +393,111 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------------------------- simhash
 
+def _simhash_arrow_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Zero-shuffle SimHash: one ``mapInPandas`` pass computes the whole
+    64-bit fingerprint per document inside a numpy batch kernel.
+
+    The expression form (kept for the portable/oracle mode) pays an
+    explode + two shuffles (token pre-reduce, 32-wide packed sums); here a
+    batch of documents is tokenised, tokens are factorised so each unique
+    token is FNV-1a-hashed once (Zipf: most occurrences are repeats), the
+    64-bit unpack is one strided compare, and per-document bit counts are
+    one ``np.add.reduceat`` over the doc boundaries. Values are their own
+    hash family (as with winnowing's fast mode) — use ``portable`` when an
+    external engine must reproduce them.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("simhash", LongType(), False)]
+    )
+    fnv_off = np.uint64(0xCBF29CE484222325)
+    fnv_prime = np.uint64(0x100000001B3)
+    ws = re.compile(r"\s+")
+    bit_idx = np.arange(64, dtype=np.uint64)
+    chunk = 4096  # docs per kernel pass: bounds the n_occ x 64 bit matrix
+
+    def _hash_uniques(uniq) -> "np.ndarray":
+        enc = [u.encode("utf-8") for u in uniq]
+        ulens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+        h = np.full(len(enc), fnv_off, dtype=np.uint64)
+        if not len(enc) or not ulens.any():
+            return h
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        mat = np.zeros((len(enc), int(ulens.max())), dtype=np.uint64)
+        row = np.repeat(np.arange(len(enc)), ulens)
+        col = np.arange(len(flat)) - np.repeat(np.cumsum(ulens) - ulens, ulens)
+        mat[row, col] = flat
+        for c in range(mat.shape[1]):
+            m = ulens > c
+            h[m] = (h[m] ^ mat[m, c]) * fnv_prime  # uint64 wraps mod 2^64
+        # murmur3 fmix64 finaliser: FNV-1a's high bits mix poorly on short
+        # inputs, and SimHash needs all 64 bit positions independent
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+
+    def run(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                if not len(part):
+                    continue
+                # parity with tokens(): F.trim strips spaces only, and
+                # Java split keeps the leading "" of "".split
+                tok_lists = [
+                    ws.split(("" if t is None else t).strip(" "))
+                    for t in part[text_col]
+                ]
+                lens = np.fromiter(
+                    (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+                )  # always >= 1: splitting "" yields [""]
+                codes, uniq = pd.factorize(
+                    np.asarray(
+                        [tok for toks in tok_lists for tok in toks], dtype=object
+                    )
+                )
+                occ = _hash_uniques(uniq)[codes]
+                bits = (
+                    (occ[:, None] >> bit_idx) & np.uint64(1)
+                ).astype(np.uint8)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                cnt = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+                fp = (
+                    ((2 * cnt > lens[:, None]).astype(np.uint64) << bit_idx)
+                    .sum(axis=1, dtype=np.uint64)
+                    .view(np.int64)
+                )
+                yield pd.DataFrame(
+                    {id_col: part[id_col].values, "simhash": fp}
+                )
+
+    return _fanout(df.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, hash_mode: str = "fast"
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document (60-bit in portable mode).
 
-    Explode tokens -> per-bit signed sums -> recombine. All built-in
-    expressions; the single shuffle is the groupBy on the id.
+    ``fast`` (the 100 TB path) is the zero-shuffle numpy Arrow kernel
+    (:func:`_simhash_arrow_fast`). ``portable``/``jvm`` use the expression
+    form: explode tokens -> per-bit signed sums -> recombine, all built-in
+    expressions, shuffling on the id.
     """
     if hash_mode == "fast":
+        return _simhash_arrow_fast(df, id_col, text_col)
+    if hash_mode == "jvm":
         token_hash = F.xxhash64("__tok")
     else:
         token_hash = F.conv(
