@@ -46,13 +46,45 @@ def release_staged(spark: SparkSession) -> int:
     Safe at any time — an unpersisted frame is simply recomputed if a plan
     still references it. Returns the number of frames released.
     """
-    frames = _STAGED.pop(spark.sparkContext.applicationId, [])
+    app_id = spark.sparkContext.applicationId
+    frames = _STAGED.pop(app_id, [])
+    for key in [k for k in _MEMO if k[0] == app_id]:
+        _MEMO.pop(key, None)
     for f in frames:
         try:
             f.unpersist()
         except Exception:
             pass
     return len(frames)
+
+
+# Session-scoped reuse of the expensive dedup intermediates (the shingle
+# fan-out and the K-wide signature aggregation): several queries in one
+# session routinely hit the same corpus with the same parameters — e.g. a
+# pair listing and the connected-components clustering built from it — and
+# recomputing the shingle pass per query is the single largest avoidable
+# cost. Keyed on the *semantic* plan hash, so any two reads of the same
+# table reuse, while a changed input never false-hits. Cleared by
+# ``release_staged``.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _plan_key(df: DataFrame):
+    """Semantic identity of ``df``'s analyzed plan; falls back to a
+    never-matching key (e.g. Spark Connect, streaming frames)."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return object()
+
+
+def _memo_stage(df: DataFrame, tag: str, params: tuple, builder) -> DataFrame:
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, tag, _plan_key(df), *params)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = _stage(builder())
+    return hit
 
 
 # ---------------------------------------------------------------- exact
@@ -327,9 +359,17 @@ def minhash_lsh_candidates(
     # Catalyst does not reuse the exchange across the aliased branches —
     # uncached, the whole explode+hash+min pipeline would run twice. The
     # table is tiny (K longs per doc), so this caches K*8 bytes/doc.
-    sig = _stage(minhash_signatures(
-        df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
-    ))
+    # Memoised on the (plan, params) key: a later query in the same session
+    # asking for the same signatures (pair listing feeding a clustering
+    # pass, say) reuses this table instead of re-shingling the corpus.
+    sig = _memo_stage(
+        df,
+        "sig",
+        (id_col, text_col, n, num_hashes, hash_mode, _shingled),
+        lambda: minhash_signatures(
+            df, id_col, text_col, n, num_hashes, hash_mode, _shingled=_shingled
+        ),
+    )
 
     band_arr = ", ".join(
         f"struct({b} as band, {band_hash_sql(b, num_hashes, bands, hash_mode)} as bh)"
@@ -377,8 +417,16 @@ def minhash_dedup_pairs(
     The shingle table is built once and persisted (memory-and-disk) — it
     feeds both the signature pass and the Jaccard verification join;
     recomputing it would be a second full shingling pass over the corpus.
+    Both the shingle table and the derived signatures are memoised per
+    session (semantic plan key), so repeated dedup queries over the same
+    corpus — or a suite whose branches each need the pairs — shingle once.
     """
-    sh = _stage(shingle_frame(df, id_col, text_col, n))
+    sh = _memo_stage(
+        df,
+        "shingles",
+        (id_col, text_col, n),
+        lambda: shingle_frame(df, id_col, text_col, n),
+    )
     cands = minhash_lsh_candidates(
         sh, "__id", None, n, num_hashes, bands, hash_mode, _shingled=True
     )

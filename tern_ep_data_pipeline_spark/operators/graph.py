@@ -94,8 +94,18 @@ def connected_components(
     and dense; the pointer jump makes even a path graph converge in
     O(log n) rounds.
     """
+    # Symmetrise with ONE pass over the edge plan: a self-union would
+    # evaluate ``edges`` once per branch (Catalyst does not reuse the
+    # subtree across union arms), and the edge list is typically the
+    # output of a whole LSH band-join + verification pipeline.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    both = F.array(
+        F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("p")).select("p.a", "p.b").distinct()
+    )
     sym = sym.localCheckpoint()
 
     # Size the iteration's shuffles to the graph, not the session conf: the

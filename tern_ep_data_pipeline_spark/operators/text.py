@@ -364,9 +364,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    # document frequency from the (doc, term) aggregate, not a second pass
+    # over the tokens: tf already holds one row per distinct (doc, term),
+    # so a plain count per term IS count_distinct(doc) — and both branches
+    # now share the same underlying exchange (ReuseExchange) instead of
+    # tokenising the corpus twice.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
     from pyspark.sql import Window
 
