@@ -75,8 +75,15 @@ def main() -> None:
 
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
 
-    def time_set(names: list[str], n_runs: int = 2) -> dict[str, float]:
+    def time_set(
+        names: list[str], n_runs: int = 2
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        """Per-query (min-of-N, min-of-first-2) — the second value keeps
+        totals comparable with rounds benched before the min-of-4 switch
+        (2026-08-13, commit 6b5e314): run order is identical, so
+        min-of-first-2 IS what best-of-2 would have reported."""
         out: dict[str, float] = {}
+        out2: dict[str, float] = {}
         for name in names:
             fn = getattr(entrymod, f"q_{name}")
             runs = []
@@ -88,14 +95,15 @@ def main() -> None:
                 # (the doc'd no-caching methodology), no storage pile-up
                 release_staged(spark)
             out[name] = round(min(runs), 3)
+            out2[name] = round(min(runs[:2]), 3)
             print(
                 f"# {name}: {out[name]:.2f}s best-of-{len(runs)} ({n} rows)",
                 file=sys.stderr,
             )
-        return out
+        return out, out2
 
-    timings = time_set(HEADLINE, n_runs=4)
-    extended = time_set(EXTENDED)
+    timings, timings2 = time_set(HEADLINE, n_runs=4)
+    extended, _ = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,6 +115,11 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "sf": sf,
+                # methodology bridge: min-of-4 since 2026-08-13 (r3);
+                # best_of_2 uses the first two runs, directly comparable
+                # with BENCH_r01/BENCH_r02 totals
+                "value_best_of_2": round(sum(timings2.values()), 3),
+                "queries_best_of_2": timings2,
             }
         )
     )
