@@ -5,9 +5,10 @@ Beyond-reference operators for the training-data pipeline (driver mandate).
 The Spark-side contract is real and tested — schema conventions, partition
 behaviour, Arrow batch shapes through ``mapInPandas``. Codecs are REAL
 for every format the stdlib can parse: WAV/PCM audio (``wave``), 24-bit
-BMP and P6 PPM images (struct/numpy byte parsing) — decoded, featurised,
-and resized byte-for-byte in tests. Formats that genuinely need codec
-libraries the container lacks (JPEG/PNG, compressed audio, video) raise
+BMP and P6 PPM images (struct/numpy byte parsing), and common-shape PNG
+(zlib inflate + numpy scanline unfilter) — decoded, featurised, and
+resized byte-for-byte in tests. Formats that genuinely need codec
+libraries the container lacks (JPEG, compressed audio, video) raise
 ``NotImplementedError`` at the decode seam; the Spark-side call sites are
 unchanged when a library is deployed.
 
@@ -131,16 +132,108 @@ def decode_image_ppm(content: bytes) -> np.ndarray:
     ).reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_png(content: bytes) -> np.ndarray:
+    """Real PNG decode with no codec library: chunk walk, zlib inflate of
+    the IDAT stream, per-scanline unfiltering in numpy. Supports the
+    overwhelmingly common shape — 8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA), no interlace. Returns HxWx3 uint8 (alpha dropped,
+    gray replicated). Filters: None/Sub/Up/Average/Paeth per the spec;
+    Sub is a per-channel-lane uint8 cumsum (wraparound IS the mod-256
+    arithmetic), Up is one vector add, Average/Paeth walk pixels within
+    the row (left-neighbour data dependence is inherently sequential).
+    """
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack_from(">I4s", content, pos)
+        pos += 8
+        data = content[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2, 6) or interlace or comp or filt:
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    lines = raw[: h * (1 + stride)].reshape(h, 1 + stride)
+    filters, rows = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 1:  # Sub: cumsum per channel lane, uint8 wrap == mod 256
+            cur = np.cumsum(r.reshape(w, ch), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            cur = r + prev
+        elif f in (3, 4):  # Average / Paeth: left-dependent, walk pixels
+            cur = np.zeros(stride, np.uint8)
+            left = np.zeros(ch, np.int32)
+            pr = prev.astype(np.int32)
+            rr = r.astype(np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = pr[s]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    upleft = (
+                        pr[(x - 1) * ch : x * ch] if x else np.zeros(ch, np.int32)
+                    )
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - up),
+                        np.abs(p - upleft),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    )
+                left = (rr[s] + pred) & 0xFF
+                cur[s] = left
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = cur
+        out[y] = cur
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img[:, :, None].reshape(h, w, 1), 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def decode_image(content: bytes) -> np.ndarray:
-    """Image decode: REAL for stdlib-parsable formats (BMP, P6 PPM);
-    JPEG/PNG raise until a codec library is deployed — the Spark-side call
-    sites (extract_features, resize_images) do not change either way."""
+    """Image decode: REAL for stdlib-parsable formats (BMP, P6 PPM, and
+    common-shape PNG via zlib); JPEG raises until a codec library is
+    deployed — the Spark-side call sites (extract_features, resize_images)
+    do not change either way."""
     if content[:2] == b"BM":
         return decode_image_bmp(content)
     if content[:2] == b"P6":
         return decode_image_ppm(content)
+    if content[:8] == _PNG_SIG:
+        return decode_image_png(content)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires an image codec library (PIL/turbojpeg)"
+        "JPEG decoding requires an image codec library (PIL/turbojpeg)"
     )
 
 

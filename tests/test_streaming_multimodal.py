@@ -237,6 +237,112 @@ def _ppm_bytes(width, height, rgb):
     return (f"P6\n{width} {height}\n255\n").encode() + bytes(rgb) * width * height
 
 
+def _png_bytes(arr, ctype=2, filters=None):
+    """Stdlib PNG encoder for the tests: applies the requested filter type
+    per row (the inverse of the decoder's unfilter), so every decoder
+    filter path is exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters if filters is not None else [0] * h
+    rows, prev = [], np.zeros(w * ch, np.int32)
+    zc = np.zeros(ch, np.int32)
+    for y, f in zip(range(h), filters):
+        cur = flat[y]
+        left = np.concatenate([zc, cur[:-ch]])
+        upleft = np.concatenate([zc, prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters():
+    """Round-trip: encode known pixels with every PNG filter type, decode
+    with the stdlib codec, compare byte-for-byte."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    for filters in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        out = mm.decode_image_png(_png_bytes(rgb, filters=filters))
+        assert (out == rgb).all(), f"filters={filters}"
+    # RGBA: alpha dropped
+    rgba = rng.randint(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    out = mm.decode_image_png(_png_bytes(rgba, ctype=6, filters=[4] * 5))
+    assert (out == rgba[:, :, :3]).all()
+    # grayscale: replicated to 3 channels
+    gray = rng.randint(0, 256, size=(4, 7), dtype=np.uint8)
+    out = mm.decode_image_png(_png_bytes(gray, ctype=0, filters=[1] * 4))
+    assert out.shape == (4, 7, 3) and (out[:, :, 0] == gray).all()
+    # dispatch via decode_image
+    assert (mm.decode_image(_png_bytes(rgb)) == rgb).all()
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    good = _png_bytes(rgb)
+    with pytest.raises(ValueError):
+        mm.decode_image_png(b"\x89PNG\r\n\x1a\nnot chunks")
+    # interlaced: flip the IHDR interlace byte (and fix nothing else —
+    # the decoder must reject before CRC matters)
+    ihdr_off = 8 + 8
+    bad = bytearray(good)
+    bad[ihdr_off + 12] = 1
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_png(bytes(bad))
+    # truncated pixel data: IHDR claims more rows than IDAT holds
+    # (decoder ignores CRCs, so patching height is enough)
+    tall = bytearray(good)
+    tall[ihdr_off + 4 : ihdr_off + 8] = struct.pack(">I", 10)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image_png(bytes(tall))
+
+
 def _wav_bytes(freq_frames, rate=8000):
     """Mono 16-bit WAV: silence then full-scale square — a known envelope."""
     import io
@@ -273,10 +379,12 @@ def test_real_stdlib_codecs(spark):
     assert abs(samples[:800]).max() == 0 and abs(samples[800:]).min() > 0.5
 
     # through the Spark path with the REAL encoder
+    white_png = _png_bytes(np.full((8, 8, 3), 255, dtype=np.uint8))
     rows = [
         (1, "image", bytearray(_bmp_bytes(8, 8, (255, 255, 255))), None),
         (2, "image", bytearray(_ppm_bytes(8, 8, (0, 0, 0))), None),
         (3, "audio", bytearray(_wav_bytes(1600)), None),
+        (4, "image", bytearray(white_png), None),
     ]
     assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
     feats = {
@@ -288,6 +396,8 @@ def test_real_stdlib_codecs(spark):
     assert feats[2] == pytest.approx(np.zeros(16), abs=1e-9)
     # silence-then-square envelope: first half ~0, second half equal bins
     assert abs(feats[3][:8]).max() < 1e-9 and feats[3][8:].min() > 0.3
+    # white PNG decodes to the same feature as the white BMP
+    assert feats[4] == pytest.approx(feats[1], abs=1e-9)
 
     # real resize: white BMP -> all-255 thumbnail bytes
     thumb = (
