@@ -1,0 +1,90 @@
+"""Scaling-curve bench: the six heaviest queries at self-generated scale
+factors (tools/gen_scaledata.py), answering the question the per-round
+bench at a single sf cannot: does each operator grow ~linearly in input
+size, or is something super-linear hiding below sf0.1?
+
+Per (query, sf): min-of-3 wall clock, staged caches released between
+runs (same no-cache methodology as bench.py). Emits one JSON line per
+query with sec-per-sf ratios and a fitted log-log slope
+(slope ~ 1 => linear scaling; > 1.2 flagged).
+
+Usage:
+  python tools/bench_scaling.py [--dirs scaledata/sf0.1 scaledata/sf0.3 scaledata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import __spark_entry__ as entrymod
+from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+from tern_ep_data_pipeline_spark.session import get_spark
+
+HEAVY = [
+    "conditioned_blocks",
+    "doc_winnow_fingerprint",
+    "minhash_dedup",
+    "simhash_pairs",
+    "ivf_pq_rerank",
+    "llm_curation_suite",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scaledata")
+    ap.add_argument(
+        "--dirs",
+        nargs="+",
+        default=[os.path.join(root, d) for d in ("sf0.1", "sf0.3", "sf1")],
+    )
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", nargs="+", default=HEAVY)
+    args = ap.parse_args()
+
+    sfs = [
+        float(os.path.basename(d.rstrip("/")).removeprefix("sf")) for d in args.dirs
+    ]
+    spark = get_spark("bench-scaling")
+    out: dict[str, dict] = {}
+    for name in args.queries:
+        fn = getattr(entrymod, f"q_{name}")
+        secs: list[float] = []
+        rows: list[int] = []
+        for d in args.dirs:
+            runs = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                runs.append(time.time() - t0)
+                release_staged(spark)
+            secs.append(round(min(runs), 3))
+            rows.append(n)
+            print(f"# {name} @ {d}: {secs[-1]:.2f}s ({n} rows)", file=sys.stderr)
+        # least-squares slope of log(sec) vs log(sf): the scaling exponent
+        import math
+
+        xs = [math.log(s) for s in sfs]
+        ys = [math.log(max(s, 1e-3)) for s in secs]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        out[name] = {
+            "sf": sfs,
+            "sec": secs,
+            "rows": rows,
+            "slope": round(slope, 2),
+        }
+        print(json.dumps({"query": name, **out[name]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
