@@ -2510,7 +2510,12 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``pii``: PII injection + scrub; value = md5 of the scrubbed text
       (byte-level regex parity with the oracle) + redaction count;
     - ``budget``: per-source greedy char-budget selection (window cumsum);
-    - ``tfidf``: top-3 terms per doc by TF-IDF, integer-total-order rank.
+    - ``tfidf``: top-3 terms per doc by TF-IDF, integer-total-order rank;
+    - ``rep``: Gopher-style repetition signals (top-2-gram fraction,
+      duplicate-3-gram fraction) per doc;
+    - ``decon``: train/eval decontamination — eval set = doc_id % 97 == 0,
+      train docs flagged by 8-token-gram overlap (distinct grams + eval
+      docs implicated).
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -2575,9 +2580,60 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("val_d"),
     )
 
-    return cc.unionByName(sample).unionByName(pii).unionByName(budget).unionByName(
-        tfidf
+    rep = text.repetition_stats(docs, "doc_id", "text").select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("top2").alias("tag"), F.col("top2_gram_frac").alias("v")
+                ),
+                F.struct(
+                    F.lit("dup3").alias("tag"), F.col("dup3_gram_frac").alias("v")
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        F.lit("rep").alias("part"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("m.tag")).alias(
+            "key"
+        ),
+        ns.alias("val_s"),
+        F.col("m.v").alias("val_d"),
     )
+
+    decon = text.contamination_hits(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    ).select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("grams").alias("tag"),
+                    F.col("n_contaminated_grams").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("docs").alias("tag"),
+                    F.col("n_eval_docs").cast("double").alias("v"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        F.lit("decon").alias("part"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("m.tag")).alias(
+            "key"
+        ),
+        ns.alias("val_s"),
+        F.col("m.v").alias("val_d"),
+    )
+
+    out = cc
+    for branch in (sample, pii, budget, tfidf, rep, decon):
+        out = out.unionByName(branch)
+    return out
 
 
 def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2657,6 +2713,54 @@ ranked_terms AS (
       PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
     ) AS rank
   FROM tf JOIN dfreq USING (term)
+),
+rep_t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+rep2c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM rep_t
+  ) GROUP BY 1, 2
+),
+rep2f AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS v
+  FROM rep2c GROUP BY 1
+),
+rep3c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM rep_t
+  ) GROUP BY 1, 2
+),
+rep3f AS (
+  SELECT doc_id,
+    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS v
+  FROM rep3c GROUP BY 1
+),
+dec_ev AS (
+  SELECT DISTINCT eval_id, g FROM (
+    SELECT doc_id AS eval_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 7, 1)),
+      i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM rep_t WHERE doc_id % 97 = 0
+  )
+),
+dec_tr AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 7, 1)),
+      i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM rep_t WHERE doc_id % 97 <> 0
+  )
+),
+dec_hits AS (
+  SELECT doc_id, count(DISTINCT dec_tr.g) AS ng, count(DISTINCT eval_id) AS nd
+  FROM dec_tr JOIN dec_ev USING (g) GROUP BY 1
 )
 SELECT 'cc' AS part, CAST(node AS VARCHAR) AS key,
   CAST(component AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
@@ -2675,6 +2779,16 @@ UNION ALL
 SELECT 'tfidf', doc_id||'#'||rank, term,
   round(tf * ln(CAST((SELECT n FROM ndocs) AS DOUBLE) / df), 6)
 FROM ranked_terms WHERE rank <= 3
+UNION ALL
+SELECT 'rep', doc_id||'#top2', CAST(NULL AS VARCHAR), v FROM rep2f
+UNION ALL
+SELECT 'rep', doc_id||'#dup3', CAST(NULL AS VARCHAR), v FROM rep3f
+UNION ALL
+SELECT 'decon', doc_id||'#grams', CAST(NULL AS VARCHAR), CAST(ng AS DOUBLE)
+FROM dec_hits
+UNION ALL
+SELECT 'decon', doc_id||'#docs', CAST(NULL AS VARCHAR), CAST(nd AS DOUBLE)
+FROM dec_hits
 """
 
 

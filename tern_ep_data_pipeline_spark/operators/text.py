@@ -390,3 +390,100 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+# ------------------------------------------------- repetition / contamination
+
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, c): every n-token-gram occurrence counted (NOT distinct —
+    repetition metrics need multiplicity). Same slice construction as
+    ``dedup.shingles_of`` so gram boundaries agree across operators."""
+    from .dedup import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__t") - (n - 1), F.lit(1))
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__t", i, n)))
+        ).alias("gram"),
+    )
+    return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_top: int = 2,
+    n_dup: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1.3: "repetitious documents are low quality"):
+
+    - ``top{n_top}_gram_frac``: occurrences of the single most frequent
+      n_top-gram / total n_top-gram occurrences — boilerplate headers and
+      keyword stuffing push this up;
+    - ``dup{n_dup}_gram_frac``: fraction of n_dup-gram occurrences whose
+      gram appears more than once — loops and copy-paste runs push this up.
+
+    One explode + one (id, gram) aggregation per metric; per-doc reduce is
+    a plain groupBy. All-integer counts, so the fractions are
+    bit-reproducible in any engine (round 6).
+    """
+    def frac(n: int, mode: str, out: str) -> DataFrame:
+        occ = _gram_occurrences(df, id_col, text_col, n)
+        num = (
+            F.max("c")
+            if mode == "top"
+            else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        )
+        return occ.groupBy(id_col).agg(
+            F.round(num.cast("double") / F.sum("c"), 6).alias(out)
+        )
+
+    top = frac(n_top, "top", f"top{n_top}_gram_frac")
+    dup = frac(n_dup, "dup", f"dup{n_dup}_gram_frac")
+    return top.join(dup, on=id_col)
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination by n-gram overlap (the GPT-3/Dolma
+    recipe): a training document containing ANY n-token-gram of an
+    evaluation document is flagged, with the overlap magnitude.
+
+    Output: (id, n_contaminated_grams, n_eval_docs) for flagged train
+    docs — distinct grams matched and distinct eval docs implicated.
+
+    Scale shape: both sides reduce to DISTINCT (doc, gram) shingle rows
+    (``dedup.shingle_frame``); the eval side is the small one by
+    construction (benchmarks are thousands of docs, corpora billions), so
+    it broadcasts and the train side never shuffles — one scan, no
+    corpus-side exchange.
+    """
+    from .dedup import shingle_frame
+
+    tr = shingle_frame(train, id_col, text_col, n).select(
+        F.col("__id").alias(id_col), F.explode("__sh").alias("gram")
+    )
+    ev = (
+        shingle_frame(eval_df, id_col, text_col, n)
+        .select(F.col("__id").alias("__eval_id"), F.explode("__sh").alias("gram"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_contaminated_grams"),
+            F.count_distinct("__eval_id").alias("n_eval_docs"),
+        )
+    )

@@ -745,3 +745,47 @@ def test_dedup_index_intra_batch(spark, tmp_path):
     assert got[31] == ("exact", 30)
     assert got[32] == ("near", 30)
     assert got[33] == ("fresh", None)
+
+
+def test_repetition_stats(spark):
+    from tern_ep_data_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all 2-grams identical, all 3-grams dup
+            (2, "a b c d"),          # no repetition at all
+            (3, "x y x y x y"),      # alternating: "x y"/"y x" repeat
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["top2_gram_frac"] == 1.0 and out[1]["dup3_gram_frac"] == 1.0
+    assert out[2]["top2_gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup3_gram_frac"] == 0.0
+    # "x y" occurs 3 of 5 bigrams; every bigram occurrence is a duplicate
+    assert out[3]["top2_gram_frac"] == 0.6
+    # 3-grams: x y x (x2), y x y (x2) -> all 4 occurrences duplicated
+    assert out[3]["dup3_gram_frac"] == 1.0
+
+
+def test_contamination_hits(spark):
+    from tern_ep_data_pipeline_spark.operators.text import contamination_hits
+
+    eval_df = spark.createDataFrame(
+        [(100, "q w e r t y u i extra words here")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix q w e r t y u i suffix"),   # contains an eval 8-gram
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "q w e r t y u i"),                  # exactly one eval 8-gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_hits(train, eval_df, "doc_id", "text", n=8).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[3]["n_contaminated_grams"] == 1 and out[3]["n_eval_docs"] == 1
+    assert out[1]["n_contaminated_grams"] >= 1 and out[1]["n_eval_docs"] == 1
