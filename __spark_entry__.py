@@ -1318,21 +1318,66 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a label block (cos >= 0.3)."""
+    """Fused embedding-dedup suite, two tagged branches sharing one staged
+    (vector, norm) base:
+
+    - ``pairs``: cosine near-dup pairs within a label block (cos >= 0.3);
+    - ``semdedup``: SemDeDup keep/drop per vector at cos >= 0.95 with the
+      rounded centroid similarity (``similarity.semantic_dedup``).
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(
+    ns = F.lit(None).cast("string")
+    pairs = similarity.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", block_col="label", threshold=0.3
+    ).select(
+        F.lit("pairs").alias("part"),
+        F.concat(
+            F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")
+        ).alias("key"),
+        ns.alias("val_s"),
+        F.col("cosine_sim").alias("val_d"),
     )
+    sem = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", cluster_col="label", threshold=0.95
+    ).select(
+        F.lit("semdedup").alias("part"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("is_kept").cast("string").alias("val_s"),
+        F.col("centroid_sim").alias("val_d"),
+    )
+    return pairs.unionByName(sem)
 
 
 ORACLE_EMB_NEAR_DUP = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM sims WHERE cosine_sim >= 0.95),
+ex AS (
+  SELECT vec_id, label, u.dim, u.v FROM embeddings,
+    LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
+),
+per_dim AS (SELECT label, dim, avg(v) AS mean_v FROM ex GROUP BY 1, 2),
+sem AS (
+  SELECT ex.vec_id,
+    round(sum(ex.v * per_dim.mean_v)
+          / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(per_dim.mean_v * per_dim.mean_v))), 6)
+      AS centroid_sim
+  FROM ex JOIN per_dim ON ex.label = per_dim.label AND ex.dim = per_dim.dim
+  GROUP BY ex.vec_id
+)
+SELECT 'pairs' AS part, id_a||'#'||id_b AS key, CAST(NULL AS VARCHAR) AS val_s,
+  cosine_sim AS val_d
+FROM sims WHERE cosine_sim >= 0.3
+UNION ALL
+SELECT 'semdedup', CAST(sem.vec_id AS VARCHAR),
+  CAST(sem.vec_id NOT IN (SELECT vec_id FROM dropped) AS VARCHAR),
+  sem.centroid_sim
+FROM sem
 """
 
 
@@ -2306,35 +2351,70 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = text.fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint_md5")
     b = text.bpe_token_stats(docs, "doc_id", "text")
     d = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    ch = dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=10)
     return (
         t.join(q, "doc_id")
         .join(l, "doc_id")
         .join(f, "doc_id")
         .join(b, "doc_id")
+        .join(ch, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
             "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio",
             *[f"n_{lang}" for lang in text.LANG_MARKERS], "pred_lang",
             "fingerprint_md5", "n_ws_tokens", "n_bpe_tokens", "chars_per_bpe_token",
+            "n_chunks", "n_dup_chunks", "dup_chunk_frac", "kept_tokens",
             "canonical_id", "n_copies",
         )
     )
 
 
+ORACLE_CHUNK_DEDUP = r"""
+WITH ch_t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(0, greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1) - 1),
+      i -> struct_pack(pos := i,
+                       chunk := array_to_string(t[i*10+1:(i+1)*10], ' '),
+                       ctoks := least(10, len(t) - i*10)))) AS c
+  FROM ch_t
+),
+occ AS (
+  SELECT doc_id, c.chunk AS chunk, c.ctoks AS ctoks,
+    doc_id * 1000000 + c.pos AS occ_key
+  FROM ch
+),
+firsts AS (SELECT chunk, min(occ_key) AS first_key FROM occ GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN occ_key <> first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  round(CAST(sum(CASE WHEN occ_key <> first_key THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_chunk_frac,
+  CAST(sum(CASE WHEN occ_key = first_key THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM occ JOIN firsts USING (chunk)
+GROUP BY 1
+"""
+
+
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
-fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP})
+fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
+ch AS ({ORACLE_CHUNK_DEDUP})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
   fp.fingerprint_md5, b.n_ws_tokens, b.n_bpe_tokens, b.chars_per_bpe_token,
+  ch.n_chunks, ch.n_dup_chunks, ch.dup_chunk_frac, ch.kept_tokens,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
 JOIN l USING (doc_id)
 JOIN fp USING (doc_id)
 JOIN b USING (doc_id)
+JOIN ch USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 

@@ -117,6 +117,90 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+# ------------------------------------------------ sub-document chunks
+
+def chunk_frame(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 10
+) -> DataFrame:
+    """``(__id, __pos, __chunk, __ctoks)``: non-overlapping windows of
+    ``chunk_tokens`` whitespace tokens, tail remainder included as a final
+    short chunk so every token belongs to exactly one chunk.
+
+    Pure array expressions over a staged token column (same construction
+    discipline as :func:`shingle_frame`); fanned out before the explode.
+    """
+    staged = _fanout(df, id_col).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("__t") / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = staged.select(
+        "__id",
+        F.size("__t").alias("__ntok"),
+        F.explode(idx).alias("__pos"),
+        F.col("__t"),
+    )
+    return exploded.select(
+        "__id",
+        "__pos",
+        F.concat_ws(
+            " ", F.slice("__t", F.col("__pos") * chunk_tokens + 1, chunk_tokens)
+        ).alias("__chunk"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__ntok") - F.col("__pos") * chunk_tokens
+        ).alias("__ctoks"),
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 10
+) -> DataFrame:
+    """Sub-document exact dedup at fixed token-window granularity — the
+    corpus-level "remove repeated substrings" stage (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*, ExactSubstr,
+    here at chunk rather than suffix granularity so it stays one shuffle).
+
+    An occurrence of a chunk is a DUPLICATE unless it is the globally first
+    occurrence, where "first" is the minimum of ``doc_id * 1e6 + pos`` (a
+    single integer key both Spark and any SQL oracle order identically;
+    requires < 1e6 chunks per document).
+
+    Output per document: ``n_chunks``, ``n_dup_chunks``, ``dup_chunk_frac``
+    (rounded 6), and ``kept_tokens`` — tokens remaining if duplicate chunks
+    were excised.
+
+    Scale shape: one map-side-combinable ``groupBy(chunk_hash).min`` (hot
+    boilerplate chunks partial-aggregate before the shuffle), a join back on
+    the 16-byte hash (AQE skew-join splits a mega-hot chunk), and a final
+    per-doc aggregation. No self-join, no window over a hot key.
+    """
+    chunks = chunk_frame(df, id_col, text_col, chunk_tokens).select(
+        "__id",
+        "__ctoks",
+        F.md5(F.col("__chunk")).alias("__h"),
+        (F.col("__id").cast("long") * 1_000_000 + F.col("__pos")).alias("__occ"),
+    )
+    chunks = _stage(chunks)
+    first = chunks.groupBy("__h").agg(F.min("__occ").alias("__first"))
+    occ = chunks.join(first, on="__h")
+    dup = F.col("__occ") != F.col("__first")
+    return (
+        occ.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup.cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_chunk_frac"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("__ctoks"))).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------- shingling
 
 def tokens(col: Column) -> Column:

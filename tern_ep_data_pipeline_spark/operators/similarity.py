@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _stage
+from .dedup import _memo_stage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -161,15 +161,23 @@ def embedding_near_dup_pairs(
     for big inputs). Norms are precomputed once per side so the join
     evaluates only the dot product per pair.
     """
-    base = df.select(
-        *([F.col(block_col).alias("__block")] if block_col else [F.lit(0).alias("__block")]),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        norm(F.col(vec_col)).alias("__n"),
-    )
+    def build() -> DataFrame:
+        return df.select(
+            *(
+                [F.col(block_col).alias("__block")]
+                if block_col
+                else [F.lit(0).alias("__block")]
+            ),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+
     # stage (persist+register): the self-join reads vectors+norms from both
-    # aliased sides; release with dedup.release_staged(spark)
-    base = _stage(base)
+    # aliased sides, and same-session callers with different thresholds (a
+    # pair listing + a semantic-dedup pass) share one staged base; release
+    # with dedup.release_staged(spark)
+    base = _memo_stage(df, "embnd-base", (id_col, vec_col, block_col or ""), build)
     a = base.select(
         F.col("__block"), F.col("__id").alias("id_a"),
         F.col("__v").alias("va"), F.col("__n").alias("na"),
@@ -184,6 +192,63 @@ def embedding_near_dup_pairs(
         pairs.withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): duplicates
+    are detected only WITHIN a cluster of the embedding space, so the
+    all-pairs cost is bounded by the largest cluster, not the corpus.
+
+    Keep rule — deterministic and non-recursive by design: a vector is
+    dropped iff ANY lower-id vector in the same cluster has cosine >= t
+    (the rounded similarity, so the decision is engine-reproducible). This
+    "dominated-by-earlier" rule drops at least as much as keep-one-per-
+    connected-set and needs no iterative closure, so it is one blocked
+    self-join + one anti-join semantics-wise.
+
+    Output: one row per vector — ``(id, cluster, centroid_sim, is_kept)``
+    with ``centroid_sim`` the rounded cosine to the cluster mean (the
+    SemDeDup ranking signal, kept for callers that want a different
+    representative policy).
+
+    100 TB shape: cluster count must grow ~sqrt(N) (the SemDeDup recipe) so
+    per-cluster membership stays bounded; the self-join inherits the staged
+    persist + within-block join from :func:`embedding_near_dup_pairs`, and
+    centroids come from the tree-aggregated :func:`label_centroids` (no xD
+    explode), broadcast back for the similarity projection.
+    """
+    dropped = (
+        embedding_near_dup_pairs(
+            df, id_col=id_col, vec_col=vec_col, block_col=cluster_col,
+            threshold=threshold,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    cents = label_centroids(df, label_col=cluster_col, vec_col=vec_col)
+    base = df.select(id_col, cluster_col, vec_col).join(
+        F.broadcast(cents), on=cluster_col
+    )
+    csim = F.round(
+        dot(F.col(vec_col), F.col("centroid"))
+        / (norm(F.col(vec_col)) * norm(F.col("centroid"))),
+        6,
+    )
+    return (
+        base.join(dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            csim.alias("centroid_sim"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
     )
 
 

@@ -394,6 +394,85 @@ def tfidf_top_terms(
 
 # ------------------------------------------------- repetition / contamination
 
+#: Rabin-Karp base for token-gram hashing (odd, so multiplication by it is a
+#: bijection mod 2^64 and wraparound arithmetic loses no entropy).
+_GRAM_BASE = 1_000_003
+
+
+def gram_hash_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool = False,
+) -> DataFrame:
+    """``(id, gh)``: one 64-bit deterministic hash per n-token-gram
+    occurrence (``distinct=True`` dedups within each document).
+
+    The fast twin of exploding :func:`dedup.shingle_frame`: downstream
+    repetition/contamination consumers only need gram EQUALITY, never the
+    gram text, so the interpreted ``transform(concat_ws(slice(...)))``
+    string build (the cost is the per-element Catalyst interpreter, not the
+    data) is replaced by one Arrow pass — tokens md5-hashed once per
+    distinct token via a batch memo, gram hash = Rabin-Karp polynomial over
+    the token hashes, vectorised with ``n`` numpy ops per document.
+    Wraparound mod 2^64 (same discipline as ``_winnow_arrow_fast``);
+    cross-gram collisions are ~birthday(2^64) and only merge two random
+    grams, which the fraction/count consumers tolerate by design.
+
+    A document shorter than ``n`` tokens contributes one gram folding all
+    its tokens — the same boundary rule as ``dedup.shingles_of``.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, gh bigint"
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                memo[t] = v
+            return v
+
+        base = np.uint64(_GRAM_BASE)
+        for pdf in batches:
+            per_doc = []
+            with np.errstate(over="ignore"):
+                for raw in pdf[text_col]:
+                    toks = ("" if raw is None else raw).split() or [""]
+                    th = np.fromiter(
+                        (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                    )
+                    m = len(th) - n + 1
+                    if m < 1:
+                        acc = np.zeros(1, dtype=np.uint64)
+                        for v in th:
+                            acc = acc * base + v
+                    else:
+                        acc = np.zeros(m, dtype=np.uint64)
+                        for j in range(n):
+                            acc = acc * base + th[j : j + m]
+                    per_doc.append(np.unique(acc) if distinct else acc)
+            counts = [len(a) for a in per_doc]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), counts),
+                    "gh": np.concatenate(per_doc).view(np.int64)
+                    if per_doc
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram, c): every n-token-gram occurrence counted (NOT distinct —
     repetition metrics need multiplicity). Same slice construction as
@@ -419,6 +498,7 @@ def repetition_stats(
     text_col: str,
     n_top: int = 2,
     n_dup: int = 3,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 §A1.1.3: "repetitious documents are low quality"):
@@ -429,12 +509,26 @@ def repetition_stats(
     - ``dup{n_dup}_gram_frac``: fraction of n_dup-gram occurrences whose
       gram appears more than once — loops and copy-paste runs push this up.
 
-    One explode + one (id, gram) aggregation per metric; per-doc reduce is
-    a plain groupBy. All-integer counts, so the fractions are
+    One gram pass + one (id, gram) aggregation per metric; per-doc reduce
+    is a plain groupBy. All-integer counts, so the fractions are
     bit-reproducible in any engine (round 6).
+
+    ``hash_mode='fast'`` (default, the 100 TB path) aggregates over 64-bit
+    gram hashes from :func:`gram_hash_frame` — the metrics only need gram
+    equality, and an external SQL oracle reproduces the same fractions by
+    counting over gram STRINGS (the equality classes agree up to 2^-64
+    collisions). ``'portable'`` keeps the expression-built gram strings for
+    debugging what a class contains.
     """
     def frac(n: int, mode: str, out: str) -> DataFrame:
-        occ = _gram_occurrences(df, id_col, text_col, n)
+        if hash_mode == "fast":
+            occ = (
+                gram_hash_frame(df, id_col, text_col, n)
+                .groupBy(id_col, "gh")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        else:
+            occ = _gram_occurrences(df, id_col, text_col, n)
         num = (
             F.max("c")
             if mode == "top"
@@ -455,6 +549,7 @@ def contamination_hits(
     id_col: str,
     text_col: str,
     n: int = 8,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Train/eval decontamination by n-gram overlap (the GPT-3/Dolma
     recipe): a training document containing ANY n-token-gram of an
@@ -463,22 +558,37 @@ def contamination_hits(
     Output: (id, n_contaminated_grams, n_eval_docs) for flagged train
     docs — distinct grams matched and distinct eval docs implicated.
 
-    Scale shape: both sides reduce to DISTINCT (doc, gram) shingle rows
-    (``dedup.shingle_frame``); the eval side is the small one by
-    construction (benchmarks are thousands of docs, corpora billions), so
-    it broadcasts and the train side never shuffles — one scan, no
-    corpus-side exchange.
-    """
-    from .dedup import shingle_frame
+    Scale shape: both sides reduce to per-document DISTINCT gram rows; the
+    eval side is the small one by construction (benchmarks are thousands of
+    docs, corpora billions), so it broadcasts and the train side never
+    shuffles before its per-doc aggregation — one corpus scan.
 
-    tr = shingle_frame(train, id_col, text_col, n).select(
-        F.col("__id").alias(id_col), F.explode("__sh").alias("gram")
-    )
-    ev = (
-        shingle_frame(eval_df, id_col, text_col, n)
-        .select(F.col("__id").alias("__eval_id"), F.explode("__sh").alias("gram"))
-        .distinct()
-    )
+    ``hash_mode='fast'`` (default) matches on 64-bit gram hashes
+    (:func:`gram_hash_frame`) — overlap only needs gram equality, so the
+    corpus side never materialises gram strings; an external SQL oracle
+    reproduces the same counts over the strings. ``'portable'`` keeps the
+    expression-built strings (``dedup.shingle_frame``).
+    """
+    if hash_mode == "fast":
+        tr = gram_hash_frame(train, id_col, text_col, n, distinct=True).select(
+            F.col(id_col), F.col("gh").alias("gram")
+        )
+        ev = gram_hash_frame(
+            eval_df, id_col, text_col, n, distinct=True
+        ).select(F.col(id_col).alias("__eval_id"), F.col("gh").alias("gram"))
+    else:
+        from .dedup import shingle_frame
+
+        tr = shingle_frame(train, id_col, text_col, n).select(
+            F.col("__id").alias(id_col), F.explode("__sh").alias("gram")
+        )
+        ev = (
+            shingle_frame(eval_df, id_col, text_col, n)
+            .select(
+                F.col("__id").alias("__eval_id"), F.explode("__sh").alias("gram")
+            )
+            .distinct()
+        )
     return (
         tr.join(F.broadcast(ev), on="gram")
         .groupBy(id_col)

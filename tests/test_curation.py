@@ -789,3 +789,23 @@ def test_contamination_hits(spark):
     assert set(out) == {1, 3}
     assert out[3]["n_contaminated_grams"] == 1 and out[3]["n_eval_docs"] == 1
     assert out[1]["n_contaminated_grams"] >= 1 and out[1]["n_eval_docs"] == 1
+
+
+def test_repetition_and_contamination_fast_equals_portable(spark, sf_dir):
+    from tern_ep_data_pipeline_spark.operators.text import (
+        contamination_hits,
+        repetition_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    fast = repetition_stats(docs, "doc_id", "text").collect()
+    portable = repetition_stats(docs, "doc_id", "text", hash_mode="portable").collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, portable))
+
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    f2 = contamination_hits(train, ev, "doc_id", "text", n=4).collect()
+    p2 = contamination_hits(train, ev, "doc_id", "text", n=4, hash_mode="portable").collect()
+    assert sorted(map(tuple, f2)) == sorted(map(tuple, p2))
+    assert len(f2) > 0

@@ -230,3 +230,63 @@ def test_winnowing_fast_mode_structure(spark):
     assert len(fps[1] & fps[2]) > len(fps[1]) // 2
     assert not fps[1] & fps[3]
     assert len(fps[4]) == 1 and len(fps[5]) == 1
+
+
+def test_chunk_dedup_stats(spark):
+    # doc 1 owns both chunks; doc 2 repeats doc 1's first chunk then adds a
+    # fresh one; doc 3 is doc 1 verbatim (every chunk duplicate); doc 4 has
+    # an 11th token whose tail chunk is unique
+    c1 = "a b c d e f g h i j"
+    c2 = "k l m n o p q r s t"
+    rows = [
+        (1, f"{c1} {c2}"),
+        (2, f"{c1} zz yy xx ww vv uu tt ss rr qq"),
+        (3, f"{c1} {c2}"),
+        (4, f"{c2} tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 0
+    assert out[1]["kept_tokens"] == 20
+    assert out[2]["n_dup_chunks"] == 1 and out[2]["kept_tokens"] == 10
+    assert out[3]["n_dup_chunks"] == 2 and out[3]["kept_tokens"] == 0
+    assert out[3]["dup_chunk_frac"] == 1.0
+    # doc 4: chunk c2 is owned by doc 1 (pos 1) -> dup; tail "tail" kept
+    assert out[4]["n_chunks"] == 2 and out[4]["n_dup_chunks"] == 1
+    assert out[4]["kept_tokens"] == 1
+    dedup.release_staged(spark)
+
+
+def test_chunk_frame_tail_and_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, " ".join("x" * 1 for _ in range(10)))], ["doc_id", "text"])
+    rows = dedup.chunk_frame(df, "doc_id", "text", chunk_tokens=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["__id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["__ctoks"] == 3
+    d2 = sorted(by_doc[2], key=lambda r: r["__pos"])
+    assert [r["__ctoks"] for r in d2] == [4, 4, 2]
+    assert d2[0]["__chunk"] == "x x x x"
+
+
+def test_semantic_dedup_within_cluster(spark):
+    rows = [
+        # cluster 0: 10/11 near-identical, 12 orthogonal-ish
+        (10, [1.0, 0.0, 0.0, 0.0], 0),
+        (11, [0.999, 0.01, 0.0, 0.0], 0),
+        (12, [0.0, 1.0, 0.0, 0.0], 0),
+        # cluster 1: same direction as 10 but different cluster -> untouched
+        (20, [1.0, 0.0, 0.0, 0.0], 1),
+        (21, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(df, threshold=0.95).collect()}
+    assert len(out) == 5
+    assert out[10]["is_kept"] and not out[11]["is_kept"]
+    assert out[12]["is_kept"] and out[20]["is_kept"] and out[21]["is_kept"]
+    # centroid_sim present and sane: 10/11 closer to cluster-0 centroid than 12
+    assert out[10]["centroid_sim"] > out[12]["centroid_sim"]
+    dedup.release_staged(spark)
