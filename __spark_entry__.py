@@ -2730,6 +2730,28 @@ def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not in the registry — L-BFGS float iteration is not
+    SQL-reproducible): the model-based quality-filter pipeline end to end —
+    repetition weak labels, heuristic-feature logistic regression
+    (pyspark.ml), map-only scoring, threshold filter."""
+    from tern_ep_data_pipeline_spark.operators import quality_model as qm
+
+    docs = _t(spark, sf_dir, "documents")
+    # class-balanced weak label for ANY corpus: median split on a continuous
+    # signal (the driver's synthetic corpus has ~zero n-gram repetition, so
+    # the Gopher repetition labeller would be one-sided here)
+    med = text.quality_scores(docs, "doc_id", "text").select(
+        F.percentile_approx("stopword_ratio", 0.5)
+    ).first()[0]
+    labels = text.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", (F.col("stopword_ratio") >= F.lit(med)).cast("double").alias("label")
+    )
+    labelled = docs.join(labels, on="doc_id")
+    model = qm.train_quality_classifier(labelled, "doc_id", "text")
+    return qm.quality_filter(model, docs, "doc_id", "text", threshold=0.5)
+
+
 def _llm_curation_oracle() -> str:
     # PII patterns interpolated from the operator module so the SQL can
     # never drift from the Spark implementation.

@@ -62,6 +62,7 @@ EXTENDED = [
     "asof_click_attribution",
     "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
     "ivf_pq_rerank",  # PQ train+encode+coarse-probe+ADC+exact re-rank
+    "quality_filter",  # weak labels -> pyspark.ml LR -> map-only score+filter
 ]
 
 

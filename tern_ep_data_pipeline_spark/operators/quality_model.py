@@ -1,0 +1,192 @@
+"""Model-based document quality filtering (pyspark.ml).
+
+The classifier stage of a training-data curation pipeline: heuristic
+signals (``operators/text.py``) give weak labels or features, a logistic
+model turns them into a calibrated keep-probability, and the corpus is
+filtered by threshold — the CCNet / GPT-3-WebText recipe (a linear
+classifier over cheap features; fastText-shaped when the features are
+hashed bag-of-words).
+
+Two feature paths, both ending in ``pyspark.ml.classification.LogisticRegression``:
+
+- :func:`heuristic_pipeline`: the numeric quality signals (stopword /
+  punctuation / digit ratios, token stats) assembled into a dense vector —
+  8 features, interpretable, trains in two passes.
+- :func:`text_hash_pipeline`: ``Tokenizer -> HashingTF -> IDF`` hashed
+  bag-of-words — the fastText shape for when token identity matters.
+
+100 TB design: both featurizers are map-only (no shuffle); LR training is
+L-BFGS over ``treeAggregate`` gradient partials — per-iteration cost is
+one pass, driver state is O(#features), so the hashed path sizes its
+feature dim (default 2^18) to keep the coefficient vector broadcast-able.
+Scoring (:func:`score_quality`) is a map-only transform.
+
+MLlib randomness: LR with a fixed problem is deterministic up to float
+summation order; tests therefore pin RANKINGS (every good doc above every
+bad doc), not raw probabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import (
+    IDF,
+    HashingTF,
+    RegexTokenizer,
+    StandardScaler,
+    VectorAssembler,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import quality_scores, token_stats
+
+#: Numeric heuristic signals fed to the interpretable model.
+HEURISTIC_FEATURES = (
+    "stopword_ratio",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "n_tokens",
+    "avg_token_len",
+)
+
+
+def heuristic_feature_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Join the cheap per-document signals into one numeric frame
+    (id, <HEURISTIC_FEATURES...>) — all JVM expressions, no Python."""
+    q = quality_scores(df, id_col, text_col).select(
+        id_col, "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio"
+    )
+    t = token_stats(df, id_col, text_col).select(
+        id_col,
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "avg_token_len",
+    )
+    return q.join(t, on=id_col)
+
+
+def heuristic_pipeline(label_col: str = "label") -> Pipeline:
+    """Assemble HEURISTIC_FEATURES -> scale -> logistic regression."""
+    return Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=list(HEURISTIC_FEATURES),
+                outputCol="__feat_raw",
+                handleInvalid="keep",
+            ),
+            StandardScaler(inputCol="__feat_raw", outputCol="features"),
+            LogisticRegression(
+                featuresCol="features",
+                labelCol=label_col,
+                maxIter=50,
+                regParam=0.01,
+                standardization=False,
+            ),
+        ]
+    )
+
+
+def text_hash_pipeline(
+    text_col: str = "text", label_col: str = "label", num_features: int = 1 << 18
+) -> Pipeline:
+    """Hashed bag-of-words logistic model (fastText shape): tokenizer and
+    HashingTF are map-only; ``num_features`` bounds driver/broadcast state."""
+    return Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="__toks", pattern=r"\s+"
+            ),
+            HashingTF(
+                inputCol="__toks", outputCol="__tf", numFeatures=num_features
+            ),
+            IDF(inputCol="__tf", outputCol="features"),
+            LogisticRegression(
+                featuresCol="features", labelCol=label_col, maxIter=30,
+                regParam=0.001,
+            ),
+        ]
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    mode: str = "heuristic",
+) -> PipelineModel:
+    """Fit a quality model on labelled documents.
+
+    ``mode='heuristic'`` trains on the numeric signal vector (features are
+    built here from the raw text); ``mode='text'`` trains the hashed
+    bag-of-words model directly on ``text_col``.
+    """
+    if mode == "heuristic":
+        feats = heuristic_feature_frame(df, id_col, text_col)
+        # persist: assembler/scaler/LR each pass over the training frame,
+        # and the heuristic join is ~6 aggregation branches deep
+        train = df.select(id_col, label_col).join(feats, on=id_col).persist()
+        try:
+            return heuristic_pipeline(label_col).fit(train)
+        finally:
+            train.unpersist()
+    if mode == "text":
+        return text_hash_pipeline(text_col, label_col).fit(df)
+    raise ValueError(f"unknown mode: {mode!r}")
+
+
+def score_quality(
+    model: PipelineModel,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str = "heuristic",
+) -> DataFrame:
+    """Map-only scoring: (id, quality_prob) — P(label=1) per document."""
+    if mode == "heuristic":
+        scored = model.transform(heuristic_feature_frame(df, id_col, text_col))
+    else:
+        scored = model.transform(df)
+    # probability is a Vector UDT; element 1 is P(keep)
+    from pyspark.ml.functions import vector_to_array
+
+    return scored.select(
+        F.col(id_col),
+        F.element_at(vector_to_array("probability"), 2).alias("quality_prob"),
+    )
+
+
+def quality_filter(
+    model: PipelineModel,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    mode: str = "heuristic",
+) -> DataFrame:
+    """Keep documents the model scores above ``threshold`` (left-semi join
+    back to the full rows, so the corpus columns pass through untouched)."""
+    keep = (
+        score_quality(model, df, id_col, text_col, mode=mode)
+        .where(F.col("quality_prob") >= threshold)
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def repetition_weak_labels(
+    df: DataFrame, id_col: str, text_col: str, frac_threshold: float = 0.2
+) -> DataFrame:
+    """Weak supervision for corpora with no human labels: mark documents
+    whose duplicate-3-gram fraction exceeds the threshold as low quality
+    (Gopher's repetition rule as a labelling function). Returns
+    (id, label) with label 1 = keep."""
+    from .text import repetition_stats
+
+    rep = repetition_stats(df, id_col, text_col)
+    return rep.select(
+        F.col(id_col),
+        (F.col("dup3_gram_frac") <= frac_threshold).cast("double").alias("label"),
+    )

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import quality_model as qm
+
+
+GOOD_WORDS = (
+    "the data pipeline reads sensor values and aggregates them into daily "
+    "summaries for the archive with careful validation of each record"
+).split()
+BAD_TOKENS = ["$$$", "!!!", "1234", "@@@@", "####", "buy", "buy", "buy"]
+
+
+def _corpus(n_good: int, n_bad: int):
+    rng = random.Random(7)
+    rows = []
+    for i in range(n_good):
+        body = " ".join(rng.choice(GOOD_WORDS) for _ in range(40))
+        rows.append((i, body, 1.0))
+    for j in range(n_bad):
+        body = " ".join(rng.choice(BAD_TOKENS) for _ in range(40))
+        rows.append((1000 + j, body, 0.0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def labelled(spark):
+    return spark.createDataFrame(_corpus(30, 30), ["doc_id", "text", "label"])
+
+
+def test_heuristic_classifier_separates(spark, labelled):
+    model = qm.train_quality_classifier(labelled, "doc_id", "text")
+    scored = qm.score_quality(model, labelled, "doc_id", "text").join(
+        labelled.select("doc_id", "label"), on="doc_id"
+    )
+    rows = scored.collect()
+    good = [r["quality_prob"] for r in rows if r["label"] == 1.0]
+    bad = [r["quality_prob"] for r in rows if r["label"] == 0.0]
+    # perfect ranking on a separable synthetic corpus
+    assert min(good) > max(bad)
+    assert all(0.0 <= p <= 1.0 for p in good + bad)
+
+
+def test_quality_filter_keeps_good_rows(spark, labelled):
+    model = qm.train_quality_classifier(labelled, "doc_id", "text")
+    kept = qm.quality_filter(model, labelled, "doc_id", "text", threshold=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(i < 1000 for i in ids)
+    assert len(ids) >= 25  # nearly all good docs survive
+    # passthrough: schema unchanged
+    assert kept.columns == labelled.columns
+
+
+def test_text_hash_classifier_separates(spark, labelled):
+    model = qm.train_quality_classifier(
+        labelled, "doc_id", "text", mode="text"
+    )
+    scored = qm.score_quality(model, labelled, "doc_id", "text", mode="text").join(
+        labelled.select("doc_id", "label"), on="doc_id"
+    )
+    rows = scored.collect()
+    good = [r["quality_prob"] for r in rows if r["label"] == 1.0]
+    bad = [r["quality_prob"] for r in rows if r["label"] == 0.0]
+    assert min(good) > max(bad)
+
+
+def test_repetition_weak_labels(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),  # varied -> keep
+            (2, "x y x y x y x y x y x y x y x y"),  # repetitious -> drop
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["label"] for r in qm.repetition_weak_labels(df, "doc_id", "text").collect()}
+    assert out[1] == 1.0 and out[2] == 0.0
+
+
+def test_scoring_is_rank_stable_across_fits(spark, labelled):
+    m1 = qm.train_quality_classifier(labelled, "doc_id", "text")
+    m2 = qm.train_quality_classifier(labelled, "doc_id", "text")
+    s1 = {r["doc_id"]: r["quality_prob"] for r in qm.score_quality(m1, labelled, "doc_id", "text").collect()}
+    s2 = {r["doc_id"]: r["quality_prob"] for r in qm.score_quality(m2, labelled, "doc_id", "text").collect()}
+    order1 = sorted(s1, key=lambda k: (s1[k], k))
+    order2 = sorted(s2, key=lambda k: (s2[k], k))
+    assert order1 == order2
