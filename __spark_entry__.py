@@ -2595,7 +2595,11 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       duplicate-3-gram fraction) per doc;
     - ``decon``: train/eval decontamination — eval set = doc_id % 97 == 0,
       train docs flagged by 8-token-gram overlap (distinct grams + eval
-      docs implicated).
+      docs implicated);
+    - ``mix``: temperature-based domain rebalancing (alpha=0.5, ~2000-doc
+      target, per-source hash cuts derived from counts);
+    - ``pack``: greedy sequential sequence packing per source at 4096
+      chars — document -> (sequence, offset) assignment.
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -2710,8 +2714,28 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.v").alias("val_d"),
     )
 
+    mix = sampling.temperature_sample(
+        docs, "doc_id", "source", alpha=0.5, total=2000, salt="mix"
+    ).select(
+        F.lit("mix").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("source").alias("val_s"),
+        nd.alias("val_d"),
+    )
+
+    pack = sampling.pack_sequences(
+        docs, "doc_id", "n_chars", seq_len=4096, group_cols=("source",)
+    ).select(
+        F.lit("pack").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat(
+            F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
+        ).alias("val_s"),
+        F.col("seq_offset").cast("double").alias("val_d"),
+    )
+
     out = cc
-    for branch in (sample, pii, budget, tfidf, rep, decon):
+    for branch in (sample, pii, budget, tfidf, rep, decon, mix, pack):
         out = out.unionByName(branch)
     return out
 
@@ -2863,6 +2887,26 @@ dec_tr AS (
 dec_hits AS (
   SELECT doc_id, count(DISTINCT dec_tr.g) AS ng, count(DISTINCT eval_id) AS nd
   FROM dec_tr JOIN dec_ev USING (g) GROUP BY 1
+),
+mixc AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+mixcut AS (
+  SELECT source,
+    CAST(round(least(1.0,
+      2000 * pow(c, 0.5) / (SELECT sum(pow(c, 0.5)) FROM mixc) / c) * 10000)
+      AS BIGINT) AS cut
+  FROM mixc
+),
+mix AS (
+  SELECT doc_id, d.source FROM documents d JOIN mixcut USING (source)
+  WHERE ('0x'||substr(md5('mix:'||doc_id),1,15))::BIGINT % 10000 < cut
+),
+packed AS (
+  SELECT doc_id, source,
+    sum(n_chars) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_chars AS st
+  FROM documents
 )
 SELECT 'cc' AS part, CAST(node AS VARCHAR) AS key,
   CAST(component AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
@@ -2891,6 +2935,12 @@ FROM dec_hits
 UNION ALL
 SELECT 'decon', doc_id||'#docs', CAST(NULL AS VARCHAR), CAST(nd AS DOUBLE)
 FROM dec_hits
+UNION ALL
+SELECT 'mix', CAST(doc_id AS VARCHAR), source, CAST(NULL AS DOUBLE) FROM mix
+UNION ALL
+SELECT 'pack', CAST(doc_id AS VARCHAR),
+  source||'#'||CAST(floor(st / 4096.0) AS BIGINT), CAST(st % 4096 AS DOUBLE)
+FROM packed
 """
 
 

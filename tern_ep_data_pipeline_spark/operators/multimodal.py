@@ -222,19 +222,24 @@ def decode_image_png(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Image decode: REAL for stdlib-parsable formats (BMP, P6 PPM, and
-    common-shape PNG via zlib); JPEG raises until a codec library is
-    deployed — the Spark-side call sites (extract_features, resize_images)
-    do not change either way."""
+    """Image decode: REAL for every format the pipeline claims — BMP, P6
+    PPM, common-shape PNG (zlib + numpy unfilter), and baseline JPEG
+    (``operators.jpeg``: full DQT/DHT/SOF/SOS parse, Huffman entropy
+    decode, dequant + IDCT, 4:4:4/4:2:2/4:2:0). Progressive JPEG and
+    exotic variants raise with the marker named. A production deployment
+    would swap the JPEG path for a libjpeg-turbo binding behind this same
+    dispatch; nothing Spark-side changes."""
     if content[:2] == b"BM":
         return decode_image_bmp(content)
     if content[:2] == b"P6":
         return decode_image_ppm(content)
     if content[:8] == _PNG_SIG:
         return decode_image_png(content)
-    raise NotImplementedError(
-        "JPEG decoding requires an image codec library (PIL/turbojpeg)"
-    )
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
+    raise NotImplementedError("unrecognised image container")
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

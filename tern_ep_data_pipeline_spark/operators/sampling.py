@@ -140,3 +140,93 @@ def weighted_hash_sample(
         .where(F.col("__rn") <= n)
         .drop("__ws", "__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    total: int = 10_000,
+    salt: str = "mix",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    recipe, e.g. XLM-R: sample stratum g with probability proportional to
+    ``count_g ** alpha``): derive per-stratum keep fractions from the data
+    so that ~``total`` rows survive with the alpha-flattened mix, then
+    select rows by deterministic key hash.
+
+    ``alpha=1`` preserves the natural mix, ``alpha=0`` equalises strata;
+    oversubscribed strata cap at fraction 1 (no upsampling).
+
+    Fully declarative — counts aggregate, the tiny per-stratum cut table
+    broadcasts back (no ``collect``), and membership is the same portable
+    md5 hash as :func:`hash_sample`, so the selection is reproducible in
+    any engine and stable across reruns.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__c").cast("double"), F.lit(alpha))).alias("__sp")
+    )
+    cuts = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total))
+                * F.pow(F.col("__c").cast("double"), F.lit(alpha))
+                / F.col("__sp")
+                / F.col("__c"),
+            )
+            * buckets
+        )
+        .cast("bigint")
+        .alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(cuts), on=strata_col)
+        .where(hash_bucket(F.col(key_col), salt, buckets) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    group_cols: Sequence[str] = (),
+    order_col: str | None = None,
+) -> DataFrame:
+    """Greedy sequential sequence packing: documents are laid end-to-end
+    in ``order_col`` order (default: ``id_col``) and cut into fixed
+    ``seq_len`` windows; each document is assigned the sequence its FIRST
+    token lands in and its offset within it — the document->sequence map a
+    packed-training-set writer needs (the T5/GPT packing shape, assignment
+    only; byte concatenation happens at write time).
+
+    Output adds ``seq_index`` and ``seq_offset``. All-integer window
+    arithmetic, so the mapping is exact and engine-reproducible.
+
+    Scale shape: one running sum per group window. Pack within shards
+    (``group_cols`` — a real pipeline packs per output shard anyway);
+    an ungrouped call funnels the corpus through one task and is only for
+    small frames.
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = (
+        Window.partitionBy(*group_cols).orderBy(order)
+        if group_cols
+        else Window.partitionBy().orderBy(order)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum(weight_col).over(w) - F.col(weight_col)
+    return df.select(
+        *group_cols,
+        id_col,
+        weight_col,
+        F.floor(start / F.lit(float(seq_len))).cast("bigint").alias("seq_index"),
+        (start % F.lit(seq_len)).cast("bigint").alias("seq_offset"),
+    )

@@ -809,3 +809,54 @@ def test_repetition_and_contamination_fast_equals_portable(spark, sf_dir):
     p2 = contamination_hits(train, ev, "doc_id", "text", n=4, hash_mode="portable").collect()
     assert sorted(map(tuple, f2)) == sorted(map(tuple, p2))
     assert len(f2) > 0
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from tern_ep_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.temperature_sample(
+        df, "doc_id", "source", alpha=0.0, total=200
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0 equalises target counts (~100 each); the small stratum caps at
+    # its full size, the big one samples ~100 of 900
+    assert by_src["small"] == 100
+    assert 60 <= by_src["big"] <= 140
+    # deterministic: same salt -> same rows
+    again = sampling.temperature_sample(df, "doc_id", "source", alpha=0.0, total=200)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1 preserves the natural mix (~180 big / ~20 small)
+    nat = sampling.temperature_sample(df, "doc_id", "source", alpha=1.0, total=200)
+    nb = {
+        r["source"]: r["n"]
+        for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert nb.get("big", 0) > 4 * nb.get("small", 1)
+
+
+def test_pack_sequences_layout(spark):
+    from tern_ep_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a", 600), (2, "a", 600), (3, "a", 300), (4, "b", 100)],
+        ["doc_id", "shard", "n_tok"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sampling.pack_sequences(
+            df, "doc_id", "n_tok", seq_len=1000, group_cols=("shard",)
+        ).collect()
+    }
+    # doc1 starts at 0 -> seq 0; doc2 starts at 600 -> seq 0 offset 600;
+    # doc3 starts at 1200 -> seq 1 offset 200; shard b restarts at 0
+    assert (out[1]["seq_index"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_index"], out[2]["seq_offset"]) == (0, 600)
+    assert (out[3]["seq_index"], out[3]["seq_offset"]) == (1, 200)
+    assert (out[4]["seq_index"], out[4]["seq_offset"]) == (0, 0)
