@@ -272,6 +272,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     restart = 0
     i = 2
     while True:
+        if i + 1 >= len(content):
+            raise ValueError("truncated JPEG stream (no SOS before EOF)")
         if content[i] != 0xFF:
             i += 1  # fill bytes / padding between segments
             continue

@@ -241,8 +241,15 @@ def semantic_dedup(
         / (norm(F.col(vec_col)) * norm(F.col("centroid"))),
         6,
     )
+    # shuffle-hash, not sort-merge: the dropped set is corpus-sized in a
+    # boilerplate-heavy corpus (too big to broadcast) but the join key is a
+    # single id — hashing beats sorting both sides
     return (
-        base.join(dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left")
+        base.join(
+            dropped.withColumn("__drop", F.lit(True)).hint("shuffle_hash"),
+            on=id_col,
+            how="left",
+        )
         .select(
             F.col(id_col),
             F.col(cluster_col),

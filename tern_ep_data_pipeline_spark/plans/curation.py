@@ -6,8 +6,13 @@ corpus run actually executes, in dependency order:
 1. exact dedup (hash-groupBy; removes the bulk cheaply);
 2. near-dup pairs (MinHash LSH, degenerate buckets capped) ->
    connected components -> keep only canonical (min-id) cluster members;
-3. quality gate (pure predicates) + optional PII scrub;
-4. deterministic per-domain sampling and/or token-budget mixing.
+3. optional sub-document gate: drop documents that are mostly duplicated
+   chunks (boilerplate mirrors exact/near dedup misses);
+4. optional train/eval decontamination (n-gram overlap anti-join);
+5. quality gate (pure predicates, optionally a trained model score) +
+   optional PII scrub;
+6. deterministic per-domain sampling (fixed fractions or
+   temperature-derived) and/or token-budget mixing.
 
 Stage order is the cost order: each stage shrinks the corpus the next
 (more expensive) stage scans. Every decision is reproducible — hash
@@ -42,6 +47,13 @@ def curate_corpus(
     sample_salt: str = "smp",
     bpe_merges: list[tuple[str, str]] | None = None,
     token_budget: float | None = None,
+    max_dup_chunk_frac: float | None = None,
+    eval_df: DataFrame | None = None,
+    decon_ngram: int = 8,
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    domain_alpha: float | None = None,
+    domain_total: int | None = None,
 ) -> DataFrame:
     """Curated corpus: the input schema plus ``n_chars_clean`` (and
     ``n_tokens``/``cum_weight`` when token budgeting is on); one row per
@@ -73,22 +85,53 @@ def curate_corpus(
     )
     kept = deduped.join(losers, on=id_col, how="left_anti")
 
-    # 3. quality gate (+ scrub) — pure projections, fused into the scan.
+    # 3. sub-document boilerplate gate: a doc that survives whole-document
+    # dedup can still be mostly chunks first seen elsewhere.
+    if max_dup_chunk_frac is not None:
+        heavy = (
+            dedup_ops.chunk_dedup_stats(kept, id_col, text_col)
+            .where(F.col("dup_chunk_frac") > max_dup_chunk_frac)
+            .select(id_col)
+        )
+        kept = kept.join(heavy, on=id_col, how="left_anti")
+
+    # 4. train/eval decontamination — flagged ids anti-join (the flag set
+    # is tiny; the corpus side never shuffles inside contamination_hits).
+    if eval_df is not None:
+        flagged = text.contamination_hits(
+            kept, eval_df, id_col, text_col, n=decon_ngram
+        ).select(id_col)
+        kept = kept.join(flagged, on=id_col, how="left_anti")
+
+    # 5. quality gate (+ scrub) — pure projections, fused into the scan;
+    # optionally a trained model score (map-only transform).
     n = F.length(F.trim(F.col(text_col)))
     kept = kept.withColumn("n_chars_clean", n).where(
         (F.col("n_chars_clean") >= min_chars)
         & (F.col("n_chars_clean") <= max_chars)
     )
+    if quality_model is not None:
+        from ..operators.quality_model import quality_filter
+
+        kept = quality_filter(
+            quality_model, kept, id_col, text_col, threshold=quality_threshold
+        )
     if scrub:
         kept = kept.withColumn(text_col, text.scrub_pii(F.col(text_col)))
 
-    # 4. deterministic domain mixing.
+    # 6. deterministic domain mixing — fixed fractions, or temperature-
+    # derived cuts when alpha/total are given instead.
     if domain_col and domain_fractions:
         kept = sampling.stratified_hash_sample(
             kept, id_col, domain_col, domain_fractions, salt=sample_salt
         )
+    elif domain_col and domain_alpha is not None and domain_total is not None:
+        kept = sampling.temperature_sample(
+            kept, id_col, domain_col, alpha=domain_alpha, total=domain_total,
+            salt=sample_salt,
+        )
 
-    # 5. token budgeting under the real tokenizer.
+    # 7. token budgeting under the real tokenizer.
     if bpe_merges is not None and token_budget is not None:
         if not domain_col:
             raise ValueError("token_budget requires domain_col")

@@ -860,3 +860,77 @@ def test_pack_sequences_layout(spark):
     assert (out[2]["seq_index"], out[2]["seq_offset"]) == (0, 600)
     assert (out[3]["seq_index"], out[3]["seq_offset"]) == (1, 200)
     assert (out[4]["seq_index"], out[4]["seq_offset"]) == (0, 0)
+
+
+def test_curate_corpus_extended_stages(spark):
+    """Chunk-dup gate, decontamination, model gate, and temperature mixing
+    compose into the plan without disturbing the dedup core."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators import quality_model as qm
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    c1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{c1} {uniq}", "a"),                      # owns both chunks
+        (2, f"{c1} {c1}", "a"),  # both chunks duplicate doc 1's first chunk
+        (3, "completely fresh words with no shared chunk content here now", "b"),
+        (4, "evaluation sentinel text that must never reach training data x", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    eval_df = spark.createDataFrame(
+        [(100, "evaluation sentinel text that must never reach training data x")],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(
+        docs,
+        min_chars=5,
+        minhash_threshold=0.95,
+        num_hashes=16,
+        bands=4,
+        max_dup_chunk_frac=0.6,
+        eval_df=eval_df,
+        decon_ngram=8,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    dedup.release_staged(spark)
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept  # chunk-dup gate
+    assert 4 not in kept  # decontamination
+
+    # model gate: a classifier trained to reject digit-heavy docs drops them
+    good = [(10 + i, "clean prose words " * 5 + str(i), 1.0) for i in range(10)]
+    bad = [(50 + i, "111 222 333 444 $$$ " * 5 + str(i), 0.0) for i in range(10)]
+    labelled = spark.createDataFrame(good + bad, ["doc_id", "text", "label"])
+    model = qm.train_quality_classifier(labelled, "doc_id", "text")
+    gated = curate_corpus(
+        labelled.drop("label"),
+        min_chars=5,
+        minhash_threshold=0.99,
+        num_hashes=16,
+        bands=4,
+        quality_model=model,
+    )
+    gkept = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    dedup.release_staged(spark)
+    assert gkept and all(i < 50 for i in gkept)
+
+    # temperature mixing path smoke: flattened cuts keep both sources
+    mixed = curate_corpus(
+        docs.unionByName(
+            spark.createDataFrame(
+                [(200 + i, f"filler text row {i} unique words", "a") for i in range(20)],
+                ["doc_id", "text", "source"],
+            )
+        ),
+        min_chars=5,
+        minhash_threshold=0.99,
+        num_hashes=16,
+        bands=4,
+        domain_col="source",
+        domain_alpha=0.0,
+        domain_total=10,
+    )
+    srcs = {r["source"] for r in mixed.select("source").collect()}
+    dedup.release_staged(spark)
+    assert "a" in srcs

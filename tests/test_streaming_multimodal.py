@@ -100,8 +100,12 @@ def test_extract_features_deterministic(spark, sf_dir):
 
 
 def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
+    # JPEG is a real codec now: truncated bytes are a data error, and only
+    # genuinely-unimplemented variants (progressive) raise NotImplemented
+    with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(b"\xff\xd8")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00unknown-container")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
 
