@@ -9,6 +9,8 @@ oracle parity holds.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -399,6 +401,37 @@ def tfidf_top_terms(
 _GRAM_BASE = 1_000_003
 
 
+def _doc_gram_hashes(
+    raw: str | None, n: int, memo: dict, distinct: bool
+) -> "np.ndarray":
+    """uint64 gram hashes for one document — the single definition both the
+    batch Arrow kernel and the streaming filter share, so their equality
+    classes can never drift. ``memo`` caches per-token md5s across calls."""
+    import hashlib
+
+    def tok_h(t: str) -> int:
+        v = memo.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            memo[t] = v
+        return v
+
+    toks = ("" if raw is None else raw).split() or [""]
+    th = np.fromiter((tok_h(t) for t in toks), dtype=np.uint64, count=len(toks))
+    base = np.uint64(_GRAM_BASE)
+    with np.errstate(over="ignore"):
+        m = len(th) - n + 1
+        if m < 1:
+            acc = np.zeros(1, dtype=np.uint64)
+            for v in th:
+                acc = acc * base + v
+        else:
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                acc = acc * base + th[j : j + m]
+    return np.unique(acc) if distinct else acc
+
+
 def gram_hash_frame(
     df: DataFrame,
     id_col: str,
@@ -427,39 +460,14 @@ def gram_hash_frame(
     schema = f"{id_col} {id_type}, gh bigint"
 
     def run(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
         memo: dict[str, int] = {}
-
-        def tok_h(t: str) -> int:
-            v = memo.get(t)
-            if v is None:
-                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                memo[t] = v
-            return v
-
-        base = np.uint64(_GRAM_BASE)
         for pdf in batches:
-            per_doc = []
-            with np.errstate(over="ignore"):
-                for raw in pdf[text_col]:
-                    toks = ("" if raw is None else raw).split() or [""]
-                    th = np.fromiter(
-                        (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
-                    )
-                    m = len(th) - n + 1
-                    if m < 1:
-                        acc = np.zeros(1, dtype=np.uint64)
-                        for v in th:
-                            acc = acc * base + v
-                    else:
-                        acc = np.zeros(m, dtype=np.uint64)
-                        for j in range(n):
-                            acc = acc * base + th[j : j + m]
-                    per_doc.append(np.unique(acc) if distinct else acc)
+            per_doc = [
+                _doc_gram_hashes(raw, n, memo, distinct) for raw in pdf[text_col]
+            ]
             counts = [len(a) for a in per_doc]
             yield pd.DataFrame(
                 {

@@ -97,3 +97,52 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"interval {max_delay}"))
     )
     return l.join(r, cond).drop(r[on])
+
+
+def decontaminated_stream(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Streaming train/eval decontamination: drop any streaming document
+    sharing an ``n``-token-gram with the (static, bounded) evaluation set.
+
+    The eval side reduces to its distinct gram hashes ONCE, driver-side —
+    benchmarks are thousands of documents, so the set is ~1e5 longs, the
+    same size class a broadcast join ships — and is closed over by a
+    stateless Arrow filter: no streaming state, no watermark interaction,
+    decisions identical to the batch ``text.contamination_hits`` flag set
+    because both sides hash grams with the shared
+    ``text._doc_gram_hashes`` kernel.
+    """
+    from ..operators.text import _doc_gram_hashes, gram_hash_frame
+
+    eval_hashes = frozenset(
+        int(r["gh"])
+        for r in gram_hash_frame(eval_df, id_col, text_col, n, distinct=True)
+        .select("gh")
+        .distinct()
+        .collect()
+    )
+    schema = stream.schema
+
+    def keep_clean(batches):
+        import numpy as np  # noqa: F401  (kernel dependency)
+
+        memo: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            mask = [
+                not any(
+                    int(g) in eval_hashes
+                    for g in _doc_gram_hashes(raw, n, memo, True).view("int64")
+                )
+                for raw in pdf[text_col]
+            ]
+            yield pdf[mask]
+
+    return stream.mapInPandas(keep_clean, schema=schema)

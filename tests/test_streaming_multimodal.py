@@ -495,3 +495,46 @@ def test_decode_ppm_truncated_header_raises():
         mm.decode_image_ppm(b"P6 3 2")  # header ends before maxval
     with _pt.raises(ValueError):
         mm.decode_image_ppm(b"P6 not numbers here ")
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    from tern_ep_data_pipeline_spark.operators.text import contamination_hits
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        decontaminated_stream,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "q w e r t y u i extra words here")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix q w e r t y u i suffix"),   # contaminated
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "q w e r t y u i"),                  # contaminated
+            (4, "another clean document with its own words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "decon_src")
+    train.write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(train.schema).load(src)
+    q = (
+        decontaminated_stream(stream, eval_df, "doc_id", "text", n=8)
+        .writeStream.format("memory")
+        .queryName("decon_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_out").collect()}
+
+    flagged = {
+        r["doc_id"]
+        for r in contamination_hits(train, eval_df, "doc_id", "text", n=8)
+        .select("doc_id")
+        .collect()
+    }
+    expect = {1, 2, 3, 4} - flagged
+    assert flagged == {1, 3}
+    assert got == expect == {2, 4}
