@@ -2352,12 +2352,18 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = text.bpe_token_stats(docs, "doc_id", "text")
     d = dedup.exact_dedup_groups(docs, "doc_id", "text")
     ch = dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=10)
+    # shuffle_hash: the frame's size estimate is opaque after the token
+    # explode+join, so Spark would otherwise fall back to sort-merge
+    u = text.unigram_logprob(docs, "doc_id", "text").select(
+        "doc_id", "avg_logprob"
+    ).hint("shuffle_hash")
     return (
         t.join(q, "doc_id")
         .join(l, "doc_id")
         .join(f, "doc_id")
         .join(b, "doc_id")
         .join(ch, "doc_id")
+        .join(u, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
@@ -2365,6 +2371,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"n_{lang}" for lang in text.LANG_MARKERS], "pred_lang",
             "fingerprint_md5", "n_ws_tokens", "n_bpe_tokens", "chars_per_bpe_token",
             "n_chunks", "n_dup_chunks", "dup_chunk_frac", "kept_tokens",
+            "avg_logprob",
             "canonical_id", "n_copies",
         )
     )
@@ -2399,15 +2406,32 @@ GROUP BY 1
 """
 
 
+ORACLE_UNIGRAM = r"""
+WITH uni_tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+uni_vocab AS (SELECT tok, count(*) AS c FROM uni_tok GROUP BY 1),
+uni_tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS tot_n, count(*) AS tot_v FROM uni_vocab
+)
+SELECT doc_id,
+  round(avg(ln((c + 0.5) / (tot_n + 0.5 * (tot_v + 1)))), 6) AS avg_logprob
+FROM uni_tok JOIN uni_vocab USING (tok), uni_tot
+GROUP BY doc_id
+"""
+
+
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
 fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
-ch AS ({ORACLE_CHUNK_DEDUP})
+ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
   fp.fingerprint_md5, b.n_ws_tokens, b.n_bpe_tokens, b.chars_per_bpe_token,
   ch.n_chunks, ch.n_dup_chunks, ch.dup_chunk_frac, ch.kept_tokens,
+  uni.avg_logprob,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
@@ -2415,6 +2439,7 @@ JOIN l USING (doc_id)
 JOIN fp USING (doc_id)
 JOIN b USING (doc_id)
 JOIN ch USING (doc_id)
+JOIN uni USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 

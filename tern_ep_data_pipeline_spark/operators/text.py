@@ -605,3 +605,81 @@ def contamination_hits(
             F.count_distinct("__eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing: float = 0.5,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap stand-in for
+    LM-perplexity quality filtering (the CCNet recipe scores documents
+    under a reference LM; a unigram model keeps the whole computation
+    relational). Low scores flag gibberish / OOV-heavy documents.
+
+    The model is add-``smoothing`` unigram counts over ``model_df`` (a
+    reference corpus; defaults to ``df`` itself — self-scoring):
+    ``logp(t) = ln((c_t + a) / (T + a·(V+1)))``, unseen tokens get
+    ``c_t = 0``. Output: (id, n_scored_tokens, avg_logprob rounded 6).
+
+    Scale shape: the vocabulary aggregation is map-side combinable; the
+    scoring join shuffles on the token key (Zipf-skewed — AQE skew-join
+    splits the hot stopwords) and averages per document. All constants
+    (T, V) ride in as broadcast one-row frames, no collect.
+    """
+    from .dedup import tokens
+
+    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+
+    # Every derived frame below is built from a FRESH projection: reusing one
+    # plan object on both sides of a join (vocab + vocab.agg, or occ + its
+    # own groupBy) is a literal self-join, and Catalyst's expr-id dedup then
+    # reports the shared columns as ambiguous references.
+    def fresh_tokens(name: str) -> DataFrame:
+        src = model_df if model_df is not None else df
+        return src.select(F.explode(tokens(F.col(text_col))).alias(name))
+
+    vocab = fresh_tokens("__t").groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = fresh_tokens("__ta").agg(
+        F.count(F.lit(1)).cast("double").alias("__T"),
+        F.count_distinct("__ta").alias("__V"),
+    )
+    totals2 = fresh_tokens("__tb").agg(
+        F.count(F.lit(1)).cast("double").alias("__T2"),
+        F.count_distinct("__tb").alias("__V2"),
+    )
+    a = float(smoothing)
+    # fold the constants into the vocab side (plus the one-row unseen-token
+    # default) so the corpus-side join is a single left join on the token.
+    # Column references are QUALIFIED (v./tt.): Spark 4's analyzer dedups
+    # expression ids across the twin token subtrees, which makes bare string
+    # references ambiguous even when each child exposes the name once.
+    vl = vocab.alias("v").crossJoin(F.broadcast(totals.alias("tt")))
+    vocab_lp = vl.select(
+        F.col("v.__t").alias("__t"),
+        F.log(
+            (F.col("v.__c") + F.lit(a))
+            / (F.col("tt.__T") + F.lit(a) * (F.col("tt.__V") + 1))
+        ).alias("__lp"),
+    )
+    unseen = totals2.select(
+        F.log(F.lit(a) / (F.col("__T2") + F.lit(a) * (F.col("__V2") + 1))).alias(
+            "__lp0"
+        )
+    )
+    # shuffle-hash, not sort-merge: the vocabulary is the smaller side but
+    # still too big to broadcast at corpus scale; hashing it beats sorting
+    # the full token-occurrence stream
+    scored = (
+        occ.join(vocab_lp.hint("shuffle_hash"), on="__t", how="left")
+        .crossJoin(F.broadcast(unseen))
+        .select(F.col(id_col), F.coalesce("__lp", "__lp0").alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )

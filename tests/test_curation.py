@@ -934,3 +934,34 @@ def test_curate_corpus_extended_stages(spark):
     srcs = {r["source"] for r in mixed.select("source").collect()}
     dedup.release_staged(spark)
     assert "a" in srcs
+
+
+def test_unigram_logprob(spark):
+    from tern_ep_data_pipeline_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common rare"),
+            (3, "common common common rare"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # a doc of only the most frequent token scores highest; mixing in the
+    # rare token drags the mean down
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_scored_tokens"] == 4
+    # hand check: c(common)=8, c(rare)=2, T=10, V=2, a=0.5
+    import math
+
+    lp_common = math.log((8 + 0.5) / (10 + 0.5 * 3))
+    assert out[1]["avg_logprob"] == round(lp_common, 6)
+
+    # scoring against a reference model penalises OOV tokens
+    ref = spark.createDataFrame([(9, "common common")], ["doc_id", "text"])
+    scored = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(df, "doc_id", "text", model_df=ref).collect()
+    }
+    assert scored[1] > scored[2]  # "rare" is OOV under the reference
