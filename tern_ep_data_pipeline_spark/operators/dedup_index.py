@@ -272,3 +272,107 @@ def append_to_index(
     _band_table(
         accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     ).write.mode("append").parquet(os.path.join(path, "bands"))
+
+
+# ------------------------------------------------ chunk-level (sub-document)
+
+def _chunk_table(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int
+) -> DataFrame:
+    """(chunk_hash,) — the distinct chunk hashes of an accepted corpus.
+    One shuffle (map-side-combinable distinct on a 16-byte key)."""
+    return (
+        dedup_ops.chunk_frame(df, id_col, text_col, chunk_tokens)
+        .select(F.md5(F.col("__chunk")).alias("chunk_hash"))
+        .distinct()
+    )
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> int:
+    """Materialise the sub-document chunk index next to the exact/band
+    tables; returns the distinct-chunk count."""
+    _chunk_table(docs, id_col, text_col, chunk_tokens).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "chunks"))
+    return docs.sparkSession.read.parquet(os.path.join(path, "chunks")).count()
+
+
+def chunk_stats_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Incremental sub-document dedup: per new document, how much of it is
+    chunks the corpus has already accepted (or that an earlier document in
+    the same batch owns).
+
+    A chunk occurrence is a DUPLICATE if its hash is in the index
+    (established corpus always wins) or if a lower occurrence key in this
+    batch owns the hash (the same rule as ``dedup.chunk_dedup_stats``).
+    Output matches ``chunk_dedup_stats``: (id, n_chunks, n_dup_chunks,
+    dup_chunk_frac, kept_tokens) — callers gate on ``dup_chunk_frac``
+    exactly as in the batch plan.
+
+    Scale shape: O(batch) — the batch's chunk occurrences join the index
+    on the hash (shuffle-hash: the index side is corpus-sized, too big to
+    broadcast but never scanned more than once) plus one within-batch
+    groupBy.min; the index text is never read.
+    """
+    occ = (
+        dedup_ops.chunk_frame(new_docs, id_col, text_col, chunk_tokens)
+        .select(
+            "__id",
+            "__ctoks",
+            F.md5(F.col("__chunk")).alias("__h"),
+            (F.col("__id").cast("long") * 1_000_000 + F.col("__pos")).alias(
+                "__occ"
+            ),
+        )
+    )
+    occ = dedup_ops._stage(occ)
+    batch_first = occ.groupBy("__h").agg(F.min("__occ").alias("__first"))
+    indexed = (
+        spark.read.parquet(os.path.join(path, "chunks"))
+        .select(F.col("chunk_hash").alias("__h"))
+        .withColumn("__indexed", F.lit(True))
+    )
+    joined = occ.join(batch_first, on="__h").join(
+        indexed.hint("shuffle_hash"), on="__h", how="left"
+    )
+    dup = F.coalesce(F.col("__indexed"), F.lit(False)) | (
+        F.col("__occ") != F.col("__first")
+    )
+    return joined.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup.cast("long")).alias("n_dup_chunks"),
+        F.round(F.sum(dup.cast("long")) / F.count(F.lit(1)), 6).alias(
+            "dup_chunk_frac"
+        ),
+        F.sum(F.when(dup, F.lit(0)).otherwise(F.col("__ctoks"))).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+def append_to_chunk_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> None:
+    """Append accepted docs' distinct chunk hashes (compact the parquet dir
+    on the lake's schedule; duplicate hash rows are harmless — the join is
+    a semi-flag, not a count)."""
+    _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "chunks"))

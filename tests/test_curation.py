@@ -965,3 +965,63 @@ def test_unigram_logprob(spark):
         for r in unigram_logprob(df, "doc_id", "text", model_df=ref).collect()
     }
     assert scored[1] > scored[2]  # "rare" is OOV under the reference
+
+
+def test_chunk_index_incremental(spark, tmp_path):
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_chunk_index,
+        build_chunk_index,
+        chunk_stats_against_index,
+    )
+
+    c1 = "a b c d e f g h i j"
+    c2 = "k l m n o p q r s t"
+    c3 = "u v w x y z aa bb cc dd"
+    corpus = spark.createDataFrame(
+        [(1, f"{c1} {c2}")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "cidx")
+    n = build_chunk_index(corpus, path)
+    assert n == 2
+
+    batch = spark.createDataFrame(
+        [
+            (10, f"{c1} {c3}"),      # half indexed, half fresh
+            (11, f"{c3} {c3}"),      # first chunk owned by doc 10? no - c3 owner is min occ in batch
+            (12, "entirely novel words that no chunk index has seen yet zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_stats_against_index(spark, batch, path, "doc_id", "text").collect()
+    }
+    dedup.release_staged(spark)
+    assert out[10]["n_dup_chunks"] == 1 and out[10]["kept_tokens"] == 10
+    # doc 11: both chunks are c3; doc 10 (lower occ key) owns c3 in-batch,
+    # so both of doc 11's occurrences are duplicates
+    assert out[11]["n_dup_chunks"] == 2 and out[11]["kept_tokens"] == 0
+    assert out[12]["n_dup_chunks"] == 0 and out[12]["dup_chunk_frac"] == 0.0
+
+    # append doc 12's chunks; a re-arrival is then fully duplicated
+    append_to_chunk_index(
+        spark.createDataFrame(
+            [(12, "entirely novel words that no chunk index has seen yet zz")],
+            ["doc_id", "text"],
+        ),
+        path,
+    )
+    again = {
+        r["doc_id"]: r
+        for r in chunk_stats_against_index(
+            spark,
+            spark.createDataFrame(
+                [(20, "entirely novel words that no chunk index has seen yet zz")],
+                ["doc_id", "text"],
+            ),
+            path,
+        ).collect()
+    }
+    dedup.release_staged(spark)
+    assert again[20]["dup_chunk_frac"] == 1.0
