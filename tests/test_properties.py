@@ -149,3 +149,41 @@ def test_hash_sample_is_a_pure_filter(spark, keys, fraction):
     half = df.where(F.col("k") % 2 == 0)
     sub = {r["k"] for r in sampling.hash_sample(half, "k", fraction).collect()}
     assert sub == {k for k in whole if k % 2 == 0}
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=25
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_dedup_invariants(spark, docs_tokens):
+    """Structural invariants of sub-document chunk dedup on arbitrary
+    corpora: chunk counts follow ceil(tokens/n), token accounting is exact,
+    and every distinct chunk is kept exactly once across the corpus."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.chunk_dedup_stats(df, "doc_id", "text", chunk_tokens=5).collect()
+    dedup.release_staged(spark)
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == set(range(len(rows)))
+
+    distinct_chunks = set()
+    kept_total = 0
+    for i, toks in enumerate(docs_tokens):
+        r = by[i]
+        n_chunks = -(-len(toks) // 5)
+        assert r["n_chunks"] == n_chunks
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert 0 <= r["kept_tokens"] <= len(toks)
+        for p in range(n_chunks):
+            distinct_chunks.add(" ".join(toks[p * 5 : (p + 1) * 5]))
+        kept_total += r["kept_tokens"]
+    # kept tokens across the corpus == total tokens of the distinct chunks
+    assert kept_total == sum(len(c.split()) for c in distinct_chunks)
