@@ -1325,11 +1325,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``semdedup``: SemDeDup keep/drop per vector at cos >= 0.95 with the
       rounded centroid similarity (``similarity.semantic_dedup``).
     """
+    from tern_ep_data_pipeline_spark.operators.dedup import _stage
+
     emb = _t(spark, sf_dir, "embeddings")
     ns = F.lit(None).cast("string")
-    pairs = similarity.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", block_col="label", threshold=0.3
-    ).select(
+    # one within-block self-join feeds both branches: the pair listing at
+    # 0.3 and the SemDeDup drop set at 0.95 (staged — union branches get no
+    # common-subplan reuse from Catalyst)
+    raw_pairs = _stage(
+        similarity.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", block_col="label", threshold=0.3
+        )
+    )
+    pairs = raw_pairs.select(
         F.lit("pairs").alias("part"),
         F.concat(
             F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")
@@ -1338,7 +1346,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine_sim").alias("val_d"),
     )
     sem = similarity.semantic_dedup(
-        emb, "vec_id", "embedding", cluster_col="label", threshold=0.95
+        emb, "vec_id", "embedding", cluster_col="label", threshold=0.95,
+        pairs=raw_pairs,
     ).select(
         F.lit("semdedup").alias("part"),
         F.col("vec_id").cast("string").alias("key"),

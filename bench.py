@@ -63,6 +63,8 @@ EXTENDED = [
     "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
     "ivf_pq_rerank",  # PQ train+encode+coarse-probe+ADC+exact re-rank
     "quality_filter",  # weak labels -> pyspark.ml LR -> map-only score+filter
+    "doc_profile",  # fused per-doc profile incl. chunk dedup + unigram logprob
+    "embedding_near_dup",  # pair listing + SemDeDup keep/drop (shared staged base)
 ]
 
 

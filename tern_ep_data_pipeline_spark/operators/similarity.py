@@ -201,10 +201,17 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     threshold: float = 0.95,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): duplicates
     are detected only WITHIN a cluster of the embedding space, so the
     all-pairs cost is bounded by the largest cluster, not the corpus.
+
+    ``pairs``: an existing :func:`embedding_near_dup_pairs` result computed
+    at a LOOSER threshold — callers that already list pairs (a dedup report
+    next to the keep/drop decision) filter it here instead of paying the
+    within-cluster self-join twice; the rounded ``cosine_sim`` makes the
+    re-threshold decision identical to a direct computation.
 
     Keep rule — deterministic and non-recursive by design: a vector is
     dropped iff ANY lower-id vector in the same cluster has cosine >= t
@@ -224,11 +231,13 @@ def semantic_dedup(
     centroids come from the tree-aggregated :func:`label_centroids` (no xD
     explode), broadcast back for the similarity projection.
     """
-    dropped = (
-        embedding_near_dup_pairs(
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(
             df, id_col=id_col, vec_col=vec_col, block_col=cluster_col,
             threshold=threshold,
         )
+    dropped = (
+        pairs.where(F.col("cosine_sim") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
