@@ -290,3 +290,21 @@ def test_semantic_dedup_within_cluster(spark):
     # centroid_sim present and sane: 10/11 closer to cluster-0 centroid than 12
     assert out[10]["centroid_sim"] > out[12]["centroid_sim"]
     dedup.release_staged(spark)
+
+
+def test_shingle_frame_arrow_equals_expr(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "one"), (9003, "one two three"), (9004, "  padded   tokens  ")],
+        ["doc_id", "text"],
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r["__id"]: sorted(r["__sh"])
+        for r in dedup.shingle_frame(df, "doc_id", "text", 3).collect()
+    }
+    e = {
+        r["__id"]: sorted(r["__sh"])
+        for r in dedup.shingle_frame(df, "doc_id", "text", 3, mode="expr").collect()
+    }
+    assert a == e
