@@ -268,6 +268,55 @@ def semantic_dedup(
     )
 
 
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    seed: int = 42,
+    max_iter: int = 20,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Cluster embeddings with MLlib k-means (k-means|| init, seeded) —
+    the coarse-partitioning step SemDeDup and IVF need when no label
+    column exists. Returns the input plus ``out_col``.
+
+    Scale shape: MLlib's Lloyd iterations are treeAggregate passes with
+    O(k·D) driver state; assignment is a map-only transform. Choose
+    k ~ sqrt(N) for SemDeDup so per-cluster membership stays bounded.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        featuresCol="__fv", predictionCol=out_col, k=k, seed=seed,
+        maxIter=max_iter,
+    ).fit(feat)
+    return model.transform(feat).drop("__fv")
+
+
+def semantic_dedup_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup end to end for an unlabelled corpus: k-means coarse
+    clustering (:func:`kmeans_clusters`) followed by within-cluster
+    :func:`semantic_dedup`. Output: (id, cluster, centroid_sim, is_kept).
+    """
+    assigned = kmeans_clusters(
+        df, id_col=id_col, vec_col=vec_col, k=k, seed=seed
+    )
+    return semantic_dedup(
+        assigned, id_col=id_col, vec_col=vec_col, cluster_col="cluster",
+        threshold=threshold,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -308,3 +308,37 @@ def test_shingle_frame_arrow_equals_expr(spark, sf_dir):
         for r in dedup.shingle_frame(df, "doc_id", "text", 3, mode="expr").collect()
     }
     assert a == e
+
+
+def test_kmeans_and_semantic_dedup_auto(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    centers = [np.array([10.0, 0, 0, 0]), np.array([0, 10.0, 0, 0]), np.array([0, 0, 10.0, 0])]
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, (c + rng.normal(0, 0.3, 4)).tolist()))
+            vid += 1
+    # planted near-duplicate of vector 0 in cluster 0
+    base = rows[0][1]
+    rows.append((999, [v * 1.0001 for v in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    assigned = similarity.kmeans_clusters(df, k=3, seed=7)
+    by_cluster = {}
+    for r in assigned.collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    # three clusters recover the three blobs (20/20/21 members)
+    assert sorted(len(v) for v in by_cluster.values()) == [20, 20, 21]
+
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup_auto(df, k=3, seed=7, threshold=0.999).collect()}
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    release_staged(spark)
+    assert len(out) == 61
+    assert out[0]["is_kept"] and not out[999]["is_kept"]
+    # determinism: same seed -> same keep set
+    again = {r["vec_id"]: r["is_kept"] for r in similarity.semantic_dedup_auto(df, k=3, seed=7, threshold=0.999).collect()}
+    release_staged(spark)
+    assert again == {v: r["is_kept"] for v, r in out.items()}
