@@ -2633,7 +2633,9 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``mix``: temperature-based domain rebalancing (alpha=0.5, ~2000-doc
       target, per-source hash cuts derived from counts);
     - ``pack``: greedy sequential sequence packing per source at 4096
-      chars — document -> (sequence, offset) assignment.
+      chars — document -> (sequence, offset) assignment;
+    - ``seqs``: the materialised packed sequences — md5 of each
+      sequence's concatenated text (byte-level parity) + its weight.
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -2768,8 +2770,19 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_offset").cast("double").alias("val_d"),
     )
 
+    seqs = sampling.materialise_sequences(
+        docs, "doc_id", "text", "n_chars", seq_len=4096, group_cols=("source",)
+    ).select(
+        F.lit("seqs").alias("part"),
+        F.concat(
+            F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
+        ).alias("key"),
+        F.md5(F.col("seq_text")).alias("val_s"),
+        F.col("seq_weight").cast("double").alias("val_d"),
+    )
+
     out = cc
-    for branch in (sample, pii, budget, tfidf, rep, decon, mix, pack):
+    for branch in (sample, pii, budget, tfidf, rep, decon, mix, pack, seqs):
         out = out.unionByName(branch)
     return out
 
@@ -2975,6 +2988,12 @@ UNION ALL
 SELECT 'pack', CAST(doc_id AS VARCHAR),
   source||'#'||CAST(floor(st / 4096.0) AS BIGINT), CAST(st % 4096 AS DOUBLE)
 FROM packed
+UNION ALL
+SELECT 'seqs', p.source||'#'||CAST(floor(p.st / 4096.0) AS BIGINT),
+  md5(string_agg(d.text, ' ' ORDER BY p.doc_id)),
+  CAST(sum(d.n_chars) AS DOUBLE)
+FROM packed p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY p.source, floor(p.st / 4096.0)
 """
 
 

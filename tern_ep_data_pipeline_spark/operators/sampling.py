@@ -230,3 +230,37 @@ def pack_sequences(
         F.floor(start / F.lit(float(seq_len))).cast("bigint").alias("seq_index"),
         (start % F.lit(seq_len)).cast("bigint").alias("seq_offset"),
     )
+
+
+def materialise_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weight_col: str,
+    seq_len: int,
+    group_cols: Sequence[str] = (),
+    sep: str = " ",
+) -> DataFrame:
+    """Build the actual packed training sequences: documents land in the
+    sequence :func:`pack_sequences` assigned them, concatenated in order.
+
+    Output per (group, seq_index): ``seq_text`` (documents joined by
+    ``sep`` in packing order), ``seq_weight`` (summed weights) and
+    ``n_docs``. The per-sequence group is bounded by ``seq_len`` (a
+    sequence holds at most seq_len weight plus one straddling document),
+    so the collect_list is bounded regardless of corpus size.
+    """
+    assigned = pack_sequences(
+        df, id_col, weight_col, seq_len, group_cols=group_cols
+    ).select(*group_cols, id_col, "seq_index")
+    seq = assigned.join(df.select(id_col, text_col, weight_col), on=id_col)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return seq.groupBy(*group_cols, "seq_index").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["t"]), sep
+        ).alias("seq_text"),
+        F.sum(weight_col).alias("seq_weight"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -1025,3 +1025,23 @@ def test_chunk_index_incremental(spark, tmp_path):
     }
     dedup.release_staged(spark)
     assert again[20]["dup_chunk_frac"] == 1.0
+
+
+def test_materialise_sequences(spark):
+    from tern_ep_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "a", 600), (2, "cc", "a", 600), (3, "dd ee ff", "a", 300), (4, "zz", "b", 100)],
+        ["doc_id", "text", "shard", "n_tok"],
+    )
+    out = {
+        (r["shard"], r["seq_index"]): r
+        for r in sampling.materialise_sequences(
+            df, "doc_id", "text", "n_tok", seq_len=1000, group_cols=("shard",)
+        ).collect()
+    }
+    # docs 1,2 start in seq 0 (starts 0 and 600); doc 3 starts at 1200 -> seq 1
+    assert out[("a", 0)]["seq_text"] == "aa bb cc"
+    assert out[("a", 0)]["seq_weight"] == 1200 and out[("a", 0)]["n_docs"] == 2
+    assert out[("a", 1)]["seq_text"] == "dd ee ff"
+    assert out[("b", 0)]["seq_text"] == "zz"
