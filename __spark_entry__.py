@@ -2635,7 +2635,9 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``pack``: greedy sequential sequence packing per source at 4096
       chars — document -> (sequence, offset) assignment;
     - ``seqs``: the materialised packed sequences — md5 of each
-      sequence's concatenated text (byte-level parity) + its weight.
+      sequence's concatenated text (byte-level parity) + its weight;
+    - ``split``: leak-free train/val/test assignment keyed on the
+      near-dup cluster canonical (shares the staged cc table).
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -2648,10 +2650,20 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2,
         hash_mode="portable",
     )
-    cc = dedup_clusters(pairs).select(
+    # staged: the cluster table feeds both the cc listing and the
+    # leak-free split branch (union branches get no common-subplan reuse)
+    cluster_frame = dedup._stage(dedup_clusters(pairs))
+    cc = cluster_frame.select(
         F.lit("cc").alias("part"),
         F.col("node").cast("string").alias("key"),
         F.col("component").cast("string").alias("val_s"),
+        nd.alias("val_d"),
+    )
+
+    split = sampling.leak_free_split(docs, "doc_id", cluster_frame).select(
+        F.lit("split").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("split").alias("val_s"),
         nd.alias("val_d"),
     )
 
@@ -2782,7 +2794,9 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = cc
-    for branch in (sample, pii, budget, tfidf, rep, decon, mix, pack, seqs):
+    for branch in (
+        split, sample, pii, budget, tfidf, rep, decon, mix, pack, seqs,
+    ):
         out = out.unionByName(branch)
     return out
 
@@ -2844,6 +2858,15 @@ walk(node, label) AS (
   SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
 ),
 cc AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+split_src AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+),
+splitb AS (
+  SELECT doc_id,
+    ('0x'||substr(md5('split:'||comp),1,15))::BIGINT % 10000 AS b
+  FROM split_src
+),
 samp AS (
   SELECT doc_id,
     ('0x'||substr(md5('smp:'||doc_id),1,15))::BIGINT % 10000 AS bucket
@@ -2958,6 +2981,11 @@ packed AS (
 SELECT 'cc' AS part, CAST(node AS VARCHAR) AS key,
   CAST(component AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
 FROM cc
+UNION ALL
+SELECT 'split', CAST(doc_id AS VARCHAR),
+  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END,
+  CAST(NULL AS DOUBLE)
+FROM splitb
 UNION ALL
 SELECT 'sample', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
   CAST(bucket AS DOUBLE)

@@ -264,3 +264,43 @@ def materialise_sequences(
         F.sum(weight_col).alias("seq_weight"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def leak_free_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak near-
+    duplicates across splits: the hash key is the document's dedup-cluster
+    canonical id (``clusters``: a ``graph.dedup_clusters`` result — (node,
+    component) rows; documents without a near-dup pair fall back to their
+    own id), so every member of a near-dup cluster lands in the SAME
+    split. Splitting on the raw doc id — the obvious recipe — puts one
+    copy of a duplicated document in train and another in test, which
+    inflates eval scores; splitting on the component closes that hole.
+
+    ``splits`` is an ordered (name, weight) sequence; weights need not be
+    normalised. Output: (id, split). Same salt -> same assignment forever.
+    """
+    total = sum(w for _, w in splits)
+    comp = clusters.select(F.col("node").alias(id_col), F.col("component"))
+    joined = df.select(id_col).join(comp, on=id_col, how="left")
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    b = hash_bucket(key, salt, buckets)
+    expr = F.lit(splits[-1][0])
+    acc = 0.0
+    cuts = []
+    for name, w in splits[:-1]:
+        acc += w / total
+        cuts.append((name, int(round(acc * buckets))))
+    for name, cut in reversed(cuts):
+        expr = F.when(b < cut, F.lit(name)).otherwise(expr)
+    return joined.select(F.col(id_col), expr.alias("split"))

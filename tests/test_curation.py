@@ -1045,3 +1045,42 @@ def test_materialise_sequences(spark):
     assert out[("a", 0)]["seq_weight"] == 1200 and out[("a", 0)]["n_docs"] == 2
     assert out[("a", 1)]["seq_text"] == "dd ee ff"
     assert out[("b", 0)]["seq_text"] == "zz"
+
+
+def test_leak_free_split(spark):
+    from tern_ep_data_pipeline_spark.operators import sampling
+    from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 50, 51)], ["doc_id"]
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leak_free_split(docs, "doc_id", clusters).collect()
+    }
+    assert len(out) == 7
+    # every member of a cluster gets the same split
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert set(out.values()) <= {"train", "val", "test"}
+    # deterministic
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leak_free_split(docs, "doc_id", clusters).collect()
+    }
+    assert out == again
+    # approximate proportions on a larger singleton-only corpus
+    big = spark.range(5000).withColumnRenamed("id", "doc_id")
+    empty = dedup_clusters(spark.createDataFrame([], "id_a long, id_b long"))
+    dist = {
+        r["split"]: r["n"]
+        for r in sampling.leak_free_split(big, "doc_id", empty)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(dist["train"] / 5000 - 0.9) < 0.03
+    assert abs(dist["val"] / 5000 - 0.05) < 0.02
+    assert abs(dist["test"] / 5000 - 0.05) < 0.02
