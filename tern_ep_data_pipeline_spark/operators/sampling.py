@@ -291,8 +291,13 @@ def leak_free_split(
     normalised. Output: (id, split). Same salt -> same assignment forever.
     """
     total = sum(w for _, w in splits)
+    # shuffle-hash, not sort-merge: the cluster table (one row per doc
+    # with a near-dup) is the smaller side but corpus-proportional — too
+    # big to broadcast, cheap to hash
     comp = clusters.select(F.col("node").alias(id_col), F.col("component"))
-    joined = df.select(id_col).join(comp, on=id_col, how="left")
+    joined = df.select(id_col).join(
+        comp.hint("shuffle_hash"), on=id_col, how="left"
+    )
     key = F.coalesce(F.col("component"), F.col(id_col))
     b = hash_bucket(key, salt, buckets)
     expr = F.lit(splits[-1][0])
