@@ -1074,14 +1074,39 @@ FROM c
 
 
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (k=8 char grams, window=4).
+    """Fused winnowing suite, two tagged branches over one staged
+    fingerprint table:
 
-    Explicitly portable (md5) so the DuckDB oracle reproduces the values —
-    the package default is the numpy ``fast`` mode (the 100 TB path)."""
+    - ``fps``: the rolling-hash winnowing fingerprints (k=8 char grams,
+      window=4) — explicitly portable (md5) so the DuckDB oracle
+      reproduces the values; the package default is the numpy ``fast``
+      mode (the 100 TB path);
+    - ``contain``: MOSS-style pairwise overlap from shared fingerprints
+      (``text.winnow_containment_pairs``) — shared count + containment.
+    """
     docs = _t(spark, sf_dir, "documents")
-    return text.winnowing_fingerprints(
-        docs, "doc_id", "text", k=8, window=4, hash_mode="portable"
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    fps = dedup._stage(
+        text.winnowing_fingerprints(
+            docs, "doc_id", "text", k=8, window=4, hash_mode="portable"
+        )
     )
+    a = fps.select(
+        F.lit("fps").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("fingerprint").cast("string").alias("val_s"),
+        nd.alias("val_d"),
+    )
+    c = text.winnow_containment_pairs(fps, "doc_id", "fingerprint").select(
+        F.lit("contain").alias("part"),
+        F.concat(
+            F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")
+        ).alias("key"),
+        F.col("n_shared").cast("string").alias("val_s"),
+        F.col("containment").alias("val_d"),
+    )
+    return a.unionByName(c)
 
 
 ORACLE_WINNOW = r"""
@@ -1101,8 +1126,22 @@ wins AS (
     i -> list_min(hs[i:i+3])
   )) AS fps
   FROM grams
+),
+fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins),
+fp_tot AS (SELECT doc_id, count(*) AS c FROM fp GROUP BY 1),
+fp_sh AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
 )
-SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins
+SELECT 'fps' AS part, CAST(doc_id AS VARCHAR) AS key,
+  CAST(fingerprint AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
+FROM fp
+UNION ALL
+SELECT 'contain', ia||'#'||ib, CAST(ns AS VARCHAR),
+  round(CAST(ns AS DOUBLE) / least(ta.c, tb.c), 6)
+FROM fp_sh JOIN fp_tot ta ON ia = ta.doc_id JOIN fp_tot tb ON ib = tb.doc_id
 """
 
 

@@ -683,3 +683,71 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_scored_tokens"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+def winnow_containment_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    min_shared: int = 2,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Pairwise overlap scoring from winnowing fingerprints — the MOSS
+    consumer (Schleimer et al. '03 §5): two documents' shared selected
+    fingerprints estimate how much text they have in common, and
+    ``containment = shared / min(|A|, |B|)`` detects a small document
+    embedded in a large one, where Jaccard-style resemblance dilutes away.
+
+    Input: the distinct (id, fingerprint) rows
+    :func:`winnowing_fingerprints` emits. Output per candidate pair
+    (id_a < id_b, shared >= min_shared): ``n_shared``, ``containment``
+    and ``resemblance`` (both rounded 6).
+
+    Scale shape: the only join is the fingerprint-keyed self-join — pairs
+    materialise only for documents that actually share a fingerprint, and
+    ``max_bucket`` drops degenerate fingerprints (boilerplate selected by
+    every doc) whose buckets would go quadratic, same guard as MinHash
+    LSH. Totals join back per doc (shuffle-hash; corpus-proportional).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _stage
+
+    base = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
+    if max_bucket is not None:
+        w = Window.partitionBy("__fp")
+        base = (
+            base.withColumn("__bucket", F.count(F.lit(1)).over(w))
+            .where(F.col("__bucket") <= max_bucket)
+            .drop("__bucket")
+        )
+    base = _stage(base)
+    totals = base.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    a = base.select(F.col("__id").alias("id_a"), "__fp")
+    b = base.select(F.col("__id").alias("id_b"), "__fp")
+    shared = (
+        a.join(b, on="__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    ta = totals.select(F.col("__id").alias("id_a"), F.col("__total").alias("__ta"))
+    tb = totals.select(F.col("__id").alias("id_b"), F.col("__total").alias("__tb"))
+    return (
+        shared.join(ta.hint("shuffle_hash"), on="id_a")
+        .join(tb.hint("shuffle_hash"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("__ta"), F.col("__tb")), 6
+            ).alias("containment"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("__ta") + F.col("__tb") - F.col("n_shared")),
+                6,
+            ).alias("resemblance"),
+        )
+    )

@@ -342,3 +342,30 @@ def test_kmeans_and_semantic_dedup_auto(spark):
     again = {r["vec_id"]: r["is_kept"] for r in similarity.semantic_dedup_auto(df, k=3, seed=7, threshold=0.999).collect()}
     release_staged(spark)
     assert again == {v: r["is_kept"] for v, r in out.items()}
+
+
+def test_winnow_containment_pairs(spark):
+    long = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "on and the crowd cheers loudly for the whole afternoon show"
+    )
+    rows = [
+        (1, long),
+        (2, long[:64]),                       # contained prefix of doc 1
+        (3, "entirely different content with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = text.winnowing_fingerprints(df, "doc_id", "text", hash_mode="fast")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in text.winnow_containment_pairs(fps).collect()
+    }
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    release_staged(spark)
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # doc 2 is a substring of doc 1: most of its fingerprints are shared,
+    # so containment is high while resemblance stays diluted
+    assert r["containment"] >= 0.8
+    assert r["resemblance"] < r["containment"]
+    assert not any(3 in k for k in out)
