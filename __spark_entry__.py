@@ -1098,13 +1098,26 @@ def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint").cast("string").alias("val_s"),
         nd.alias("val_d"),
     )
-    c = text.winnow_containment_pairs(fps, "doc_id", "fingerprint").select(
-        F.lit("contain").alias("part"),
-        F.concat(
-            F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")
-        ).alias("key"),
-        F.col("n_shared").cast("string").alias("val_s"),
-        F.col("containment").alias("val_d"),
+    # This corpus's shared vocabulary gives a tiny gram space (6.6k distinct
+    # fingerprints for 554k rows at sf0.1, median multiplicity 19), so the
+    # MOSS common-fingerprint cap does the heavy pruning (max_bucket=50
+    # drops boilerplate fps whose buckets go quadratic) and the containment
+    # floor keeps substantive overlap only.
+    c = (
+        text.winnow_containment_pairs(
+            fps, "doc_id", "fingerprint", max_bucket=50
+        )
+        .where(F.col("containment") >= 0.5)
+        .select(
+            F.lit("contain").alias("part"),
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("#"),
+                F.col("id_b").cast("string"),
+            ).alias("key"),
+            F.col("n_shared").cast("string").alias("val_s"),
+            F.col("containment").alias("val_d"),
+        )
     )
     return a.unionByName(c)
 
@@ -1128,10 +1141,17 @@ wins AS (
   FROM grams
 ),
 fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins),
-fp_tot AS (SELECT doc_id, count(*) AS c FROM fp GROUP BY 1),
+fp_keep AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS m
+    FROM fp
+  ) WHERE m <= 50
+),
+fp_tot AS (SELECT doc_id, count(*) AS c FROM fp_keep GROUP BY 1),
 fp_sh AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
-  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  FROM fp_keep a JOIN fp_keep b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING count(*) >= 2
 )
@@ -1142,6 +1162,7 @@ UNION ALL
 SELECT 'contain', ia||'#'||ib, CAST(ns AS VARCHAR),
   round(CAST(ns AS DOUBLE) / least(ta.c, tb.c), 6)
 FROM fp_sh JOIN fp_tot ta ON ia = ta.doc_id JOIN fp_tot tb ON ib = tb.doc_id
+WHERE round(CAST(ns AS DOUBLE) / least(ta.c, tb.c), 6) >= 0.5
 """
 
 
