@@ -56,7 +56,7 @@ HEADLINE = [
 #: Reported separately so the headline total stays round-over-round
 #: comparable; same best-of-2 methodology.
 EXTENDED = [
-    "doc_winnow_fingerprint",  # portable md5 mode (oracle-checked)
+    "doc_winnow_fingerprint",  # portable fps + MOSS containment suite (oracle-checked)
     "doc_winnow_fast",  # numpy Rabin-Karp mode (the 100 TB kernel)
     "simhash_pairs",
     "asof_click_attribution",
