@@ -78,6 +78,12 @@ def main() -> None:
 
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
 
+    # concurrent machine load is the dominant round-over-round noise source
+    # (observed ±50% swings on identical code); record it so a slow artifact
+    # is attributable to the box, not the code
+    load_start = os.getloadavg()
+    load_samples: list[float] = []
+
     def time_set(
         names: list[str], n_runs: int = 2
     ) -> tuple[dict[str, float], dict[str, float]]:
@@ -88,6 +94,7 @@ def main() -> None:
         out: dict[str, float] = {}
         out2: dict[str, float] = {}
         for name in names:
+            load_samples.append(os.getloadavg()[0])
             fn = getattr(entrymod, f"q_{name}")
             runs = []
             for _ in range(n_runs):
@@ -123,6 +130,15 @@ def main() -> None:
                 # with BENCH_r01/BENCH_r02 totals
                 "value_best_of_2": round(sum(timings2.values()), 3),
                 "queries_best_of_2": timings2,
+                # box load context: 1-min loadavg at start and the
+                # max/mean of per-query samples during the run. A headline
+                # delta vs a prior round is only code-attributable when
+                # both artifacts show comparable load.
+                "loadavg_start": [round(v, 2) for v in load_start],
+                "loadavg_during_max": round(max(load_samples), 2),
+                "loadavg_during_mean": round(
+                    sum(load_samples) / len(load_samples), 2
+                ),
             }
         )
     )

@@ -135,7 +135,15 @@ def bpe_encode(
     Output: ``(id, n_tokens, tokens array<string>)``. The merge ranks
     broadcast inside the Arrow closure; a per-batch word memo exploits
     Zipf repetition so each distinct word in a batch is encoded once.
+
+    Word boundaries are :func:`dedup.py_tokens` — the same ASCII-whitespace
+    equality classes as the JVM ``split`` the trainer's word counts use
+    (``bpe_train``), so a word containing NBSP encodes against the merges
+    that were actually trained for it; empty boundary tokens are skipped
+    (they carry no symbols).
     """
+    from .dedup import py_tokens
+
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def run(batches: Iterator) -> Iterator:
@@ -146,7 +154,7 @@ def bpe_encode(
             toks_col = []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                for w in (text or "").split():
+                for w in filter(None, py_tokens(text)):
                     enc = memo.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)

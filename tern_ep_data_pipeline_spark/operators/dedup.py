@@ -20,6 +20,8 @@ under retries and across cluster sizes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,9 +165,11 @@ def chunk_dedup_stats(
     here at chunk rather than suffix granularity so it stays one shuffle).
 
     An occurrence of a chunk is a DUPLICATE unless it is the globally first
-    occurrence, where "first" is the minimum of ``doc_id * 1e6 + pos`` (a
-    single integer key both Spark and any SQL oracle order identically;
-    requires < 1e6 chunks per document).
+    occurrence, where "first" is ``min(struct(doc_id, pos))`` — lexicographic
+    on (id, pos), which any SQL oracle orders identically via
+    ``min(id * 1e6 + pos)`` for integral ids with < 1e6 chunks per document,
+    and which stays well-defined for string/UUID ids (a long cast of those
+    would yield NULL and silently nullify every stat downstream).
 
     Output per document: ``n_chunks``, ``n_dup_chunks``, ``dup_chunk_frac``
     (rounded 6), and ``kept_tokens`` — tokens remaining if duplicate chunks
@@ -180,7 +184,9 @@ def chunk_dedup_stats(
         "__id",
         "__ctoks",
         F.md5(F.col("__chunk")).alias("__h"),
-        (F.col("__id").cast("long") * 1_000_000 + F.col("__pos")).alias("__occ"),
+        F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p")).alias(
+            "__occ"
+        ),
     )
     chunks = _stage(chunks)
     first = chunks.groupBy("__h").agg(F.min("__occ").alias("__first"))
@@ -206,6 +212,28 @@ def chunk_dedup_stats(
 def tokens(col: Column) -> Column:
     """Whitespace tokenisation of already-clean text."""
     return F.split(F.trim(col), r"\s+")
+
+
+#: Java-regex ``\s`` is ASCII-only; ``re.ASCII`` pins Python to the same set
+#: ([ \t\n\x0B\f\r]) so NBSP and other Unicode spaces do NOT split.
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
+def py_tokens(raw: str | None) -> list[str]:
+    """Python twin of :func:`tokens` with IDENTICAL equality classes to the
+    JVM expression ``split(trim(col), '\\s+')``:
+
+    - ``trim`` strips the space character only, so leading ``\\t``/``\\n``
+      yields an empty first token (and trailing ones an empty last token);
+    - Java ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]`` — NBSP/ideographic
+      spaces do not split.
+
+    Every Arrow kernel that tokenises in Python (shingle arrow mode, gram
+    hashing, streaming decontamination) MUST use this instead of
+    ``str.split()``, whose Unicode-whitespace + implicit-trim semantics
+    silently produce different gram equality classes on scraped text.
+    """
+    return _ASCII_WS.split(("" if raw is None else raw).strip(" "))
 
 
 def _fanout(df: DataFrame, key: str) -> DataFrame:
@@ -277,7 +305,7 @@ def shingle_frame(
         for pdf in batches:
             shs = []
             for raw in pdf[text_col]:
-                toks = ("" if raw is None else raw).split()
+                toks = py_tokens(raw)
                 if len(toks) <= n:
                     shs.append([" ".join(toks)])
                 else:
@@ -592,7 +620,7 @@ def _simhash_arrow_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     fnv_off = np.uint64(0xCBF29CE484222325)
     fnv_prime = np.uint64(0x100000001B3)
-    ws = re.compile(r"\s+")
+    ws = _ASCII_WS  # tokens() parity: Java \s is ASCII-only (NBSP ≠ split)
     bit_idx = np.arange(64, dtype=np.uint64)
     chunk = 4096  # docs per kernel pass: bounds the n_occ x 64 bit matrix
 

@@ -333,16 +333,22 @@ def chunk_stats_against_index(
             "__id",
             "__ctoks",
             F.md5(F.col("__chunk")).alias("__h"),
-            (F.col("__id").cast("long") * 1_000_000 + F.col("__pos")).alias(
-                "__occ"
-            ),
+            F.struct(
+                F.col("__id").alias("i"), F.col("__pos").alias("p")
+            ).alias("__occ"),
         )
     )
     occ = dedup_ops._stage(occ)
     batch_first = occ.groupBy("__h").agg(F.min("__occ").alias("__first"))
+    # distinct BEFORE the left join: the index accumulates parquet appends
+    # and the same chunk_hash routinely lands in several of them (accepted
+    # docs below the gate still carry already-indexed chunks); a plain left
+    # join would multiply each matching occurrence row per index copy,
+    # inflating n_chunks / n_dup_chunks — the exact value callers gate on.
     indexed = (
         spark.read.parquet(os.path.join(path, "chunks"))
         .select(F.col("chunk_hash").alias("__h"))
+        .distinct()
         .withColumn("__indexed", F.lit(True))
     )
     joined = occ.join(batch_first, on="__h").join(
@@ -370,9 +376,10 @@ def append_to_chunk_index(
     text_col: str = "text",
     chunk_tokens: int = 10,
 ) -> None:
-    """Append accepted docs' distinct chunk hashes (compact the parquet dir
-    on the lake's schedule; duplicate hash rows are harmless — the join is
-    a semi-flag, not a count)."""
+    """Append accepted docs' distinct chunk hashes. Each append is distinct
+    WITHIN itself only — the same hash recurs across appends, which is why
+    :func:`chunk_stats_against_index` distincts the index before joining
+    (compact the parquet dir on the lake's schedule to bound re-reads)."""
     _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
         "append"
     ).parquet(os.path.join(path, "chunks"))

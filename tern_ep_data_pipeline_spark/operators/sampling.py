@@ -211,11 +211,22 @@ def pack_sequences(
 
     Scale shape: one running sum per group window. Pack within shards
     (``group_cols`` — a real pipeline packs per output shard anyway);
-    an ungrouped call funnels the corpus through one task and is only for
-    small frames.
+    an ungrouped call funnels the corpus through ONE task (a global
+    ``Window.partitionBy()``) and warns, so the scale-unsafe path cannot
+    be taken by accident on a 100 TB corpus.
     """
+    import warnings
+
     from pyspark.sql import Window
 
+    if not group_cols:
+        warnings.warn(
+            "pack_sequences(group_cols=()) runs the cumulative sum as a "
+            "single-task global window — fine for small frames, unusable at "
+            "scale. Pass group_cols (output shards) to pack in parallel.",
+            UserWarning,
+            stacklevel=2,
+        )
     order = order_col or id_col
     w = (
         Window.partitionBy(*group_cols).orderBy(order)

@@ -202,6 +202,7 @@ def semantic_dedup(
     cluster_col: str = "label",
     threshold: float = 0.95,
     pairs: DataFrame | None = None,
+    pairs_threshold: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): duplicates
     are detected only WITHIN a cluster of the embedding space, so the
@@ -211,7 +212,10 @@ def semantic_dedup(
     at a LOOSER threshold — callers that already list pairs (a dedup report
     next to the keep/drop decision) filter it here instead of paying the
     within-cluster self-join twice; the rounded ``cosine_sim`` makes the
-    re-threshold decision identical to a direct computation.
+    re-threshold decision identical to a direct computation. Pass
+    ``pairs_threshold`` (the threshold the pairs frame was computed at) so
+    the looser-than requirement is ENFORCED: pairs from a stricter threshold
+    are missing sub-threshold rows and would silently under-drop.
 
     Keep rule — deterministic and non-recursive by design: a vector is
     dropped iff ANY lower-id vector in the same cluster has cosine >= t
@@ -235,6 +239,13 @@ def semantic_dedup(
         pairs = embedding_near_dup_pairs(
             df, id_col=id_col, vec_col=vec_col, block_col=cluster_col,
             threshold=threshold,
+        )
+    elif pairs_threshold is not None and pairs_threshold > threshold:
+        raise ValueError(
+            f"pairs were computed at threshold={pairs_threshold}, stricter "
+            f"than the requested {threshold}: sub-threshold pairs are absent "
+            "and the result would silently under-drop. Recompute pairs at a "
+            "threshold <= the requested one."
         )
     dropped = (
         pairs.where(F.col("cosine_sim") >= threshold)

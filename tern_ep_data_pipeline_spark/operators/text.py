@@ -406,8 +406,16 @@ def _doc_gram_hashes(
 ) -> "np.ndarray":
     """uint64 gram hashes for one document — the single definition both the
     batch Arrow kernel and the streaming filter share, so their equality
-    classes can never drift. ``memo`` caches per-token md5s across calls."""
+    classes can never drift. ``memo`` caches per-token md5s across calls.
+
+    Tokenisation is :func:`dedup.py_tokens` — the exact equality classes of
+    the JVM ``split(trim(col), '\\s+')`` the portable/oracle path uses (ASCII
+    whitespace only, space-only trim), NOT ``str.split()``: on scraped text
+    with leading tabs/newlines or NBSP the two disagree, which would silently
+    shift repetition stats and decontamination decisions between modes."""
     import hashlib
+
+    from .dedup import py_tokens
 
     def tok_h(t: str) -> int:
         v = memo.get(t)
@@ -416,7 +424,7 @@ def _doc_gram_hashes(
             memo[t] = v
         return v
 
-    toks = ("" if raw is None else raw).split() or [""]
+    toks = py_tokens(raw)
     th = np.fromiter((tok_h(t) for t in toks), dtype=np.uint64, count=len(toks))
     base = np.uint64(_GRAM_BASE)
     with np.errstate(over="ignore"):
@@ -701,7 +709,9 @@ def winnow_containment_pairs(
     Input: the distinct (id, fingerprint) rows
     :func:`winnowing_fingerprints` emits. Output per candidate pair
     (id_a < id_b, shared >= min_shared): ``n_shared``, ``containment``
-    and ``resemblance`` (both rounded 6).
+    and ``resemblance`` (both rounded 6), plus ``total_a``/``total_b``
+    (per-doc fingerprint counts) so a consumer can tell WHICH side is the
+    contained one — the smaller-total doc is the embedded document.
 
     Scale shape: the only join is the fingerprint-keyed self-join — pairs
     materialise only for documents that actually share a fingerprint, and
@@ -749,5 +759,7 @@ def winnow_containment_pairs(
                 / (F.col("__ta") + F.col("__tb") - F.col("n_shared")),
                 6,
             ).alias("resemblance"),
+            F.col("__ta").alias("total_a"),
+            F.col("__tb").alias("total_b"),
         )
     )

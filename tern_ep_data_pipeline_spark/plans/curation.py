@@ -6,6 +6,9 @@ corpus run actually executes, in dependency order:
 1. exact dedup (hash-groupBy; removes the bulk cheaply);
 2. near-dup pairs (MinHash LSH, degenerate buckets capped) ->
    connected components -> keep only canonical (min-id) cluster members;
+2b. optional containment gate (MOSS winnowing): drop a small document
+   embedded verbatim in a larger one — resemblance-based MinHash dilutes
+   exactly this case away (Schleimer et al. '03 §5);
 3. optional sub-document gate: drop documents that are mostly duplicated
    chunks (boilerplate mirrors exact/near dedup misses);
 4. optional train/eval decontamination (n-gram overlap anti-join);
@@ -48,6 +51,10 @@ def curate_corpus(
     bpe_merges: list[tuple[str, str]] | None = None,
     token_budget: float | None = None,
     max_dup_chunk_frac: float | None = None,
+    containment_threshold: float | None = None,
+    containment_k: int = 8,
+    containment_window: int = 4,
+    containment_max_bucket: int | None = 100_000,
     eval_df: DataFrame | None = None,
     decon_ngram: int = 8,
     quality_model=None,
@@ -84,6 +91,33 @@ def curate_corpus(
         F.col("node").alias(id_col)
     )
     kept = deduped.join(losers, on=id_col, how="left_anti")
+
+    # 2b. containment gate: a short document copied verbatim inside a much
+    # longer one shares only a small FRACTION of the long doc's shingles,
+    # so MinHash resemblance stays under any sane threshold — but its
+    # containment (shared / min fingerprint count) is ~1. Drop the
+    # contained (smaller-fingerprint-set) side; tie -> higher id, so the
+    # rule is deterministic and the largest doc of a chain always survives.
+    if containment_threshold is not None:
+        fps = text.winnowing_fingerprints(
+            kept, id_col, text_col, k=containment_k, window=containment_window
+        )
+        contained = (
+            text.winnow_containment_pairs(
+                fps, id_col, max_bucket=containment_max_bucket
+            )
+            .where(F.col("containment") >= containment_threshold)
+            .select(
+                F.when(
+                    F.col("total_a") < F.col("total_b"), F.col("id_a")
+                )
+                .when(F.col("total_b") < F.col("total_a"), F.col("id_b"))
+                .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+                .alias(id_col)
+            )
+            .distinct()
+        )
+        kept = kept.join(contained, on=id_col, how="left_anti")
 
     # 3. sub-document boilerplate gate: a doc that survives whole-document
     # dedup can still be mostly chunks first seen elsewhere.

@@ -798,7 +798,24 @@ def test_repetition_and_contamination_fast_equals_portable(spark, sf_dir):
     )
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    # include the whitespace shapes where Python str.split() and the JVM
+    # split(trim(col), '\s+') disagree: the fast (Arrow) mode must share the
+    # portable mode's gram equality classes on exactly these
+    weird = spark.createDataFrame(
+        [
+            (90001, "\tq w e r t y u i lead tab"),
+            (90002, "q w e r t y u i trail newline\n"),
+            (90003, "nb\xa0sp q w e r t y u i and　ideographic"),
+            (90004, " \t\nq w e r t y u i mixed \r\f"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(200)
+        .select("doc_id", "text")
+        .unionByName(weird)
+    )
     fast = repetition_stats(docs, "doc_id", "text").collect()
     portable = repetition_stats(docs, "doc_id", "text", hash_mode="portable").collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, portable))
@@ -1025,6 +1042,174 @@ def test_chunk_index_incremental(spark, tmp_path):
     }
     dedup.release_staged(spark)
     assert again[20]["dup_chunk_frac"] == 1.0
+
+
+def test_chunk_index_duplicate_appends_not_inflated(spark, tmp_path):
+    """The index accumulates the same chunk_hash across parquet appends;
+    stats joins must distinct it first or every matching occurrence row
+    multiplies and dup_chunk_frac (the gate value) inflates."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_chunk_index,
+        build_chunk_index,
+        chunk_stats_against_index,
+    )
+
+    c1 = "a b c d e f g h i j"
+    doc = spark.createDataFrame([(1, c1)], ["doc_id", "text"])
+    path = str(tmp_path / "cidx")
+    build_chunk_index(doc, path)
+    # the same chunk lands in the index three times (routine: accepted docs
+    # below the gate still carry already-indexed chunks)
+    append_to_chunk_index(spark.createDataFrame([(2, c1)], ["doc_id", "text"]), path)
+    append_to_chunk_index(spark.createDataFrame([(3, c1)], ["doc_id", "text"]), path)
+
+    fresh = "totally new words never indexed anywhere at all right now"
+    out = {
+        r["doc_id"]: r
+        for r in chunk_stats_against_index(
+            spark,
+            spark.createDataFrame([(10, f"{c1} {fresh}")], ["doc_id", "text"]),
+            path,
+        ).collect()
+    }
+    dedup.release_staged(spark)
+    # 2 chunks, 1 indexed: a non-distinct join would report n_chunks=4
+    # (the indexed occurrence tripled) and dup_chunk_frac=0.75
+    assert out[10]["n_chunks"] == 2
+    assert out[10]["n_dup_chunks"] == 1
+    assert out[10]["dup_chunk_frac"] == 0.5
+    assert out[10]["kept_tokens"] == 10
+
+
+def test_chunk_stats_string_ids(spark, tmp_path):
+    """String/UUID doc ids: the occurrence ordering must not go through a
+    long cast (NULL for strings -> every stat NULL -> the gate drops
+    nothing). struct(id, pos) ordering keeps it well-defined."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_chunk_index,
+        chunk_stats_against_index,
+    )
+
+    c1 = "a b c d e f g h i j"
+    c2 = "k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [("doc-aaa", f"{c1} {c2}"), ("doc-bbb", f"{c2} {c2}")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup_stats(df, "doc_id", "text").collect()
+    }
+    dedup.release_staged(spark)
+    # doc-aaa (lexicographically first) owns both chunks; doc-bbb's two
+    # c2 occurrences both duplicate it
+    assert out["doc-aaa"]["n_dup_chunks"] == 0
+    assert out["doc-aaa"]["kept_tokens"] == 20
+    assert out["doc-bbb"]["n_dup_chunks"] == 2
+    assert out["doc-bbb"]["dup_chunk_frac"] == 1.0
+
+    path = str(tmp_path / "cidx_str")
+    build_chunk_index(
+        spark.createDataFrame([("seed-1", c1)], ["doc_id", "text"]), path
+    )
+    inc = {
+        r["doc_id"]: r
+        for r in chunk_stats_against_index(
+            spark,
+            spark.createDataFrame([("new-1", f"{c1} {c2}")], ["doc_id", "text"]),
+            path,
+        ).collect()
+    }
+    dedup.release_staged(spark)
+    assert inc["new-1"]["n_dup_chunks"] == 1
+    assert inc["new-1"]["kept_tokens"] == 10
+
+
+def test_pack_sequences_ungrouped_warns(spark):
+    """The ungrouped default funnels the corpus through one task; it must
+    warn so the scale-unsafe path can't be taken silently."""
+    import warnings
+
+    from tern_ep_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 300)], ["doc_id", "n_tok"]
+    )
+    with pytest.warns(UserWarning, match="single-task global window"):
+        out = {
+            r["doc_id"]: r
+            for r in sampling.pack_sequences(
+                df, "doc_id", "n_tok", seq_len=1000
+            ).collect()
+        }
+    assert (out[3]["seq_index"], out[3]["seq_offset"]) == (1, 200)
+
+    # the grouped (scale-safe) path stays silent
+    gdf = spark.createDataFrame([(1, "a", 600)], ["doc_id", "shard", "n_tok"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sampling.pack_sequences(
+            gdf, "doc_id", "n_tok", seq_len=1000, group_cols=("shard",)
+        ).collect()
+
+
+def test_semantic_dedup_rejects_stricter_pairs(spark):
+    from tern_ep_data_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.99,
+    )
+    with pytest.raises(ValueError, match="stricter"):
+        similarity.semantic_dedup(
+            df, threshold=0.95, pairs=pairs, pairs_threshold=0.99
+        )
+    # looser-or-equal pairs pass through
+    out = similarity.semantic_dedup(
+        df, threshold=0.99, pairs=pairs, pairs_threshold=0.99
+    ).collect()
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+
+    release_staged(spark)
+    assert len(out) == 2
+
+
+def test_curate_corpus_containment_gate(spark):
+    """A short document embedded verbatim in a much longer one: MinHash
+    resemblance dilutes away (shared shingles are a small fraction of the
+    long doc's set) so near-dup dedup keeps both; the containment gate
+    drops the embedded copy."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    rng_words = [f"w{i:03d}" for i in range(240)]
+    big = " ".join(rng_words)
+    embedded = " ".join(rng_words[60:90])  # 30-word verbatim excerpt
+    other = " ".join(f"z{i:03d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, big), (2, embedded), (3, other)], ["doc_id", "text"]
+    )
+
+    base_kept = {
+        r["doc_id"] for r in curate_corpus(docs, min_chars=5).collect()
+    }
+    dedup.release_staged(spark)
+    assert base_kept == {1, 2, 3}  # MinHash alone keeps the embedded doc
+
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_chars=5, containment_threshold=0.8
+        ).collect()
+    }
+    dedup.release_staged(spark)
+    assert kept == {1, 3}  # embedded copy gone, host + unrelated survive
 
 
 def test_materialise_sequences(spark):

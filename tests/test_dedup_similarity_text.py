@@ -295,13 +295,26 @@ def test_semantic_dedup_within_cluster(spark):
 def test_shingle_frame_arrow_equals_expr(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     extra = spark.createDataFrame(
-        [(9001, ""), (9002, "one"), (9003, "one two three"), (9004, "  padded   tokens  ")],
+        [
+            (9001, ""),
+            (9002, "one"),
+            (9003, "one two three"),
+            (9004, "  padded   tokens  "),
+            # whitespace edges where Python str.split() and the JVM
+            # split(trim(col), '\s+') genuinely diverge: leading tab /
+            # trailing newline (empty boundary token on the JVM),
+            # NBSP + ideographic space (NOT separators on the JVM)
+            (9005, "\tlead tab body"),
+            (9006, "body trail newline\n"),
+            (9007, "nbsp joined token and　ideographic"),
+            (9008, " \t \n mixed   ws \r\f"),
+        ],
         ["doc_id", "text"],
     )
     df = docs.select("doc_id", "text").unionByName(extra)
     a = {
         r["__id"]: sorted(r["__sh"])
-        for r in dedup.shingle_frame(df, "doc_id", "text", 3).collect()
+        for r in dedup.shingle_frame(df, "doc_id", "text", 3, mode="arrow").collect()
     }
     e = {
         r["__id"]: sorted(r["__sh"])
