@@ -1005,6 +1005,41 @@ FROM documents
 """
 
 
+#: The qf_* branch of the fused doc_profile suite: the quality model's
+#: feature frame (``q_quality_filter`` stays bench-only because L-BFGS float
+#: iteration is not SQL-reproducible, but ``heuristic_feature_frame`` is pure
+#: arithmetic — the six signals the logistic model trains and scores on — so
+#: gating it verifies the model pipeline's entire deterministic input
+#: surface).
+ORACLE_QUALITY_FEATURES = """
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN n_tok > 0
+    THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / n_tok
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS digit_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS upper_ratio,
+  CAST(n_tok AS DOUBLE) AS n_tokens,
+  CASE WHEN n_tok > 0
+    THEN round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tok, 6)
+    ELSE NULL END AS avg_token_len
+FROM t
+"""
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = text.lang_id(docs, "doc_id", "text")
@@ -1451,15 +1486,45 @@ FROM sem
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: rank label-list centroids, probe 2 lists, exact top-10
-    within. Fully oracle-checked: probe selection ranks on the ROUNDED
-    centroid similarity (ties by list id), so list choice is reproducible
-    across engines despite order-sensitive float centroid sums."""
+    """Fused IVF suite, two tagged branches:
+
+    - ``topk``: rank label-list centroids, probe 2 lists, exact top-10
+      within. Fully oracle-checked: probe selection ranks on the ROUNDED
+      centroid similarity (ties by list id), so list choice is reproducible
+      across engines despite order-sensitive float centroid sums.
+    - ``members``: the deterministic coarse half of the IVF-PQ pipeline
+      (``q_ivf_pq_rerank`` stays bench-only — PQ codebook float iteration is
+      not SQL-reproducible): the full candidate membership set ADC would
+      scan at the rerank pipeline's ``n_probe=3``. ``ivf_pq_topk`` calls the
+      same ``ivf_probes`` code path, so a green row here verifies the
+      selection the bench query actually runs.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return similarity.ivf_topk(emb, queries, k=10, n_probe=2, list_col="label")
+    topk = similarity.ivf_topk(emb, queries, k=10, n_probe=2, list_col="label")
+    queries10 = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    members = similarity.ivf_probe_members(
+        emb, queries10, n_probe=3, list_col="label"
+    )
+    a = topk.select(
+        F.lit("topk").alias("part"),
+        "query_id",
+        "vec_id",
+        F.lit(None).cast("bigint").alias("list_label"),
+        "cosine_sim",
+    )
+    b = members.select(
+        F.lit("members").alias("part"),
+        "query_id",
+        "vec_id",
+        F.col("label").cast("bigint").alias("list_label"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+    )
+    return a.unionByName(b)
 
 
 ORACLE_IVF_TOPK = """
@@ -1500,6 +1565,48 @@ scored AS (
 )
 SELECT query_id, vec_id, cosine_sim FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= 10
+"""
+
+
+#: The members branch of the fused IVF suite (see ``q_ann_ivf_topk``).
+ORACLE_IVF_PROBE_MEMBERS = """
+WITH ex AS (
+  SELECT label, u.dim, u.v FROM embeddings,
+    LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
+),
+cent AS (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+qex AS (
+  SELECT query_id, u.dim, u.v FROM q,
+    LATERAL (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v) u
+),
+qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS qn FROM qex GROUP BY 1),
+csim AS (
+  SELECT qex.query_id, cent.label,
+    round(sum(qex.v * cent.cv) / (any_value(qnorm.qn) * any_value(cnorm.cn)), 6) AS sim
+  FROM qex
+  JOIN cent ON qex.dim = cent.dim
+  JOIN qnorm ON qnorm.query_id = qex.query_id
+  JOIN cnorm ON cnorm.label = cent.label
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, label FROM csim
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, label ASC) <= 3
+)
+SELECT p.query_id, e.label, e.vec_id
+FROM probes p JOIN embeddings e ON e.label = p.label
+WHERE e.vec_id != p.query_id
+"""
+
+
+ORACLE_IVF_SUITE = f"""
+SELECT 'topk' AS part, query_id, vec_id, CAST(NULL AS BIGINT) AS list_label, cosine_sim
+FROM ({ORACLE_IVF_TOPK})
+UNION ALL
+SELECT 'members' AS part, query_id, vec_id, CAST(label AS BIGINT) AS list_label, CAST(NULL AS DOUBLE) AS cosine_sim
+FROM ({ORACLE_IVF_PROBE_MEMBERS})
 """
 
 
@@ -2402,8 +2509,24 @@ def q_pivot_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document text-analysis suite: token stats, quality scores,
     language ID, fingerprint, BPE-ish counts, and exact-dup group stats — one
-    row per document, joined on doc_id (dup stats via the content hash)."""
+    row per document, joined on doc_id (dup stats via the content hash).
+
+    The ``qf_*`` columns are ``quality_model.heuristic_feature_frame`` run as
+    the MODEL pipeline runs it — the deterministic input surface of the
+    (bench-only) ``q_quality_filter``, gated here so its float L-BFGS stage
+    is the only part outside the verified window."""
+    from tern_ep_data_pipeline_spark.operators import quality_model as qm
+
     docs = _t(spark, sf_dir, "documents")
+    hf = qm.heuristic_feature_frame(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("stopword_ratio").alias("qf_stopword_ratio"),
+        F.col("punct_ratio").alias("qf_punct_ratio"),
+        F.col("digit_ratio").alias("qf_digit_ratio"),
+        F.col("upper_ratio").alias("qf_upper_ratio"),
+        F.col("n_tokens").alias("qf_n_tokens"),
+        F.col("avg_token_len").alias("qf_avg_token_len"),
+    )
     t = text.token_stats(docs, "doc_id", "text").select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -2433,6 +2556,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_id")
         .join(ch, "doc_id")
         .join(u, "doc_id")
+        .join(hf, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
@@ -2441,6 +2565,8 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_md5", "n_ws_tokens", "n_bpe_tokens", "chars_per_bpe_token",
             "n_chunks", "n_dup_chunks", "dup_chunk_frac", "kept_tokens",
             "avg_logprob",
+            "qf_stopword_ratio", "qf_punct_ratio", "qf_digit_ratio",
+            "qf_upper_ratio", "qf_n_tokens", "qf_avg_token_len",
             "canonical_id", "n_copies",
         )
     )
@@ -2494,13 +2620,17 @@ GROUP BY doc_id
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
 fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
-ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM})
+ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM}),
+qf AS ({ORACLE_QUALITY_FEATURES})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
   fp.fingerprint_md5, b.n_ws_tokens, b.n_bpe_tokens, b.chars_per_bpe_token,
   ch.n_chunks, ch.n_dup_chunks, ch.dup_chunk_frac, ch.kept_tokens,
   uni.avg_logprob,
+  qf.stopword_ratio AS qf_stopword_ratio, qf.punct_ratio AS qf_punct_ratio,
+  qf.digit_ratio AS qf_digit_ratio, qf.upper_ratio AS qf_upper_ratio,
+  qf.n_tokens AS qf_n_tokens, qf.avg_token_len AS qf_avg_token_len,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
@@ -2509,6 +2639,7 @@ JOIN fp USING (doc_id)
 JOIN b USING (doc_id)
 JOIN ch USING (doc_id)
 JOIN uni USING (doc_id)
+JOIN qf USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 
@@ -3205,7 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_portable": ORACLE_MINHASH_PORTABLE,
         "simhash_pairs_portable": ORACLE_SIMHASH_PORTABLE,
         "llm_curation_suite": ORACLE_LLM_CURATION,
-        "ann_ivf_topk": ORACLE_IVF_TOPK,
+        "ann_ivf_topk": ORACLE_IVF_SUITE,
         "approx_stats": ORACLE_APPROX_STATS,
         # The fast modes of minhash (xxhash64) and simhash (numpy Arrow
         # kernel) are pinned in tests/test_dedup_similarity_text.py —

@@ -311,36 +311,62 @@ def extract_features(
     assets: DataFrame,
     dim: int = FEATURE_DIM,
     use_fake_encoder: bool = True,
+    on_error: str = "tag",
 ) -> DataFrame:
-    """Arrow-batched feature extraction: (asset_id, feature array<double>).
+    """Arrow-batched feature extraction:
+    (asset_id, feature array<double>, decode_error string).
 
     ``mapInPandas`` keeps whole-file bytes off the driver and vectorises per
     batch; output schema is plan-time fixed. With ``use_fake_encoder=False``
-    the real decoders are called (and raise until codecs are installed).
+    the real decoders are called.
+
+    ``on_error='tag'`` (default): an asset the codecs cannot decode — a
+    progressive JPEG beside the baseline decoder, a truncated file, an
+    unknown container — yields ``feature=NULL`` with the error message in
+    ``decode_error`` instead of failing the whole batch. A real web-crawled
+    corpus always contains a tail of undecodable assets; a 1000-executor
+    job must quarantine them (callers filter ``decode_error IS NULL`` or
+    route the tagged rows to a dead-letter sink), not die on the first
+    one. ``on_error='raise'`` propagates, for pipelines that treat any
+    decode failure as a bug. ``decode_error`` is NULL on success in both
+    modes, so the schema is mode-independent.
     """
+    if on_error not in ("tag", "raise"):
+        raise ValueError(f"on_error must be 'tag' or 'raise', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats: list = []
+            errs: list = []
             for content, modality in zip(pdf["content"], pdf["modality"]):
                 raw = bytes(content)
-                if use_fake_encoder or modality == "text":
-                    feats.append(_fake_feature(raw, dim))
-                elif modality == "image":
-                    feats.append(image_feature(decode_image(raw), dim))
-                elif modality == "audio":
-                    feats.append(audio_feature(decode_audio(raw)[0], dim))
-                else:
-                    raise NotImplementedError(f"modality {modality!r}")
+                try:
+                    if use_fake_encoder or modality == "text":
+                        feats.append(_fake_feature(raw, dim))
+                    elif modality == "image":
+                        feats.append(image_feature(decode_image(raw), dim))
+                    elif modality == "audio":
+                        feats.append(audio_feature(decode_audio(raw)[0], dim))
+                    else:
+                        raise NotImplementedError(f"modality {modality!r}")
+                    errs.append(None)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "feature": [f.tolist() for f in feats],
+                    "feature": [
+                        f.tolist() if f is not None else None for f in feats
+                    ],
+                    "decode_error": errs,
                 }
             )
 
     return assets.select("asset_id", "modality", "content").mapInPandas(
-        run, schema="asset_id BIGINT, feature ARRAY<DOUBLE>"
+        run, schema="asset_id BIGINT, feature ARRAY<DOUBLE>, decode_error STRING"
     )
 
 

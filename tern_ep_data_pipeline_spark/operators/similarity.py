@@ -380,6 +380,63 @@ def ivf_topk(
     )
 
 
+def ivf_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    list_col: str = "label",
+    n_probe: int = 2,
+) -> DataFrame:
+    """``(query_id, list)``: the ``n_probe`` nearest inverted lists per
+    query, ranked on the ROUNDED centroid cosine with ties broken by list
+    id — the deterministic coarse stage of IVF search. Rounding makes the
+    list choice reproducible across engines/summation orders (same
+    discipline as :func:`ivf_topk`), which is what lets the coarse stage
+    be SQL-oracle-checked even when downstream PQ codebooks cannot be."""
+    cents = label_centroids(corpus, list_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    ranked = q.crossJoin(F.broadcast(cents)).select(
+        F.col(query_id_col),
+        F.col(list_col),
+        F.round(cosine(F.col("__qv"), F.col("centroid")), 6).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col(list_col).asc()
+    )
+    return (
+        ranked.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select(query_id_col, list_col)
+    )
+
+
+def ivf_probe_members(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    list_col: str = "label",
+    n_probe: int = 2,
+) -> DataFrame:
+    """``(query_id, list, id)``: every corpus vector in a query's probed
+    lists — the exact candidate set :func:`ivf_pq_topk` feeds to ADC,
+    exposed as a deterministic integer projection. The PQ stages (float
+    k-means codebooks, ADC distances) are not SQL-reproducible; this
+    membership set IS, so the oracle gate covers the coarse half of the
+    IVF-PQ pipeline instead of leaving the whole query rows-only."""
+    probes = ivf_probes(
+        corpus, queries, vec_col, query_id_col, list_col, n_probe
+    )
+    return (
+        corpus.select(id_col, list_col)
+        .join(F.broadcast(probes), on=list_col)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, list_col, id_col)
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -681,21 +738,10 @@ def ivf_pq_topk(
     full ``vec_col`` is only read for shortlist rows. Output:
     (query_id, vec_id, dist, rank).
     """
-    cents = label_centroids(corpus, list_col, vec_col)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    ranked = q.crossJoin(F.broadcast(cents)).select(
-        F.col(query_id_col),
-        F.col(list_col),
-        cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("__csim").desc(), F.col(list_col).asc()
-    )
-    probes = (
-        ranked.withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= n_probe)
-        .select(query_id_col, list_col)
-    )
+    # coarse stage shared with ivf_probe_members (rounded centroid cosine,
+    # ties by list id) so the oracle-gated membership projection verifies
+    # the EXACT candidate selection this pipeline runs
+    probes = ivf_probes(corpus, queries, vec_col, query_id_col, list_col, n_probe)
     # lists any query probes; at scale this is the partition-pruning filter
     probed_lists = probes.select(list_col).distinct()
     probed = corpus.join(F.broadcast(probed_lists), on=list_col)

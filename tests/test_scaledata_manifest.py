@@ -1,0 +1,66 @@
+"""Provenance gate for the self-generated scaling data: every scaledata
+dir carries a MANIFEST.json (seeds, row counts, generator source hash) and
+tools/bench_scaling.py refuses to bench data that drifted from the current
+generator — a scaling claim must be traceable to the exact generator that
+produced its inputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
+
+from gen_scaledata import generator_digest, write_manifest  # noqa: E402
+from bench_scaling import check_manifest  # noqa: E402
+
+
+def _fake_dir(tmp_path, rows=7):
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(rows), pa.int64())}),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_manifest_roundtrip_passes(tmp_path):
+    d = _fake_dir(tmp_path)
+    write_manifest(d, 0.5, {"documents": 7})
+    m = json.load(open(os.path.join(d, "MANIFEST.json")))
+    assert m["sf"] == 0.5 and m["seed"] == [42, 500]
+    assert m["generator_sha256"] == generator_digest()
+    check_manifest(d)  # no raise
+
+
+def test_missing_manifest_refused(tmp_path):
+    d = _fake_dir(tmp_path)
+    with pytest.raises(SystemExit, match="no MANIFEST"):
+        check_manifest(d)
+
+
+def test_generator_drift_refused(tmp_path):
+    d = _fake_dir(tmp_path)
+    write_manifest(d, 0.5, {"documents": 7})
+    mpath = os.path.join(d, "MANIFEST.json")
+    m = json.load(open(mpath))
+    m["generator_sha256"] = "0" * 64
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(SystemExit, match="generator"):
+        check_manifest(d)
+
+
+def test_row_count_drift_refused(tmp_path):
+    d = _fake_dir(tmp_path)
+    write_manifest(d, 0.5, {"documents": 9999})
+    with pytest.raises(SystemExit, match="rows"):
+        check_manifest(d)

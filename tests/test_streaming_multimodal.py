@@ -411,6 +411,53 @@ def test_real_stdlib_codecs(spark):
     assert bytes(thumb) == b"\xff" * 16
 
 
+def _progressive_jpeg_bytes() -> bytes:
+    """Minimal SOI + SOF2 (progressive) header — enough for the marker walk
+    to hit the progressive branch; real scan data is irrelevant there."""
+    sof2 = bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    return b"\xff\xd8" + sof2
+
+
+def test_extract_features_tags_undecodable(spark):
+    """A mixed real-world corpus always has a tail the codecs can't decode
+    (progressive JPEG beside the baseline decoder, garbage bytes). The
+    default mode quarantines those rows (feature NULL + decode_error) so
+    one bad asset can't fail the batch; on_error='raise' keeps the
+    fail-fast behaviour for pipelines that want it."""
+    import numpy as np
+    import pytest
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", bytearray(_bmp_bytes(8, 8, (255, 255, 255))), None),
+        (2, "image", bytearray(_progressive_jpeg_bytes()), None),
+        (3, "image", bytearray(b"not an image at all"), None),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {
+        r["asset_id"]: r
+        for r in mm.extract_features(assets, use_fake_encoder=False).collect()
+    }
+    # decodable asset: real feature, no error
+    assert out[1]["decode_error"] is None
+    assert np.array(out[1]["feature"]) == pytest.approx(np.full(16, 0.25), abs=1e-9)
+    # progressive JPEG: tagged with the named marker, feature NULL
+    assert out[2]["feature"] is None
+    assert "progressive" in out[2]["decode_error"]
+    # unknown container: tagged too
+    assert out[3]["feature"] is None and out[3]["decode_error"]
+
+    only_progressive = spark.createDataFrame(
+        [(2, "image", bytearray(_progressive_jpeg_bytes()), None)],
+        mm.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="progressive"):
+        mm.extract_features(
+            only_progressive, use_fake_encoder=False, on_error="raise"
+        ).collect()
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join produces exactly the pairs
     the equivalent batch range join produces on the same data."""

@@ -36,6 +36,39 @@ HEAVY = [
 ]
 
 
+def check_manifest(d: str) -> None:
+    """Refuse to bench data whose provenance doesn't match the current
+    generator: a curve measured on drifted data would silently stand behind
+    claims the generator no longer produces. Regenerate (or pass
+    --allow-manifest-mismatch to knowingly bench foreign data)."""
+    import pyarrow.parquet as pq
+
+    from gen_scaledata import generator_digest
+
+    mpath = os.path.join(d, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        raise SystemExit(
+            f"{d}: no MANIFEST.json — regenerate with tools/gen_scaledata.py "
+            "(provenance-free scale data can't back a scaling claim)"
+        )
+    with open(mpath) as fh:
+        m = json.load(fh)
+    cur = generator_digest()
+    if m.get("generator_sha256") != cur:
+        raise SystemExit(
+            f"{d}: MANIFEST generator_sha256={m.get('generator_sha256', '?')[:12]} "
+            f"!= current generator {cur[:12]} — the data predates a generator "
+            "change; regenerate before benching"
+        )
+    for t, want in m.get("rows", {}).items():
+        got = pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
+        if got != want:
+            raise SystemExit(
+                f"{d}/{t}.parquet: {got} rows but MANIFEST says {want} — "
+                "data and manifest disagree; regenerate"
+            )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scaledata")
@@ -46,7 +79,12 @@ def main() -> None:
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="+", default=HEAVY)
+    ap.add_argument("--allow-manifest-mismatch", action="store_true")
     args = ap.parse_args()
+
+    if not args.allow_manifest_mismatch:
+        for d in args.dirs:
+            check_manifest(d)
 
     sfs = [
         float(os.path.basename(d.rstrip("/")).removeprefix("sf")) for d in args.dirs

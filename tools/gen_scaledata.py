@@ -171,6 +171,37 @@ def gen_events(sf: float, out_dir: str, rng: np.random.Generator) -> int:
     return n
 
 
+def generator_digest() -> str:
+    """SHA-256 of this generator's own source — recorded in every
+    MANIFEST.json so a scaling claim can always be traced to the exact
+    generator that produced its data (and consumers can refuse drifted
+    data; see tools/bench_scaling.py)."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def write_manifest(out_dir: str, sf: float, counts: dict) -> None:
+    manifest = {
+        "sf": sf,
+        "rows": counts,
+        "seed": [42, int(sf * 1000)],
+        "rng": "numpy PCG64",
+        "generator": "tools/gen_scaledata.py",
+        "generator_sha256": generator_digest(),
+        "per_sf_rows": {
+            "documents": DOCS_PER_SF,
+            "embeddings": VECS_PER_SF,
+            "events": EVENTS_PER_SF,
+            "users": USERS_PER_SF,
+        },
+        "anchor": DRIVER_SF01,
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", nargs="+", type=float, default=[0.1, 0.3, 1.0])
@@ -188,6 +219,7 @@ def main() -> None:
             "embeddings": gen_embeddings(sf, out_dir, rng),
             "events": gen_events(sf, out_dir, rng),
         }
+        write_manifest(out_dir, sf, counts)
         print(json.dumps({"sf": sf, "dir": out_dir, "rows": counts}))
 
 
