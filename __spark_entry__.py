@@ -2526,7 +2526,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("upper_ratio").alias("qf_upper_ratio"),
         F.col("n_tokens").alias("qf_n_tokens"),
         F.col("avg_token_len").alias("qf_avg_token_len"),
-    )
+    ).hint("shuffle_hash")
     t = text.token_stats(docs, "doc_id", "text").select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
