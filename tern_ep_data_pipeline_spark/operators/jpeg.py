@@ -4,14 +4,18 @@ Closes the last honestly-stubbed image seam in ``operators/multimodal.py``
 the same way the netCDF-3 / xlsx / PNG codecs closed theirs: a real byte
 path, validated by encode->decode round-trips.
 
-Scope (documented, enforced): **baseline sequential DCT** (SOF0/SOF1),
-8-bit samples, grayscale or YCbCr with sampling factors 1-2 (4:4:4,
-4:2:2, 4:2:0), restart intervals. Progressive (SOF2), arithmetic coding,
-and 12-bit precision raise ``NotImplementedError`` with the marker named.
+Scope (documented, enforced): **baseline sequential DCT** (SOF0/SOF1)
+and **progressive DCT** (SOF2 — spectral selection, successive
+approximation, EOB runs, restart intervals per T.81 G.2), 8-bit samples,
+grayscale or YCbCr with sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0).
+Arithmetic coding, hierarchical/lossless frames, and 12-bit precision
+raise ``NotImplementedError`` with the marker named.
 
 The encoder (used by tests and fixture builders) writes 4:4:4 or
-grayscale JFIF with the Annex-K quantisation and Huffman tables; the
-decoder reads the tables from the stream, so a round-trip exercises the
+grayscale JFIF with the Annex-K quantisation and Huffman tables — or,
+with ``progressive=True``, an SOF2 stream over the libjpeg-shaped scan
+script whose decode is bit-identical to the baseline encode's. The
+decoder reads all tables from the stream, so a round-trip exercises the
 full DQT/DHT/SOF/SOS path rather than trusting shared constants.
 
 Performance note: entropy decode is a per-symbol Python loop — correct
@@ -262,13 +266,21 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # ---------------------------------------------------------------- decode
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to HxWx3 uint8 RGB (grayscale replicated)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to HxWx3 uint8
+    RGB (grayscale replicated across the three channels).
+
+    Both paths share one coefficient store and one vectorised
+    dequantise+IDCT reconstruction: baseline fills it in a single scan,
+    progressive accumulates DC/AC first+refinement scans (T.81 G.2, with
+    EOB-run and restart support) until EOI."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    progressive = False
+    coefs = None  # cid -> (blocks_v, blocks_h, 64) zigzag-order int32
     restart = 0
     i = 2
     while True:
@@ -281,7 +293,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct(frame, coefs, qt)
             raise ValueError("no scan data before EOI")
         seg_len = struct.unpack_from(">H", content, i)[0]
         seg = content[i + 2 : i + seg_len]
@@ -308,7 +322,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision unsupported")
@@ -317,8 +331,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+            progressive = marker == 0xC2
+            coefs = _alloc_coefs(frame)
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8):
             raise NotImplementedError(f"SOF marker 0x{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
@@ -327,18 +341,30 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            order = []
             scan_sel = {}
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                order.append(cid)
                 scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
-            return _decode_scan(
-                content, i + seg_len, frame, scan_sel, qt, dc_tabs, ac_tabs,
-                restart,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not progressive:
+                _decode_baseline_scan(
+                    content, i + seg_len, frame, scan_sel, dc_tabs, ac_tabs,
+                    restart, coefs,
+                )
+                return _reconstruct(frame, coefs, qt)
+            i = _decode_progressive_scan(
+                content, i + seg_len, frame, order, scan_sel, ss, se, ah, al,
+                dc_tabs, ac_tabs, restart, coefs,
             )
+            continue
         i += seg_len
 
 
-def _decode_scan(data, start, frame, scan_sel, qt, dc_tabs, ac_tabs, restart):
+def _alloc_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component zigzag coefficient store, padded to the MCU grid."""
     h, w, comps = frame
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
@@ -346,10 +372,33 @@ def _decode_scan(data, start, frame, scan_sel, qt, dc_tabs, ac_tabs, restart):
         raise NotImplementedError("sampling factors above 2 unsupported")
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
-    planes = {
-        cid: np.zeros((mcus_y * 8 * cv, mcus_x * 8 * ch), dtype=np.float64)
+    return {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
         for cid, ch, cv, _ in comps
     }
+
+
+def _comp_blocks(frame, cid) -> tuple[int, int]:
+    """True (non-interleaved) block-grid dims (rows, cols) of a component —
+    ceil(comp_dim / 8) of the component's own sample dims, which is SMALLER
+    than the MCU-padded store when the padded grid overshoots the image."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    _, ch, cv, _ = next(c for c in comps if c[0] == cid)
+    cw = -(-w * ch // max_h)
+    chh = -(-h * cv // max_v)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _decode_baseline_scan(
+    data, start, frame, scan_sel, dc_tabs, ac_tabs, restart, coefs
+) -> None:
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
     reader = _BitReader(data, start)
     pred = {cid: 0 for cid, *_ in comps}
     mcu_count = 0
@@ -359,28 +408,192 @@ def _decode_scan(data, start, frame, scan_sel, qt, dc_tabs, ac_tabs, restart):
                 reader.sync_restart()
                 pred = {cid: 0 for cid in pred}
             try:
-                for cid, ch, cv, tq in comps:
+                for cid, ch, cv, _ in comps:
                     dt = dc_tabs[scan_sel[cid][0]]
                     at = ac_tabs[scan_sel[cid][1]]
-                    q = qt[tq]
                     for by in range(cv):
                         for bx in range(ch):
                             blk = _decode_block(reader, dt, at)
-                            pred[cid] += blk[0]
-                            zz = np.zeros(64, dtype=np.float64)
-                            zz[ZIGZAG] = blk
-                            zz[0] = pred[cid]
-                            coef = zz.reshape(8, 8) * q
-                            pix = _DCT_M.T @ coef @ _DCT_M + 128.0
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+                            pred[cid] += int(blk[0])
+                            blk[0] = pred[cid]
+                            coefs[cid][my * cv + by, mx * ch + bx] = blk
             except _RestartPending:
                 raise ValueError("restart marker inside MCU (corrupt stream)")
             mcu_count += 1
+
+
+def _decode_progressive_scan(
+    data, start, frame, order, scan_sel, ss, se, ah, al,
+    dc_tabs, ac_tabs, restart, coefs,
+) -> int:
+    """Decode one progressive scan in place; returns the offset of the next
+    marker after the scan's entropy data.
+
+    DC scans (Ss=0) may be interleaved; AC scans are single-component and
+    walk the component's true block grid in raster order. ``Ah=0`` scans
+    establish coefficient values shifted by ``Al``; ``Ah>0`` refinement
+    scans append one magnitude bit (the libjpeg G.2 correction-bit walk)."""
+    reader = _BitReader(data, start)
+    pred = {cid: 0 for cid in order}
+    eobrun = 0
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def dc_unit(cid: int, by: int, bx: int) -> None:
+        blk = coefs[cid][by, bx]
+        if ah == 0:
+            s = _huff_decode(reader, dc_tabs[scan_sel[cid][0]])
+            diff = _extend(reader.receive(s), s) if s else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif reader.bit():
+            blk[0] |= 1 << al
+
+    n = 0
+    try:
+        if len(order) == 1:
+            cid = order[0]
+            bh, bw = _comp_blocks(frame, cid)
+            at = None if is_dc else ac_tabs[scan_sel[cid][1]]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and n and n % restart == 0:
+                        reader.sync_restart()
+                        pred[cid] = 0
+                        eobrun = 0
+                    if is_dc:
+                        dc_unit(cid, by, bx)
+                    elif ah == 0:
+                        eobrun = _decode_ac_first(
+                            reader, coefs[cid][by, bx], ss, se, al, at, eobrun
+                        )
+                    else:
+                        eobrun = _decode_ac_refine(
+                            reader, coefs[cid][by, bx], ss, se, al, at, eobrun
+                        )
+                    n += 1
+        else:
+            h, w, comps = frame
+            by_id = {c[0]: c for c in comps}
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * max_h))
+            mcus_y = -(-h // (8 * max_v))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and n and n % restart == 0:
+                        reader.sync_restart()
+                        for k in pred:
+                            pred[k] = 0
+                    for cid in order:
+                        _, ch, cv, _ = by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc_unit(cid, my * cv + by, mx * ch + bx)
+                    n += 1
+    except _RestartPending:
+        raise ValueError("restart marker inside scan unit (corrupt stream)")
+    # skip any padding/restart tail to the next marker segment
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            break
+        pos += 1
+    return pos
+
+
+def _decode_ac_first(reader, blk, ss, se, al, ac_table, eobrun) -> int:
+    """First AC scan for one block's band: values arrive shifted by Al;
+    EOBn symbols start a run of ``2^n + ext - 1`` further all-zero bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(reader, blk, ss, se, al, ac_table, eobrun) -> int:
+    """Refinement AC scan for one block's band — the correction-bit walk:
+    history-nonzero coefficients each consume one magnitude bit; newly
+    nonzero coefficients arrive as ±2^Al after their zero-run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.bit() and not (blk[k] & p1):
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if reader.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            # advance past r zero-history coefficients, correcting the
+            # nonzero-history ones passed along the way (ZRL: r=15 -> 16)
+            while k <= se:
+                if blk[k]:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coefs, qt) -> np.ndarray:
+    """Dequantise + IDCT every stored block (vectorised), upsample chroma,
+    crop to frame dims, and convert to RGB."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
     out = []
-    for cid, ch, cv, _ in comps:
-        p = planes[cid]
+    for cid, ch, cv, tq in comps:
+        c = coefs[cid].astype(np.float64)
+        raster = np.zeros_like(c)
+        raster[..., ZIGZAG] = c
+        blocks = raster.reshape(c.shape[0], c.shape[1], 8, 8) * qt[tq]
+        pix = np.einsum("ji,abjk,kl->abil", _DCT_M, blocks, _DCT_M) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(c.shape[0] * 8, c.shape[1] * 8)
         if ch < max_h:
             p = np.repeat(p, max_h // ch, axis=1)
         if cv < max_v:
@@ -403,7 +616,7 @@ def _decode_scan(data, start, frame, scan_sel, qt, dc_tabs, ac_tabs, restart):
 
 def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
     """One 8x8 block in zigzag order; blk[0] is the DC *difference*."""
-    blk = np.zeros(64, dtype=np.float64)
+    blk = np.zeros(64, dtype=np.int32)
     s = _huff_decode(reader, dc_table)
     blk[0] = _extend(reader.receive(s), s) if s else 0
     k = 1
@@ -427,6 +640,183 @@ def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
 
 def _size_cat(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _uniform_spec(symbols) -> tuple[list[int], list[int]]:
+    """Huffman spec assigning every used symbol the same code length.
+
+    Valid per T.81 (Kraft sum < 1 keeps the all-ones code reserved) and
+    trivially canonical; compression is not the point — the progressive
+    scans are fixture-scale and the DHT is regenerated per scan from the
+    symbols actually emitted."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    length = max(1, n.bit_length())  # 2^length >= n + 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+#: libjpeg's default progressive scan script shape: DC first (Al=1), AC
+#: first scans split into spectral bands, one AC refinement ladder per
+#: component, DC refinement — every coefficient bit is transmitted, so a
+#: progressive round-trip is pixel-identical to the baseline one.
+def _scan_script(nc: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    if nc == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+class _ACScanTokens:
+    """Token stream for one progressive AC scan (first or refinement).
+
+    Cross-block EOB runs accumulate (flushed as EOBn symbols with length
+    extension bits, libjpeg G.1.2.2/G.1.2.3 ordering); refinement keeps
+    the two correction-bit buffers that ordering requires — ``run_br``
+    (bits owed to completed end-of-band blocks, emitted right after the
+    EOBn symbol) and a per-block ``cur_br`` (bits owed since the block's
+    last emitted symbol, emitted right after that symbol)."""
+
+    def __init__(self, ss: int, se: int, al: int) -> None:
+        self.ss, self.se, self.al = ss, se, al
+        self.toks: list[tuple] = []
+        self.eob_run = 0
+        self.run_br: list[int] = []
+
+    def _flush_eob(self) -> None:
+        if not self.eob_run:
+            return
+        n = self.eob_run.bit_length() - 1
+        self.toks.append(("s", n << 4))
+        if n:
+            self.toks.append(("b", self.eob_run - (1 << n), n))
+        self.eob_run = 0
+        for b in self.run_br:
+            self.toks.append(("b", b, 1))
+        self.run_br = []
+
+    def block_first(self, blk) -> None:
+        toks = self.toks
+        r = 0
+        for k in range(self.ss, self.se + 1):
+            t = int(blk[k])
+            mag = (t if t >= 0 else -t) >> self.al
+            if mag == 0:
+                r += 1
+                continue
+            self._flush_eob()
+            while r > 15:
+                toks.append(("s", 0xF0))
+                r -= 16
+            s = mag.bit_length()
+            toks.append(("s", (r << 4) | s))
+            toks.append(("b", mag if t > 0 else (1 << s) - 1 - mag, s))
+            r = 0
+        if r > 0:
+            self.eob_run += 1
+            if self.eob_run == 0x7FFF:
+                self._flush_eob()
+
+    def block_refine(self, blk) -> None:
+        toks = self.toks
+        vals = [int(blk[k]) for k in range(self.ss, self.se + 1)]
+        mags = [(v if v >= 0 else -v) >> self.al for v in vals]
+        eob_idx = -1
+        for j, m in enumerate(mags):
+            if m == 1:
+                eob_idx = j
+        r = 0
+        cur_br: list[int] = []
+        for j, m in enumerate(mags):
+            if m == 0:
+                r += 1
+                continue
+            # ZRLs not foldable into the EOB run; a correction coefficient
+            # reached with r > 15 can only follow the last newly-nonzero
+            # one, so the loop bound keeps r intact for the run fold
+            while r > 15 and j <= eob_idx:
+                self._flush_eob()
+                toks.append(("s", 0xF0))
+                r -= 16
+                for b in cur_br:
+                    toks.append(("b", b, 1))
+                cur_br = []
+            if m > 1:  # history-nonzero: owes one correction bit
+                cur_br.append(m & 1)
+                continue
+            # newly nonzero (magnitude exactly 1 at this precision)
+            self._flush_eob()
+            toks.append(("s", (r << 4) | 1))
+            toks.append(("b", 1 if vals[j] > 0 else 0, 1))
+            for b in cur_br:
+                toks.append(("b", b, 1))
+            cur_br = []
+            r = 0
+        if r > 0 or cur_br:
+            self.eob_run += 1
+            self.run_br.extend(cur_br)
+            if self.eob_run == 0x7FFF:
+                self._flush_eob()
+
+    def restart(self) -> None:
+        """EOB runs may not cross a restart interval: flush, then mark."""
+        self._flush_eob()
+        self.toks.append(("r",))
+
+    def finish(self) -> list[tuple]:
+        self._flush_eob()
+        return self.toks
+
+
+def _tokens_dc_first(units, al: int, restart: int = 0) -> list[tuple]:
+    """``units``: one list of (comp_index, zigzag_block) per MCU (or per
+    block when non-interleaved). DC values are arithmetic-shifted by Al and
+    difference-coded per component; an ``("r",)`` token (restart marker)
+    resets the predictors every ``restart`` units."""
+    toks: list[tuple] = []
+    pred: dict[int, int] = {}
+    for n, unit in enumerate(units):
+        if restart and n and n % restart == 0:
+            toks.append(("r",))
+            pred = {}
+        for ci, blk in unit:
+            v = int(blk[0]) >> al
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            s = _size_cat(diff)
+            toks.append(("s", s))
+            if s:
+                toks.append(("b", diff if diff > 0 else diff + (1 << s) - 1, s))
+    return toks
+
+
+def _tokens_dc_refine(units, al: int, restart: int = 0) -> list[tuple]:
+    """One raw magnitude bit per block — no Huffman coding in DC refines."""
+    toks: list[tuple] = []
+    for n, unit in enumerate(units):
+        if restart and n and n % restart == 0:
+            toks.append(("r",))
+        for _, blk in unit:
+            toks.append(("b", (int(blk[0]) >> al) & 1, 1))
+    return toks
 
 
 def _encode_block(writer, blk, pred, dc_code, ac_code) -> int:
@@ -462,13 +852,27 @@ def _encode_block(writer, blk, pred, dc_code, ac_code) -> int:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode HxWx3 RGB (or HxW grayscale) uint8 as baseline JFIF.
+    """Encode HxWx3 RGB (or HxW grayscale) uint8 as JFIF.
 
     ``subsampling``: ``'444'`` (chroma at full resolution) or ``'420'``
     (chroma 2x2 box-averaged — the common camera/web layout, which also
-    exercises the decoder's upsampling path)."""
+    exercises the decoder's upsampling path).
+
+    ``progressive=True`` writes an SOF2 stream with the libjpeg-shaped
+    scan script (spectral-selection bands + successive-approximation
+    refinement down to Al=0), so decoding it reproduces the baseline
+    encode of the same image bit-for-bit — the round-trip pins the whole
+    progressive entropy layer against the sequential one.
+
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs (camera/web streams use these for error resilience;
+    here they exercise the decoder's resync path)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -525,9 +929,34 @@ def encode_jpeg(
         zz = q.reshape(64)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(v) for v in zz)
     nc = len(comps)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci, (_, _, (ch, cv), _, _) in enumerate(comps):
         out += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+
+    # per component: pad to its MCU-covered size, block, DCT, quantise
+    coefs, dc_codes, ac_codes = [], [], []
+    for p, q, (ch, cv), dc_spec, ac_spec in comps:
+        th, tw = mcus_y * 8 * cv, mcus_x * 8 * ch
+        pad = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ) - 128.0
+        blocks = pad.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+        coefs.append(np.round(f / q).astype(np.int64))
+        dc_codes.append(_canonical_codes(*dc_spec))
+        ac_codes.append(_canonical_codes(*ac_spec))
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if progressive:
+        out += _encode_progressive_scans(
+            coefs, comps, h, w, mcus_x, mcus_y, restart_interval
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     specs = [(0x00, DC_LUM_SPEC), (0x10, AC_LUM_SPEC)]
     if not gray:
         specs += [(0x01, DC_CHR_SPEC), (0x11, AC_CHR_SPEC)]
@@ -543,23 +972,18 @@ def encode_jpeg(
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += b"\x00\x3f\x00"  # Ss/Se/AhAl
 
-    # per component: pad to its MCU-covered size, block, DCT, quantise
-    coefs, dc_codes, ac_codes = [], [], []
-    for p, q, (ch, cv), dc_spec, ac_spec in comps:
-        th, tw = mcus_y * 8 * cv, mcus_x * 8 * ch
-        pad = np.pad(
-            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
-        ) - 128.0
-        blocks = pad.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
-        f = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
-        coefs.append(np.round(f / q).astype(np.int64))
-        dc_codes.append(_canonical_codes(*dc_spec))
-        ac_codes.append(_canonical_codes(*ac_spec))
-
     writer = _BitWriter()
     pred = [0] * nc
+    mcu_n = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * nc
+            mcu_n += 1
             for ci, (_, _, (ch, cv), _, _) in enumerate(comps):
                 for by in range(cv):
                     for bx in range(ch):
@@ -571,4 +995,89 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_progressive_scans(
+    coefs, comps, h, w, mcus_x, mcus_y, restart: int = 0
+) -> bytes:
+    """Emit the full progressive scan sequence (per-scan DHT + SOS +
+    entropy data) for the already-quantised coefficients. ``restart`` > 0
+    inserts RSTn markers every that many MCUs (interleaved scans) or
+    blocks (single-component scans)."""
+    nc = len(comps)
+    max_h = max(c[2][0] for c in comps)
+    max_v = max(c[2][1] for c in comps)
+    zz = [c.reshape(c.shape[0], c.shape[1], 64)[..., ZIGZAG] for c in coefs]
+
+    def mcu_units(comp_idxs):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci in comp_idxs:
+                    ch, cv = comps[ci][2]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            unit.append((ci, zz[ci][my * cv + by, mx * ch + bx]))
+                yield unit
+
+    def comp_units(ci):
+        # non-interleaved scans walk the component's TRUE block grid,
+        # which can be narrower than the MCU-padded coefficient store
+        ch, cv = comps[ci][2]
+        bh = -(-(-(-h * cv // max_v)) // 8)  # ceil(ceil(h*cv/max_v) / 8)
+        bw = -(-(-(-w * ch // max_h)) // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, zz[ci][by, bx])]
+
+    out = bytearray()
+    for comp_idxs, ss, se, ah, al in _scan_script(nc):
+        if ss == 0:
+            units = (
+                mcu_units(comp_idxs)
+                if len(comp_idxs) > 1
+                else comp_units(comp_idxs[0])
+            )
+            if ah == 0:
+                toks, tclass = _tokens_dc_first(units, al, restart), 0
+            else:
+                toks, tclass = _tokens_dc_refine(units, al, restart), None
+        else:
+            acc = _ACScanTokens(ss, se, al)
+            for n, unit in enumerate(comp_units(comp_idxs[0])):
+                if restart and n and n % restart == 0:
+                    acc.restart()
+                (acc.block_first if ah == 0 else acc.block_refine)(unit[0][1])
+            toks, tclass = acc.finish(), 1
+        codes: dict[int, tuple[int, int]] = {}
+        syms = [t[1] for t in toks if t[0] == "s"]
+        if tclass is not None and syms:
+            bits, vals = _uniform_spec(syms)
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">HB", 19 + len(vals), tclass << 4)
+                + bytes(bits)
+                + bytes(vals)
+            )
+            codes = _canonical_codes(bits, vals)
+        ns = len(comp_idxs)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idxs:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        writer = _BitWriter()
+        rst = 0
+        for tok in toks:
+            if tok[0] == "s":
+                code, length = codes[tok[1]]
+                writer.write(code, length)
+            elif tok[0] == "b":
+                writer.write(tok[1], tok[2])
+            else:  # ("r",): byte-align, then the cycling restart marker
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+        writer.flush()
+        out += writer.out
     return bytes(out)

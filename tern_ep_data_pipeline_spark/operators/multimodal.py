@@ -321,7 +321,7 @@ def extract_features(
     the real decoders are called.
 
     ``on_error='tag'`` (default): an asset the codecs cannot decode — a
-    progressive JPEG beside the baseline decoder, a truncated file, an
+    arithmetic-coded JPEG beside the DCT decoders, a truncated file, an
     unknown container — yields ``feature=NULL`` with the error message in
     ``decode_error`` instead of failing the whole batch. A real web-crawled
     corpus always contains a tail of undecodable assets; a 1000-executor

@@ -63,11 +63,70 @@ def test_quality_monotone_size():
     assert hi > lo
 
 
-def test_progressive_rejected():
+@pytest.mark.parametrize(
+    "size,sub",
+    [((16, 16), "444"), ((17, 23), "444"), ((40, 56), "420"), ((33, 41), "420")],
+)
+def test_progressive_roundtrip_matches_baseline(size, sub):
+    """The progressive scan script transmits every coefficient bit, so its
+    decode must be pixel-IDENTICAL to the baseline decode — this pins the
+    whole SOF2 entropy layer (DC/AC first + refinement, spectral bands)
+    against the independently-tested sequential one. The 4:2:0 odd sizes
+    hit the true-vs-MCU-padded block-grid distinction of non-interleaved
+    scans."""
+    img = _smooth(*size)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+    prog_bytes = encode_jpeg(img, quality=85, subsampling=sub, progressive=True)
+    assert b"\xff\xc2" in prog_bytes  # really SOF2
+    assert np.array_equal(decode_jpeg(prog_bytes), base)
+
+
+def test_progressive_grayscale_and_noise():
+    g = _smooth(24, 31)[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85, progressive=True)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+    # dense coefficients stress ZRL and correction-bit buffering
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(noise, quality=95, progressive=True)),
+        decode_jpeg(encode_jpeg(noise, quality=95)),
+    )
+
+
+def test_progressive_flat_image_eob_runs():
+    """A flat image has all-zero AC bands everywhere, so the encoder folds
+    whole scans into one EOBn symbol with extension bits — the decoder's
+    cross-block EOB-run path."""
+    img = np.full((64, 64, 3), 77, dtype=np.uint8)
+    prog = encode_jpeg(img, quality=85, progressive=True)
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(encode_jpeg(img, quality=85)))
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_markers_roundtrip(interval):
+    """DRI + RSTn streams (the camera/web error-resilience layout) decode
+    identically to the unsegmented stream in BOTH entropy modes — pins the
+    decoder's resync + predictor/EOB-run reset path."""
+    img = _smooth(41, 57)
+    for sub in ("444", "420"):
+        ref = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        for prog in (False, True):
+            enc = encode_jpeg(
+                img, quality=85, subsampling=sub,
+                progressive=prog, restart_interval=interval,
+            )
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(decode_jpeg(enc), ref)
+
+
+def test_arithmetic_coding_rejected():
     enc = bytearray(encode_jpeg(_smooth(16, 16)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="0xC9"):
         decode_jpeg(bytes(enc))
 
 

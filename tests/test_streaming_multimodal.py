@@ -100,8 +100,9 @@ def test_extract_features_deterministic(spark, sf_dir):
 
 
 def test_decode_stubs_raise():
-    # JPEG is a real codec now: truncated bytes are a data error, and only
-    # genuinely-unimplemented variants (progressive) raise NotImplemented
+    # JPEG is a real codec now (baseline AND progressive): truncated bytes
+    # are a data error; only genuinely-unimplemented variants (arithmetic
+    # coding, unknown containers) raise NotImplemented
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(b"\xff\xd8")
     with pytest.raises(NotImplementedError):
@@ -411,19 +412,21 @@ def test_real_stdlib_codecs(spark):
     assert bytes(thumb) == b"\xff" * 16
 
 
-def _progressive_jpeg_bytes() -> bytes:
-    """Minimal SOI + SOF2 (progressive) header — enough for the marker walk
-    to hit the progressive branch; real scan data is irrelevant there."""
-    sof2 = bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    return b"\xff\xd8" + sof2
+def _arithmetic_jpeg_bytes() -> bytes:
+    """Minimal SOI + SOF9 (arithmetic-coded) header — enough for the marker
+    walk to hit the unsupported-frame branch; real scan data is irrelevant
+    there. (Progressive SOF2 used to play this role until the codec grew a
+    real progressive decoder.)"""
+    sof9 = bytes([0xFF, 0xC9, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    return b"\xff\xd8" + sof9
 
 
 def test_extract_features_tags_undecodable(spark):
     """A mixed real-world corpus always has a tail the codecs can't decode
-    (progressive JPEG beside the baseline decoder, garbage bytes). The
-    default mode quarantines those rows (feature NULL + decode_error) so
-    one bad asset can't fail the batch; on_error='raise' keeps the
-    fail-fast behaviour for pipelines that want it."""
+    (arithmetic-coded JPEG, garbage bytes). The default mode quarantines
+    those rows (feature NULL + decode_error) so one bad asset can't fail
+    the batch; on_error='raise' keeps the fail-fast behaviour for
+    pipelines that want it."""
     import numpy as np
     import pytest
 
@@ -431,7 +434,7 @@ def test_extract_features_tags_undecodable(spark):
 
     rows = [
         (1, "image", bytearray(_bmp_bytes(8, 8, (255, 255, 255))), None),
-        (2, "image", bytearray(_progressive_jpeg_bytes()), None),
+        (2, "image", bytearray(_arithmetic_jpeg_bytes()), None),
         (3, "image", bytearray(b"not an image at all"), None),
     ]
     assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
@@ -442,20 +445,41 @@ def test_extract_features_tags_undecodable(spark):
     # decodable asset: real feature, no error
     assert out[1]["decode_error"] is None
     assert np.array(out[1]["feature"]) == pytest.approx(np.full(16, 0.25), abs=1e-9)
-    # progressive JPEG: tagged with the named marker, feature NULL
+    # arithmetic-coded JPEG: tagged with the named marker, feature NULL
     assert out[2]["feature"] is None
-    assert "progressive" in out[2]["decode_error"]
+    assert "0xC9" in out[2]["decode_error"]
     # unknown container: tagged too
     assert out[3]["feature"] is None and out[3]["decode_error"]
 
-    only_progressive = spark.createDataFrame(
-        [(2, "image", bytearray(_progressive_jpeg_bytes()), None)],
+    only_arith = spark.createDataFrame(
+        [(2, "image", bytearray(_arithmetic_jpeg_bytes()), None)],
         mm.ASSET_SCHEMA,
     )
-    with pytest.raises(Exception, match="progressive"):
+    with pytest.raises(Exception, match="0xC9"):
         mm.extract_features(
-            only_progressive, use_fake_encoder=False, on_error="raise"
+            only_arith, use_fake_encoder=False, on_error="raise"
         ).collect()
+
+
+def test_extract_features_decodes_progressive_jpeg(spark):
+    """Progressive JPEG is no longer quarantined — the codec decodes SOF2
+    for real, so a web-crawl-shaped asset flows through feature extraction
+    like any baseline image."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+    from tern_ep_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    img = np.tile(
+        np.linspace(0, 255, 32, dtype=np.uint8)[None, :, None], (32, 1, 3)
+    )
+    prog = encode_jpeg(img, quality=90, subsampling="420", progressive=True)
+    assets = spark.createDataFrame(
+        [(9, "image", bytearray(prog), None)], mm.ASSET_SCHEMA
+    )
+    row = mm.extract_features(assets, use_fake_encoder=False).first()
+    assert row["decode_error"] is None
+    assert row["feature"] is not None and len(row["feature"]) == 16
 
 
 def test_stream_interval_join_matches_batch(spark, tmp_path):
