@@ -1,0 +1,922 @@
+"""Dependency-free HDF5 writer/reader for the netCDF-4 subset.
+
+Parity target: the reference exports its L1 product with xarray's netCDF4
+engine (reference ``code/data_constructors/nc_constructors.py:461-495``),
+i.e. netCDF-4 — an HDF5 container following the netCDF-4 / HDF5
+dimension-scales conventions. This container ships neither netCDF4 nor
+h5py, so this module implements the relevant slice of the public HDF5
+File Format Specification directly (struct + numpy + zlib), the same way
+``sources/netcdf3.py`` implements the classic format.
+
+Writer scope (the layout libnetcdf's default settings produce):
+- superblock v0, v1 object headers, old-style groups (v1 B-tree + local
+  heap + SNOD symbol-table nodes);
+- datasets with contiguous or chunked layout (v1 chunk B-tree), deflate
+  and shuffle filters;
+- fixed-point / IEEE-float / fixed-string datatypes, scalar and 1-D
+  attributes;
+- netCDF-4 dimension scales: ``CLASS=DIMENSION_SCALE`` + ``NAME`` +
+  ``_Netcdf4Dimid`` on dimension variables, ``DIMENSION_LIST``
+  (variable-length object-reference) attributes on data variables backed
+  by a global heap collection. ``REFERENCE_LIST`` back-references are not
+  written (readers use ``DIMENSION_LIST``; documented boundary).
+
+Reader scope: superblock v0-v3, v1 object headers (with continuation
+blocks), old-style groups (nested), contiguous + chunked layouts with
+deflate/shuffle/fletcher32 filters, fixed/float/string datatypes, v1
+attribute messages including vlen strings and vlen object-reference
+sequences (``DIMENSION_LIST``) resolved through the global heap. v2
+("OHDR") object headers and fractal-heap groups — written only when a
+producer opts into the 1.10+ "latest" format, which libnetcdf does not do
+by default — raise ``NotImplementedError`` with the structure named.
+
+Everything here is from the published format spec; no HDF5 library is
+consulted or required.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Mapping
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .netcdf3 import Variable
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids
+_MSG_NIL = 0x0000
+_MSG_DATASPACE = 0x0001
+_MSG_LINK_INFO = 0x0002
+_MSG_DATATYPE = 0x0003
+_MSG_FILL_OLD = 0x0004
+_MSG_FILL = 0x0005
+_MSG_LINK = 0x0006
+_MSG_LAYOUT = 0x0008
+_MSG_GROUP_INFO = 0x000A
+_MSG_FILTERS = 0x000B
+_MSG_ATTRIBUTE = 0x000C
+_MSG_CONTINUATION = 0x0010
+_MSG_SYMBOL_TABLE = 0x0011
+
+_FILTER_DEFLATE = 1
+_FILTER_SHUFFLE = 2
+_FILTER_FLETCHER32 = 3
+
+#: libnetcdf's NAME prefix on scales for dims with no coordinate variable
+_PHANTOM_SENTINEL = "This is a netCDF dimension but not a netCDF variable."
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+# ------------------------------------------------------------ datatypes
+
+def _dt_fixed(size: int, signed: bool) -> bytes:
+    """Fixed-point datatype message body (class 0, version 1, LE)."""
+    bits = 0x08 if signed else 0x00
+    return struct.pack("<B3BI", 0x10, bits, 0, 0, size) + struct.pack(
+        "<HH", 0, size * 8
+    )
+
+
+_FLOAT_PROPS = {
+    4: struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127),
+    8: struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023),
+}
+
+
+def _dt_float(size: int) -> bytes:
+    """IEEE little-endian float datatype message body (class 1)."""
+    sign_pos = size * 8 - 1
+    return (
+        struct.pack("<B3BI", 0x11, 0x20, sign_pos, 0, size) + _FLOAT_PROPS[size]
+    )
+
+
+def _dt_string(size: int) -> bytes:
+    """Fixed-length, NUL-terminated ASCII string (class 3)."""
+    return struct.pack("<B3BI", 0x13, 0x00, 0, 0, max(size, 1))
+
+
+def _dt_reference() -> bytes:
+    """Object reference (class 7, type 0): an 8-byte file address."""
+    return struct.pack("<B3BI", 0x17, 0x00, 0, 0, 8)
+
+
+def _dt_vlen_ref() -> bytes:
+    """Variable-length SEQUENCE of object references (class 9) — the
+    DIMENSION_LIST attribute type. On disk each element is 16 bytes:
+    4-byte count + 8-byte global-heap collection address + 4-byte index."""
+    return struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16) + _dt_reference()
+
+
+def _dtype_message(dtype: np.dtype) -> bytes:
+    dtype = np.dtype(dtype)
+    if dtype.kind == "i":
+        return _dt_fixed(dtype.itemsize, True)
+    if dtype.kind == "u":
+        return _dt_fixed(dtype.itemsize, False)
+    if dtype.kind == "f":
+        if dtype.itemsize not in (4, 8):
+            raise NotImplementedError(f"float size {dtype.itemsize}")
+        return _dt_float(dtype.itemsize)
+    if dtype.kind == "S":
+        return _dt_string(dtype.itemsize)
+    raise NotImplementedError(f"dtype {dtype} has no HDF5 mapping here")
+
+
+def _dataspace_message(shape: tuple[int, ...], scalar: bool = False) -> bytes:
+    """Dataspace v1: scalar (rank 0) or simple with maxdims == dims."""
+    if scalar:
+        return struct.pack("<BBB5x", 1, 0, 0)
+    head = struct.pack("<BBB5x", 1, len(shape), 0x01)
+    dims = b"".join(struct.pack("<Q", d) for d in shape)
+    return head + dims + dims  # maxdims = dims
+
+
+# ------------------------------------------------------------ attributes
+
+def _attr_payload(value) -> tuple[bytes, bytes, bytes]:
+    """(datatype_msg, dataspace_msg, raw bytes) for an attribute value."""
+    if isinstance(value, str):
+        raw = value.encode("utf-8") or b"\x00"
+        return _dt_string(len(raw)), _dataspace_message((), scalar=True), raw
+    if isinstance(value, bytes):
+        raw = value or b"\x00"
+        return _dt_string(len(raw)), _dataspace_message((), scalar=True), raw
+    arr = np.asarray(value)
+    if arr.dtype.kind == "U":
+        raise NotImplementedError("string arrays in attributes")
+    if arr.dtype.kind == "i":
+        arr = arr.astype("<i8") if arr.dtype.itemsize > 4 else arr.astype("<i4")
+    elif arr.dtype.kind == "f":
+        arr = arr.astype("<f8") if arr.dtype.itemsize == 8 else arr.astype("<f4")
+    elif arr.dtype.kind == "u":
+        arr = arr.astype("<u" + str(arr.dtype.itemsize))
+    elif arr.dtype.kind == "b":
+        arr = arr.astype("<i1")
+    else:
+        raise NotImplementedError(f"attribute dtype {arr.dtype}")
+    space = (
+        _dataspace_message((), scalar=True)
+        if arr.ndim == 0
+        else _dataspace_message(arr.shape)
+    )
+    return _dtype_message(arr.dtype), space, arr.tobytes()
+
+
+def _attribute_message(name: str, dt: bytes, ds: bytes, raw: bytes) -> bytes:
+    """Attribute message v1 (name/datatype/dataspace each padded to 8)."""
+    nm = name.encode("utf-8") + b"\x00"
+    return (
+        struct.pack("<BBHHH", 1, 0, len(nm), len(dt), len(ds))
+        + _pad8(nm)
+        + _pad8(dt)
+        + _pad8(ds)
+        + raw
+    )
+
+
+# ------------------------------------------------------------ writer
+
+class _Out:
+    def __init__(self) -> None:
+        self.b = bytearray()
+
+    def tell(self) -> int:
+        return len(self.b)
+
+    def write(self, data: bytes) -> int:
+        pos = len(self.b)
+        self.b += data
+        return pos
+
+    def patch(self, pos: int, data: bytes) -> None:
+        self.b[pos : pos + len(data)] = data
+
+
+def _object_header(messages: list[tuple[int, bytes]]) -> bytes:
+    """v1 object header: 12-byte prefix + 4 pad, messages 8-byte aligned."""
+    body = bytearray()
+    for mtype, mdata in messages:
+        padded = _pad8(mdata)
+        body += struct.pack("<HHB3x", mtype, len(padded), 0) + padded
+    return (
+        struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + bytes(body)
+    )
+
+
+def _chunk_grid(shape: tuple[int, ...], chunks: tuple[int, ...]):
+    """Yield (offset_tuple, slice_tuple) for every chunk of the grid."""
+    counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    idx = [0] * len(shape)
+    total = 1
+    for c in counts:
+        total *= c
+    for _ in range(total):
+        off = tuple(i * c for i, c in zip(idx, chunks))
+        sl = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(off, chunks, shape)
+        )
+        yield off, sl
+        for d in range(len(shape) - 1, -1, -1):
+            idx[d] += 1
+            if idx[d] < counts[d]:
+                break
+            idx[d] = 0
+
+
+def write_hdf5_nc4(
+    path: str,
+    dims: Mapping[str, int],
+    variables: Mapping[str, Variable],
+    gattrs: Mapping[str, object] | None = None,
+    *,
+    chunks: int | None = None,
+    deflate: int | None = None,
+    shuffle: bool = False,
+) -> None:
+    """Write a netCDF-4-shaped HDF5 file.
+
+    ``dims`` name every dimension; a variable whose name matches a dim is
+    written as that dimension's coordinate (a dimension-scale dataset),
+    other dims get phantom scales holding zeros. Data variables carry a
+    ``DIMENSION_LIST`` attribute referencing their scales.
+
+    ``chunks`` (rows per chunk along the first axis) switches storage to
+    chunked layout; ``deflate`` (1-9) and ``shuffle`` add those filters
+    (chunked layout required, as in HDF5 itself)."""
+    if (deflate is not None or shuffle) and chunks is None:
+        raise ValueError("filters require chunked layout: pass chunks=")
+    gattrs = dict(gattrs or {})
+
+    # writing order resolves address dependencies one way: raw data first,
+    # then dim-scale headers, then the global heap (references dim-scale
+    # headers), then data-var headers (reference the heap), then the root
+    # group structures, finally the superblock patches.
+    out = _Out()
+    out.write(b"\x00" * 96)  # superblock placeholder (v0, 8-byte offsets)
+
+    dim_names = list(dims)
+    var_items: list[tuple[str, Variable]] = []
+    for name in dim_names:
+        if name in variables:
+            var_items.append((name, variables[name]))
+        else:  # phantom dimension: scale with no data of its own
+            var_items.append(
+                (name, Variable((name,), np.zeros(dims[name], dtype="<f4")))
+            )
+    for name, var in variables.items():
+        if name not in dims:
+            var_items.append((name, var))
+
+    # -- raw data (contiguous blocks or per-chunk filtered blocks)
+    data_loc: dict[str, tuple] = {}
+    for name, var in var_items:
+        arr = np.ascontiguousarray(var.data)
+        if arr.dtype.kind in ("i", "u", "f"):
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        if chunks is None:
+            addr = out.write(arr.tobytes())
+            data_loc[name] = ("contiguous", addr, arr.nbytes, arr.dtype)
+        else:
+            cshape = (min(chunks, arr.shape[0]) or 1,) + arr.shape[1:]
+            entries = []
+            for off, sl in _chunk_grid(arr.shape, cshape):
+                block = np.zeros(cshape, dtype=arr.dtype)
+                block[tuple(slice(0, s.stop - s.start) for s in sl)] = arr[sl]
+                raw = block.tobytes()
+                if shuffle:
+                    raw = (
+                        np.frombuffer(raw, "u1")
+                        .reshape(-1, arr.dtype.itemsize)
+                        .T.tobytes()
+                    )
+                if deflate is not None:
+                    raw = zlib.compress(raw, deflate)
+                addr = out.write(raw)
+                entries.append((off, addr, len(raw)))
+            data_loc[name] = ("chunked", entries, cshape, arr.dtype)
+
+    # -- chunk B-trees (single leaf node per dataset; fixture-scale files)
+    btree_addr: dict[str, int] = {}
+    for name, var in var_items:
+        loc = data_loc[name]
+        if loc[0] != "chunked":
+            continue
+        _, entries, cshape, dtype = loc
+        node = bytearray()
+        node += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        node += struct.pack("<QQ", UNDEF, UNDEF)
+        for off, addr, nbytes in entries:
+            node += struct.pack("<II", nbytes, 0)
+            node += b"".join(struct.pack("<Q", o) for o in off)
+            node += struct.pack("<Q", 0)  # element-size axis offset
+            node += struct.pack("<Q", addr)
+        # final key: first chunk offset past the data in every dimension
+        end = tuple(
+            -(-s // c) * c for s, c in zip(var.data.shape, cshape)
+        )
+        node += struct.pack("<II", 0, 0)
+        node += b"".join(struct.pack("<Q", o) for o in end)
+        node += struct.pack("<Q", 0)
+        btree_addr[name] = out.write(bytes(node))
+
+    def layout_message(name: str, var: Variable) -> bytes:
+        loc = data_loc[name]
+        if loc[0] == "contiguous":
+            return struct.pack("<BBQQ", 3, 1, loc[1], loc[2])
+        _, entries, cshape, dtype = loc
+        msg = struct.pack("<BBBQ", 3, 2, len(cshape) + 1, btree_addr[name])
+        msg += b"".join(struct.pack("<I", c) for c in cshape)
+        msg += struct.pack("<I", dtype.itemsize)
+        return msg
+
+    def filter_message(elem_size: int) -> bytes:
+        filters = []
+        if shuffle:  # shuffle's one client value is the element size
+            filters.append((_FILTER_SHUFFLE, [elem_size]))
+        if deflate is not None:
+            filters.append((_FILTER_DEFLATE, [deflate]))
+        msg = struct.pack("<BB2x4x", 1, len(filters))
+        for fid, values in filters:
+            msg += struct.pack("<HHHH", fid, 0, 0, len(values))
+            msg += b"".join(struct.pack("<I", v) for v in values)
+            if len(values) % 2:
+                msg += b"\x00\x00\x00\x00"
+        return msg
+
+    def dataset_header(
+        name: str, var: Variable, extra_attrs: list[tuple[str, object]],
+        vlen_attr: tuple[str, bytes] | None = None,
+    ) -> bytes:
+        arr = np.asarray(var.data)
+        msgs: list[tuple[int, bytes]] = [
+            (_MSG_DATASPACE, _dataspace_message(arr.shape)),
+            (_MSG_DATATYPE, _dtype_message(arr.dtype)),
+            (_MSG_FILL, struct.pack("<BBBB", 2, 2, 0, 0)),
+            (_MSG_LAYOUT, layout_message(name, var)),
+        ]
+        if data_loc[name][0] == "chunked" and (shuffle or deflate is not None):
+            msgs.append((_MSG_FILTERS, filter_message(arr.dtype.itemsize)))
+        for aname, aval in extra_attrs:
+            msgs.append((_MSG_ATTRIBUTE, _attribute_message(aname, *_attr_payload(aval))))
+        if vlen_attr is not None:
+            aname, raw = vlen_attr
+            rank = len(var.dims)
+            msgs.append(
+                (
+                    _MSG_ATTRIBUTE,
+                    _attribute_message(
+                        aname, _dt_vlen_ref(), _dataspace_message((rank,)), raw
+                    ),
+                )
+            )
+        return _object_header(msgs)
+
+    # -- dimension-scale dataset headers (phantom dims get libnetcdf's
+    # sentinel NAME so readers know they are not coordinate variables)
+    oh_addr: dict[str, int] = {}
+    for i, name in enumerate(dim_names):
+        var = dict(var_items)[name]
+        scale_name = (
+            name
+            if name in variables
+            else f"{_PHANTOM_SENTINEL}{i:10d}"
+        )
+        attrs = [
+            ("CLASS", "DIMENSION_SCALE"),
+            ("NAME", scale_name),
+            ("_Netcdf4Dimid", np.int32(i)),
+        ] + list(var.attrs.items())
+        oh_addr[name] = out.write(dataset_header(name, var, attrs))
+
+    # -- global heap: one object per (variable, dim) reference
+    gheap_entries: list[bytes] = []
+    gheap_index: dict[tuple[str, int], int] = {}
+    for name, var in var_items:
+        if name in dims:
+            continue
+        for d, dname in enumerate(var.dims):
+            gheap_index[(name, d)] = len(gheap_entries) + 1
+            gheap_entries.append(struct.pack("<Q", oh_addr[dname]))
+    gheap_addr = UNDEF
+    if gheap_entries:
+        body = bytearray()
+        for i, obj in enumerate(gheap_entries, start=1):
+            body += struct.pack("<HHIQ", i, 1, 0, len(obj)) + _pad8(obj)
+        # object 0 terminates the collection; its size spans the free space
+        free = 16
+        total = 16 + len(body) + free
+        if total < 4096:  # collections are min 4 KiB in practice
+            free += 4096 - total
+            total = 4096
+        body += struct.pack("<HHIQ", 0, 0, 0, free)
+        body += b"\x00" * (total - 16 - len(body))
+        gheap_addr = out.write(
+            b"GCOL" + struct.pack("<B3xQ", 1, total) + bytes(body)
+        )
+
+    # -- data-variable headers (DIMENSION_LIST points into the heap)
+    for name, var in var_items:
+        if name in dims:
+            continue
+        raw = b"".join(
+            struct.pack("<IQI", 1, gheap_addr, gheap_index[(name, d)])
+            for d in range(len(var.dims))
+        )
+        oh_addr[name] = out.write(
+            dataset_header(name, var, list(var.attrs.items()), ("DIMENSION_LIST", raw))
+        )
+
+    # -- root group: local heap (names), SNOD, B-tree, object header
+    names_sorted = sorted(oh_addr)
+    heap_data = bytearray(b"\x00" * 8)  # offset 0: the empty string
+    name_off: dict[str, int] = {}
+    for n in names_sorted:
+        name_off[n] = len(heap_data)
+        heap_data += _pad8(n.encode("utf-8") + b"\x00")
+    heap_addr = out.write(
+        b"HEAP"
+        + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF, out.tell() + 32)
+    )
+    out.write(bytes(heap_data))
+
+    snod = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0, len(names_sorted)))
+    for n in names_sorted:
+        snod += struct.pack("<QQII", name_off[n], oh_addr[n], 0, 0)
+        snod += b"\x00" * 16
+    snod_addr = out.write(bytes(snod))
+
+    btree = bytearray(b"TREE" + struct.pack("<BBH", 0, 0, 1))
+    btree += struct.pack("<QQ", UNDEF, UNDEF)
+    btree += struct.pack("<Q", 0)  # key 0: empty string (sorts lowest)
+    btree += struct.pack("<Q", snod_addr)
+    btree += struct.pack("<Q", name_off[names_sorted[-1]])
+    root_btree_addr = out.write(bytes(btree))
+
+    root_msgs: list[tuple[int, bytes]] = [
+        (_MSG_SYMBOL_TABLE, struct.pack("<QQ", root_btree_addr, heap_addr))
+    ]
+    for aname, aval in gattrs.items():
+        root_msgs.append(
+            (_MSG_ATTRIBUTE, _attribute_message(aname, *_attr_payload(aval)))
+        )
+    root_oh_addr = out.write(_object_header(root_msgs))
+
+    # -- superblock v0
+    sb = struct.pack(
+        "<8s4B4BHHI",
+        b"\x89HDF\r\n\x1a\n",
+        0, 0, 0, 0,  # superblock / free-space / root-group versions
+        0, 8, 8, 0,  # shared-header version, offset size, length size
+        4, 16,  # group leaf / internal K
+        0,  # file consistency flags
+    )
+    sb += struct.pack("<QQQQ", 0, UNDEF, out.tell(), UNDEF)
+    sb += struct.pack("<QQII", 0, root_oh_addr, 1, 0)
+    sb += struct.pack("<QQ", root_btree_addr, heap_addr)
+    out.patch(0, sb)
+    assert len(sb) == 96, len(sb)
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(out.b))
+
+
+# ------------------------------------------------------------ reader
+
+@dataclass
+class H5Dataset:
+    """One dataset: dim names (from DIMENSION_LIST), data, attributes."""
+
+    dims: tuple[str, ...]
+    data: np.ndarray
+    attrs: dict = field(default_factory=dict)
+
+
+@dataclass
+class H5File:
+    dims: dict
+    attrs: dict
+    variables: dict  # name -> H5Dataset
+
+
+class _Reader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+
+    # -- primitives
+    def u(self, pos: int, size: int) -> int:
+        return int.from_bytes(self.buf[pos : pos + size], "little")
+
+    # -- superblock
+    def superblock(self) -> int:
+        """Returns the root object-header address."""
+        if self.buf[:8] != b"\x89HDF\r\n\x1a\n":
+            raise ValueError("not an HDF5 file (bad signature)")
+        ver = self.buf[8]
+        if ver in (0, 1):
+            size_off, size_len = self.buf[13], self.buf[14]
+            if (size_off, size_len) != (8, 8):
+                raise NotImplementedError(
+                    f"offset/length sizes {(size_off, size_len)}"
+                )
+            p = 24 if ver == 0 else 28  # v1 adds indexed-storage K + reserved
+            p += 32  # base, free-space, EOF, driver-info addresses
+            # root group symbol table entry: link name offset, OH address
+            return self.u(p + 8, 8)
+        if ver in (2, 3):
+            if (self.buf[9], self.buf[10]) != (8, 8):
+                raise NotImplementedError("offset/length sizes != 8")
+            return self.u(12 + 24, 8)  # base, ext, EOF, then root OH addr
+        raise NotImplementedError(f"superblock version {ver}")
+
+    # -- object headers (v1, with continuations)
+    def messages(self, addr: int) -> list[tuple[int, bytes]]:
+        ver = self.buf[addr]
+        if self.buf[addr : addr + 4] == b"OHDR":
+            raise NotImplementedError(
+                "v2 object headers (HDF5 1.10 'latest' format)"
+            )
+        if ver != 1:
+            raise ValueError(f"unsupported object header version {ver}")
+        nmsg = self.u(addr + 2, 2)
+        size = self.u(addr + 8, 4)
+        regions = [(addr + 16, size)]
+        out: list[tuple[int, bytes]] = []
+        while regions and len(out) < nmsg:
+            pos, remaining = regions.pop(0)
+            while remaining >= 8 and len(out) < nmsg:
+                mtype = self.u(pos, 2)
+                msize = self.u(pos + 2, 2)
+                data = self.buf[pos + 8 : pos + 8 + msize]
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == _MSG_CONTINUATION:
+                    caddr = int.from_bytes(data[:8], "little")
+                    clen = int.from_bytes(data[8:16], "little")
+                    regions.append((caddr, clen))
+                    continue
+                out.append((mtype, bytes(data)))
+        return out
+
+    # -- groups
+    def group_entries(self, btree_addr: int, heap_addr: int) -> dict[str, int]:
+        heap_data = self.u(heap_addr + 24, 8)
+
+        def heap_name(off: int) -> str:
+            end = self.buf.index(b"\x00", heap_data + off)
+            return self.buf[heap_data + off : end].decode("utf-8")
+
+        entries: dict[str, int] = {}
+
+        def walk(node_addr: int) -> None:
+            if self.buf[node_addr : node_addr + 4] == b"SNOD":
+                n = self.u(node_addr + 6, 2)
+                p = node_addr + 8
+                for _ in range(n):
+                    entries[heap_name(self.u(p, 8))] = self.u(p + 8, 8)
+                    p += 40
+                return
+            if self.buf[node_addr : node_addr + 4] != b"TREE":
+                raise ValueError("bad group node signature")
+            used = self.u(node_addr + 6, 2)
+            p = node_addr + 8 + 16  # skip siblings
+            p += 8  # key 0
+            for _ in range(used):
+                walk(self.u(p, 8))
+                p += 16  # child + next key
+        walk(btree_addr)
+        return entries
+
+    # -- datatypes
+    def decode_dtype(self, dt: bytes):
+        """Returns ('int'|'float'|'string'|'ref'|'vlen', np.dtype|sub)."""
+        cls = dt[0] & 0x0F
+        size = int.from_bytes(dt[4:8], "little")
+        order = ">" if (dt[1] & 1) else "<"
+        if cls == 0:
+            signed = "i" if (dt[1] & 0x08) else "u"
+            return ("num", np.dtype(f"{order}{signed}{size}"))
+        if cls == 1:
+            return ("num", np.dtype(f"{order}f{size}"))
+        if cls == 3:
+            return ("string", size)
+        if cls == 7:
+            return ("ref", size)
+        if cls == 9:
+            sub = self.decode_dtype(dt[8:])
+            kind = "vlen_str" if (dt[1] & 0x0F) == 1 else "vlen"
+            return (kind, sub)
+        raise NotImplementedError(f"datatype class {cls}")
+
+    def decode_dataspace(self, ds: bytes) -> tuple[int, ...]:
+        ver = ds[0]
+        rank = ds[1]
+        if ver == 1:
+            p = 8
+        elif ver == 2:
+            p = 4
+        else:
+            raise NotImplementedError(f"dataspace version {ver}")
+        return tuple(
+            int.from_bytes(ds[p + 8 * i : p + 8 * i + 8], "little")
+            for i in range(rank)
+        )
+
+    # -- global heap objects
+    def gheap_object(self, caddr: int, index: int) -> bytes:
+        if self.buf[caddr : caddr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
+        total = self.u(caddr + 8, 8)
+        p = caddr + 16
+        while p < caddr + total:
+            idx = self.u(p, 2)
+            osize = self.u(p + 8, 8)
+            if idx == index:
+                return self.buf[p + 16 : p + 16 + osize]
+            if idx == 0:
+                break
+            p += 16 + (osize + 7) // 8 * 8
+        raise KeyError(f"global heap object {index}")
+
+    # -- attribute decoding
+    def decode_attr(self, data: bytes):
+        ver = data[0]
+        if ver == 1:
+            name_size = int.from_bytes(data[2:4], "little")
+            dt_size = int.from_bytes(data[4:6], "little")
+            ds_size = int.from_bytes(data[6:8], "little")
+            p = 8
+            name = data[p : p + name_size].split(b"\x00")[0].decode("utf-8")
+            p += (name_size + 7) // 8 * 8
+            dt = data[p : p + dt_size]
+            p += (dt_size + 7) // 8 * 8
+            ds = data[p : p + ds_size]
+            p += (ds_size + 7) // 8 * 8
+        elif ver in (2, 3):
+            name_size = int.from_bytes(data[2:4], "little")
+            dt_size = int.from_bytes(data[4:6], "little")
+            ds_size = int.from_bytes(data[6:8], "little")
+            p = 8 + (1 if ver == 3 else 0)
+            name = data[p : p + name_size].split(b"\x00")[0].decode("utf-8")
+            p += name_size
+            dt = data[p : p + dt_size]
+            p += dt_size
+            ds = data[p : p + ds_size]
+            p += ds_size
+        else:
+            raise NotImplementedError(f"attribute version {ver}")
+        kind, sub = self.decode_dtype(dt)
+        shape = self.decode_dataspace(ds)
+        n = int(np.prod(shape)) if shape else 1
+        raw = data[p:]
+        if kind == "string":
+            s = raw[:sub].split(b"\x00")[0]
+            try:
+                return name, s.decode("utf-8")
+            except UnicodeDecodeError:
+                return name, s
+        if kind == "num":
+            arr = np.frombuffer(raw, sub, n)
+            if not shape:
+                v = arr[0]
+                return name, (int(v) if arr.dtype.kind in "iu" else float(v))
+            return name, np.array(arr.reshape(shape))
+        if kind == "vlen_str":
+            vals = []
+            for i in range(n):
+                cnt = int.from_bytes(raw[16 * i : 16 * i + 4], "little")
+                caddr = int.from_bytes(raw[16 * i + 4 : 16 * i + 12], "little")
+                idx = int.from_bytes(raw[16 * i + 12 : 16 * i + 16], "little")
+                vals.append(
+                    self.gheap_object(caddr, idx)[:cnt].decode("utf-8")
+                )
+            return name, (vals[0] if not shape else vals)
+        if kind == "vlen":  # sequence (of references, for DIMENSION_LIST)
+            vals = []
+            for i in range(n):
+                cnt = int.from_bytes(raw[16 * i : 16 * i + 4], "little")
+                caddr = int.from_bytes(raw[16 * i + 4 : 16 * i + 12], "little")
+                idx = int.from_bytes(raw[16 * i + 12 : 16 * i + 16], "little")
+                obj = self.gheap_object(caddr, idx)
+                vals.append(
+                    [
+                        int.from_bytes(obj[8 * j : 8 * j + 8], "little")
+                        for j in range(cnt)
+                    ]
+                )
+            return name, vals
+        if kind == "ref":
+            return name, [int.from_bytes(raw[:8], "little")]
+        raise NotImplementedError(kind)
+
+    # -- dataset data
+    def read_data(self, msgs: list[tuple[int, bytes]]) -> np.ndarray:
+        dt = ds = layout = filters = None
+        for mtype, data in msgs:
+            if mtype == _MSG_DATATYPE:
+                dt = data
+            elif mtype == _MSG_DATASPACE:
+                ds = data
+            elif mtype == _MSG_LAYOUT:
+                layout = data
+            elif mtype == _MSG_FILTERS:
+                filters = data
+        if dt is None or ds is None or layout is None:
+            raise ValueError("dataset missing datatype/dataspace/layout")
+        kind, sub = self.decode_dtype(dt)
+        shape = self.decode_dataspace(ds)
+        if kind == "string":
+            dtype = np.dtype(f"S{sub}")
+        elif kind == "num":
+            dtype = sub
+        else:
+            raise NotImplementedError(f"dataset datatype {kind}")
+        if layout[0] != 3:
+            raise NotImplementedError(f"layout message version {layout[0]}")
+        lclass = layout[1]
+        n = int(np.prod(shape)) if shape else 1
+        if lclass == 1:  # contiguous
+            addr = int.from_bytes(layout[2:10], "little")
+            if addr == UNDEF:
+                return np.zeros(shape, dtype=dtype)
+            raw = self.buf[addr : addr + n * dtype.itemsize]
+            return np.frombuffer(raw, dtype, n).reshape(shape).copy()
+        if lclass == 0:  # compact
+            dsize = int.from_bytes(layout[2:4], "little")
+            raw = layout[4 : 4 + dsize]
+            return np.frombuffer(raw, dtype, n).reshape(shape).copy()
+        if lclass != 2:
+            raise NotImplementedError(f"layout class {lclass}")
+        rank = layout[2]  # includes the element-size axis
+        btree = int.from_bytes(layout[3:11], "little")
+        cdims = tuple(
+            int.from_bytes(layout[11 + 4 * i : 15 + 4 * i], "little")
+            for i in range(rank - 1)
+        )
+        out = np.zeros(shape, dtype=dtype)
+        if btree == UNDEF:
+            return out
+        pipeline = self._filter_pipeline(filters)
+        csize = int(np.prod(cdims)) * dtype.itemsize
+        for off, addr, nbytes, fmask in self._chunks(btree, rank):
+            raw = bytes(self.buf[addr : addr + nbytes])
+            for fid, values, bit in reversed(pipeline):
+                if fmask & (1 << bit):
+                    continue
+                if fid == _FILTER_DEFLATE:
+                    raw = zlib.decompress(raw)
+                elif fid == _FILTER_SHUFFLE:
+                    raw = (
+                        np.frombuffer(raw, "u1")
+                        .reshape(dtype.itemsize, -1)
+                        .T.tobytes()
+                    )
+                elif fid == _FILTER_FLETCHER32:
+                    raw = raw[:-4]
+                else:
+                    raise NotImplementedError(f"filter id {fid}")
+            block = np.frombuffer(raw[:csize], dtype).reshape(cdims)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(off, cdims, shape)
+            )
+            if all(s.start < s.stop for s in sl):
+                out[sl] = block[
+                    tuple(slice(0, s.stop - s.start) for s in sl)
+                ]
+        return out
+
+    def _filter_pipeline(self, data: bytes | None):
+        if data is None:
+            return []
+        ver = data[0]
+        nf = data[1]
+        p = 8 if ver == 1 else 2
+        out = []
+        for i in range(nf):
+            fid = int.from_bytes(data[p : p + 2], "little")
+            namelen = int.from_bytes(data[p + 2 : p + 4], "little")
+            ncv = int.from_bytes(data[p + 6 : p + 8], "little")
+            p += 8
+            if ver == 1 and namelen:
+                p += (namelen + 7) // 8 * 8
+            elif ver == 2 and namelen:
+                p += namelen
+            values = [
+                int.from_bytes(data[p + 4 * j : p + 4 * j + 4], "little")
+                for j in range(ncv)
+            ]
+            p += 4 * ncv
+            if ver == 1 and ncv % 2:
+                p += 4
+            out.append((fid, values, i))
+        return out
+
+    def _chunks(self, node_addr: int, rank: int):
+        """Yield (offset_tuple, data_addr, nbytes, filter_mask) walking the
+        v1 chunk B-tree (any depth)."""
+        if self.buf[node_addr : node_addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        level = self.buf[node_addr + 5]
+        used = self.u(node_addr + 6, 2)
+        key_size = 8 + 8 * rank
+        p = node_addr + 24
+        for _ in range(used):
+            nbytes = self.u(p, 4)
+            fmask = self.u(p + 4, 4)
+            off = tuple(
+                self.u(p + 8 + 8 * i, 8) for i in range(rank - 1)
+            )
+            child = self.u(p + key_size, 8)
+            if level > 0:
+                yield from self._chunks(child, rank)
+            else:
+                yield off, child, nbytes, fmask
+            p += key_size + 8
+
+
+def read_hdf5(path: str) -> H5File:
+    """Read an HDF5/netCDF-4 file (see module docstring for scope).
+
+    Dimension-scale datasets become ``dims`` entries (and ``variables``
+    entries too when they hold real coordinate data); data variables get
+    their dim names resolved through ``DIMENSION_LIST``. Nested groups are
+    flattened with '/'-joined names (netCDF-4 classic model has none)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    r = _Reader(buf)
+    root = r.superblock()
+
+    datasets: dict[str, tuple[int, list]] = {}  # name -> (addr, msgs)
+    gattrs: dict = {}
+
+    def walk(addr: int, prefix: str) -> None:
+        msgs = r.messages(addr)
+        st = next((d for t, d in msgs if t == _MSG_SYMBOL_TABLE), None)
+        if st is not None:
+            for aname, aval in (
+                r.decode_attr(d) for t, d in msgs if t == _MSG_ATTRIBUTE
+            ):
+                if prefix == "":
+                    gattrs[aname] = aval
+            btree = int.from_bytes(st[:8], "little")
+            heap = int.from_bytes(st[8:16], "little")
+            for name, child in r.group_entries(btree, heap).items():
+                walk(child, f"{prefix}{name}" if not prefix else f"{prefix}/{name}")
+            return
+        if any(t == _MSG_LINK_INFO for t, _ in msgs) and not any(
+            t == _MSG_LAYOUT for t, _ in msgs
+        ):
+            raise NotImplementedError("new-style (fractal heap) group")
+        datasets[prefix] = (addr, msgs)
+
+    walk(root, "")
+
+    addr_to_name = {addr: name for name, (addr, _) in datasets.items()}
+    dims: dict[str, int] = {}
+    variables: dict[str, H5Dataset] = {}
+    for name, (addr, msgs) in datasets.items():
+        attrs = dict(
+            r.decode_attr(d) for t, d in msgs if t == _MSG_ATTRIBUTE
+        )
+        data = r.read_data(msgs)
+        dim_list = attrs.pop("DIMENSION_LIST", None)
+        is_scale = attrs.get("CLASS") == "DIMENSION_SCALE"
+        if is_scale:
+            dims[name] = data.shape[0] if data.ndim else 0
+            phantom = str(attrs.get("NAME", "")).startswith(
+                _PHANTOM_SENTINEL
+            )
+            attrs = {
+                k: v
+                for k, v in attrs.items()
+                if k not in ("CLASS", "NAME", "_Netcdf4Dimid")
+            }
+            if not phantom:
+                variables[name] = H5Dataset((name,), data, attrs)
+            continue
+        if dim_list is not None:
+            dnames = tuple(
+                addr_to_name[refs[0]] if refs else f"phony_dim_{i}"
+                for i, refs in enumerate(dim_list)
+            )
+        else:
+            dnames = tuple(f"phony_dim_{i}" for i in range(data.ndim))
+        variables[name] = H5Dataset(dnames, data, attrs)
+    # any referenced dim that had no scale dataset: size from the data
+    for v in variables.values():
+        for d, s in zip(v.dims, v.data.shape):
+            dims.setdefault(d, s)
+    return H5File(dims, gattrs, variables)
+
+
+def sniff_hdf5(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(8) == b"\x89HDF\r\n\x1a\n"

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .hdf5 import read_hdf5, sniff_hdf5, write_hdf5_nc4
 from .netcdf3 import Variable, read_netcdf3, write_netcdf3
 
 #: the reference's time encoding epoch (nc_constructors.py:643)
@@ -94,6 +95,7 @@ def export_netcdf(
     latitude: float = 0.0,
     longitude: float = 0.0,
     ts_col: str = "DATETIME",
+    fmt: str = "NETCDF3_CLASSIC",
 ) -> None:
     """Driver-side netCDF export of a collected year slice.
 
@@ -102,7 +104,13 @@ def export_netcdf(
     attrs; 'seconds since 1800-01-01' time encoding; a NaN-filled ``crs``
     variable carrying the WGS84 grid-mapping attrs; one int ``<var>_QCFlag``
     companion per data variable (1 where the value is null). Written by the
-    stdlib classic-format codec — no xarray/netCDF4 dependency.
+    stdlib codecs — no xarray/netCDF4 dependency.
+
+    ``fmt``: ``'NETCDF3_CLASSIC'`` (CDF-1/2 bytes via ``netcdf3.py``) or
+    ``'NETCDF4'`` — the reference's actual on-disk flavour
+    (nc_constructors.py:461-495 writes through xarray's netCDF4 engine) —
+    an HDF5 container with dimension scales, written chunked + shuffled +
+    deflated by ``sources/hdf5.py``.
     """
     if ts_col in pdf.columns:
         pdf = pdf.set_index(ts_col)
@@ -147,23 +155,34 @@ def export_netcdf(
         "time_coverage_end": str(times[-1]) if n else "",
         **(global_attrs or {}),
     }
-    write_netcdf3(
-        path,
-        {"time": n, "latitude": 1, "longitude": 1},
-        variables,
-        gattrs,
-    )
+    cube_dims = {"time": n, "latitude": 1, "longitude": 1}
+    if fmt == "NETCDF3_CLASSIC":
+        write_netcdf3(path, cube_dims, variables, gattrs)
+    elif fmt == "NETCDF4":
+        write_hdf5_nc4(
+            path, cube_dims, variables, gattrs,
+            chunks=4096, deflate=4, shuffle=True,
+        )
+    else:
+        raise ValueError(f"fmt must be NETCDF3_CLASSIC or NETCDF4, got {fmt!r}")
 
 
 #: companion/coordinate vars the reference reader drops (nc_io.py:48-52)
 _NON_DATA = ("crs",)
 
 
+def _read_any(path: str):
+    """Dispatch on the magic bytes: netCDF-4/HDF5 or classic CDF-1/2.
+    Both readers return the same (dims, attrs, variables) shape."""
+    return read_hdf5(path) if sniff_hdf5(path) else read_netcdf3(path)
+
+
 def import_netcdf(path: str) -> pd.DataFrame:
-    """Read one L1 netCDF file back to the reference's dataframe shape
-    (nc_io.py:66-83): drop crs and *_QCFlag companions, decode the time
-    axis to a DATETIME index, squeeze the singleton lat/lon dims."""
-    f = read_netcdf3(path)
+    """Read one L1 netCDF file (classic OR netCDF-4/HDF5, sniffed) back to
+    the reference's dataframe shape (nc_io.py:66-83): drop crs and
+    *_QCFlag companions, decode the time axis to a DATETIME index, squeeze
+    the singleton lat/lon dims."""
+    f = _read_any(path)
     t = f.variables["time"]
     units = str(t.attrs.get("units", "seconds since 1800-01-01"))
     epoch = pd.Timestamp(units.split("since", 1)[1].strip() or _NC_EPOCH)
@@ -180,7 +199,7 @@ def import_netcdf(path: str) -> pd.DataFrame:
 
 def netcdf_attrs(path: str) -> tuple[dict, dict]:
     """(global_attrs, {var: attrs}) for the merge path (nc_constructors.py:796-825)."""
-    f = read_netcdf3(path)
+    f = _read_any(path)
     return f.attrs, {n: v.attrs for n, v in f.variables.items()}
 
 

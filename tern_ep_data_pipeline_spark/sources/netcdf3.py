@@ -11,9 +11,10 @@ endian IEEE data, 4-byte alignment) and needs only ``struct`` + numpy.
 Scope: the full classic format — fixed and record (UNLIMITED) dimensions,
 all six external types, global and per-variable attributes. CDF-2 (64-bit
 offsets) is selected automatically when any variable's begin offset would
-overflow an int32, so multi-GB year files are representable. Not netCDF-4/
-HDF5, which the reference does not emit either; the classic byte format is
-the interoperable sibling every netCDF tool reads.
+overflow an int32, so multi-GB year files are representable. The netCDF-4/
+HDF5 sibling (the flavour the reference's xarray engine actually emits)
+lives in ``sources/hdf5.py``; ``sources/nc.py`` dispatches per file on the
+magic bytes.
 
 The higher-level cube assembly (time/latitude/longitude dims, CF attrs,
 QC flags, crs variable, ``seconds since 1800-01-01`` time encoding) lives
