@@ -2549,6 +2549,18 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = text.unigram_logprob(docs, "doc_id", "text").select(
         "doc_id", "avg_logprob"
     ).hint("shuffle_hash")
+    # ld_*: CCNet-style line dedup over a deterministic multi-line view
+    # (the generator writes single-line docs, so ' a ' -> newline makes
+    # segments that genuinely repeat across documents)
+    ml = docs.select(
+        "doc_id", F.regexp_replace("text", " a ", "\n").alias("text")
+    )
+    ld = dedup.line_dedup_frame(ml, "doc_id", "text", min_docs=2).select(
+        "doc_id",
+        F.md5("clean_text").alias("ld_clean_md5"),
+        F.col("n_lines").cast("bigint").alias("ld_n_lines"),
+        F.col("n_removed_lines").cast("bigint").alias("ld_n_removed"),
+    ).hint("shuffle_hash")
     return (
         t.join(q, "doc_id")
         .join(l, "doc_id")
@@ -2557,6 +2569,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ch, "doc_id")
         .join(u, "doc_id")
         .join(hf, "doc_id")
+        .join(ld, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
@@ -2567,6 +2580,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob",
             "qf_stopword_ratio", "qf_punct_ratio", "qf_digit_ratio",
             "qf_upper_ratio", "qf_n_tokens", "qf_avg_token_len",
+            "ld_clean_md5", "ld_n_lines", "ld_n_removed",
             "canonical_id", "n_copies",
         )
     )
@@ -2617,11 +2631,47 @@ GROUP BY doc_id
 """
 
 
+#: CCNet-style line dedup on the ' a ' -> newline multi-line view: a
+#: trimmed line in >= 2 distinct docs is boilerplate and removed everywhere
+ORACLE_LINE_DEDUP = r"""
+WITH ld_p AS (
+  SELECT doc_id,
+         string_split(replace(text, ' a ', chr(10)), chr(10)) AS parts
+  FROM documents
+),
+ld_l0 AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(parts)),
+      i -> struct_pack(pos := i, line := parts[i]))) AS s
+  FROM ld_p
+),
+ld_l AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS tl FROM ld_l0
+),
+ld_c AS (
+  SELECT md5(tl) AS h FROM ld_l WHERE length(tl) >= 1
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+ld_f AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (c.h IS NOT NULL AND length(l.tl) >= 1) AS rm
+  FROM ld_l l LEFT JOIN ld_c c ON md5(l.tl) = c.h
+)
+SELECT doc_id,
+  md5(coalesce(
+    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), ''
+  )) AS ld_clean_md5,
+  count(*) AS ld_n_lines,
+  sum(CASE WHEN rm THEN 1 ELSE 0 END) AS ld_n_removed
+FROM ld_f GROUP BY doc_id
+"""
+
+
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
 fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
 ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM}),
-qf AS ({ORACLE_QUALITY_FEATURES})
+qf AS ({ORACLE_QUALITY_FEATURES}), ld AS ({ORACLE_LINE_DEDUP})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
@@ -2631,6 +2681,7 @@ SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   qf.stopword_ratio AS qf_stopword_ratio, qf.punct_ratio AS qf_punct_ratio,
   qf.digit_ratio AS qf_digit_ratio, qf.upper_ratio AS qf_upper_ratio,
   qf.n_tokens AS qf_n_tokens, qf.avg_token_len AS qf_avg_token_len,
+  ld.ld_clean_md5, ld.ld_n_lines, ld.ld_n_removed,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
@@ -2640,6 +2691,7 @@ JOIN b USING (doc_id)
 JOIN ch USING (doc_id)
 JOIN uni USING (doc_id)
 JOIN qf USING (doc_id)
+JOIN ld USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 

@@ -207,6 +207,73 @@ def chunk_dedup_stats(
     )
 
 
+def line_dedup_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication — CCNet-style boilerplate removal
+    (Wenzek et al. 2020, *CCNet*): a line (trimmed, exact match) appearing
+    in >= ``min_docs`` DISTINCT documents is boilerplate (nav bars, licence
+    headers, cookie banners) and is removed from every document, including
+    its first occurrence. Lines shorter than ``min_line_chars`` after trim
+    are exempt (blank separators are structure, not boilerplate).
+
+    ``delimiter`` is a literal string; documents are split on it and kept
+    lines are re-joined with it.
+
+    Output per document: ``clean_text``, ``n_lines``, ``n_removed_lines``,
+    ``removed_chars``.
+
+    Scale shape: one map-side-combinable groupBy on the 16-byte line hash
+    (hot boilerplate lines partial-aggregate before the shuffle), then a
+    hash join back — the common-lines side holds only hashes that cleared
+    ``min_docs``, a tiny fraction of distinct lines. The rebuild is a
+    per-document sort of its own collected lines, never a global sort.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delimiter))).alias(
+            "__pos", "__line"
+        ),
+    )
+    lines = _stage(
+        lines.withColumn("__t", F.trim(F.col("__line"))).withColumn(
+            "__h", F.md5(F.col("__t"))
+        )
+    )
+    eligible = F.length("__t") >= min_line_chars
+    common = (
+        lines.where(eligible)
+        .groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__h", F.lit(True).alias("__common"))
+    )
+    flagged = lines.join(common.hint("shuffle_hash"), on="__h", how="left")
+    dropped = F.coalesce(F.col("__common"), F.lit(False)) & eligible
+    kept = F.when(
+        ~dropped,
+        F.struct(F.col("__pos").alias("p"), F.col("__line").alias("l")),
+    )
+    return flagged.groupBy(F.col("__id").alias(id_col)).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["l"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dropped.cast("long")).alias("n_removed_lines"),
+        F.sum(
+            F.when(dropped, F.length("__line")).otherwise(F.lit(0))
+        ).alias("removed_chars"),
+    )
+
+
 # ---------------------------------------------------------- shingling
 
 def tokens(col: Column) -> Column:

@@ -3,6 +3,9 @@
 The user-facing composition of the curation operators — what a 100 TB
 corpus run actually executes, in dependency order:
 
+0. optional corpus-level line dedup (CCNet boilerplate removal) — lines
+   shared across >= N docs are stripped before anything else looks at
+   the text;
 1. exact dedup (hash-groupBy; removes the bulk cheaply);
 2. near-dup pairs (MinHash LSH, degenerate buckets capped) ->
    connected components -> keep only canonical (min-id) cluster members;
@@ -61,6 +64,8 @@ def curate_corpus(
     quality_threshold: float = 0.5,
     domain_alpha: float | None = None,
     domain_total: int | None = None,
+    line_dedup_min_docs: int | None = None,
+    line_delimiter: str = "\n",
 ) -> DataFrame:
     """Curated corpus: the input schema plus ``n_chars_clean`` (and
     ``n_tokens``/``cum_weight`` when token budgeting is on); one row per
@@ -72,6 +77,25 @@ def curate_corpus(
     specified in tokens; a character proxy misallocates across domains
     with different token densities (code vs prose).
     """
+    # 0. optional corpus-level line dedup (CCNet boilerplate removal):
+    # strip lines shared by >= N distinct docs BEFORE any dedup stage —
+    # boilerplate (cookie banners, licence headers) both wastes tokens and
+    # inflates pairwise similarity, so removing it first makes the exact
+    # and near-dup stages see the real content.
+    if line_dedup_min_docs is not None:
+        cleaned = dedup_ops.line_dedup_frame(
+            docs,
+            id_col,
+            text_col,
+            min_docs=line_dedup_min_docs,
+            delimiter=line_delimiter,
+        ).select(id_col, "clean_text")
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned.hint("shuffle_hash"), on=id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+
     # 1. exact dedup first — near-exact copies would otherwise flood the
     # LSH band buckets (the degenerate case the bucket cap guards).
     deduped = dedup_ops.exact_dedup(docs, id_col, text_col)

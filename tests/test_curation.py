@@ -1212,6 +1212,81 @@ def test_curate_corpus_containment_gate(spark):
     assert kept == {1, 3}  # embedded copy gone, host + unrelated survive
 
 
+def test_line_dedup_frame(spark):
+    """CCNet line dedup: a trimmed line in >= min_docs DISTINCT documents
+    is removed from every document (including its first occurrence); short
+    lines are exempt; within-doc repeats alone don't trigger removal."""
+    from tern_ep_data_pipeline_spark.operators.dedup import line_dedup_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nfooter text"),
+            (2, "COOKIE BANNER\nreal content two\nfooter text"),
+            (3, "unique document\nno boilerplate here"),
+            (4, "solo repeat\nsolo repeat\nbody"),  # repeats only within
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in line_dedup_frame(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["clean_text"] == "real content one\n"  # blank line kept
+    assert out[1]["n_removed_lines"] == 2
+    assert out[1]["removed_chars"] == len("COOKIE BANNER") + len("footer text")
+    assert out[2]["clean_text"] == "real content two"
+    assert out[3]["n_removed_lines"] == 0
+    # within-doc repetition is not corpus boilerplate (1 distinct doc)
+    assert out[4]["clean_text"] == "solo repeat\nsolo repeat\nbody"
+    assert out[5]["clean_text"] == "" and out[5]["n_lines"] == 1
+
+    # min_line_chars exempts short lines from removal
+    short = spark.createDataFrame(
+        [(1, "ok\nlong shared line"), (2, "ok\nlong shared line")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup_frame(
+            short, "doc_id", "text", min_line_chars=5
+        ).collect()
+    }
+    assert out2[1]["clean_text"] == "ok"  # 'ok' exempt, shared line removed
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    """Boilerplate makes two documents NEAR dupes but not exact dupes;
+    with the line-dedup stage on, the boilerplate is stripped first, the
+    residual bodies become exact duplicates, and exact dedup collapses
+    them — the CCNet ordering argument in one test."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    body = "the actual shared article body text here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n{body}"),
+            (2, f"{body}\n{banner}"),
+            (3, f"{banner}\na different article body entirely"),
+            (4, "a document with no boilerplate at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = {r["doc_id"] for r in curate_corpus(docs, min_chars=5).collect()}
+    dedup.release_staged(spark)
+    assert base == {1, 2, 3, 4}  # distinct texts with boilerplate attached
+
+    # banner is in 3 docs (removed at min_docs=3); the shared body is in
+    # only 2 (kept) — after the strip, docs 1 and 2 are exact duplicates
+    kept = curate_corpus(
+        docs, min_chars=5, line_dedup_min_docs=3
+    ).collect()
+    dedup.release_staged(spark)
+    assert {r["doc_id"] for r in kept} == {1, 3, 4}  # bodies collapsed
+    assert all(banner not in r["text"] for r in kept)
+
+
 def test_materialise_sequences(spark):
     from tern_ep_data_pipeline_spark.operators import sampling
 
