@@ -5,12 +5,14 @@ Beyond-reference operators for the training-data pipeline (driver mandate).
 The Spark-side contract is real and tested — schema conventions, partition
 behaviour, Arrow batch shapes through ``mapInPandas``. Codecs are REAL
 for every format the stdlib can parse: WAV/PCM audio (``wave``), 24-bit
-BMP and P6 PPM images (struct/numpy byte parsing), and common-shape PNG
-(zlib inflate + numpy scanline unfilter) — decoded, featurised, and
-resized byte-for-byte in tests. Formats that genuinely need codec
-libraries the container lacks (JPEG, compressed audio, video) raise
-``NotImplementedError`` at the decode seam; the Spark-side call sites are
-unchanged when a library is deployed.
+BMP and P6 PPM images (struct/numpy byte parsing), common-shape PNG
+(zlib inflate + numpy scanline unfilter), baseline AND progressive JPEG
+(``operators.jpeg``), and MJPEG-in-AVI video (``operators.avi`` — every
+frame a standalone JPEG) — decoded, featurised, and resized
+byte-for-byte in tests. Formats that genuinely need codec libraries the
+container lacks (inter-frame video codecs, compressed audio) raise
+``NotImplementedError`` at the decode seam; the Spark-side call sites
+are unchanged when a library is deployed.
 
 Schema convention for a multimodal asset table:
     asset_id BIGINT, modality STRING, content BINARY, meta STRUCT<...>
@@ -347,6 +349,8 @@ def extract_features(
                         feats.append(image_feature(decode_image(raw), dim))
                     elif modality == "audio":
                         feats.append(audio_feature(decode_audio(raw)[0], dim))
+                    elif modality == "video":
+                        feats.append(video_feature(raw, dim))
                     else:
                         raise NotImplementedError(f"modality {modality!r}")
                     errs.append(None)
@@ -370,17 +374,87 @@ def extract_features(
     )
 
 
+def video_feature(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real video feature: mean of per-frame image features over the whole
+    MJPEG stream, re-unit-normalised. Deterministic pixel DSP, no model."""
+    from .avi import decode_video
+
+    frames, _ = decode_video(content)
+    if not frames:
+        raise ValueError("video stream holds no frames")
+    mean = np.mean([image_feature(f, dim) for f in frames], axis=0)
+    n = np.linalg.norm(mean)
+    return mean / n if n else mean
+
+
 def frame_sample_plan(
     assets: DataFrame, frames_per_asset: int = 4
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per (asset, frame_idx).
 
     The explode happens before decode, so per-frame work partitions across
-    executors; the decode itself is the stubbed step.
+    executors; pair with ``sample_video_frames`` for the decoded form.
     """
     idx = F.explode(F.sequence(F.lit(0), F.lit(frames_per_asset - 1)))
     return assets.withColumn("frame_idx", idx).select(
         "asset_id", "modality", "frame_idx", "content", "meta"
+    )
+
+
+def sample_video_frames(
+    assets: DataFrame,
+    frames_per_asset: int = 4,
+    use_fake: bool = True,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Evenly-spaced frame sampling with per-frame features: one row per
+    (asset_id, frame_idx) with the frame's image feature vector.
+
+    ``use_fake=False`` decodes MJPEG AVIs for real (``operators.avi``) —
+    MJPEG's frame independence makes the sample O(frames_per_asset), the
+    property real pipelines exploit with keyframe-only reads. The fake
+    path keeps batch/schema shape testable without building video bytes.
+    Partitioning is inherited from the asset scan — per-asset decode
+    parallelises across input splits, no shuffle."""
+    from .avi import decode_video, sample_frame_indices
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            totals: list = []
+            feats: list = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                raw = bytes(content)
+                if use_fake:
+                    for i in range(frames_per_asset):
+                        ids.append(aid)
+                        idxs.append(i)
+                        totals.append(frames_per_asset)
+                        feats.append(
+                            _fake_feature(raw + bytes([i & 0xFF]), dim)
+                        )
+                    continue
+                frames, _ = decode_video(raw)
+                for i in sample_frame_indices(len(frames), frames_per_asset):
+                    ids.append(aid)
+                    idxs.append(i)
+                    totals.append(len(frames))
+                    feats.append(image_feature(frames[i], dim))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "feature": feats,
+                }
+            )
+
+    return assets.where(F.col("modality") == "video").select(
+        "asset_id", "content"
+    ).mapInPandas(
+        run,
+        schema="asset_id BIGINT, frame_idx INT, n_frames INT, feature ARRAY<DOUBLE>",
     )
 
 

@@ -412,6 +412,113 @@ def test_real_stdlib_codecs(spark):
     assert bytes(thumb) == b"\xff" * 16
 
 
+def _mjpeg_avi_bytes(n_frames: int = 6, h: int = 32, w: int = 48) -> bytes:
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators.avi import encode_video_mjpeg
+
+    frames = []
+    for i in range(n_frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames.append(
+            np.clip(
+                np.stack(
+                    [
+                        128 + 80 * np.sin((xx + 4 * i) / 6.0),
+                        128 + 80 * np.cos((yy + 2 * i) / 5.0),
+                        (xx + yy + 10 * i) % 256,
+                    ],
+                    -1,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+        )
+    return encode_video_mjpeg(frames, fps=12, quality=85)
+
+
+def test_mjpeg_avi_roundtrip():
+    """Container walk pinned against the independently-tested JPEG layer:
+    every decoded frame equals the standalone decode of its JPEG chunk."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators.avi import (
+        decode_video,
+        encode_video_mjpeg,
+        sample_frame_indices,
+    )
+    from tern_ep_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    avi = _mjpeg_avi_bytes()
+    frames, fps = decode_video(avi)
+    assert len(frames) == 6 and abs(fps - 12) < 0.01
+    assert all(f.shape == (32, 48, 3) for f in frames)
+    # the first frame must match a standalone JPEG round-trip exactly
+    yy, xx = __import__("numpy").mgrid[0:32, 0:48]
+    f0 = np.clip(
+        np.stack(
+            [128 + 80 * np.sin(xx / 6.0), 128 + 80 * np.cos(yy / 5.0), (xx + yy) % 256],
+            -1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        frames[0], decode_jpeg(encode_jpeg(f0, quality=85, subsampling="420"))
+    )
+
+    # inter-frame codecs: named rejection, not garbage
+    bad = bytearray(avi)
+    i = bad.find(b"MJPG")
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_video(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_video(b"not a video")
+
+    assert sample_frame_indices(6, 4) == [0, 2, 3, 5]
+    assert sample_frame_indices(3, 5) == [0, 0, 1, 2, 2]
+    assert sample_frame_indices(0, 3) == []
+
+
+def test_video_modality_and_frame_sampling(spark):
+    """Video is a first-class modality now: extract_features decodes MJPEG
+    AVIs for real, and sample_video_frames yields per-frame features at
+    evenly-spaced indices."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    avi = _mjpeg_avi_bytes()
+    assets = spark.createDataFrame(
+        [(7, "video", bytearray(avi), None)], mm.ASSET_SCHEMA
+    )
+    row = mm.extract_features(assets, use_fake_encoder=False).first()
+    assert row["decode_error"] is None
+    feat = np.array(row["feature"])
+    assert len(feat) == 16 and abs(np.linalg.norm(feat) - 1.0) < 1e-9
+
+    out = mm.sample_video_frames(assets, frames_per_asset=4, use_fake=False)
+    rows = sorted(out.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 2, 3, 5]
+    assert all(r["n_frames"] == 6 for r in rows)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # per-frame feature equals the direct image_feature of that frame
+    from tern_ep_data_pipeline_spark.operators.avi import decode_video
+
+    frames, _ = decode_video(avi)
+    want = mm.image_feature(frames[2], 16)
+    got = np.array(rows[1]["feature"])
+    assert np.allclose(got, want, atol=1e-12)
+
+    # fake path keeps schema/shape without real bytes
+    fake = mm.sample_video_frames(assets, frames_per_asset=3).collect()
+    assert len(fake) == 3 and all(len(r["feature"]) == 16 for r in fake)
+
+
 def _arithmetic_jpeg_bytes() -> bytes:
     """Minimal SOI + SOF9 (arithmetic-coded) header — enough for the marker
     walk to hit the unsupported-frame branch; real scan data is irrelevant
