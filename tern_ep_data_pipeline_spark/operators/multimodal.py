@@ -244,15 +244,85 @@ def decode_image(content: bytes) -> np.ndarray:
     raise NotImplementedError("unrecognised image container")
 
 
+def mulaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16-scale samples (vectorised)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -x, x)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`mulaw_decode`; pinned by the 256-byte identity."""
+    x = np.clip(np.asarray(x, dtype=np.int64), -32635, 32635)
+    sign = np.where(x < 0, 0x80, 0)
+    m = np.abs(x) + 0x84
+    exp = (np.floor(np.log2(m)).astype(np.int64) - 7).clip(0, 7)
+    mant = (m >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16-scale samples (vectorised)."""
+    a = b.astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`alaw_decode`; pinned by the 256-byte identity."""
+    x = np.clip(np.asarray(x, dtype=np.int64), -32256, 32256)
+    sign = np.where(x >= 0, 0x80, 0)
+    m = np.abs(x)
+    seg = (np.floor(np.log2(np.maximum(m, 1))).astype(np.int64) - 7).clip(0, 7)
+    mant = np.where(seg == 0, m >> 4, (m >> (seg + 3)) & 0x0F)
+    return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def _wav_chunks(content: bytes) -> dict[bytes, bytes]:
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        out.setdefault(cid, content[pos + 8 : pos + 8 + size])
+        pos += 8 + size + (size % 2)
+    return out
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Audio decode: REAL for WAV/PCM via the stdlib ``wave`` module.
-    Returns (samples float64 in [-1, 1], sample_rate); multi-channel is
-    averaged to mono. Compressed formats raise until codecs exist."""
+    """Audio decode: REAL for WAV holding PCM (stdlib ``wave``), IEEE
+    float, or G.711 A-law/mu-law (the telephony-corpus layouts, decoded by
+    the vectorised companding tables above). Returns (samples float64 in
+    [-1, 1], sample_rate); multi-channel is averaged to mono. Perceptual
+    codecs (MP3/AAC/Opus) raise until a codec library exists."""
     import io
     import wave
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("non-WAV audio requires a codec library")
+    chunks = _wav_chunks(content)
+    fmt = chunks.get(b"fmt ")
+    tag = int.from_bytes(fmt[0:2], "little") if fmt else 1
+    if tag in (3, 6, 7):
+        n_ch = int.from_bytes(fmt[2:4], "little") or 1
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        raw = chunks.get(b"data", b"")
+        if tag == 3:  # IEEE float
+            dt = "<f4" if bits == 32 else "<f8"
+            x = np.frombuffer(raw[: len(raw) // np.dtype(dt).itemsize * np.dtype(dt).itemsize], dt).astype(np.float64)
+        elif tag == 7:
+            x = mulaw_decode(np.frombuffer(raw, np.uint8)) / 32768.0
+        else:
+            x = alaw_decode(np.frombuffer(raw, np.uint8)) / 32768.0
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x, rate
     with wave.open(io.BytesIO(content)) as w:
         rate, n_ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
         raw = w.readframes(w.getnframes())

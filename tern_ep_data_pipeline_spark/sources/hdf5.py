@@ -677,7 +677,9 @@ class _Reader:
         n = int(np.prod(shape)) if shape else 1
         raw = data[p:]
         if kind == "string":
-            s = raw[:sub].split(b"\x00")[0]
+            # scalar: one size-`sub` string; 1-D char arrays (how some
+            # producers store text attrs, one char per element) concatenate
+            s = raw[: sub * n].split(b"\x00")[0]
             try:
                 return name, s.decode("utf-8")
             except UnicodeDecodeError:

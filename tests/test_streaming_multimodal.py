@@ -519,6 +519,67 @@ def test_video_modality_and_frame_sampling(spark):
     assert len(fake) == 3 and all(len(r["feature"]) == 16 for r in fake)
 
 
+def _wav_bytes(tag: int, payload: bytes, rate: int = 8000, bits: int = 8) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_companding_identity():
+    """encode(decode(byte)) is the identity over the full code space — the
+    lossless invariant that pins both directions of each table. One
+    documented exception: mu-law has two zero codes (0x7F = -0, 0xFF = +0);
+    integer 0 re-encodes as +0."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    allb = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(mm.alaw_encode(mm.alaw_decode(allb)), allb)
+    mu = mm.mulaw_encode(mm.mulaw_decode(allb))
+    mismatch = np.nonzero(mu != allb)[0]
+    assert list(mismatch) == [0x7F]
+    assert mm.mulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert mu[0x7F] == 0xFF
+    # odd symmetry and monotone magnitude per segment
+    d = mm.mulaw_decode(allb)
+    assert d.max() == 32124 and d.min() == -32124
+    a = mm.alaw_decode(allb)
+    assert a.max() == 32256 and a.min() == -32256
+
+
+def test_decode_audio_g711_and_float_wav():
+    """A-law / mu-law / IEEE-float WAVs decode through decode_audio; a
+    companded sine reconstructs within G.711's quantisation bound."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    x = (0.7 * np.sin(2 * np.pi * 13 * t) * 32767).astype(np.int64)
+
+    for tag, enc in ((6, mm.alaw_encode), (7, mm.mulaw_encode)):
+        wav = _wav_bytes(tag, enc(x).tobytes())
+        y, rate = mm.decode_audio(wav)
+        assert rate == 8000 and len(y) == 800
+        err = np.abs(y - x / 32768.0)
+        assert err.max() < 0.04  # log-companding bound, ~SNR 38 dB
+    fwav = _wav_bytes(3, (x / 32768.0).astype("<f4").tobytes(), bits=32)
+    y, _ = mm.decode_audio(fwav)
+    assert np.allclose(y, x / 32768.0, atol=1e-7)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="codec library"):
+        mm.decode_audio(b"ID3\x03mp3 payload")
+
+
 def _arithmetic_jpeg_bytes() -> bytes:
     """Minimal SOI + SOF9 (arithmetic-coded) header — enough for the marker
     walk to hit the unsupported-frame branch; real scan data is irrelevant
