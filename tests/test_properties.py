@@ -187,3 +187,112 @@ def test_chunk_dedup_invariants(spark, docs_tokens):
         kept_total += r["kept_tokens"]
     # kept tokens across the corpus == total tokens of the distinct chunks
     assert kept_total == sum(len(c.split()) for c in distinct_chunks)
+
+
+# ---------------------------------------------------------------- codecs
+
+_img_dims = st.tuples(
+    st.integers(min_value=8, max_value=40), st.integers(min_value=8, max_value=40)
+)
+
+
+@given(
+    dims=_img_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+    quality=st.integers(min_value=40, max_value=95),
+)
+@SET
+def test_progressive_equals_baseline_property(dims, seed, sub, quality):
+    """For ANY image, the progressive scan script transmits every
+    coefficient bit, so its decode is pixel-identical to the baseline
+    encode's decode at the same quality/subsampling."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+_h5_dtypes = st.sampled_from(["<f8", "<f4", "<i4", "<i2", "<i1", "<u1", "<i8"])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    k=st.integers(min_value=1, max_value=4),
+    dtype=_h5_dtypes,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    chunks=st.sampled_from([None, 7, 16]),
+    deflate=st.sampled_from([None, 1, 6]),
+)
+@SET
+def test_hdf5_roundtrip_property(tmp_path_factory, n, k, dtype, seed, chunks, deflate):
+    """write->read identity over random shapes/dtypes/layouts: data,
+    dim names, and attribute values all survive, chunked or contiguous,
+    with or without deflate+shuffle."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.sources.hdf5 import read_hdf5, write_hdf5_nc4
+    from tern_ep_data_pipeline_spark.sources.netcdf3 import Variable
+
+    if deflate is not None and chunks is None:
+        chunks = 8
+    rng = np.random.default_rng(seed)
+    data2 = (rng.normal(0, 50, (n, k)) if dtype[1] == "f" else rng.integers(-100, 100, (n, k))).astype(dtype)
+    data1 = np.arange(n).astype(dtype)
+    p = str(tmp_path_factory.mktemp("h5") / "t.nc")
+    write_hdf5_nc4(
+        p,
+        {"time": n, "layer": k},
+        {
+            "time": Variable(("time",), data1, {"units": "s"}),
+            "M": Variable(("time", "layer"), data2, {"scale": 2.5, "note": "x"}),
+        },
+        {"seed": int(seed)},
+        chunks=chunks,
+        deflate=deflate,
+        shuffle=deflate is not None,
+    )
+    f = read_hdf5(p)
+    assert f.dims == {"time": n, "layer": k}
+    assert f.attrs["seed"] == int(seed)
+    assert f.variables["M"].dims == ("time", "layer")
+    assert f.variables["M"].data.dtype == np.dtype(dtype)
+    assert np.array_equal(f.variables["M"].data, data2)
+    assert np.array_equal(f.variables["time"].data, data1)
+    assert f.variables["M"].attrs["scale"] == 2.5
+
+
+@given(
+    x=st.lists(
+        st.integers(min_value=-32000, max_value=32000), min_size=1, max_size=200
+    ),
+    law=st.sampled_from(["a", "mu"]),
+)
+@SET
+def test_g711_companding_bound_property(x, law):
+    """decode(encode(x)) stays within the segment's quantisation step of x
+    for every 16-bit input — the G.711 accuracy contract."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+
+    arr = np.array(x, dtype=np.int64)
+    if law == "a":
+        back = mm.alaw_decode(mm.alaw_encode(arr))
+    else:
+        back = mm.mulaw_decode(mm.mulaw_encode(arr))
+    # worst-case step is 2^seg * 16 (A) / 2^seg * 8 shifted (mu): bound by
+    # magnitude-proportional error plus the smallest-segment step
+    err = np.abs(back - arr)
+    bound = np.maximum(np.abs(arr) / 16, 64)
+    assert np.all(err <= bound)
