@@ -64,6 +64,35 @@ def curated_document_stream(
     return s.dropDuplicatesWithinWatermark(["content_hash"])
 
 
+def asset_feature_stream(
+    stream: DataFrame,
+    dim: int = 16,
+    use_fake_encoder: bool = True,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming multimodal ingestion: watermark-scoped exact dedup on the
+    raw content hash, then the SAME Arrow feature extraction the batch
+    path runs (``multimodal.extract_features`` is stateless per row, so it
+    composes with a stream unchanged — undecodable assets come out
+    quarantined with ``decode_error``, never failing the micro-batch).
+
+    State is bounded exactly like ``curated_document_stream``: a content
+    hash lives in the dedup store only until the watermark passes its
+    arrival time. Near-dup/embedding dedup stays a batch pass over the
+    bronze lake (no bounded-state streaming form)."""
+    from ..operators.multimodal import extract_features
+
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    s = s.withColumn("content_hash", F.md5(F.col("content")))
+    s = s.dropDuplicatesWithinWatermark(["content_hash"])
+    return extract_features(
+        s, dim=dim, use_fake_encoder=use_fake_encoder, on_error="tag"
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -519,6 +519,72 @@ def test_video_modality_and_frame_sampling(spark):
     assert len(fake) == 3 and all(len(r["feature"]) == 16 for r in fake)
 
 
+def test_asset_feature_stream_matches_batch(spark, tmp_path):
+    """Streaming multimodal ingestion == the batch path: same features,
+    same quarantine rows (decode_error), and a byte-identical duplicate
+    arriving in a later micro-batch is dropped while its content hash is
+    in watermark state."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+    from tern_ep_data_pipeline_spark.streaming import asset_feature_stream
+
+    bmp = bytearray(_bmp_bytes(8, 8, (255, 255, 255)))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "asset_id long, modality string, content binary, ingest_ts timestamp"
+    )
+    batch1 = [
+        (1, "image", bmp, t0),
+        (2, "image", bytearray(b"garbage bytes"), t0),  # quarantined, kept
+    ]
+    batch2 = [
+        (3, "image", bmp, t0 + dt.timedelta(minutes=5)),  # dup of asset 1
+        (4, "text", bytearray(b"plain text asset"), t0 + dt.timedelta(minutes=5)),
+    ]
+    src = tmp_path / "assets"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    out = asset_feature_stream(stream, use_fake_encoder=False)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asset_feats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["asset_id"]: r for r in spark.sql("select * from asset_feats").collect()}
+
+    assert set(got) == {1, 2, 4}  # 3 deduped away
+    assert got[2]["feature"] is None and got[2]["decode_error"]
+
+    # batch twin on the deduped survivors: identical features/errors
+    batch = {
+        r["asset_id"]: r
+        for r in mm.extract_features(
+            spark.createDataFrame(batch1 + [batch2[1]], schema),
+            use_fake_encoder=False,
+        ).collect()
+    }
+    for aid in (1, 2, 4):
+        if batch[aid]["feature"] is None:
+            assert got[aid]["feature"] is None
+        else:
+            assert np.allclose(got[aid]["feature"], batch[aid]["feature"])
+
+
 def _wav_bytes(tag: int, payload: bytes, rate: int = 8000, bits: int = 8) -> bytes:
     import struct
 
