@@ -585,7 +585,7 @@ def test_asset_feature_stream_matches_batch(spark, tmp_path):
             assert np.allclose(got[aid]["feature"], batch[aid]["feature"])
 
 
-def _wav_bytes(tag: int, payload: bytes, rate: int = 8000, bits: int = 8) -> bytes:
+def _wav_fmt_bytes(tag: int, payload: bytes, rate: int = 8000, bits: int = 8) -> bytes:
     import struct
 
     fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, bits)
@@ -631,12 +631,12 @@ def test_decode_audio_g711_and_float_wav():
     x = (0.7 * np.sin(2 * np.pi * 13 * t) * 32767).astype(np.int64)
 
     for tag, enc in ((6, mm.alaw_encode), (7, mm.mulaw_encode)):
-        wav = _wav_bytes(tag, enc(x).tobytes())
+        wav = _wav_fmt_bytes(tag, enc(x).tobytes())
         y, rate = mm.decode_audio(wav)
         assert rate == 8000 and len(y) == 800
         err = np.abs(y - x / 32768.0)
         assert err.max() < 0.04  # log-companding bound, ~SNR 38 dB
-    fwav = _wav_bytes(3, (x / 32768.0).astype("<f4").tobytes(), bits=32)
+    fwav = _wav_fmt_bytes(3, (x / 32768.0).astype("<f4").tobytes(), bits=32)
     y, _ = mm.decode_audio(fwav)
     assert np.allclose(y, x / 32768.0, atol=1e-7)
 
