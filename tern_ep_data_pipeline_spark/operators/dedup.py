@@ -214,6 +214,7 @@ def line_dedup_frame(
     min_docs: int = 2,
     min_line_chars: int = 1,
     delimiter: str = "\n",
+    index_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication — CCNet-style boilerplate removal
     (Wenzek et al. 2020, *CCNet*): a line (trimmed, exact match) appearing
@@ -224,6 +225,12 @@ def line_dedup_frame(
 
     ``delimiter`` is a literal string; documents are split on it and kept
     lines are re-joined with it.
+
+    ``index_counts`` (optional, for the incremental path —
+    ``dedup_index.clean_against_line_index``): a (line_hash, n_docs) frame
+    of per-line distinct-doc counts from an established corpus; the
+    boilerplate threshold then applies to index + batch counts combined,
+    so a batch against an EMPTY index reproduces this function exactly.
 
     Output per document: ``clean_text``, ``n_lines``, ``n_removed_lines``,
     ``removed_chars``.
@@ -246,12 +253,21 @@ def line_dedup_frame(
         )
     )
     eligible = F.length("__t") >= min_line_chars
-    common = (
+    counts = (
         lines.where(eligible)
         .groupBy("__h")
         .agg(F.countDistinct("__id").alias("__docs"))
-        .where(F.col("__docs") >= min_docs)
-        .select("__h", F.lit(True).alias("__common"))
+    )
+    if index_counts is not None:
+        idx = index_counts.select(
+            F.col("line_hash").alias("__h"), F.col("n_docs").alias("__idx")
+        )
+        counts = counts.join(idx.hint("shuffle_hash"), on="__h", how="left")
+        counts = counts.withColumn(
+            "__docs", F.col("__docs") + F.coalesce(F.col("__idx"), F.lit(0))
+        )
+    common = counts.where(F.col("__docs") >= min_docs).select(
+        "__h", F.lit(True).alias("__common")
     )
     flagged = lines.join(common.hint("shuffle_hash"), on="__h", how="left")
     dropped = F.coalesce(F.col("__common"), F.lit(False)) & eligible

@@ -383,3 +383,100 @@ def append_to_chunk_index(
     _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
         "append"
     ).parquet(os.path.join(path, "chunks"))
+
+
+# ------------------------------------------------- line (boilerplate) index
+
+def _line_count_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+    min_line_chars: int,
+) -> DataFrame:
+    """(line_hash, n_docs) — per trimmed line, DISTINCT docs containing it
+    within this frame. Map-side-combinable on the 16-byte hash."""
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.col(text_col), re.escape(delimiter))
+        ).alias("__line"),
+    ).select("__id", F.trim("__line").alias("__t"))
+    return (
+        lines.where(F.length("__t") >= min_line_chars)
+        .groupBy(F.md5("__t").alias("line_hash"))
+        .agg(F.countDistinct("__id").alias("n_docs"))
+    )
+
+
+def build_line_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+) -> int:
+    """Materialise the corpus line-count index (CCNet boilerplate removal,
+    incremental form) next to the exact/band/chunk tables; returns the
+    distinct-line count."""
+    _line_count_table(docs, id_col, text_col, delimiter, min_line_chars).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "lines"))
+    return docs.sparkSession.read.parquet(os.path.join(path, "lines")).count()
+
+
+def clean_against_line_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Incremental CCNet line dedup: boilerplate = lines whose distinct-doc
+    count ACROSS the established corpus plus this batch clears
+    ``min_docs`` — so a line already common in the corpus is stripped from
+    a new document on arrival, and a batch against an empty index
+    reproduces ``dedup.line_dedup_frame`` exactly.
+
+    Output matches ``line_dedup_frame``. Scale shape: O(batch) — the
+    batch's line counts left-join the index counts on the hash
+    (shuffle-hash: corpus-sized index, read once, text never read); the
+    per-append counts sum because ingest batches hold disjoint doc sets
+    (the same contract the exact/band/chunk tables rely on).
+    """
+    idx = (
+        spark.read.parquet(os.path.join(path, "lines"))
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return dedup_ops.line_dedup_frame(
+        new_docs,
+        id_col,
+        text_col,
+        min_docs=min_docs,
+        min_line_chars=min_line_chars,
+        delimiter=delimiter,
+        index_counts=idx,
+    )
+
+
+def append_to_line_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+) -> None:
+    """Append this batch's per-line distinct-doc counts. Counts sum across
+    appends into true corpus counts because batches are doc-disjoint;
+    compact the parquet dir on the lake's schedule to bound re-reads."""
+    _line_count_table(
+        accepted_docs, id_col, text_col, delimiter, min_line_chars
+    ).write.mode("append").parquet(os.path.join(path, "lines"))

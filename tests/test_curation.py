@@ -1344,3 +1344,75 @@ def test_leak_free_split(spark):
     assert abs(dist["train"] / 5000 - 0.9) < 0.03
     assert abs(dist["val"] / 5000 - 0.05) < 0.02
     assert abs(dist["test"] / 5000 - 0.05) < 0.02
+
+
+def test_incremental_line_index(spark, tmp_path):
+    """Line boilerplate accumulates across ingest batches: a line seen once
+    in the indexed corpus and once in a new batch crosses min_docs=2 and is
+    stripped incrementally, where the batch alone would keep it. Empty
+    index == the batch operator exactly."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_line_index,
+        build_line_index,
+        clean_against_line_index,
+    )
+
+    path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nfirst article body")], ["doc_id", "text"]
+    )
+    assert build_line_index(corpus, path) == 2
+
+    batch = spark.createDataFrame(
+        [
+            (10, "COOKIE BANNER\nsecond article body"),
+            (11, "a fresh unrelated document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in clean_against_line_index(spark, batch, path).collect()
+    }
+    # the banner is 1 (index) + 1 (batch) = 2 distinct docs -> stripped
+    assert out[10]["clean_text"] == "second article body"
+    assert out[10]["n_removed_lines"] == 1
+    assert out[11]["n_removed_lines"] == 0
+    # batch alone would NOT strip it (one distinct doc in the batch)
+    alone = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup_frame(batch, "doc_id", "text").collect()
+    }
+    assert alone[10]["n_removed_lines"] == 0
+
+    # empty index reproduces the batch operator exactly
+    empty = str(tmp_path / "empty_idx")
+    build_line_index(
+        spark.createDataFrame([], "doc_id long, text string"), empty
+    )
+    via_index = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in clean_against_line_index(spark, batch, empty).collect()
+    }
+    plain = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in dedup.line_dedup_frame(batch, "doc_id", "text").collect()
+    }
+    assert via_index == plain
+
+    # appends accumulate: two more batches each add one doc with the
+    # fresh line, crossing min_docs=3 only after both are appended
+    append_to_line_index(batch, path)
+    b3 = spark.createDataFrame(
+        [(20, "a fresh unrelated document\nnew body")], ["doc_id", "text"]
+    )
+    got = clean_against_line_index(spark, b3, path, min_docs=3).first()
+    assert got["n_removed_lines"] == 0  # 1 (idx) + 1 (batch) = 2 < 3
+    append_to_line_index(b3, path)
+    b4 = spark.createDataFrame(
+        [(30, "a fresh unrelated document\nanother body")], ["doc_id", "text"]
+    )
+    got = clean_against_line_index(spark, b4, path, min_docs=3).first()
+    assert got["n_removed_lines"] == 1  # 2 (idx, summed) + 1 = 3
+    assert got["clean_text"] == "another body"
