@@ -96,6 +96,26 @@ def normalise_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def ccnet_normalise(col: Column, strip_punct: bool = False) -> Column:
+    """CCNet-style aggressive normalisation for dedup hashing (Wenzek et
+    al. 2020 normalize_for_dedup): lowercase, every digit -> 0, whitespace
+    collapsed; optionally strip ASCII punctuation. Near-identical lines
+    differing only in dates/ids/counters ("posted 2024-01-07", "page 3 of
+    912") then hash equal, which is most of what CCNet's paragraph dedup
+    catches beyond exact matching.
+
+    Pure JVM expressions (lower/translate/regexp_replace), so it rides in
+    whole-stage codegen and any SQL oracle reproduces the hash. Unicode
+    accent folding is deliberately NOT attempted here — it needs ICU
+    semantics that differ between engines; run it upstream if required."""
+    out = F.translate(F.lower(F.trim(col)), "0123456789", "0000000000")
+    if strip_punct:
+        out = F.regexp_replace(
+            out, r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", ""
+        )
+    return F.regexp_replace(out, r"\s+", " ")
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str, text_col: str, normalise: bool = True
 ) -> DataFrame:
@@ -215,9 +235,12 @@ def line_dedup_frame(
     min_line_chars: int = 1,
     delimiter: str = "\n",
     index_counts: DataFrame | None = None,
+    normalise: bool = False,
 ) -> DataFrame:
     """Corpus-level line deduplication — CCNet-style boilerplate removal
-    (Wenzek et al. 2020, *CCNet*): a line (trimmed, exact match) appearing
+    (Wenzek et al. 2020, *CCNet*): a line (trimmed, exact match — or
+    matched under :func:`ccnet_normalise` with ``normalise=True``, so
+    "page 3 of 912" and "page 7 of 88" collapse) appearing
     in >= ``min_docs`` DISTINCT documents is boilerplate (nav bars, licence
     headers, cookie banners) and is removed from every document, including
     its first occurrence. Lines shorter than ``min_line_chars`` after trim
@@ -247,9 +270,12 @@ def line_dedup_frame(
             "__pos", "__line"
         ),
     )
+    key = (
+        ccnet_normalise(F.col("__line")) if normalise else F.trim(F.col("__line"))
+    )
     lines = _stage(
         lines.withColumn("__t", F.trim(F.col("__line"))).withColumn(
-            "__h", F.md5(F.col("__t"))
+            "__h", F.md5(key)
         )
     )
     eligible = F.length("__t") >= min_line_chars

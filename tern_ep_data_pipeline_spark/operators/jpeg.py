@@ -31,6 +31,11 @@ import struct
 
 import numpy as np
 
+#: decode-side sanity cap on declared frame pixels (2^16 x 2^16 is legal
+#: JPEG but a 34 GB coefficient store; corrupt headers must not OOM a
+#: quarantine batch). 100 MP covers every real photographic asset.
+MAX_PIXELS = 100_000_000
+
 # ---------------------------------------------------------------- tables
 
 #: zigzag scan: ZIGZAG[i] = raster index of the i-th zigzag coefficient
@@ -297,6 +302,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if progressive and coefs is not None:
                 return _reconstruct(frame, coefs, qt)
             raise ValueError("no scan data before EOI")
+        if i + 2 > len(content):
+            raise ValueError("truncated JPEG stream (segment length cut)")
         seg_len = struct.unpack_from(">H", content, i)[0]
         seg = content[i + 2 : i + seg_len]
         if marker == 0xDB:  # DQT
@@ -326,6 +333,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision unsupported")
+            if h * w > MAX_PIXELS or h == 0 or w == 0:
+                # a corrupted/adversarial SOF can declare 65535x65535 and
+                # force a multi-GB coefficient allocation inside a
+                # quarantine batch; fail the row instead
+                raise ValueError(
+                    f"frame {w}x{h} outside decoder limit ({MAX_PIXELS} px)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

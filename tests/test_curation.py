@@ -1416,3 +1416,48 @@ def test_incremental_line_index(spark, tmp_path):
     got = clean_against_line_index(spark, b4, path, min_docs=3).first()
     assert got["n_removed_lines"] == 1  # 2 (idx, summed) + 1 = 3
     assert got["clean_text"] == "another body"
+
+
+def test_ccnet_normalised_line_dedup(spark):
+    """normalise=True hashes lines under ccnet_normalise (lowercase,
+    digits->0 per char, whitespace collapse), so counter/date boilerplate
+    that differs only in digit values still collapses (CCNet-faithful:
+    digit-run WIDTH is preserved, "88" != "912") — while the RAW lines are
+    what get removed from each doc."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Page 3 of 912\nreal body one"),
+            (2, "page 7 of 885\nreal body two"),
+            (3, "no counter here\njust content"),
+        ],
+        ["doc_id", "text"],
+    )
+    plain = {
+        r["doc_id"]: r["n_removed_lines"]
+        for r in dedup.line_dedup_frame(docs, "doc_id", "text").collect()
+    }
+    assert plain == {1: 0, 2: 0, 3: 0}  # raw lines all distinct
+
+    norm = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup_frame(
+            docs, "doc_id", "text", normalise=True
+        ).collect()
+    }
+    assert norm[1]["n_removed_lines"] == 1
+    assert norm[1]["clean_text"] == "real body one"
+    assert norm[2]["clean_text"] == "real body two"
+    assert norm[3]["n_removed_lines"] == 0
+
+    # the normaliser itself: digits->0, case, whitespace; punct optional
+    row = spark.range(1).select(
+        dedup.ccnet_normalise(F.lit("  Call 555-123!  NOW  ")).alias("a"),
+        dedup.ccnet_normalise(
+            F.lit("  Call 555-123!  NOW  "), strip_punct=True
+        ).alias("b"),
+    ).first()
+    assert row["a"] == "call 000-000! now"
+    assert row["b"] == "call 000000 now"

@@ -122,6 +122,37 @@ def test_restart_markers_roundtrip(interval):
             assert np.array_equal(decode_jpeg(enc), ref)
 
 
+def test_fuzz_truncation_and_corruption_terminate():
+    """Corrupt bytes must raise cleanly (quarantinable), never hang or
+    allocate unboundedly — the contract extract_features' tag mode relies
+    on. Covers truncations at every region, random byte flips, and an
+    adversarial SOF declaring a 65535x65535 frame."""
+    import struct
+
+    img = _smooth(24, 24)
+    for prog in (False, True):
+        enc = encode_jpeg(img, quality=80, progressive=prog)
+        for cut in (4, 20, len(enc) // 2, len(enc) - 3):
+            with pytest.raises((ValueError, IndexError, NotImplementedError, KeyError)):
+                decode_jpeg(enc[:cut])
+        rng = np.random.default_rng(1)
+        for _ in range(40):
+            b = bytearray(enc)
+            for _ in range(3):
+                b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+            try:
+                decode_jpeg(bytes(b))  # success is fine; hanging is not
+            except Exception:
+                pass
+    # adversarial dims: SOF rewritten to 65535x65535 must fail fast,
+    # before any coefficient allocation
+    enc = bytearray(encode_jpeg(img, quality=80))
+    i = enc.find(b"\xff\xc0")
+    struct.pack_into(">HH", enc, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="decoder limit"):
+        decode_jpeg(bytes(enc))
+
+
 def test_arithmetic_coding_rejected():
     enc = bytearray(encode_jpeg(_smooth(16, 16)))
     i = enc.find(b"\xff\xc0")
