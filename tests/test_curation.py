@@ -1461,3 +1461,39 @@ def test_ccnet_normalised_line_dedup(spark):
     ).first()
     assert row["a"] == "call 000-000! now"
     assert row["b"] == "call 000000 now"
+
+
+def test_curate_corpus_all_stages_compose(spark, sf_dir):
+    """Every optional stage enabled at once — line dedup, containment
+    gate, chunk gate, decontamination, temperature mixing — composes into
+    one plan that runs, shrinks monotonically, and stays reproducible."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.where("doc_id % 97 = 0")
+    train = docs.where("doc_id % 97 != 0")
+
+    def run():
+        out = curate_corpus(
+            train,
+            minhash_threshold=0.2,
+            num_hashes=16,
+            bands=4,
+            min_chars=10,
+            line_dedup_min_docs=2,
+            line_delimiter=" a ",  # generator docs are single-line
+            containment_threshold=0.9,
+            max_dup_chunk_frac=0.9,
+            eval_df=eval_df,
+            domain_col="source",
+            domain_alpha=0.5,
+            domain_total=300,
+        )
+        rows = {r["doc_id"] for r in out.select("doc_id").collect()}
+        dedup.release_staged(spark)
+        return rows
+
+    first = run()
+    assert 0 < len(first) <= 320  # mixing caps near domain_total
+    assert first == run()  # fully deterministic end to end

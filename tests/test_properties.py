@@ -296,3 +296,33 @@ def test_g711_companding_bound_property(x, law):
     err = np.abs(back - arr)
     bound = np.maximum(np.abs(arr) / 16, 64)
     assert np.all(err <= bound)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \nxyz.!"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_line_dedup_reassembly_identity(spark, texts):
+    """With min_docs above the corpus size nothing is boilerplate, so the
+    rebuild must reproduce every document byte-for-byte — split/sort/join
+    is an identity for ANY text, including empty lines and odd spacing."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup_frame(
+            df, "doc_id", "text", min_docs=len(texts) + 1
+        ).collect()
+    }
+    dedup.release_staged(spark)
+    for i, t in rows:
+        assert out[i]["clean_text"] == t
+        assert out[i]["n_removed_lines"] == 0
