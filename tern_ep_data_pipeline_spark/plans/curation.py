@@ -66,10 +66,20 @@ def curate_corpus(
     domain_total: int | None = None,
     line_dedup_min_docs: int | None = None,
     line_delimiter: str = "\n",
+    audit: bool = False,
 ) -> DataFrame:
     """Curated corpus: the input schema plus ``n_chars_clean`` (and
     ``n_tokens``/``cum_weight`` when token budgeting is on); one row per
     surviving document. See module docstring for the stage order.
+
+    ``audit=True`` changes the RETURN to per-document attribution —
+    (id, stage) where stage names the stage that dropped the document
+    ('exact_dup', 'near_dup', 'contained', 'chunk_boilerplate',
+    'contaminated', 'quality_chars', 'quality_model', 'mix_sampled_out',
+    'over_budget') or 'kept' — the "where did my document go" question a
+    100 TB pipeline debug session actually asks. Stages partition the
+    input ids exactly; computed from the run's own intermediates (one
+    extra id anti-join per stage), so it cannot drift from the plan.
 
     With ``bpe_merges`` + ``token_budget``, each domain keeps documents in
     (quality, id) order until the budget — measured in REAL tokens under
@@ -96,9 +106,25 @@ def curate_corpus(
             .withColumnRenamed("clean_text", text_col)
         )
 
+    audit_frames: list[DataFrame] = []
+    prev_ids: DataFrame | None = docs.select(id_col) if audit else None
+
+    def step(new_kept: DataFrame, stage: str) -> DataFrame:
+        """Record the ids this stage dropped (audit mode only)."""
+        nonlocal prev_ids
+        if audit:
+            dropped = prev_ids.join(
+                new_kept.select(id_col), on=id_col, how="left_anti"
+            )
+            audit_frames.append(
+                dropped.select(id_col, F.lit(stage).alias("stage"))
+            )
+            prev_ids = new_kept.select(id_col)
+        return new_kept
+
     # 1. exact dedup first — near-exact copies would otherwise flood the
     # LSH band buckets (the degenerate case the bucket cap guards).
-    deduped = dedup_ops.exact_dedup(docs, id_col, text_col)
+    deduped = step(dedup_ops.exact_dedup(docs, id_col, text_col), "exact_dup")
 
     # 2. near-dup clusters -> keep canonical members only. The anti-join
     # keys on ids, so only the (tiny) non-canonical id set shuffles.
@@ -114,7 +140,7 @@ def curate_corpus(
     losers = clusters.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    kept = deduped.join(losers, on=id_col, how="left_anti")
+    kept = step(deduped.join(losers, on=id_col, how="left_anti"), "near_dup")
 
     # 2b. containment gate: a short document copied verbatim inside a much
     # longer one shares only a small FRACTION of the long doc's shingles,
@@ -141,7 +167,7 @@ def curate_corpus(
             )
             .distinct()
         )
-        kept = kept.join(contained, on=id_col, how="left_anti")
+        kept = step(kept.join(contained, on=id_col, how="left_anti"), "contained")
 
     # 3. sub-document boilerplate gate: a doc that survives whole-document
     # dedup can still be mostly chunks first seen elsewhere.
@@ -151,7 +177,7 @@ def curate_corpus(
             .where(F.col("dup_chunk_frac") > max_dup_chunk_frac)
             .select(id_col)
         )
-        kept = kept.join(heavy, on=id_col, how="left_anti")
+        kept = step(kept.join(heavy, on=id_col, how="left_anti"), "chunk_boilerplate")
 
     # 4. train/eval decontamination — flagged ids anti-join (the flag set
     # is tiny; the corpus side never shuffles inside contamination_hits).
@@ -159,20 +185,27 @@ def curate_corpus(
         flagged = text.contamination_hits(
             kept, eval_df, id_col, text_col, n=decon_ngram
         ).select(id_col)
-        kept = kept.join(flagged, on=id_col, how="left_anti")
+        kept = step(kept.join(flagged, on=id_col, how="left_anti"), "contaminated")
 
     # 5. quality gate (+ scrub) — pure projections, fused into the scan;
     # optionally a trained model score (map-only transform).
     n = F.length(F.trim(F.col(text_col)))
-    kept = kept.withColumn("n_chars_clean", n).where(
-        (F.col("n_chars_clean") >= min_chars)
-        & (F.col("n_chars_clean") <= max_chars)
+    kept = step(
+        kept.withColumn("n_chars_clean", n).where(
+            (F.col("n_chars_clean") >= min_chars)
+            & (F.col("n_chars_clean") <= max_chars)
+        ),
+        "quality_chars",
     )
     if quality_model is not None:
         from ..operators.quality_model import quality_filter
 
-        kept = quality_filter(
-            quality_model, kept, id_col, text_col, threshold=quality_threshold
+        kept = step(
+            quality_filter(
+                quality_model, kept, id_col, text_col,
+                threshold=quality_threshold,
+            ),
+            "quality_model",
         )
     if scrub:
         kept = kept.withColumn(text_col, text.scrub_pii(F.col(text_col)))
@@ -180,13 +213,19 @@ def curate_corpus(
     # 6. deterministic domain mixing — fixed fractions, or temperature-
     # derived cuts when alpha/total are given instead.
     if domain_col and domain_fractions:
-        kept = sampling.stratified_hash_sample(
-            kept, id_col, domain_col, domain_fractions, salt=sample_salt
+        kept = step(
+            sampling.stratified_hash_sample(
+                kept, id_col, domain_col, domain_fractions, salt=sample_salt
+            ),
+            "mix_sampled_out",
         )
     elif domain_col and domain_alpha is not None and domain_total is not None:
-        kept = sampling.temperature_sample(
-            kept, id_col, domain_col, alpha=domain_alpha, total=domain_total,
-            salt=sample_salt,
+        kept = step(
+            sampling.temperature_sample(
+                kept, id_col, domain_col, alpha=domain_alpha,
+                total=domain_total, salt=sample_salt,
+            ),
+            "mix_sampled_out",
         )
 
     # 7. token budgeting under the real tokenizer.
@@ -198,11 +237,19 @@ def curate_corpus(
         counts = bpe_encode(kept, bpe_merges, id_col, text_col).select(
             id_col, "n_tokens"
         )
-        kept = sampling.budget_select(
-            kept.join(counts, on=id_col),
-            domain_col,
-            [F.col("n_chars_clean").desc(), F.col(id_col)],
-            "n_tokens",
-            token_budget,
+        kept = step(
+            sampling.budget_select(
+                kept.join(counts, on=id_col),
+                domain_col,
+                [F.col("n_chars_clean").desc(), F.col(id_col)],
+                "n_tokens",
+                token_budget,
+            ),
+            "over_budget",
         )
+    if audit:
+        out = kept.select(id_col, F.lit("kept").alias("stage"))
+        for frame in audit_frames:
+            out = out.unionByName(frame)
+        return out
     return kept

@@ -1497,3 +1497,39 @@ def test_curate_corpus_all_stages_compose(spark, sf_dir):
     first = run()
     assert 0 < len(first) <= 320  # mixing caps near domain_total
     assert first == run()  # fully deterministic end to end
+
+
+def test_curate_corpus_audit_partitions_input(spark):
+    """audit=True attributes every input document to exactly one stage,
+    and the 'kept' set equals the normal run's survivors — computed from
+    the same intermediates, so it cannot drift."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    body = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, body),                       # canonical of exact pair
+            (2, body),                       # exact dup of 1
+            (3, body + " tail"),             # near dup of 1
+            (4, "short"),                    # fails quality_chars
+            (5, " ".join(f"z{i}" for i in range(25))),  # clean survivor
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(minhash_threshold=0.3, num_hashes=16, bands=8, min_chars=10)
+    kept_ids = {
+        r["doc_id"] for r in curate_corpus(docs, **kw).select("doc_id").collect()
+    }
+    dedup.release_staged(spark)
+    audit = {
+        r["doc_id"]: r["stage"]
+        for r in curate_corpus(docs, audit=True, **kw).collect()
+    }
+    dedup.release_staged(spark)
+
+    assert set(audit) == {1, 2, 3, 4, 5}  # exact partition of the input
+    assert audit[2] == "exact_dup"
+    assert audit[3] == "near_dup"
+    assert audit[4] == "quality_chars"
+    assert {d for d, s in audit.items() if s == "kept"} == kept_ids == {1, 5}
