@@ -1465,14 +1465,18 @@ ex AS (
   SELECT vec_id, label, u.dim, u.v FROM embeddings,
     LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
 ),
-per_dim AS (SELECT label, dim, avg(v) AS mean_v FROM ex GROUP BY 1, 2),
+-- order-independent centroid mean (twin of label_centroids): quantise each
+-- component to an integer (1e9), sum exactly, divide once at the end
+per_dim AS (SELECT label, dim,
+  CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_v
+  FROM ex GROUP BY 1, 2),
+cvec AS (SELECT label, list(mean_v ORDER BY dim) AS c FROM per_dim GROUP BY 1),
 sem AS (
-  SELECT ex.vec_id,
-    round(sum(ex.v * per_dim.mean_v)
-          / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(per_dim.mean_v * per_dim.mean_v))), 6)
+  SELECT e.vec_id,
+    round(list_dot_product(e.v, cvec.c)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cvec.c, cvec.c))), 6)
       AS centroid_sim
-  FROM ex JOIN per_dim ON ex.label = per_dim.label AND ex.dim = per_dim.dim
-  GROUP BY ex.vec_id
+  FROM e JOIN cvec USING (label)
 )
 SELECT 'pairs' AS part, id_a||'#'||id_b AS key, CAST(NULL AS VARCHAR) AS val_s,
   cosine_sim AS val_d
@@ -1532,22 +1536,16 @@ WITH ex AS (
   SELECT label, u.dim, u.v FROM embeddings,
     LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
 ),
-cent AS (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2),
-cnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+cent AS (SELECT label, dim,
+  CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS cv
+  FROM ex GROUP BY 1, 2),
+cvec AS (SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY 1),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-qex AS (
-  SELECT query_id, u.dim, u.v FROM q,
-    LATERAL (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v) u
-),
-qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS qn FROM qex GROUP BY 1),
 csim AS (
-  SELECT qex.query_id, cent.label,
-    round(sum(qex.v * cent.cv) / (any_value(qnorm.qn) * any_value(cnorm.cn)), 6) AS sim
-  FROM qex
-  JOIN cent ON qex.dim = cent.dim
-  JOIN qnorm ON qnorm.query_id = qex.query_id
-  JOIN cnorm ON cnorm.label = cent.label
-  GROUP BY 1, 2
+  SELECT q.query_id, cvec.label,
+    round(list_dot_product(q.qv, cvec.c)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cvec.c, cvec.c))), 6) AS sim
+  FROM q CROSS JOIN cvec
 ),
 probes AS (
   SELECT query_id, label FROM csim
@@ -1574,22 +1572,16 @@ WITH ex AS (
   SELECT label, u.dim, u.v FROM embeddings,
     LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
 ),
-cent AS (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2),
-cnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+cent AS (SELECT label, dim,
+  CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS cv
+  FROM ex GROUP BY 1, 2),
+cvec AS (SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY 1),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-qex AS (
-  SELECT query_id, u.dim, u.v FROM q,
-    LATERAL (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v) u
-),
-qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS qn FROM qex GROUP BY 1),
 csim AS (
-  SELECT qex.query_id, cent.label,
-    round(sum(qex.v * cent.cv) / (any_value(qnorm.qn) * any_value(cnorm.cn)), 6) AS sim
-  FROM qex
-  JOIN cent ON qex.dim = cent.dim
-  JOIN qnorm ON qnorm.query_id = qex.query_id
-  JOIN cnorm ON cnorm.label = cent.label
-  GROUP BY 1, 2
+  SELECT q.query_id, cvec.label,
+    round(list_dot_product(q.qv, cvec.c)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cvec.c, cvec.c))), 6) AS sim
+  FROM q CROSS JOIN cvec
 ),
 probes AS (
   SELECT query_id, label FROM csim
@@ -1704,8 +1696,11 @@ WITH ex AS (
   SELECT label, u.dim, u.v FROM embeddings,
     LATERAL (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS v) u
 ),
-per_dim AS (SELECT label, dim, avg(v) AS mean_v FROM ex GROUP BY 1, 2),
-norms AS (SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm FROM per_dim GROUP BY 1),
+per_dim AS (SELECT label, dim,
+  CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_v
+  FROM ex GROUP BY 1, 2),
+cvec AS (SELECT label, list(mean_v ORDER BY dim) AS c FROM per_dim GROUP BY 1),
+norms AS (SELECT label, round(sqrt(list_dot_product(c, c)), 6) AS centroid_norm FROM cvec),
 counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
 SELECT norms.label, norms.centroid_norm, counts.n_vectors FROM norms JOIN counts USING (label)
 """
@@ -2625,7 +2620,10 @@ uni_tot AS (
   SELECT CAST(sum(c) AS DOUBLE) AS tot_n, count(*) AS tot_v FROM uni_vocab
 )
 SELECT doc_id,
-  round(avg(ln((c + 0.5) / (tot_n + 0.5 * (tot_v + 1)))), 6) AS avg_logprob
+  -- order-independent twin of unigram_logprob: quantise each per-token
+  -- logprob to an integer (1e12), sum exactly (HUGEINT), divide at the end
+  round(CAST(sum(CAST(round(ln((c + 0.5) / (tot_n + 0.5 * (tot_v + 1))) * 1e12)
+                 AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) AS avg_logprob
 FROM uni_tok JOIN uni_vocab USING (tok), uni_tot
 GROUP BY doc_id
 """

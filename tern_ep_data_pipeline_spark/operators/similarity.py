@@ -451,21 +451,32 @@ def label_centroids(
     shuffle — invisible at D=16, a ~768x row amplification at real embedding
     widths. Here shuffle bytes are ~(#partitions x #labels x D) doubles,
     independent of row count.
+
+    Order-independence: double addition is not associative, so a float
+    partial-sum combine would make the 6th decimal of a downstream rounded
+    gate column depend on partition arrival order (the round-5 `doc_profile`
+    flake class). Each component is quantised to an integer (1e9 — nano
+    units) BEFORE the partial, summed exactly in int64, and divided once at
+    the end — identical under any partitioning. 1e9 keeps a billion-vector
+    label inside int64 for unit-scale embeddings.
     """
     label_type = df.schema[label_col].dataType.simpleString()
-    out_schema = f"`{label_col}` {label_type}, __cnt BIGINT, __sum ARRAY<DOUBLE>"
+    out_schema = f"`{label_col}` {label_type}, __cnt BIGINT, __sum ARRAY<BIGINT>"
+    qvec = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * F.lit(1.0e9)).cast("long")
+    ).alias("__qv")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict = {}  # label -> [count, sum ndarray]
+        acc: dict = {}  # label -> [count, int64 sum ndarray]
         for pdf in batches:
-            for lab, grp in pdf.groupby(label_col, dropna=False)[vec_col]:
-                stacked = np.stack([np.asarray(v, dtype=np.float64) for v in grp])
+            for lab, grp in pdf.groupby(label_col, dropna=False)["__qv"]:
+                stacked = np.stack([np.asarray(v, dtype=np.int64) for v in grp])
                 entry = acc.get(lab)
                 if entry is None:
-                    acc[lab] = [len(grp), stacked.sum(axis=0)]
+                    acc[lab] = [len(grp), stacked.sum(axis=0, dtype=np.int64)]
                 else:
                     entry[0] += len(grp)
-                    entry[1] += stacked.sum(axis=0)
+                    entry[1] += stacked.sum(axis=0, dtype=np.int64)
         if acc:
             yield pd.DataFrame(
                 {
@@ -475,18 +486,20 @@ def label_centroids(
                 }
             )
 
-    partial = df.select(label_col, vec_col).mapInPandas(partials, schema=out_schema)
+    partial = df.select(F.col(label_col), qvec).mapInPandas(partials, schema=out_schema)
     combined = partial.groupBy(label_col).agg(
         F.sum("__cnt").alias("__n"),
         F.collect_list("__sum").alias("__sums"),
     )
-    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at("__sums", 1)))
+    zero = F.array_repeat(F.lit(0).cast("long"), F.size(F.element_at("__sums", 1)))
     total = F.aggregate(
         F.col("__sums"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
     )
     return combined.select(
         F.col(label_col),
-        F.transform(total, lambda s: s / F.col("__n")).alias("centroid"),
+        F.transform(
+            total, lambda s: s.cast("double") / F.lit(1.0e9) / F.col("__n")
+        ).alias("centroid"),
     )
 
 

@@ -687,9 +687,21 @@ def unigram_logprob(
         .crossJoin(F.broadcast(unseen))
         .select(F.col(id_col), F.coalesce("__lp", "__lp0").alias("__lp"))
     )
+    # Order-independent aggregation: double `avg` is not associative, so the
+    # 6th decimal of a document sitting ~1e-11 from a rounding boundary can
+    # flip with task/partition ordering. Quantise each per-token logprob to
+    # an integer (1e12 ~ picolog units), sum exactly — integer addition IS
+    # associative, so the result is identical under any partitioning — and
+    # divide/round once at the end. The sum rides in decimal(38,0) so a
+    # billion-token document cannot overflow a 64-bit long.
+    scored = scored.withColumn(
+        "__lpq", F.round(F.col("__lp") * F.lit(1.0e12)).cast("decimal(38,0)")
+    )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored_tokens"),
-        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        F.round(
+            F.sum("__lpq").cast("double") / F.count(F.lit(1)) / F.lit(1.0e12), 6
+        ).alias("avg_logprob"),
     )
 
 
