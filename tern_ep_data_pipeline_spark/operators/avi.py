@@ -61,7 +61,9 @@ def encode_video_mjpeg(
         1_000_000 // fps,  # dwMicroSecPerFrame
         sum(len(j) for j in jpegs) * fps // max(len(jpegs), 1),
         0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_ISINTERLEAVED not set... flags
+        0,  # dwFlags: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        #    must stay clear — advertising an index the file lacks makes
+        #    strict players seek into nothing
         len(jpegs),
         0,
         1,  # one stream

@@ -100,10 +100,16 @@ def curate_corpus(
             min_docs=line_dedup_min_docs,
             delimiter=line_delimiter,
         ).select(id_col, "clean_text")
+        # LEFT join + coalesce, not inner: a NULL-text document produces no
+        # lines (split(NULL) explodes to zero rows) and is absent from the
+        # cleaned frame — an inner join would silently drop it here, where
+        # the line-dedup-off path lets it reach exact dedup. Keeping it (with
+        # its original NULL text) preserves the audit contract that the
+        # stages partition the input ids exactly.
         docs = (
-            docs.drop(text_col)
-            .join(cleaned.hint("shuffle_hash"), on=id_col)
-            .withColumnRenamed("clean_text", text_col)
+            docs.join(cleaned.hint("shuffle_hash"), on=id_col, how="left")
+            .withColumn(text_col, F.coalesce(F.col("clean_text"), F.col(text_col)))
+            .drop("clean_text")
         )
 
     audit_frames: list[DataFrame] = []

@@ -384,10 +384,13 @@ def write_hdf5_nc4(
     oh_addr: dict[str, int] = {}
     for i, name in enumerate(dim_names):
         var = dict(var_items)[name]
+        # libnetcdf suffixes the sentinel with the dimension LENGTH
+        # ('%s%10d' with dim->len), not the dimension index — match its
+        # bytes so round-trips through the parity target are identical
         scale_name = (
             name
             if name in variables
-            else f"{_PHANTOM_SENTINEL}{i:10d}"
+            else f"{_PHANTOM_SENTINEL}{dims[name]:10d}"
         )
         attrs = [
             ("CLASS", "DIMENSION_SCALE"),

@@ -1287,6 +1287,42 @@ def test_curate_corpus_line_dedup_stage(spark):
     assert all(banner not in r["text"] for r in kept)
 
 
+def test_curate_corpus_line_dedup_keeps_null_text(spark):
+    """A NULL-text document produces zero lines (split(NULL) explodes to
+    nothing), so it is absent from the line-dedup frame — the join back
+    must be a LEFT join or stage 0 silently drops it where the
+    line-dedup-off path would not. In audit mode every input id must
+    still be attributed to exactly one stage."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n" + " ".join(f"w{i}" for i in range(20))),
+            (2, f"{banner}\n" + " ".join(f"x{i}" for i in range(20))),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(min_chars=5, line_dedup_min_docs=2)
+
+    off = {r["doc_id"] for r in curate_corpus(docs, min_chars=5).collect()}
+    dedup.release_staged(spark)
+    on = {r["doc_id"] for r in curate_corpus(docs, **kw).collect()}
+    dedup.release_staged(spark)
+    # the null doc's fate must not depend on whether line dedup ran
+    assert (3 in on) == (3 in off)
+
+    audit = {
+        r["doc_id"]: r["stage"]
+        for r in curate_corpus(docs, audit=True, **kw).collect()
+    }
+    dedup.release_staged(spark)
+    assert set(audit) == {1, 2, 3}  # exact partition, null doc included
+    assert audit[1] == "kept" and audit[2] == "kept"
+
+
 def test_materialise_sequences(spark):
     from tern_ep_data_pipeline_spark.operators import sampling
 
