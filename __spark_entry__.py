@@ -2509,10 +2509,20 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ``qf_*`` columns are ``quality_model.heuristic_feature_frame`` run as
     the MODEL pipeline runs it — the deterministic input surface of the
     (bench-only) ``q_quality_filter``, gated here so its float L-BFGS stage
-    is the only part outside the verified window."""
+    is the only part outside the verified window.
+
+    The ``ldn_*`` columns gate line dedup's ``normalise=True`` mode
+    (``ccnet_normalise``): a per-doc trailer line ``Page <lpad(id)> of 912``
+    is UNIQUE under trim-exact matching but collapses to ``page 0000 of
+    000`` under digit->0 normalisation, so the branch passes only if the
+    normalised key (not the exact one) drives the removal."""
     from tern_ep_data_pipeline_spark.operators import quality_model as qm
 
-    docs = _t(spark, sf_dir, "documents")
+    # ten branches scan the same two columns; stage the projection once so
+    # the parquet decode happens once, not per branch (released by bench)
+    docs = dedup._stage(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     hf = qm.heuristic_feature_frame(docs, "doc_id", "text").select(
         "doc_id",
         F.col("stopword_ratio").alias("qf_stopword_ratio"),
@@ -2556,6 +2566,24 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("bigint").alias("ld_n_lines"),
         F.col("n_removed_lines").cast("bigint").alias("ld_n_removed"),
     ).hint("shuffle_hash")
+    # ldn_*: the normalised mode, over the multi-line view plus a per-doc
+    # digit-bearing trailer line (unique exact, boilerplate normalised)
+    mln = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " a ", "\n"),
+            F.lit("\nPage "),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" of 912"),
+        ).alias("text"),
+    )
+    ldn = dedup.line_dedup_frame(
+        mln, "doc_id", "text", min_docs=2, normalise=True
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("ldn_clean_md5"),
+        F.col("n_removed_lines").cast("bigint").alias("ldn_n_removed"),
+    ).hint("shuffle_hash")
     return (
         t.join(q, "doc_id")
         .join(l, "doc_id")
@@ -2565,6 +2593,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u, "doc_id")
         .join(hf, "doc_id")
         .join(ld, "doc_id")
+        .join(ldn, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
@@ -2576,6 +2605,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qf_stopword_ratio", "qf_punct_ratio", "qf_digit_ratio",
             "qf_upper_ratio", "qf_n_tokens", "qf_avg_token_len",
             "ld_clean_md5", "ld_n_lines", "ld_n_removed",
+            "ldn_clean_md5", "ldn_n_removed",
             "canonical_id", "n_copies",
         )
     )
@@ -2665,11 +2695,55 @@ FROM ld_f GROUP BY doc_id
 """
 
 
+#: The normalise=True twin of ORACLE_LINE_DEDUP: the dedup key is
+#: ccnet_normalise (lowercase, digit->0, whitespace collapse) instead of
+#: the trimmed line, over the multi-line view plus a per-doc trailer line
+#: that is unique exact but boilerplate normalised
+ORACLE_LINE_DEDUP_NORM = r"""
+WITH ldn_p AS (
+  SELECT doc_id,
+         string_split(
+           replace(text, ' a ', chr(10)) || chr(10) || 'Page ' ||
+           lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' of 912',
+           chr(10)) AS parts
+  FROM documents
+),
+ldn_l0 AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(parts)),
+      i -> struct_pack(pos := i, line := parts[i]))) AS s
+  FROM ldn_p
+),
+ldn_l AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS tl,
+         regexp_replace(translate(lower(trim(s.line)), '0123456789',
+                                  '0000000000'), '\s+', ' ', 'g') AS nk
+  FROM ldn_l0
+),
+ldn_c AS (
+  SELECT md5(nk) AS h FROM ldn_l WHERE length(tl) >= 1
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+ldn_f AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (c.h IS NOT NULL AND length(l.tl) >= 1) AS rm
+  FROM ldn_l l LEFT JOIN ldn_c c ON md5(l.nk) = c.h
+)
+SELECT doc_id,
+  md5(coalesce(
+    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), ''
+  )) AS ldn_clean_md5,
+  sum(CASE WHEN rm THEN 1 ELSE 0 END) AS ldn_n_removed
+FROM ldn_f GROUP BY doc_id
+"""
+
+
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
 fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
 ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM}),
-qf AS ({ORACLE_QUALITY_FEATURES}), ld AS ({ORACLE_LINE_DEDUP})
+qf AS ({ORACLE_QUALITY_FEATURES}), ld AS ({ORACLE_LINE_DEDUP}),
+ldn AS ({ORACLE_LINE_DEDUP_NORM})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
@@ -2680,6 +2754,7 @@ SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   qf.digit_ratio AS qf_digit_ratio, qf.upper_ratio AS qf_upper_ratio,
   qf.n_tokens AS qf_n_tokens, qf.avg_token_len AS qf_avg_token_len,
   ld.ld_clean_md5, ld.ld_n_lines, ld.ld_n_removed,
+  ldn.ldn_clean_md5, ldn.ldn_n_removed,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
@@ -2690,6 +2765,7 @@ JOIN ch USING (doc_id)
 JOIN uni USING (doc_id)
 JOIN qf USING (doc_id)
 JOIN ld USING (doc_id)
+JOIN ldn USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 

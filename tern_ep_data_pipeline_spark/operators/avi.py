@@ -113,12 +113,30 @@ def _walk_chunks(buf: bytes, start: int, end: int):
 
 
 def decode_video(content: bytes) -> tuple[list[np.ndarray], float]:
-    """Decode an MJPEG AVI to (frames, fps). Frames are HxWx3 uint8 RGB.
+    """Decode a video to (frames, fps). Frames are HxWx3 uint8 RGB.
 
-    Non-MJPG video streams raise ``NotImplementedError`` naming the
-    fourcc — inter-frame codecs need a real codec library."""
+    MJPEG AVI decodes with the in-repo codec (pinned deterministic).
+    Anything else — inter-frame codecs (H.264/VP9/...) or non-AVI
+    containers (MP4/WebM/...) — dispatches to the ffmpeg executable when
+    one is installed, and otherwise raises ``NotImplementedError`` naming
+    the fourcc (``ValueError`` for a non-AVI container)."""
+    from .codec_bindings import decode_video_ffmpeg
+
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        decoded = decode_video_ffmpeg(content)
+        if decoded is not None:
+            return decoded
         raise ValueError("not an AVI payload (missing RIFF/AVI signature)")
+    try:
+        return _decode_video_mjpeg_avi(content)
+    except NotImplementedError:
+        decoded = decode_video_ffmpeg(content)
+        if decoded is not None:
+            return decoded
+        raise
+
+
+def _decode_video_mjpeg_avi(content: bytes) -> tuple[list[np.ndarray], float]:
     end = min(len(content), 8 + struct.unpack_from("<I", content, 4)[0])
     handler = None
     us_per_frame = 0

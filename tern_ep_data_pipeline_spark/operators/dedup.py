@@ -35,8 +35,22 @@ _STAGED: dict[str, list[DataFrame]] = {}
 
 
 def _stage(df: DataFrame) -> DataFrame:
-    """Persist a self-join input and register it for later release."""
-    staged = df.persist()
+    """Persist a self-join input and register it for later release.
+
+    Under a squeezed heap (memguard) the persist derates to DISK_ONLY:
+    MEMORY_AND_DISK blocks pin the protected storage region and starve the
+    execution pool under concurrent tasks (`UNABLE_TO_ACQUIRE_MEMORY ...
+    got 0` in SPILL_r05's 2 g cells); disk-only staged frames cost re-read
+    IO but leave the whole unified pool to execution.
+    """
+    from pyspark import StorageLevel
+
+    from .memguard import tight_memory
+
+    if tight_memory(df.sparkSession):
+        staged = df.persist(StorageLevel.DISK_ONLY)
+    else:
+        staged = df.persist()
     app_id = staged.sparkSession.sparkContext.applicationId
     _STAGED.setdefault(app_id, []).append(staged)
     return staged

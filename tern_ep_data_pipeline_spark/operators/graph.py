@@ -28,8 +28,28 @@ long before the data is the bottleneck.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .memguard import tight_memory as _tight_memory
+
+
+def _truncate(df: DataFrame, tight: bool) -> DataFrame:
+    """Truncate lineage: resident localCheckpoint normally, reliable disk
+    checkpoint when memory is tight (see ``_DERATE_UNIFIED_BYTES``)."""
+    if not tight:
+        return df.localCheckpoint()
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        have_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        have_dir = False
+    if not have_dir:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-cc-ckpt-"))
+    return df.checkpoint(eager=True)
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -106,7 +126,8 @@ def connected_components(
     sym = (
         e.select(F.explode(both).alias("p")).select("p.a", "p.b").distinct()
     )
-    sym = sym.localCheckpoint()
+    tight = _tight_memory(edges.sparkSession)
+    sym = _truncate(sym, tight)
 
     # Size the iteration's shuffles to the graph, not the session conf: the
     # edge set is usually orders of magnitude smaller than the corpus that
@@ -119,15 +140,15 @@ def connected_components(
         return _driver_union_find(sym)
     parallelism = sym.sparkSession.sparkContext.defaultParallelism
     parts = max(2, min(parallelism, n_edges // 50_000 + 1))
-    sym = sym.repartition(parts, "b").localCheckpoint()
+    sym = _truncate(sym.repartition(parts, "b"), tight)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(parts, "node")
-        .localCheckpoint()
     )
+    labels = _truncate(labels, tight)
 
     for _ in range(max_iter):
         # 1. neighbour-min over the closed neighbourhood
@@ -154,7 +175,7 @@ def connected_components(
             "node",
             F.coalesce(F.col("ptr_label"), F.col("label")).alias("label"),
         )
-        new_labels = jumped.localCheckpoint()
+        new_labels = _truncate(jumped, tight)
 
         prev = labels.select(
             F.col("node").alias("prev_node"), F.col("label").alias("prev_label")

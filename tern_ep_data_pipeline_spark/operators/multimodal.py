@@ -241,7 +241,16 @@ def decode_image(content: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
-    raise NotImplementedError("unrecognised image container")
+    # unknown container (WebP, TIFF, GIF, ...): extend via Pillow when it
+    # is installed; same honest rejection when it is not
+    from .codec_bindings import decode_image_pil
+
+    img = decode_image_pil(content)
+    if img is not None:
+        return img
+    raise NotImplementedError(
+        "unrecognised image container (install Pillow to extend the dispatch)"
+    )
 
 
 def mulaw_decode(b: np.ndarray) -> np.ndarray:
@@ -304,7 +313,15 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     import wave
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise NotImplementedError("non-WAV audio requires a codec library")
+        # MP3/AAC/Opus/...: decode via the ffmpeg executable when present
+        from .codec_bindings import decode_audio_ffmpeg
+
+        decoded = decode_audio_ffmpeg(content)
+        if decoded is not None:
+            return decoded
+        raise NotImplementedError(
+            "non-WAV audio requires a codec library (ffmpeg extends this)"
+        )
     chunks = _wav_chunks(content)
     fmt = chunks.get(b"fmt ")
     tag = int.from_bytes(fmt[0:2], "little") if fmt else 1

@@ -38,6 +38,87 @@ from ..operators import sampling, text
 from ..operators.graph import dedup_clusters
 
 
+class CurationMemoryError(RuntimeError):
+    """The executor sizing invariant is violated — see SCALING.md §spill.
+
+    The curation pipeline keeps a bounded-but-real RESIDENT working set
+    (persisted LSH staged frames, connected-components localCheckpoint
+    blocks, concurrent tasks' Arrow/aggregation buffers) that cannot spill
+    on demand. Below the per-executor memory floor the JVM dies with a raw
+    heap OOM mid-checkpoint; this guard turns that into a plan-time error
+    naming the invariant.
+    """
+
+
+#: Calibrated against the measured SPILL_r05 grid at sf10 density
+#: (8g/32 pass, 3g/32 pass, 2g/32 OOM, 2g/8 OOM): the resident set tracks
+#: the compressed input size (decoded text + signature/fingerprint staged
+#: frames + CC checkpoint blocks ~ 16x parquet bytes) plus per-task buffers.
+_RESIDENT_PER_INPUT_BYTE = 16
+_RESIDENT_PER_CORE = 16 << 20
+_JVM_RESERVED = 300 << 20  # spark.testing.reservedMemory default
+
+
+def _memory_floor_message(
+    input_bytes: int, heap_bytes: int, cores: int, fraction: float
+) -> str | None:
+    """Return the sizing-invariant violation message, or None if sized OK."""
+    unified = max(0, heap_bytes - _JVM_RESERVED) * fraction
+    resident = _RESIDENT_PER_INPUT_BYTE * input_bytes + _RESIDENT_PER_CORE * cores
+    if resident <= unified:
+        return None
+    need_heap = resident / fraction + _JVM_RESERVED
+    return (
+        "curate_corpus sizing invariant violated: estimated resident working "
+        f"set ~{resident / 2**20:.0f} MiB (persisted LSH staged frames + "
+        "connected-components checkpoint blocks + per-task buffers; "
+        f"~{_RESIDENT_PER_INPUT_BYTE}x the {input_bytes / 2**20:.0f} MiB input "
+        f"+ {_RESIDENT_PER_CORE >> 20} MiB x {cores} cores) exceeds the "
+        f"~{unified / 2**20:.0f} MiB unified memory pool of a "
+        f"{heap_bytes / 2**30:.1f} GiB executor heap. Below this floor the "
+        "JVM heap-OOMs materialising the CC checkpoint instead of spilling "
+        "(SCALING.md: ~100 MB/core at sf10 density). Raise "
+        f"spark.executor.memory to ~{need_heap / 2**30 + 0.5:.0f} GiB, run "
+        "fewer cores per executor, or pass memory_guard=False to proceed "
+        "anyway."
+    )
+
+
+def _check_memory_floor(docs: DataFrame) -> str | None:
+    """Plan-time executor-sizing check for the curation pipeline.
+
+    Only enforced where the numbers are knowable exactly: local mode (the
+    driver IS the executor — heap from the live JVM, cores from the
+    master). On a cluster the per-executor share of the resident set
+    depends on the executor count, so the guard stays silent unless
+    spark.executor.memory/cores/instances are all set.
+    """
+    spark = docs.sparkSession
+    try:
+        stats = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        input_bytes = int(stats.toString())
+    except Exception:
+        return None
+    if input_bytes <= 0 or input_bytes > 1 << 50:  # missing/absurd estimate
+        return None
+    fraction = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        cores = spark.sparkContext.defaultParallelism
+        return _memory_floor_message(input_bytes, heap, cores, fraction)
+    exec_mem = spark.conf.get("spark.executor.memory", None)
+    exec_cores = spark.conf.get("spark.executor.cores", None)
+    exec_n = spark.conf.get("spark.executor.instances", None)
+    if not (exec_mem and exec_cores and exec_n):
+        return None
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    m = exec_mem.strip().lower()
+    heap = int(float(m[:-1]) * (1 << units[m[-1]])) if m[-1] in units else int(m)
+    per_exec_input = input_bytes // max(int(exec_n), 1)
+    return _memory_floor_message(per_exec_input, heap, int(exec_cores), fraction)
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -67,6 +148,7 @@ def curate_corpus(
     line_dedup_min_docs: int | None = None,
     line_delimiter: str = "\n",
     audit: bool = False,
+    memory_guard: bool = True,
 ) -> DataFrame:
     """Curated corpus: the input schema plus ``n_chars_clean`` (and
     ``n_tokens``/``cum_weight`` when token budgeting is on); one row per
@@ -87,6 +169,13 @@ def curate_corpus(
     specified in tokens; a character proxy misallocates across domains
     with different token densities (code vs prose).
     """
+    # plan-time executor-sizing guard: fail fast with the invariant named
+    # instead of a raw heap OOM mid-checkpoint (SCALING.md §spill)
+    if memory_guard:
+        floor_msg = _check_memory_floor(docs)
+        if floor_msg is not None:
+            raise CurationMemoryError(floor_msg)
+
     # 0. optional corpus-level line dedup (CCNet boilerplate removal):
     # strip lines shared by >= N distinct docs BEFORE any dedup stage —
     # boilerplate (cookie banners, licence headers) both wastes tokens and

@@ -35,6 +35,28 @@ def test_connected_components_basic(spark, threshold):
     }
 
 
+def test_connected_components_derated_checkpoint_identical(spark, monkeypatch):
+    """Under memory pressure the CC iteration truncates lineage with a
+    reliable disk checkpoint instead of resident localCheckpoint blocks
+    (the SPILL_r05 2g OOM derate) — the clusters must be identical."""
+    from tern_ep_data_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    normal = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    monkeypatch.setattr(graph, "_tight_memory", lambda spark: True)
+    derated = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert derated == normal
+
+
 def test_connected_components_long_path(spark):
     """A 64-node path converges well inside the iteration cap on the
     distributed path (pointer jumping gives O(log n) rounds)."""
@@ -390,6 +412,42 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
 
 
 # --------------------------------------------------- end-to-end plan
+
+def test_curation_memory_floor_matches_spill_grid():
+    """The plan-time sizing guard reproduces the measured SPILL_r05 grid at
+    sf10 density (58 MiB compressed documents input): 8g/32 and 3g/32
+    completed, 2g/32 heap-OOMed, 2g/8 exhausted execution memory."""
+    from tern_ep_data_pipeline_spark.plans.curation import _memory_floor_message
+
+    input_bytes = 58 << 20
+    ok = lambda heap_g, cores: _memory_floor_message(
+        input_bytes, heap_g << 30, cores, 0.6
+    )
+    assert ok(8, 32) is None
+    assert ok(3, 32) is None
+    msg = ok(2, 32)
+    assert msg is not None and "sizing invariant" in msg
+    assert "memory_guard=False" in msg  # the override is named
+    assert ok(2, 8) is not None
+
+
+def test_curation_memory_guard_silent_when_sized(spark):
+    """On a comfortably-sized session the guard stays silent for small
+    inputs and the override path accepts memory_guard=False."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import (
+        _check_memory_floor,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    assert _check_memory_floor(docs) is None
+    n = curate_corpus(docs, min_chars=5, memory_guard=False).count()
+    dedup.release_staged(spark)
+    assert n == 1
+
 
 def test_curate_corpus_plan(spark, sf_dir):
     """The composed curation plan on the driver documents: exact dups

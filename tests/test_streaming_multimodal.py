@@ -103,12 +103,22 @@ def test_decode_stubs_raise():
     # JPEG is a real codec now (baseline AND progressive): truncated bytes
     # are a data error; only genuinely-unimplemented variants (arithmetic
     # coding, unknown containers) raise NotImplemented
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(b"\xff\xd8")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x00unknown-container")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+    if codec_bindings.pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x00unknown-container")
+    else:  # Pillow extends the dispatch; garbage is then a Pillow error
+        with pytest.raises(Exception):
+            multimodal.decode_image(b"\x00unknown-container")
+    if codec_bindings.ffmpeg_paths() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"RIFF")
+    else:
+        with pytest.raises(Exception):
+            multimodal.decode_audio(b"RIFF")
 
 
 def test_frame_sample_plan(spark, sf_dir):
@@ -470,18 +480,75 @@ def test_mjpeg_avi_roundtrip():
         frames[0], decode_jpeg(encode_jpeg(f0, quality=85, subsampling="420"))
     )
 
-    # inter-frame codecs: named rejection, not garbage
+    # inter-frame codecs: named rejection, not garbage (when no ffmpeg
+    # binary extends the dispatch; with one, garbage is an ffmpeg error)
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
     bad = bytearray(avi)
     i = bad.find(b"MJPG")
     bad[i : i + 4] = b"H264"
-    with pytest.raises(NotImplementedError, match="H264"):
-        decode_video(bytes(bad))
-    with pytest.raises(ValueError, match="RIFF"):
-        decode_video(b"not a video")
+    if codec_bindings.ffmpeg_paths() is None:
+        with pytest.raises(NotImplementedError, match="H264"):
+            decode_video(bytes(bad))
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_video(b"not a video")
+    else:
+        with pytest.raises(Exception):  # MJPEG bytes mislabelled H264
+            decode_video(bytes(bad))
 
     assert sample_frame_indices(6, 4) == [0, 2, 3, 5]
     assert sample_frame_indices(3, 5) == [0, 0, 1, 2, 2]
     assert sample_frame_indices(0, 3) == []
+
+
+def test_codec_binding_dispatch_either_way(spark):
+    """The optional-library seam, exercised in whichever environment this
+    runs: with ffmpeg installed an H.264 fixture decodes through the same
+    dispatch; without it the batch seam quarantines the row into
+    ``decode_error`` instead of failing the batch. Either way the stdlib
+    MJPEG path stays primary and pinned."""
+    import subprocess
+
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+    from tern_ep_data_pipeline_spark.operators.avi import (
+        decode_video,
+        encode_video_mjpeg,
+    )
+
+    frames = [np.full((16, 16, 3), 40 * i, np.uint8) for i in range(4)]
+    mjpeg = encode_video_mjpeg(frames, fps=4)
+    bad = bytearray(mjpeg)
+    bad[bad.find(b"MJPG") : bad.find(b"MJPG") + 4] = b"H264"
+    paths = codec_bindings.ffmpeg_paths()
+    if paths is not None:
+        ffmpeg = paths[0]
+        h264 = subprocess.run(
+            [ffmpeg, "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
+             "-s", "16x16", "-r", "4", "-i", "pipe:0",
+             "-c:v", "libx264", "-pix_fmt", "yuv420p",
+             "-f", "mp4", "-movflags", "frag_keyframe+empty_moov", "pipe:1"],
+            input=b"".join(f.tobytes() for f in frames),
+            capture_output=True, check=True,
+        ).stdout
+        got, fps = decode_video(h264)
+        assert len(got) == 4 and got[0].shape == (16, 16, 3)
+    else:
+        # batch seam: the named rejection becomes a quarantine row
+        assets = spark.createDataFrame(
+            [(1, "video", bytes(mjpeg)), (2, "video", bytes(bad))],
+            "asset_id long, modality string, content binary",
+        )
+        rows = {
+            r["asset_id"]: r
+            for r in multimodal.extract_features(
+                assets, dim=16, use_fake_encoder=False
+            ).collect()
+        }
+        assert rows[1]["decode_error"] is None
+        assert "H264" in rows[2]["decode_error"]
+        assert rows[2]["feature"] is None
 
 
 def test_video_modality_and_frame_sampling(spark):

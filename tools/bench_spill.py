@@ -78,13 +78,22 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
 
+    def spill_totals_safe(tag: str) -> tuple:
+        # a raw JVM heap death takes the REST endpoint with it; the
+        # artifact must still land with the error recorded
+        try:
+            return stage_spill_totals(spark)
+        except Exception as exc:
+            print(f"# spill metrics unavailable ({tag}): {exc}", file=sys.stderr)
+            return None, None, None
+
     out: dict[str, dict] = {}
     for name in args.queries:
         fn = getattr(entrymod, f"q_{name}")
         runs = []
         rows = 0
         err = None
-        m0, d0, s0 = stage_spill_totals(spark)
+        m0, d0, s0 = spill_totals_safe(f"{name} pre")
         for _ in range(args.runs):
             t0 = time.time()
             # a query that OOMs under the constrained heap is itself a
@@ -93,19 +102,44 @@ def main() -> None:
                 rows = fn(spark, args.dir).count()
                 runs.append(round(time.time() - t0, 3))
             except Exception as exc:
-                err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+                # classify memory deaths against the sizing invariant so the
+                # artifact names the cause, not a Py4J call-site
+                s = str(exc)
+                if "OutOfMemoryError" in s:
+                    err = (
+                        "java.lang.OutOfMemoryError (executor heap): below "
+                        "the executor sizing floor — SCALING.md ~100 MB/core "
+                        "at sf10 density"
+                    )
+                elif "UNABLE_TO_ACQUIRE_MEMORY" in s:
+                    err = (
+                        "UNABLE_TO_ACQUIRE_MEMORY (execution pool exhausted): "
+                        "below the executor sizing floor — SCALING.md "
+                        "~100 MB/core at sf10 density"
+                    )
+                else:
+                    err = f"{type(exc).__name__}: {s.splitlines()[0][:200]}"
                 break
             finally:
-                release_staged(spark)
-        m1, d1, s1 = stage_spill_totals(spark)
+                try:
+                    release_staged(spark)
+                    # under a squeezed heap, dead broadcast/staged blocks
+                    # from the PREVIOUS query linger until the GC-driven
+                    # ContextCleaner runs; nudge it so each query starts
+                    # from a clean pool instead of inheriting fragments
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+        m1, d1, s1 = spill_totals_safe(f"{name} post")
+        have_metrics = None not in (m0, d0, s0, m1, d1, s1)
         out[name] = {
             "sec": min(runs) if runs else None,
             "sec_runs": runs,
             "rows": rows,
             "error": err,
-            "memory_spilled_mb": round((m1 - m0) / 2**20, 1),
-            "disk_spilled_mb": round((d1 - d0) / 2**20, 1),
-            "shuffle_write_mb": round((s1 - s0) / 2**20, 1),
+            "memory_spilled_mb": round((m1 - m0) / 2**20, 1) if have_metrics else None,
+            "disk_spilled_mb": round((d1 - d0) / 2**20, 1) if have_metrics else None,
+            "shuffle_write_mb": round((s1 - s0) / 2**20, 1) if have_metrics else None,
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)
 
