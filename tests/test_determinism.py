@@ -91,12 +91,12 @@ def _canonical(df) -> pd.DataFrame:
     return out
 
 
-def _run_layout(spark, qfn, conf: dict[str, str]) -> pd.DataFrame:
+def _run_layout(spark, qfn, conf: dict[str, str], sf: str = SF) -> pd.DataFrame:
     saved = {k: spark.conf.get(k, None) for k in conf}
     try:
         for k, v in conf.items():
             spark.conf.set(k, v)
-        return _canonical(qfn(spark, SF))
+        return _canonical(qfn(spark, sf))
     finally:
         for k, v in saved.items():
             if v is not None:
@@ -105,12 +105,25 @@ def _run_layout(spark, qfn, conf: dict[str, str]) -> pd.DataFrame:
 
 QUERIES = sorted(entrymod.queries().keys())
 
+#: Queries whose gate columns round float aggregations over unbounded
+#: element counts — the class that actually flaked in round 5, and it
+#: flaked at sf0.01 (the boundary document does not exist at sf0.001), so
+#: these re-run the 3-layout gate at the driver's own correctness scale.
+FLOAT_AGG_QUERIES = [
+    "doc_profile",
+    "label_centroids",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "summary_stats",
+    "diel_cycle",
+]
+SF_DRIVER = "/root/testdata/sf0.01"
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_layout_determinism(spark, name):
-    qfn = entrymod.queries()[name]
+
+def _check_layouts(spark, name, qfn, sf):
     frames = {
-        lname: _run_layout(spark, qfn, conf) for lname, conf in LAYOUTS.items()
+        lname: _run_layout(spark, qfn, conf, sf)
+        for lname, conf in LAYOUTS.items()
     }
     ref_name, ref = "single", frames["single"]
     for lname, got in frames.items():
@@ -138,3 +151,13 @@ def test_layout_determinism(spark, name):
                 f"{name}: result depends on partition layout {lname!r}; "
                 f"non-deterministic columns {bad_cols}: " + "; ".join(detail)
             )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_layout_determinism(spark, name):
+    _check_layouts(spark, name, entrymod.queries()[name], SF)
+
+
+@pytest.mark.parametrize("name", FLOAT_AGG_QUERIES)
+def test_layout_determinism_driver_scale(spark, name):
+    _check_layouts(spark, name, entrymod.queries()[name], SF_DRIVER)
