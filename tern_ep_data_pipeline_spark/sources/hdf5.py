@@ -18,8 +18,10 @@ Writer scope (the layout libnetcdf's default settings produce):
 - netCDF-4 dimension scales: ``CLASS=DIMENSION_SCALE`` + ``NAME`` +
   ``_Netcdf4Dimid`` on dimension variables, ``DIMENSION_LIST``
   (variable-length object-reference) attributes on data variables backed
-  by a global heap collection. ``REFERENCE_LIST`` back-references are not
-  written (readers use ``DIMENSION_LIST``; documented boundary).
+  by a global heap collection, and ``REFERENCE_LIST`` back-references on
+  each scale (compound {dataset objref, dimension int32} per consumer,
+  the H5DS convention) — scale headers are re-rendered and patched once
+  the forward data-variable addresses exist.
 
 Reader scope: superblock v0-v3, v1 object headers (with continuation
 blocks), old-style groups (nested), contiguous + chunked layouts with
@@ -113,6 +115,24 @@ def _dt_vlen_ref() -> bytes:
     DIMENSION_LIST attribute type. On disk each element is 16 bytes:
     4-byte count + 8-byte global-heap collection address + 4-byte index."""
     return struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16) + _dt_reference()
+
+
+def _dt_compound_member(name: str, offset: int, base: bytes) -> bytes:
+    """Version-1 compound member: padded name, byte offset, scalar dims,
+    then the member's own datatype message."""
+    nm = _pad8(name.encode("utf-8") + b"\x00")
+    return nm + struct.pack("<IB3xI4x", offset, 0, 0) + b"\x00" * 16 + base
+
+
+def _dt_compound_reflist() -> bytes:
+    """Compound ``{dataset: object ref @0, dimension: int32 @8}``, size 16
+    (alignment pad included) — the REFERENCE_LIST element type the HDF5
+    dimension-scales API writes (hl/src/H5DS.c ``ds_list_t``)."""
+    return (
+        struct.pack("<B3BI", 0x16, 2, 0, 0, 16)
+        + _dt_compound_member("dataset", 0, _dt_reference())
+        + _dt_compound_member("dimension", 8, _dt_fixed(4, True))
+    )
 
 
 def _dtype_message(dtype: np.dtype) -> bytes:
@@ -354,6 +374,7 @@ def write_hdf5_nc4(
     def dataset_header(
         name: str, var: Variable, extra_attrs: list[tuple[str, object]],
         vlen_attr: tuple[str, bytes] | None = None,
+        reflist: list[tuple[str, int]] | None = None,
     ) -> bytes:
         arr = np.asarray(var.data)
         msgs: list[tuple[int, bytes]] = [
@@ -366,6 +387,28 @@ def write_hdf5_nc4(
             msgs.append((_MSG_FILTERS, filter_message(arr.dtype.itemsize)))
         for aname, aval in extra_attrs:
             msgs.append((_MSG_ATTRIBUTE, _attribute_message(aname, *_attr_payload(aval))))
+        if reflist:
+            # REFERENCE_LIST back-references (H5DS convention): one
+            # {dataset-header address, dim index} per data variable using
+            # this dimension. Data-variable headers are written AFTER the
+            # scales, so the first render uses address 0 and the header is
+            # re-rendered (same length — only 8-byte values change) and
+            # patched once their addresses exist.
+            raw = b"".join(
+                struct.pack("<QI4x", oh_addr.get(vname, 0), d)
+                for vname, d in reflist
+            )
+            msgs.append(
+                (
+                    _MSG_ATTRIBUTE,
+                    _attribute_message(
+                        "REFERENCE_LIST",
+                        _dt_compound_reflist(),
+                        _dataspace_message((len(reflist),)),
+                        raw,
+                    ),
+                )
+            )
         if vlen_attr is not None:
             aname, raw = vlen_attr
             rank = len(var.dims)
@@ -382,6 +425,15 @@ def write_hdf5_nc4(
     # -- dimension-scale dataset headers (phantom dims get libnetcdf's
     # sentinel NAME so readers know they are not coordinate variables)
     oh_addr: dict[str, int] = {}
+    # which data variables reference each dimension (REFERENCE_LIST
+    # back-references, written on the scale per the H5DS convention)
+    dim_consumers: dict[str, list[tuple[str, int]]] = {}
+    for vname, var in var_items:
+        if vname in dims:
+            continue
+        for d, dname in enumerate(var.dims):
+            dim_consumers.setdefault(dname, []).append((vname, d))
+    scale_render: dict[str, tuple] = {}
     for i, name in enumerate(dim_names):
         var = dict(var_items)[name]
         # libnetcdf suffixes the sentinel with the dimension LENGTH
@@ -397,7 +449,12 @@ def write_hdf5_nc4(
             ("NAME", scale_name),
             ("_Netcdf4Dimid", np.int32(i)),
         ] + list(var.attrs.items())
-        oh_addr[name] = out.write(dataset_header(name, var, attrs))
+        reflist = dim_consumers.get(name)
+        oh_addr[name] = out.write(
+            dataset_header(name, var, attrs, reflist=reflist)
+        )
+        if reflist:
+            scale_render[name] = (var, attrs, reflist)
 
     # -- global heap: one object per (variable, dim) reference
     gheap_entries: list[bytes] = []
@@ -435,6 +492,15 @@ def write_hdf5_nc4(
         )
         oh_addr[name] = out.write(
             dataset_header(name, var, list(var.attrs.items()), ("DIMENSION_LIST", raw))
+        )
+
+    # -- second render of the scale headers: the data-variable addresses
+    # the REFERENCE_LIST elements point at exist only now. Re-render (the
+    # byte length is identical — only 8-byte address fields change) and
+    # patch in place.
+    for name, (var, attrs, reflist) in scale_render.items():
+        out.patch(
+            oh_addr[name], dataset_header(name, var, attrs, reflist=reflist)
         )
 
     # -- root group: local heap (names), SNOD, B-tree, object header
@@ -616,6 +682,26 @@ class _Reader:
             sub = self.decode_dtype(dt[8:])
             kind = "vlen_str" if (dt[1] & 0x0F) == 1 else "vlen"
             return (kind, sub)
+        if cls == 6:  # compound (version 1): e.g. REFERENCE_LIST elements
+            n_members = int.from_bytes(dt[1:3], "little")
+            members = []
+            p = 8
+            base_props = {0: 4, 1: 12, 3: 0, 7: 0}
+            for _ in range(n_members):
+                end = dt.index(b"\x00", p)
+                mname = dt[p:end].decode("utf-8")
+                p += (end - p + 8) // 8 * 8  # name + NUL padded to 8
+                off = int.from_bytes(dt[p : p + 4], "little")
+                p += 4 + 1 + 3 + 4 + 4 + 16  # offset/dims/perm/reserved
+                base_cls = dt[p] & 0x0F
+                if base_cls not in base_props:
+                    raise NotImplementedError(
+                        f"compound member class {base_cls}"
+                    )
+                blen = 8 + base_props[base_cls]
+                members.append((mname, off, self.decode_dtype(dt[p : p + blen])))
+                p += blen
+            return ("compound", (size, members))
         raise NotImplementedError(f"datatype class {cls}")
 
     def decode_dataspace(self, ds: bytes) -> tuple[int, ...]:
@@ -719,6 +805,30 @@ class _Reader:
             return name, vals
         if kind == "ref":
             return name, [int.from_bytes(raw[:8], "little")]
+        if kind == "compound":  # e.g. REFERENCE_LIST back-references
+            esize, members = sub
+            vals = []
+            for i in range(n):
+                elem = raw[i * esize : (i + 1) * esize]
+                item = {}
+                for mname, off, (mkind, msub) in members:
+                    if mkind == "num":
+                        v = np.frombuffer(elem[off : off + msub.itemsize], msub)[0]
+                        item[mname] = (
+                            int(v) if msub.kind in "iu" else float(v)
+                        )
+                    elif mkind == "ref":
+                        item[mname] = int.from_bytes(
+                            elem[off : off + msub], "little"
+                        )
+                    elif mkind == "string":
+                        item[mname] = (
+                            elem[off : off + msub].split(b"\x00")[0].decode()
+                        )
+                    else:
+                        raise NotImplementedError(f"compound member {mkind}")
+                vals.append(item)
+            return name, vals
         raise NotImplementedError(kind)
 
     # -- dataset data
@@ -902,7 +1012,7 @@ def read_hdf5(path: str) -> H5File:
             attrs = {
                 k: v
                 for k, v in attrs.items()
-                if k not in ("CLASS", "NAME", "_Netcdf4Dimid")
+                if k not in ("CLASS", "NAME", "_Netcdf4Dimid", "REFERENCE_LIST")
             }
             if not phantom:
                 variables[name] = H5Dataset((name,), data, attrs)

@@ -255,3 +255,65 @@ def test_string_and_array_gattrs(tmp_path):
     assert f.attrs["title"] == "L1 product"
     assert np.allclose(np.asarray(f.attrs["levels"]), [1.0, 2.0, 4.0])
     assert list(np.asarray(f.attrs["ids"])) == [7, 8, 9]
+
+
+def test_reference_list_backrefs(tmp_path):
+    """Every dimension scale carries REFERENCE_LIST back-references
+    (compound {dataset objref, dimension int32} per consuming data
+    variable, the H5DS convention) whose addresses agree exactly with the
+    forward DIMENSION_LIST references — proving the re-render-and-patch
+    second pass resolved them."""
+    from tern_ep_data_pipeline_spark.sources.hdf5 import (
+        _MSG_ATTRIBUTE,
+        _MSG_SYMBOL_TABLE,
+        _Reader,
+    )
+
+    p = _cube(tmp_path)
+    with open(p, "rb") as fh:
+        buf = fh.read()
+    r = _Reader(buf)
+    root = r.superblock()
+    msgs = r.messages(root)
+    st = next(d for t, d in msgs if t == _MSG_SYMBOL_TABLE)
+    entries = r.group_entries(
+        int.from_bytes(st[:8], "little"), int.from_bytes(st[8:16], "little")
+    )
+    attrs = {
+        name: dict(
+            r.decode_attr(d)
+            for t, d in r.messages(addr)
+            if t == _MSG_ATTRIBUTE
+        )
+        for name, addr in entries.items()
+    }
+
+    # forward references: data var -> [dim-scale header addresses]
+    fwd = {
+        name: [refs[0] for refs in a["DIMENSION_LIST"]]
+        for name, a in attrs.items()
+        if "DIMENSION_LIST" in a
+    }
+    assert set(fwd) == {"Ta", "counts", "qc"}
+    # back-references on the scales, parsed through the compound decoder
+    back = {
+        name: {(e["dataset"], e["dimension"]) for e in a["REFERENCE_LIST"]}
+        for name, a in attrs.items()
+        if "REFERENCE_LIST" in a
+    }
+    assert set(back) == {"time", "layer"}
+    expected_time = {
+        (entries["Ta"], 0), (entries["counts"], 0), (entries["qc"], 0)
+    }
+    assert back["time"] == expected_time
+    assert back["layer"] == {(entries["counts"], 1)}
+    # and the forward refs resolve to the scale headers themselves
+    assert fwd["counts"] == [entries["time"], entries["layer"]]
+    # non-zero: the patch pass actually ran (no placeholder zeros left)
+    assert all(a for pairs in back.values() for a, _ in pairs)
+
+    # the public reader stays clean: REFERENCE_LIST is plumbing, not an
+    # exposed attribute, and the round-trip is unaffected
+    f = read_hdf5(p)
+    assert "REFERENCE_LIST" not in f.variables["time"].attrs
+    assert f.dims == {"time": 50, "layer": 3}
