@@ -2584,6 +2584,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("ldn_clean_md5"),
         F.col("n_removed_lines").cast("bigint").alias("ldn_n_removed"),
     ).hint("shuffle_hash")
+    # ss_*: ExactSubstr-style duplicated-span removal (first occurrence of
+    # any duplicated 8-token span kept, every other occurrence removed)
+    ss = dedup.substring_dedup(docs, "doc_id", "text", min_tokens=8).select(
+        "doc_id",
+        F.md5("clean_text").alias("ss_clean_md5"),
+        F.col("n_removed_tokens").cast("bigint").alias("ss_n_removed"),
+        F.col("n_dup_spans").cast("bigint").alias("ss_n_spans"),
+    ).hint("shuffle_hash")
     return (
         t.join(q, "doc_id")
         .join(l, "doc_id")
@@ -2594,6 +2602,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hf, "doc_id")
         .join(ld, "doc_id")
         .join(ldn, "doc_id")
+        .join(ss, "doc_id")
         .join(d, f.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len",
@@ -2606,6 +2615,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qf_upper_ratio", "qf_n_tokens", "qf_avg_token_len",
             "ld_clean_md5", "ld_n_lines", "ld_n_removed",
             "ldn_clean_md5", "ldn_n_removed",
+            "ss_clean_md5", "ss_n_removed", "ss_n_spans",
             "canonical_id", "n_copies",
         )
     )
@@ -2738,12 +2748,58 @@ FROM ldn_f GROUP BY doc_id
 """
 
 
+#: ExactSubstr duplicated-span removal, the SQL twin of
+#: dedup.substring_dedup(min_tokens=8): global-first occurrence of each
+#: 8-token gram kept, every other start marks its span, per-token coverage
+#: via a bounded row window, spans = covered runs
+ORACLE_SUBSTR_DEDUP = r"""
+WITH ss_t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+ss_tok AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+      i -> struct_pack(pos := i, tok := t[i]))) AS s
+  FROM ss_t
+),
+ss_g AS (
+  SELECT doc_id, u.i AS pos,
+    md5(array_to_string(t[u.i:u.i+7], ' ')) AS g,
+    doc_id * 16777216 + u.i AS k
+  FROM ss_t, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+),
+ss_first AS (SELECT g, min(k) AS fk FROM ss_g GROUP BY 1),
+ss_dup AS (
+  SELECT doc_id, pos FROM ss_g JOIN ss_first USING (g) WHERE k <> fk
+),
+ss_cov AS (
+  SELECT l.doc_id, l.s.pos AS pos, l.s.tok AS tok,
+    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY l.doc_id ORDER BY l.s.pos
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS cov
+  FROM ss_tok l LEFT JOIN ss_dup d ON d.doc_id = l.doc_id AND d.pos = l.s.pos
+),
+ss_sp AS (
+  SELECT doc_id, pos, tok, cov,
+    cov AND NOT coalesce(
+      lag(cov) OVER (PARTITION BY doc_id ORDER BY pos), false) AS sp
+  FROM ss_cov
+)
+SELECT doc_id,
+  md5(coalesce(
+    string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cov), ''
+  )) AS ss_clean_md5,
+  sum(CASE WHEN cov THEN 1 ELSE 0 END) AS ss_n_removed,
+  sum(CASE WHEN sp THEN 1 ELSE 0 END) AS ss_n_spans
+FROM ss_sp GROUP BY doc_id
+"""
+
+
 ORACLE_DOC_PROFILE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS}), q AS ({ORACLE_QUALITY}), l AS ({ORACLE_LANG_ID}),
 fp AS ({ORACLE_FINGERPRINT}), b AS ({ORACLE_BPE_TOKENS}), d AS ({ORACLE_EXACT_DEDUP}),
 ch AS ({ORACLE_CHUNK_DEDUP}), uni AS ({ORACLE_UNIGRAM}),
 qf AS ({ORACLE_QUALITY_FEATURES}), ld AS ({ORACLE_LINE_DEDUP}),
-ldn AS ({ORACLE_LINE_DEDUP_NORM})
+ldn AS ({ORACLE_LINE_DEDUP_NORM}), ss AS ({ORACLE_SUBSTR_DEDUP})
 SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   q.stopword_ratio, q.punct_ratio, q.digit_ratio, q.upper_ratio,
   l.n_en, l.n_de, l.n_fr, l.n_es, l.n_zh, l.pred_lang,
@@ -2755,6 +2811,7 @@ SELECT t.doc_id, t.n_chars, t.n_tokens, t.avg_token_len,
   qf.n_tokens AS qf_n_tokens, qf.avg_token_len AS qf_avg_token_len,
   ld.ld_clean_md5, ld.ld_n_lines, ld.ld_n_removed,
   ldn.ldn_clean_md5, ldn.ldn_n_removed,
+  ss.ss_clean_md5, ss.ss_n_removed, ss.ss_n_spans,
   d.canonical_id, d.n_copies
 FROM t
 JOIN q USING (doc_id)
@@ -2766,6 +2823,7 @@ JOIN uni USING (doc_id)
 JOIN qf USING (doc_id)
 JOIN ld USING (doc_id)
 JOIN ldn USING (doc_id)
+JOIN ss USING (doc_id)
 JOIN d ON fp.fingerprint_md5 = d.content_hash
 """
 

@@ -916,3 +916,168 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- exact substring spans
+
+def _gram_pos_frame_portable(
+    toks: DataFrame, id_col: str, min_tokens: int
+) -> DataFrame:
+    """(id, pos 1-based, gram key) for every ``min_tokens``-gram start —
+    key is md5 of the space-joined gram, reproducible in any SQL engine."""
+    L = min_tokens
+    n = F.size("__t")
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return toks.select(
+        F.col(id_col), F.col("__t"), F.explode(starts).alias("__pos")
+    ).select(
+        id_col,
+        "__pos",
+        F.md5(F.concat_ws(" ", F.slice("__t", F.col("__pos"), L))).alias("__g"),
+    )
+
+
+def _gram_pos_frame_fast(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int
+) -> DataFrame:
+    """Arrow twin of :func:`_gram_pos_frame_portable`: Rabin-Karp polynomial
+    gram hashes (same kernel as ``text.gram_hash_frame``) with positions;
+    the duplicated-span DECISIONS are pinned equal to the portable mode
+    (collisions ~birthday(2^64) merge two random grams, tolerated by
+    design, same discipline as MinHash's fast mode)."""
+    from .text import _doc_gram_hashes
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __pos int, __g bigint"
+    L = min_tokens
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[text_col]):
+                if len(py_tokens(raw)) < L:
+                    continue  # short docs carry no L-gram (exact dedup's job)
+                h = _doc_gram_hashes(raw, L, memo, distinct=False)
+                ids.append(np.full(len(h), rid))
+                poss.append(np.arange(1, len(h) + 1, dtype=np.int32))
+                ghs.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "__pos": np.concatenate(poss),
+                        "__g": np.concatenate(ghs),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    mode: str = "portable",
+    max_doc_tokens: int = 1 << 24,
+) -> DataFrame:
+    """Exact duplicated-substring removal — the relational rendition of
+    ExactSubstr dedup (Lee et al. 2022, *Deduplicating Training Data Makes
+    Language Models Better*): any ``min_tokens``-token span occurring more
+    than once in the corpus (across documents OR within one) keeps its
+    FIRST occurrence (smallest ``(id, position)``) and is removed
+    everywhere else; overlapping duplicated spans merge naturally through
+    per-token coverage. This sits between chunk dedup (fixed boundaries
+    miss shifted copies) and line dedup (needs newline structure): it
+    catches a paragraph pasted mid-document at any offset.
+
+    Output per document: ``clean_text`` (kept tokens, space-joined),
+    ``n_tokens``, ``n_removed_tokens``, ``n_dup_spans`` (maximal covered
+    runs). Ids must be numeric and documents shorter than
+    ``max_doc_tokens`` (the first-occurrence key is ``id *
+    max_doc_tokens + pos``, chosen integer so the min-aggregation is
+    exact and map-side combinable). NULL text yields no output row —
+    callers coalesce upstream (same contract as ``line_dedup_frame``).
+
+    Scale shape: one gram-keyed groupBy (hot boilerplate grams
+    partial-aggregate map-side — the aggregate is ``min`` over a long),
+    one hash join back of only the non-first starts, and two per-document
+    row windows (bounded by document length, never corpus-wide). No float
+    aggregates anywhere, so the result is partition-layout deterministic
+    by construction. ``mode='fast'`` swaps the md5 gram key for the Arrow
+    Rabin-Karp kernel; ``mode='portable'`` is the SQL-oracle-checked twin.
+    """
+    from pyspark.sql import Window
+
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"mode must be 'portable' or 'fast', got {mode!r}")
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+
+    toks = _stage(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    )
+    if mode == "portable":
+        grams = _gram_pos_frame_portable(toks, id_col, L)
+    else:
+        grams = _gram_pos_frame_fast(df, id_col, text_col, L)
+
+    occ_key = (
+        F.col(id_col).cast("long") * F.lit(max_doc_tokens) + F.col("__pos")
+    ).alias("__k")
+    occs = grams.select(id_col, "__pos", "__g", occ_key)
+    firsts = occs.groupBy("__g").agg(F.min("__k").alias("__first"))
+    dup_starts = (
+        occs.join(firsts.hint("shuffle_hash"), on="__g")
+        .where(F.col("__k") != F.col("__first"))
+        .select(id_col, "__pos", F.lit(1).alias("__d"))
+    )
+
+    tok = toks.select(
+        F.col(id_col), F.posexplode("__t").alias("__p0", "__tok")
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
+    flagged = tok.join(
+        dup_starts.hint("shuffle_hash"), on=[id_col, "__pos"], how="left"
+    )
+    w_cov = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(L - 1), 0)
+    )
+    cov = flagged.select(
+        id_col,
+        "__pos",
+        "__tok",
+        (F.max(F.coalesce(F.col("__d"), F.lit(0))).over(w_cov) == 1).alias(
+            "__cov"
+        ),
+    )
+    w_seq = Window.partitionBy(id_col).orderBy("__pos")
+    spans = cov.select(
+        id_col,
+        "__pos",
+        "__tok",
+        "__cov",
+        (
+            F.col("__cov")
+            & ~F.coalesce(F.lag("__cov").over(w_seq), F.lit(False))
+        ).alias("__span_start"),
+    )
+    kept = F.when(
+        ~F.col("__cov"),
+        F.struct(F.col("__pos").alias("p"), F.col("__tok").alias("l")),
+    )
+    return spans.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["l"]),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__cov").cast("long")).alias("n_removed_tokens"),
+        F.sum(F.col("__span_start").cast("long")).alias("n_dup_spans"),
+    )

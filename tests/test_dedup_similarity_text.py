@@ -382,3 +382,89 @@ def test_winnow_containment_pairs(spark):
     assert r["containment"] >= 0.8
     assert r["resemblance"] < r["containment"]
     assert not any(3 in k for k in out)
+
+
+def test_substring_dedup_semantics(spark):
+    """ExactSubstr rendition: the global-first occurrence of a duplicated
+    8-token span survives, every other occurrence (cross-doc AND within-
+    doc) is removed, overlapping duplicated grams merge into one span,
+    and short/unique documents pass through untouched."""
+    from tern_ep_data_pipeline_spark.operators.dedup import (
+        release_staged,
+        substring_dedup,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog tonight"  # 10 tok
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {phrase} gamma delta"),
+            (2, f"prefix words here {phrase} and a tail section follows now"),
+            (3, "totally unique content with no duplicated span at all ok"),
+            (4, "tiny doc"),
+            (5, f"{phrase} {phrase}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, min_tokens=8).collect()
+    }
+    release_staged(spark)
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1 holds the global-first occurrence: nothing removed
+    assert out[1]["n_removed_tokens"] == 0 and phrase in out[1]["clean_text"]
+    # doc 2 loses exactly the 10-token phrase, one merged span
+    assert out[2]["n_removed_tokens"] == 10 and out[2]["n_dup_spans"] == 1
+    assert out[2]["clean_text"] == "prefix words here and a tail section follows now"
+    # unique and short docs untouched
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["n_removed_tokens"] == 0 and out[4]["n_tokens"] == 2
+    # doc 5 is both copies of a span whose first occurrence lives in doc 1
+    assert out[5]["n_removed_tokens"] == 20 and out[5]["clean_text"] == ""
+
+    # with docs 1 and 2 gone, doc 5's FIRST copy becomes the global first:
+    # the within-doc repeat goes, the head survives
+    out5 = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            docs.where(F.col("doc_id") >= 3), min_tokens=8
+        ).collect()
+    }
+    release_staged(spark)
+    assert 0 < out5[5]["n_removed_tokens"] < 20
+    assert out5[5]["clean_text"].startswith("the quick brown fox")
+
+
+def test_substring_dedup_fast_matches_portable(spark):
+    """The Arrow Rabin-Karp mode makes identical removal decisions to the
+    md5 oracle mode on the driver documents table."""
+    from tern_ep_data_pipeline_spark.operators.dedup import (
+        release_staged,
+        substring_dedup,
+    )
+    from tern_ep_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cols = ["doc_id", "clean_text", "n_tokens", "n_removed_tokens", "n_dup_spans"]
+    a = sorted(
+        map(tuple, substring_dedup(docs, min_tokens=8, mode="portable")
+            .select(cols).collect())
+    )
+    release_staged(spark)
+    b = sorted(
+        map(tuple, substring_dedup(docs, min_tokens=8, mode="fast")
+            .select(cols).collect())
+    )
+    release_staged(spark)
+    assert a == b
+    assert sum(r[3] for r in a) > 0  # the pin is not vacuous
+
+
+def test_substring_dedup_rejects_bad_args(spark):
+    from tern_ep_data_pipeline_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="mode"):
+        substring_dedup(docs, mode="nope")
+    with pytest.raises(ValueError, match="min_tokens"):
+        substring_dedup(docs, min_tokens=1)
