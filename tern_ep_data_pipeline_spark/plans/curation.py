@@ -6,6 +6,9 @@ corpus run actually executes, in dependency order:
 0. optional corpus-level line dedup (CCNet boilerplate removal) — lines
    shared across >= N docs are stripped before anything else looks at
    the text;
+0b. optional ExactSubstr duplicated-span removal (Lee et al. 2022) —
+   every non-first occurrence of a >= N-token span is cut, catching
+   shifted copy-paste that line/chunk boundaries miss;
 1. exact dedup (hash-groupBy; removes the bulk cheaply);
 2. near-dup pairs (MinHash LSH, degenerate buckets capped) ->
    connected components -> keep only canonical (min-id) cluster members;
@@ -147,6 +150,7 @@ def curate_corpus(
     domain_total: int | None = None,
     line_dedup_min_docs: int | None = None,
     line_delimiter: str = "\n",
+    substring_min_tokens: int | None = None,
     audit: bool = False,
     memory_guard: bool = True,
 ) -> DataFrame:
@@ -199,6 +203,23 @@ def curate_corpus(
             docs.join(cleaned.hint("shuffle_hash"), on=id_col, how="left")
             .withColumn(text_col, F.coalesce(F.col("clean_text"), F.col(text_col)))
             .drop("clean_text")
+        )
+
+    # 0b. optional ExactSubstr duplicated-span removal (Lee et al. 2022):
+    # a >= N-token span pasted verbatim anywhere else in the corpus keeps
+    # only its first occurrence. Text-rewriting like stage 0 (no document
+    # drops, so no audit row); runs after line dedup so already-stripped
+    # boilerplate doesn't re-count, and before the dedup stages so shifted
+    # copy-paste doesn't inflate near-dup similarity. Same LEFT-join
+    # contract: NULL-text docs survive untouched.
+    if substring_min_tokens is not None:
+        spans = dedup_ops.substring_dedup(
+            docs, id_col, text_col, min_tokens=substring_min_tokens
+        ).select(id_col, F.col("clean_text").alias("__ss_clean"))
+        docs = (
+            docs.join(spans.hint("shuffle_hash"), on=id_col, how="left")
+            .withColumn(text_col, F.coalesce(F.col("__ss_clean"), F.col(text_col)))
+            .drop("__ss_clean")
         )
 
     audit_frames: list[DataFrame] = []

@@ -1345,6 +1345,40 @@ def test_curate_corpus_line_dedup_stage(spark):
     assert all(banner not in r["text"] for r in kept)
 
 
+def test_curate_corpus_substring_stage(spark):
+    """Stage 0b cuts a pasted span before near-dup detection: two docs
+    sharing a long pasted paragraph at different offsets stop being near
+    dups once the second occurrence is removed, and a NULL-text doc rides
+    through untouched (LEFT-join contract)."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    pasted = " ".join(f"p{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{pasted} own body one two three"),
+            (2, f"other body four five six {pasted}"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(minhash_threshold=0.3, num_hashes=16, bands=8, min_chars=10)
+    plain = {r["doc_id"] for r in curate_corpus(docs, **kw).collect()}
+    dedup.release_staged(spark)
+    with_ss = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(docs, substring_min_tokens=8, **kw).collect()
+    }
+    dedup.release_staged(spark)
+    # the pasted span made 1 and 2 near dups -> one dropped without 0b
+    assert plain == {1}
+    # with 0b both survive: doc 2's copy of the span is cut first
+    assert set(with_ss) == {1, 2}
+    assert pasted in with_ss[1] and pasted not in with_ss[2]
+    # null doc's fate matches the stage-off path either way
+    assert (3 in plain) == (3 in with_ss)
+
+
 def test_curate_corpus_line_dedup_keeps_null_text(spark):
     """A NULL-text document produces zero lines (split(NULL) explodes to
     nothing), so it is absent from the line-dedup frame — the join back
