@@ -986,6 +986,7 @@ def substring_dedup(
     min_tokens: int = 8,
     mode: str = "portable",
     max_doc_tokens: int = 1 << 24,
+    index_firsts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring removal — the relational rendition of
     ExactSubstr dedup (Lee et al. 2022, *Deduplicating Training Data Makes
@@ -1012,6 +1013,12 @@ def substring_dedup(
     aggregates anywhere, so the result is partition-layout deterministic
     by construction. ``mode='fast'`` swaps the md5 gram key for the Arrow
     Rabin-Karp kernel; ``mode='portable'`` is the SQL-oracle-checked twin.
+
+    ``index_firsts`` (optional, incremental form —
+    ``dedup_index.clean_against_gram_index``): a (gram_hash, first_key)
+    frame of per-gram first-occurrence keys from an established corpus
+    (portable md5 keys); the first-occurrence decision then spans corpus +
+    batch combined.
     """
     from pyspark.sql import Window
 
@@ -1034,6 +1041,22 @@ def substring_dedup(
     ).alias("__k")
     occs = grams.select(id_col, "__pos", "__g", occ_key)
     firsts = occs.groupBy("__g").agg(F.min("__k").alias("__first"))
+    if index_firsts is not None:
+        # incremental path (dedup_index.clean_against_gram_index): the
+        # established corpus's per-gram first-occurrence keys combine via
+        # min, so a span already present in the corpus loses every batch
+        # occurrence, and an EMPTY index reproduces this operator exactly.
+        idx = index_firsts.select(
+            F.col("gram_hash").alias("__g"), F.col("first_key").alias("__if")
+        )
+        firsts = (
+            firsts.join(idx.hint("shuffle_hash"), on="__g", how="left")
+            .withColumn(
+                "__first",
+                F.least(F.col("__first"), F.coalesce("__if", F.col("__first"))),
+            )
+            .drop("__if")
+        )
     dup_starts = (
         occs.join(firsts.hint("shuffle_hash"), on="__g")
         .where(F.col("__k") != F.col("__first"))

@@ -480,3 +480,95 @@ def append_to_line_index(
     _line_count_table(
         accepted_docs, id_col, text_col, delimiter, min_line_chars
     ).write.mode("append").parquet(os.path.join(path, "lines"))
+
+
+def _gram_first_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_doc_tokens: int,
+) -> DataFrame:
+    """(gram_hash, first_key) — per portable (md5) gram, the minimum
+    occurrence key ``id * max_doc_tokens + pos`` within this frame.
+    Map-side-combinable (min over a long)."""
+    toks = df.select(
+        F.col(id_col), dedup_ops.tokens(F.col(text_col)).alias("__t")
+    )
+    grams = dedup_ops._gram_pos_frame_portable(toks, id_col, min_tokens)
+    return grams.groupBy(F.col("__g").alias("gram_hash")).agg(
+        F.min(
+            F.col(id_col).cast("long") * F.lit(max_doc_tokens) + F.col("__pos")
+        ).alias("first_key")
+    )
+
+
+def build_gram_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+) -> int:
+    """Materialise the corpus gram-first index (ExactSubstr span dedup,
+    incremental form) next to the exact/band/chunk/line tables; returns
+    the distinct-gram count. ``min_tokens``/``max_doc_tokens`` must match
+    the clean-side call — they define gram boundaries and key packing."""
+    _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "grams"))
+    return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
+
+
+def clean_against_gram_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+) -> DataFrame:
+    """Incremental ExactSubstr span removal: a batch span whose gram
+    already occurs in the established corpus (or earlier in the combined
+    corpus+batch order) loses every batch occurrence — so a paragraph
+    pasted from an indexed document is cut from a new document on
+    arrival, and a batch against an EMPTY index reproduces
+    ``dedup.substring_dedup`` exactly.
+
+    Output matches ``substring_dedup``. Scale shape: O(batch) — the
+    batch's gram firsts left-join the index on the 16-byte hash
+    (shuffle-hash; corpus text never read); per-append firsts combine via
+    ``min``, which is order-independent, so append ordering never changes
+    the decision.
+    """
+    idx = (
+        spark.read.parquet(os.path.join(path, "grams"))
+        .groupBy("gram_hash")
+        .agg(F.min("first_key").alias("first_key"))
+    )
+    return dedup_ops.substring_dedup(
+        new_docs,
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        max_doc_tokens=max_doc_tokens,
+        index_firsts=idx,
+    )
+
+
+def append_to_gram_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+) -> None:
+    """Append this batch's per-gram first keys. Reads aggregate ``min``
+    across appended files, so appends in any order converge to the true
+    corpus first occurrence; compact on the lake's schedule."""
+    _gram_first_table(
+        accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
+    ).write.mode("append").parquet(os.path.join(path, "grams"))

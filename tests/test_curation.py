@@ -1661,3 +1661,74 @@ def test_curate_corpus_audit_partitions_input(spark):
     assert audit[3] == "near_dup"
     assert audit[4] == "quality_chars"
     assert {d for d, s in audit.items() if s == "kept"} == kept_ids == {1, 5}
+
+
+def test_incremental_gram_index(spark, tmp_path):
+    """ExactSubstr spans accumulate across ingest batches: a span whose
+    first occurrence lives in the indexed corpus is cut from a new batch
+    document on arrival (the batch alone would keep the batch-first copy);
+    empty index == the batch operator exactly; appends converge via min."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        build_gram_index,
+        clean_against_gram_index,
+    )
+
+    phrase = " ".join(f"s{i}" for i in range(10))
+    path = str(tmp_path / "gidx")
+    corpus = spark.createDataFrame(
+        [(1, f"intro words {phrase} outro words")], ["doc_id", "text"]
+    )
+    assert build_gram_index(corpus, path) > 0
+
+    batch = spark.createDataFrame(
+        [
+            (10, f"new document body {phrase} trailing content here now"),
+            (11, "a fresh unrelated document with its own words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in clean_against_gram_index(spark, batch, path).collect()
+    }
+    dedup.release_staged(spark)
+    assert out[10]["n_removed_tokens"] == 10
+    assert phrase not in out[10]["clean_text"]
+    assert out[11]["n_removed_tokens"] == 0
+    # batch alone keeps doc 10's copy (it IS the batch first)
+    alone = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(batch, "doc_id", "text").collect()
+    }
+    dedup.release_staged(spark)
+    assert alone[10]["n_removed_tokens"] == 0
+
+    # empty index reproduces the batch operator exactly
+    empty = str(tmp_path / "empty_gidx")
+    build_gram_index(
+        spark.createDataFrame([], "doc_id long, text string"), empty
+    )
+    via_index = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"], r["n_dup_spans"])
+        for r in clean_against_gram_index(spark, batch, empty).collect()
+    }
+    dedup.release_staged(spark)
+    plain = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"], r["n_dup_spans"])
+        for r in dedup.substring_dedup(batch, "doc_id", "text").collect()
+    }
+    dedup.release_staged(spark)
+    assert via_index == plain
+
+    # appends converge via min: after appending the batch, a later doc
+    # repeating doc 11's (previously unique) text loses its copy
+    append_to_gram_index(batch, path)
+    b3 = spark.createDataFrame(
+        [(30, "a fresh unrelated document with its own words only")],
+        ["doc_id", "text"],
+    )
+    got = clean_against_gram_index(spark, b3, path).first()
+    dedup.release_staged(spark)
+    assert got["n_removed_tokens"] == got["n_tokens"]
