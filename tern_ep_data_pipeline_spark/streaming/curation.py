@@ -189,3 +189,90 @@ def decontaminated_stream(
             yield pdf[~doc_hit]
 
     return stream.mapInPandas(keep_clean, schema=schema)
+
+
+def span_dedup_batch(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+) -> DataFrame:
+    """One micro-batch of incremental ExactSubstr span dedup: clean the
+    batch against the gram index, then append the batch's ORIGINAL grams.
+
+    Appending the original (not cleaned) text makes the index converge to
+    exactly the full-corpus first-occurrence keys, so a later batch's
+    decisions equal what batch ``substring_dedup`` over the union would
+    decide. Earlier batches were decided before later data existed —
+    inherent to any incremental dedup, same contract as the exact/chunk/
+    line indexes.
+    """
+    import os
+
+    from ..operators.dedup import release_staged, substring_dedup
+    from ..operators.dedup_index import (
+        append_to_gram_index,
+        clean_against_gram_index,
+    )
+
+    if os.path.isdir(os.path.join(index_path, "grams")):
+        cleaned = clean_against_gram_index(
+            batch.sparkSession,
+            batch,
+            index_path,
+            id_col,
+            text_col,
+            min_tokens=min_tokens,
+            max_doc_tokens=max_doc_tokens,
+        )
+    else:  # first batch: no index yet == the plain batch operator
+        cleaned = substring_dedup(
+            batch, id_col, text_col,
+            min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+        )
+    out = cleaned.localCheckpoint()  # decide BEFORE the index moves
+    # the operator stages its token table per call; a long-running stream
+    # must not accumulate one persisted frame per micro-batch
+    release_staged(batch.sparkSession)
+    append_to_gram_index(
+        batch, index_path, id_col, text_col,
+        min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+    )
+    return out
+
+
+def span_deduped_stream_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+):
+    """Streaming ExactSubstr span dedup via ``foreachBatch``: each
+    micro-batch is cleaned against the gram index, lands as parquet, and
+    its grams join the index for every later batch.
+
+    Crash-safety is where the gram index earns its shape: a re-delivered
+    micro-batch re-appends the same per-gram minima, and ``min`` is
+    idempotent — the index is unchanged, unlike a count-based index
+    (lines) where re-delivery would double-count. So this sink is
+    effectively-once for the INDEX with plain at-least-once foreachBatch
+    semantics; the parquet output dedupes on re-run via the checkpoint's
+    batch ids as usual.
+    """
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        span_dedup_batch(
+            batch, index_path, id_col, text_col,
+            min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -910,3 +910,53 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     expect = {1, 2, 3, 4} - flagged
     assert flagged == {1, 3}
     assert got == expect == {2, 4}
+
+
+def test_span_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming ExactSubstr: batch 2's decisions equal the batch operator
+    over the union (the gram index converges to full-corpus firsts), and
+    re-delivering a batch leaves the index byte-identical (min-combine is
+    idempotent — the crash-safety property count indexes lack)."""
+    from tern_ep_data_pipeline_spark.operators.dedup import (
+        release_staged,
+        substring_dedup,
+    )
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    phrase = " ".join(f"m{i}" for i in range(10))
+    idx = str(tmp_path / "gidx")
+    b1 = spark.createDataFrame(
+        [(1, f"first doc holds {phrase} plus its own unique tail words")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, f"later doc repeats {phrase} and adds fresh content here"),
+            (11, "an entirely novel later document with nothing repeated"),
+        ],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r for r in span_dedup_batch(b1, idx).collect()}
+    assert out1[1]["n_removed_tokens"] == 0  # first batch, empty index
+    out2 = {r["doc_id"]: r for r in span_dedup_batch(b2, idx).collect()}
+
+    union_batch = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in substring_dedup(b1.unionByName(b2), "doc_id", "text").collect()
+    }
+    release_staged(spark)
+    for d in (10, 11):  # batch-2 decisions == batch-over-union decisions
+        assert (out2[d]["clean_text"], out2[d]["n_removed_tokens"]) == union_batch[d]
+    assert out2[10]["n_removed_tokens"] == 10
+
+    # re-delivery idempotence: re-append b2, index decisions unchanged
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/grams")
+            .groupBy("gram_hash").agg(F.min("first_key").alias("fk")).collect())
+    )
+    span_dedup_batch(b2, idx)  # simulated foreachBatch retry
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/grams")
+            .groupBy("gram_hash").agg(F.min("first_key").alias("fk")).collect())
+    )
+    assert before == after
