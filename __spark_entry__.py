@@ -1212,6 +1212,14 @@ def q_doc_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal standalone (fast Rabin-Karp mode — the
+    100 TB path; the portable md5 twin is oracle-gated inside doc_profile's
+    ss_* branch). Bench/scaling-curve entry, not in the 50-query registry."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup(docs, "doc_id", "text", mode="fast")
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
