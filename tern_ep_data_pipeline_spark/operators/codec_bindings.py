@@ -99,7 +99,10 @@ def decode_video_ffmpeg(content: bytes) -> "tuple[list[np.ndarray], float] | Non
         st = _ffprobe_stream(tmp.name, ffprobe, "v:0")
         w, h = int(st["width"]), int(st["height"])
         num, _, den = (st.get("avg_frame_rate") or "0/1").partition("/")
-        fps = (float(num) / float(den)) if float(den or 1) else 0.0
+        try:  # ffprobe may report '25' (no slash) or '0/0' (unknown)
+            fps = float(num) / float(den) if den else float(num)
+        except (ValueError, ZeroDivisionError):
+            fps = 0.0
         raw = subprocess.run(
             [ffmpeg, "-v", "error", "-i", tmp.name,
              "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"],

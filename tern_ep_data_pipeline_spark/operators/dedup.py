@@ -961,9 +961,10 @@ def _gram_pos_frame_fast(
         for pdf in batches:
             ids, poss, ghs = [], [], []
             for rid, raw in zip(pdf[id_col], pdf[text_col]):
-                if len(py_tokens(raw)) < L:
+                tk = py_tokens(raw)  # tokenise ONCE; kernel reuses it
+                if len(tk) < L:
                     continue  # short docs carry no L-gram (exact dedup's job)
-                h = _doc_gram_hashes(raw, L, memo, distinct=False)
+                h = _doc_gram_hashes(raw, L, memo, distinct=False, toks=tk)
                 ids.append(np.full(len(h), rid))
                 poss.append(np.arange(1, len(h) + 1, dtype=np.int32))
                 ghs.append(h.view(np.int64))
@@ -1027,6 +1028,20 @@ def substring_dedup(
     L = int(min_tokens)
     if L < 2:
         raise ValueError("min_tokens must be >= 2")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a non-numeric id would cast to NULL occurrence keys and the
+        # operator would silently remove NOTHING — refuse loudly instead
+        raise ValueError(
+            f"substring_dedup needs a numeric id column (got {id_col}: "
+            f"{id_type}) — the first-occurrence key is id*max_doc_tokens+pos"
+        )
+    if mode == "fast" and index_firsts is not None:
+        raise ValueError(
+            "index_firsts holds portable md5 gram keys, which can never "
+            "match fast-mode Rabin-Karp keys — use mode='portable' with an "
+            "index (dedup_index.clean_against_gram_index does)"
+        )
 
     toks = _stage(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))

@@ -402,7 +402,8 @@ _GRAM_BASE = 1_000_003
 
 
 def _doc_gram_hashes(
-    raw: str | None, n: int, memo: dict, distinct: bool
+    raw: str | None, n: int, memo: dict, distinct: bool,
+    toks: "list[str] | None" = None,
 ) -> "np.ndarray":
     """uint64 gram hashes for one document — the single definition both the
     batch Arrow kernel and the streaming filter share, so their equality
@@ -424,7 +425,7 @@ def _doc_gram_hashes(
             memo[t] = v
         return v
 
-    toks = py_tokens(raw)
+    toks = py_tokens(raw) if toks is None else toks
     th = np.fromiter((tok_h(t) for t in toks), dtype=np.uint64, count=len(toks))
     base = np.uint64(_GRAM_BASE)
     with np.errstate(over="ignore"):

@@ -117,7 +117,12 @@ def _check_memory_floor(docs: DataFrame) -> str | None:
         return None
     units = {"k": 10, "m": 20, "g": 30, "t": 40}
     m = exec_mem.strip().lower()
-    heap = int(float(m[:-1]) * (1 << units[m[-1]])) if m[-1] in units else int(m)
+    if m and m[-1] in units:
+        heap = int(float(m[:-1]) * (1 << units[m[-1]]))
+    else:
+        # Spark reads spark.executor.memory with getSizeAsMb: a unitless
+        # value means MiB, not bytes
+        heap = int(m) << 20
     per_exec_input = input_bytes // max(int(exec_n), 1)
     return _memory_floor_message(per_exec_input, heap, int(exec_cores), fraction)
 
@@ -215,11 +220,24 @@ def curate_corpus(
     if substring_min_tokens is not None:
         spans = dedup_ops.substring_dedup(
             docs, id_col, text_col, min_tokens=substring_min_tokens
-        ).select(id_col, F.col("clean_text").alias("__ss_clean"))
+        ).select(
+            id_col,
+            F.col("clean_text").alias("__ss_clean"),
+            F.col("n_removed_tokens").alias("__ss_rm"),
+        )
+        # rewrite ONLY documents that actually lost a span: the operator's
+        # output is a space-joined token rebuild, which would destroy
+        # newlines/indentation corpus-wide if applied to untouched docs
         docs = (
             docs.join(spans.hint("shuffle_hash"), on=id_col, how="left")
-            .withColumn(text_col, F.coalesce(F.col("__ss_clean"), F.col(text_col)))
-            .drop("__ss_clean")
+            .withColumn(
+                text_col,
+                F.when(
+                    F.coalesce(F.col("__ss_rm"), F.lit(0)) > 0,
+                    F.col("__ss_clean"),
+                ).otherwise(F.col(text_col)),
+            )
+            .drop("__ss_clean", "__ss_rm")
         )
 
     audit_frames: list[DataFrame] = []

@@ -191,6 +191,17 @@ def decontaminated_stream(
     return stream.mapInPandas(keep_clean, schema=schema)
 
 
+def _dir_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop filesystem of the path's scheme —
+    os.path only sees the local disk and would silently report False for
+    hdfs:///s3a:// index paths, making every batch take the empty-index
+    branch on a cluster."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def span_dedup_batch(
     batch: DataFrame,
     index_path: str,
@@ -209,15 +220,13 @@ def span_dedup_batch(
     inherent to any incremental dedup, same contract as the exact/chunk/
     line indexes.
     """
-    import os
-
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
         append_to_gram_index,
         clean_against_gram_index,
     )
 
-    if os.path.isdir(os.path.join(index_path, "grams")):
+    if _dir_exists(batch.sparkSession, f"{index_path}/grams"):
         cleaned = clean_against_gram_index(
             batch.sparkSession,
             batch,
@@ -260,17 +269,19 @@ def span_deduped_stream_sink(
     Crash-safety is where the gram index earns its shape: a re-delivered
     micro-batch re-appends the same per-gram minima, and ``min`` is
     idempotent — the index is unchanged, unlike a count-based index
-    (lines) where re-delivery would double-count. So this sink is
-    effectively-once for the INDEX with plain at-least-once foreachBatch
-    semantics; the parquet output dedupes on re-run via the checkpoint's
-    batch ids as usual.
+    (lines) where re-delivery would double-count. The parquet OUTPUT is
+    made idempotent explicitly: foreachBatch is at-least-once, so each
+    batch lands in its own ``batch_id=N`` partition directory with
+    overwrite — a retried batch replaces its own output instead of
+    appending a duplicate copy. So the sink is effectively-once for both
+    the index and the output.
     """
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
+    def _process(batch: DataFrame, batch_id: int) -> None:
         span_dedup_batch(
             batch, index_path, id_col, text_col,
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -1375,6 +1375,9 @@ def test_curate_corpus_substring_stage(spark):
     # with 0b both survive: doc 2's copy of the span is cut first
     assert set(with_ss) == {1, 2}
     assert pasted in with_ss[1] and pasted not in with_ss[2]
+    # untouched documents keep their text BYTE-identical — the operator's
+    # token rebuild must only replace docs that actually lost a span
+    assert with_ss[1] == f"{pasted} own body one two three"
     # null doc's fate matches the stage-off path either way
     assert (3 in plain) == (3 in with_ss)
 

@@ -468,3 +468,12 @@ def test_substring_dedup_rejects_bad_args(spark):
         substring_dedup(docs, mode="nope")
     with pytest.raises(ValueError, match="min_tokens"):
         substring_dedup(docs, min_tokens=1)
+    # a string id would cast to NULL occurrence keys and silently remove
+    # nothing — must refuse loudly
+    sdocs = spark.createDataFrame([("u1", "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="numeric id"):
+        substring_dedup(sdocs)
+    # fast-mode keys can never match an md5 index — unsupported combo
+    idx = spark.createDataFrame([("h", 1)], ["gram_hash", "first_key"])
+    with pytest.raises(ValueError, match="portable"):
+        substring_dedup(docs, mode="fast", index_firsts=idx)

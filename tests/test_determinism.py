@@ -101,6 +101,8 @@ def _run_layout(spark, qfn, conf: dict[str, str], sf: str = SF) -> pd.DataFrame:
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:  # never-set key: unset, don't leak the layout value
+                spark.conf.unset(k)
 
 
 QUERIES = sorted(entrymod.queries().keys())
