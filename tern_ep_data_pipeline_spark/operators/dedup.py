@@ -1001,11 +1001,16 @@ def substring_dedup(
 
     Output per document: ``clean_text`` (kept tokens, space-joined),
     ``n_tokens``, ``n_removed_tokens``, ``n_dup_spans`` (maximal covered
-    runs). Ids must be numeric and documents shorter than
-    ``max_doc_tokens`` (the first-occurrence key is ``id *
-    max_doc_tokens + pos``, chosen integer so the min-aggregation is
-    exact and map-side combinable). NULL text yields no output row —
-    callers coalesce upstream (same contract as ``line_dedup_frame``).
+    runs). Ids must be numeric (enforced — a string id would cast to NULL
+    keys and silently remove nothing) and documents shorter than
+    ``max_doc_tokens``: the first-occurrence key is ``id * max_doc_tokens
+    + pos``, chosen integer so the min-aggregation is exact, map-side
+    combinable, and storable as one long in the incremental gram index.
+    String/UUID ids would need ``min(struct(id, pos))`` like
+    :func:`chunk_dedup_stats` uses, at the cost of a two-column index
+    key — map ids to longs upstream instead. NULL text yields no output
+    row — callers coalesce upstream (same contract as
+    ``line_dedup_frame``).
 
     Scale shape: one gram-keyed groupBy (hot boilerplate grams
     partial-aggregate map-side — the aggregate is ``min`` over a long),
