@@ -102,7 +102,17 @@ def curate_documents(spark: SparkSession, site: str) -> dict:
 
     apply_engine_conf(spark)
     docs = load_table(spark, _sf_dir(), "documents")
-    curated = curate_corpus(docs, minhash_threshold=0.2, num_hashes=16, bands=4)
+    # optional text-rewriting stages, off unless the deployment opts in
+    ld = os.environ.get("SPARK_GRAFT_LINE_DEDUP_MIN_DOCS")
+    ss = os.environ.get("SPARK_GRAFT_SUBSTR_MIN_TOKENS")
+    curated = curate_corpus(
+        docs,
+        minhash_threshold=0.2,
+        num_hashes=16,
+        bands=4,
+        line_dedup_min_docs=int(ld) if ld else None,
+        substring_min_tokens=int(ss) if ss else None,
+    )
     dest = os.path.join(_out_dir(), "curated", f"site={site}")
     curated.write.mode("overwrite").parquet(dest)
     release_staged(spark)
