@@ -92,12 +92,22 @@ def _canonical(df) -> pd.DataFrame:
 
 
 def _run_layout(spark, qfn, conf: dict[str, str], sf: str = SF) -> pd.DataFrame:
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+
     saved = {k: spark.conf.get(k, None) for k in conf}
     try:
         for k, v in conf.items():
             spark.conf.set(k, v)
         return _canonical(qfn(spark, sf))
     finally:
+        # two leaks would make this suite order-dependent for the REST of
+        # the session: layout confs (restore/unset), and the operators'
+        # staged/memoised frames — a later test (e.g. the sf0.01 plan
+        # audit) would see memo-reused InMemoryRelations where its
+        # baseline expects fresh subplans. Releasing per layout also makes
+        # each layout recompute the staged subtrees under ITS OWN
+        # partitioning instead of inheriting the first layout's cache.
+        release_staged(spark)
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
