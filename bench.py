@@ -65,6 +65,7 @@ EXTENDED = [
     "quality_filter",  # weak labels -> pyspark.ml LR -> map-only score+filter
     "doc_profile",  # fused per-doc profile incl. chunk dedup + unigram logprob
     "embedding_near_dup",  # pair listing + SemDeDup keep/drop (shared staged base)
+    "substring_dedup",  # ExactSubstr span removal, fast Rabin-Karp mode (r6)
 ]
 
 
