@@ -960,3 +960,57 @@ def test_span_dedup_stream_matches_batch(spark, tmp_path):
             .groupBy("gram_hash").agg(F.min("first_key").alias("fk")).collect())
     )
     assert before == after
+
+
+def test_span_dedup_stream_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink end-to-end: availableNow over a parquet
+    source lands per-batch partition dirs whose union equals the batch
+    operator's decisions, and the gram index exists afterwards."""
+    from tern_ep_data_pipeline_spark.operators.dedup import (
+        release_staged,
+        substring_dedup,
+    )
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    phrase = " ".join(f"k{i}" for i in range(10))
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [
+            (1, f"holder doc with {phrase} and original tail words here"),
+            (2, f"copier doc repeats {phrase} inside other content words"),
+            (3, "independent doc with entirely novel words throughout"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(src)
+    idx = str(tmp_path / "gidx")
+    out = str(tmp_path / "cleaned")
+    stream = spark.readStream.format("parquet").schema(docs.schema).load(src)
+    q = (
+        span_deduped_stream_sink(
+            stream, idx, out, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in substring_dedup(docs, "doc_id", "text").collect()
+    }
+    release_staged(spark)
+    # single availableNow batch == the batch operator exactly
+    assert got == batch
+    assert got[2][1] == 10 and got[3][1] == 0
+    # batch_id partition dirs + the index landed
+    import glob as globmod
+
+    assert globmod.glob(f"{out}/batch_id=*")
+    assert globmod.glob(f"{idx}/grams/*.parquet")
