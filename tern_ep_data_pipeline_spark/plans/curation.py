@@ -115,16 +115,23 @@ def _check_memory_floor(docs: DataFrame) -> str | None:
     exec_n = spark.conf.get("spark.executor.instances", None)
     if not (exec_mem and exec_cores and exec_n):
         return None
-    units = {"k": 10, "m": 20, "g": 30, "t": 40}
-    m = exec_mem.strip().lower()
-    if m and m[-1] in units:
-        heap = int(float(m[:-1]) * (1 << units[m[-1]]))
-    else:
-        # Spark reads spark.executor.memory with getSizeAsMb: a unitless
-        # value means MiB, not bytes
-        heap = int(m) << 20
+    heap = _parse_executor_memory(exec_mem)
     per_exec_input = input_bytes // max(int(exec_n), 1)
     return _memory_floor_message(per_exec_input, heap, int(exec_cores), fraction)
+
+
+def _parse_executor_memory(s: str) -> int:
+    """spark.executor.memory string -> bytes. Spark reads this conf with
+    getSizeAsMb, so a UNITLESS value means MiB (not bytes); suffixed
+    values follow JVM conventions (k/m/g/t, case-insensitive, optional
+    trailing 'b' as in '512mb')."""
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    m = s.strip().lower()
+    if m.endswith("b") and len(m) > 1 and m[-2] in units:
+        m = m[:-1]
+    if m and m[-1] in units:
+        return int(float(m[:-1]) * (1 << units[m[-1]]))
+    return int(m) << 20
 
 
 def curate_corpus(

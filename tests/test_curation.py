@@ -431,6 +431,21 @@ def test_curation_memory_floor_matches_spill_grid():
     assert ok(2, 8) is not None
 
 
+def test_parse_executor_memory():
+    """Spark's getSizeAsMb semantics: unitless = MiB; k/m/g/t suffixes
+    with optional trailing 'b'."""
+    from tern_ep_data_pipeline_spark.plans.curation import (
+        _parse_executor_memory as p,
+    )
+
+    assert p("4g") == 4 << 30
+    assert p("4096") == 4 << 30  # unitless means MiB, NOT bytes
+    assert p("512m") == 512 << 20
+    assert p("512MB") == 512 << 20
+    assert p("1.5g") == int(1.5 * (1 << 30))
+    assert p("2048k") == 2048 << 10
+
+
 def test_curation_memory_guard_silent_when_sized(spark):
     """On a comfortably-sized session the guard stays silent for small
     inputs and the override path accepts memory_guard=False."""
