@@ -34,13 +34,24 @@ def audit(df) -> dict:
     }
 
 
+#: Bench-only queries (outside the 50-entry registry) whose plan shape
+#: still deserves the CI regression gate — add here to bring a q_* under
+#: PLANS.txt protection without spending a registry slot.
+EXTRA_AUDITED = ["substring_dedup"]
+
+
 def audit_all(spark, sf_dir: str, only=None) -> dict[str, dict | str]:
-    """Audit every registry query; value is the audit dict, or the error
-    string for a query that failed to plan."""
+    """Audit every registry query (plus EXTRA_AUDITED bench-only ones);
+    value is the audit dict, or the error string for a query that failed
+    to plan."""
     import __spark_entry__ as entrymod
 
+    targets = dict(entrymod.queries())
+    for name in EXTRA_AUDITED:
+        targets[name] = getattr(entrymod, f"q_{name}")
+
     out: dict[str, dict | str] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in targets.items():
         if only and name not in only:
             continue
         try:
