@@ -128,6 +128,7 @@ FLOAT_AGG_QUERIES = [
     "ann_ivf_topk",
     "summary_stats",
     "diel_cycle",
+    "llm_curation_suite",  # tfidf/rep float columns + CC/splits
 ]
 SF_DRIVER = "/root/testdata/sf0.01"
 
