@@ -129,6 +129,7 @@ FLOAT_AGG_QUERIES = [
     "summary_stats",
     "diel_cycle",
     "llm_curation_suite",  # tfidf/rep float columns + CC/splits
+    "approx_stats",  # HLL registers + GK quantile summaries (sketch merges)
 ]
 SF_DRIVER = "/root/testdata/sf0.01"
 
