@@ -63,7 +63,8 @@ EXTENDED = [
     "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
     "ivf_pq_rerank",  # PQ train+encode+coarse-probe+ADC+exact re-rank
     "quality_filter",  # weak labels -> pyspark.ml LR -> map-only score+filter
-    "doc_profile",  # fused per-doc profile incl. chunk dedup + unigram logprob
+    "doc_profile_a",  # per-doc profile half A: token/quality/lang/bpe/chunk/exact-dup
+    "doc_profile_b",  # per-doc profile half B: unigram/qf/line-dedup/span-dedup
     "embedding_near_dup",  # pair listing + SemDeDup keep/drop (shared staged base)
     "substring_dedup",  # ExactSubstr span removal, fast Rabin-Karp mode (r6)
 ]

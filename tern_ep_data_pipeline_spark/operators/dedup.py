@@ -191,7 +191,8 @@ def chunk_frame(
 
 
 def chunk_dedup_stats(
-    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 10
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 10,
+    micro: bool = False,
 ) -> DataFrame:
     """Sub-document exact dedup at fixed token-window granularity — the
     corpus-level "remove repeated substrings" stage (Lee et al. 2022,
@@ -226,14 +227,23 @@ def chunk_dedup_stats(
     first = chunks.groupBy("__h").agg(F.min("__occ").alias("__first"))
     occ = chunks.join(first, on="__h")
     dup = F.col("__occ") != F.col("__first")
+    if micro:
+        from .text import micro_ratio
+
+        frac = F.coalesce(
+            micro_ratio(F.sum(dup.cast("long")), F.count(F.lit(1))),
+            F.lit(0).cast("bigint"),
+        ).alias("dup_chunk_frac_micro")
+    else:
+        frac = F.round(
+            F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
+        ).alias("dup_chunk_frac")
     return (
         occ.groupBy(F.col("__id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(dup.cast("long")).alias("n_dup_chunks"),
-            F.round(
-                F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
-            ).alias("dup_chunk_frac"),
+            frac,
             F.sum(F.when(dup, F.lit(0)).otherwise(F.col("__ctoks"))).alias(
                 "kept_tokens"
             ),

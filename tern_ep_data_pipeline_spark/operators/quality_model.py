@@ -53,9 +53,22 @@ HEURISTIC_FEATURES = (
 )
 
 
-def heuristic_feature_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def heuristic_feature_frame(
+    df: DataFrame, id_col: str, text_col: str, micro: bool = False
+) -> DataFrame:
     """Join the cheap per-document signals into one numeric frame
-    (id, <HEURISTIC_FEATURES...>) — all JVM expressions, no Python."""
+    (id, <HEURISTIC_FEATURES...>) — all JVM expressions, no Python.
+    ``micro=True`` emits the engine-portable integer contract
+    (``*_micro`` BIGINT columns) used by the oracle gate."""
+    if micro:
+        q = quality_scores(df, id_col, text_col, micro=True).select(
+            id_col, "stopword_ratio_micro", "punct_ratio_micro",
+            "digit_ratio_micro", "upper_ratio_micro",
+        )
+        t = token_stats(df, id_col, text_col, micro=True).select(
+            id_col, "n_tokens", "avg_token_len_micro"
+        )
+        return q.join(t, on=id_col)
     q = quality_scores(df, id_col, text_col).select(
         id_col, "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio"
     )

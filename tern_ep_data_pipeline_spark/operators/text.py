@@ -41,24 +41,59 @@ def count_in_set(col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document token statistics."""
+def half_away_div(num: Column, den: Column) -> Column:
+    """``round_half_away(num / den)`` as BIGINT for any-sign ``num`` and
+    positive ``den``, computed WHOLLY in integral arithmetic (Spark's
+    ``div`` = IntegralDivide, exact on long and decimal operands): no
+    double division, no ``round(double)``, no libm — so the value is
+    bit-identical on any SQL engine (DuckDB twin: ``//``)."""
+    two = F.lit(2).cast("bigint")
+    pos = F.call_function("div", two * num + den, two * den)
+    neg = -F.call_function("div", two * (-num) + den, two * den)
+    return F.when(num >= 0, pos).otherwise(neg).cast("bigint")
+
+
+def micro_ratio(n: Column, d: Column) -> Column:
+    """Exact micro-unit ratio ``round_half_away(1e6 * n / d)`` as BIGINT
+    (integer arithmetic only — see :func:`half_away_div`); NULL when
+    ``d <= 0`` so callers choose their own else-semantics."""
+    n64 = n.cast("bigint")
+    d64 = d.cast("bigint")
+    return F.when(d64 > 0, half_away_div(F.lit(1_000_000).cast("bigint") * n64, d64))
+
+
+def token_stats(
+    df: DataFrame, id_col: str, text_col: str, micro: bool = False
+) -> DataFrame:
+    """Per-document token statistics. ``micro=True`` swaps the double ratio
+    for an exact integer micro-unit column (``avg_token_len_micro``) for
+    engine-portable gate contracts (no DOUBLE anywhere in the output)."""
     t = F.col(text_col)
     n_tok = token_count(t)
+    nonws = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    if micro:
+        return df.select(
+            F.col(id_col),
+            F.length(t).cast("bigint").alias("n_chars"),
+            n_tok.cast("bigint").alias("n_tokens"),
+            micro_ratio(nonws, n_tok).alias("avg_token_len_micro"),
+        )
     return df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(
-            F.when(n_tok > 0, (F.length(F.regexp_replace(F.trim(t), r"\s+", "")) / n_tok)),
-            6,
-        ).alias("avg_token_len"),
+        F.round(F.when(n_tok > 0, nonws / n_tok), 6).alias("avg_token_len"),
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, micro: bool = False
+) -> DataFrame:
     """Heuristic quality features: length, stopword ratio, punctuation ratio,
-    digit ratio, uppercase ratio — the standard pretraining-filter features."""
+    digit ratio, uppercase ratio — the standard pretraining-filter features.
+    ``micro=True`` emits the ratios as exact integer micro-units
+    (``*_ratio_micro`` BIGINT, 0 when the denominator is 0) for
+    engine-portable gate contracts."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
@@ -66,6 +101,17 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    if micro:
+        zero = F.lit(0).cast("bigint")
+        return df.select(
+            F.col(id_col),
+            n_chars.cast("bigint").alias("n_chars"),
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.coalesce(micro_ratio(n_stop, n_tok), zero).alias("stopword_ratio_micro"),
+            F.coalesce(micro_ratio(n_punct, n_chars), zero).alias("punct_ratio_micro"),
+            F.coalesce(micro_ratio(n_digit, n_chars), zero).alias("digit_ratio_micro"),
+            F.coalesce(micro_ratio(n_upper, n_chars), zero).alias("upper_ratio_micro"),
+        )
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -111,13 +157,25 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 BPE_SPLIT_PATTERN = r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
-def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def bpe_token_stats(
+    df: DataFrame, id_col: str, text_col: str, micro: bool = False
+) -> DataFrame:
     """Token counting, BPE-ish: segments per the GPT-2-style pretokenise
     regex (the count every byte-pair encoder starts from) next to the
-    whitespace count, plus chars-per-BPE-segment as a compression proxy."""
+    whitespace count, plus chars-per-BPE-segment as a compression proxy
+    (``micro=True``: exact integer micro-units, BIGINT)."""
     t = F.col(text_col)
     n_ws = token_count(t)
     n_bpe = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN))
+    if micro:
+        return df.select(
+            F.col(id_col),
+            n_ws.cast("bigint").alias("n_ws_tokens"),
+            n_bpe.cast("bigint").alias("n_bpe_tokens"),
+            F.coalesce(
+                micro_ratio(F.length(t), n_bpe), F.lit(0).cast("bigint")
+            ).alias("chars_per_bpe_micro"),
+        )
     return df.select(
         F.col(id_col),
         n_ws.alias("n_ws_tokens"),
@@ -622,6 +680,7 @@ def unigram_logprob(
     text_col: str,
     smoothing: float = 0.5,
     model_df: DataFrame | None = None,
+    micro: bool = False,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the cheap stand-in for
     LM-perplexity quality filtering (the CCNet recipe scores documents
@@ -698,6 +757,15 @@ def unigram_logprob(
     scored = scored.withColumn(
         "__lpq", F.round(F.col("__lp") * F.lit(1.0e12)).cast("decimal(38,0)")
     )
+    if micro:
+        # Fully integer output path: avg in micro-log units =
+        # round_half_away(sum_picolog / (count * 1e6)) — decimal(38,0) sum,
+        # integral div, no double anywhere after the per-token quantisation.
+        den = (F.count(F.lit(1)) * F.lit(1_000_000)).cast("decimal(38,0)")
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            half_away_div(F.sum("__lpq"), den).alias("avg_logprob_micro"),
+        )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored_tokens"),
         F.round(

@@ -122,7 +122,8 @@ QUERIES = sorted(entrymod.queries().keys())
 #: flaked at sf0.01 (the boundary document does not exist at sf0.001), so
 #: these re-run the 3-layout gate at the driver's own correctness scale.
 FLOAT_AGG_QUERIES = [
-    "doc_profile",
+    "doc_profile_a",
+    "doc_profile_b",
     "label_centroids",
     "embedding_near_dup",
     "ann_ivf_topk",
