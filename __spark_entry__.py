@@ -2563,26 +2563,23 @@ def q_doc_profile_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dedup._stage(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    t = text.token_stats(docs, "doc_id", "text", micro=True)
-    q = text.quality_scores(docs, "doc_id", "text", micro=True).select(
-        "doc_id", "stopword_ratio_micro", "punct_ratio_micro",
-        "digit_ratio_micro", "upper_ratio_micro",
+    # the five row-local operators (token stats, quality ratios, lang ID,
+    # fingerprint, BPE counts) stack into ONE map-only projection via their
+    # column builders — zero joins where the r6 fused suite had five
+    tcol = F.col("text")
+    row = docs.select(
+        "doc_id",
+        *text.token_stat_cols(tcol, micro=True),
+        *text.quality_ratio_cols(tcol, micro=True),
+        *text.lang_id_cols(tcol, counts_cast="bigint"),
+        *text.fingerprint_cols(tcol),
+        *text.bpe_stat_cols(tcol, micro=True),
     )
-    lang_casts = [
-        F.col(f"n_{lang}").cast("bigint").alias(f"n_{lang}") for lang in text.LANG_MARKERS
-    ]
-    l = text.lang_id(docs, "doc_id", "text").select("doc_id", *lang_casts, "pred_lang")
-    f = text.fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint_md5")
-    b = text.bpe_token_stats(docs, "doc_id", "text", micro=True)
     d = dedup.exact_dedup_groups(docs, "doc_id", "text")
     ch = dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=10, micro=True)
     return (
-        t.join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(f, "doc_id")
-        .join(b, "doc_id")
-        .join(ch, "doc_id")
-        .join(d, f.fingerprint_md5 == d.content_hash)
+        row.join(ch, "doc_id")
+        .join(d, row.fingerprint_md5 == d.content_hash)
         .select(
             "doc_id", "n_chars", "n_tokens", "avg_token_len_micro",
             "stopword_ratio_micro", "punct_ratio_micro", "digit_ratio_micro",

@@ -56,28 +56,29 @@ HEURISTIC_FEATURES = (
 def heuristic_feature_frame(
     df: DataFrame, id_col: str, text_col: str, micro: bool = False
 ) -> DataFrame:
-    """Join the cheap per-document signals into one numeric frame
-    (id, <HEURISTIC_FEATURES...>) — all JVM expressions, no Python.
-    ``micro=True`` emits the engine-portable integer contract
-    (``*_micro`` BIGINT columns) used by the oracle gate."""
+    """The cheap per-document signals as ONE map-only projection
+    (id, <HEURISTIC_FEATURES...>) — all JVM expressions, no Python, no
+    join (r7: the former quality+token frame join collapsed into a fused
+    select; every signal is row-local). ``micro=True`` emits the
+    engine-portable integer contract (``*_micro`` BIGINT columns) used by
+    the oracle gate."""
+    from .text import quality_ratio_cols, token_count, token_stat_cols
+
+    t = F.col(text_col)
     if micro:
-        q = quality_scores(df, id_col, text_col, micro=True).select(
-            id_col, "stopword_ratio_micro", "punct_ratio_micro",
-            "digit_ratio_micro", "upper_ratio_micro",
+        return df.select(
+            F.col(id_col),
+            *quality_ratio_cols(t, micro=True),
+            token_count(t).cast("bigint").alias("n_tokens"),
+            # avg_token_len_micro is token_stat_cols' third builder
+            token_stat_cols(t, micro=True)[2],
         )
-        t = token_stats(df, id_col, text_col, micro=True).select(
-            id_col, "n_tokens", "avg_token_len_micro"
-        )
-        return q.join(t, on=id_col)
-    q = quality_scores(df, id_col, text_col).select(
-        id_col, "stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio"
+    return df.select(
+        F.col(id_col),
+        *quality_ratio_cols(t),
+        token_count(t).cast("double").alias("n_tokens"),
+        token_stat_cols(t)[2],
     )
-    t = token_stats(df, id_col, text_col).select(
-        id_col,
-        F.col("n_tokens").cast("double").alias("n_tokens"),
-        "avg_token_len",
-    )
-    return q.join(t, on=id_col)
 
 
 def heuristic_pipeline(label_col: str = "label") -> Pipeline:

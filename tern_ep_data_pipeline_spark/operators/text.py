@@ -62,28 +62,57 @@ def micro_ratio(n: Column, d: Column) -> Column:
     return F.when(d64 > 0, half_away_div(F.lit(1_000_000).cast("bigint") * n64, d64))
 
 
+def token_stat_cols(t: Column, micro: bool = False) -> list[Column]:
+    """Column builders for :func:`token_stats` — exposed so fused per-doc
+    profiles can stack several row-local operators into ONE projection
+    (zero joins) instead of joining their frames."""
+    n_tok = token_count(t)
+    nonws = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    if micro:
+        return [
+            F.length(t).cast("bigint").alias("n_chars"),
+            n_tok.cast("bigint").alias("n_tokens"),
+            micro_ratio(nonws, n_tok).alias("avg_token_len_micro"),
+        ]
+    return [
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(F.when(n_tok > 0, nonws / n_tok), 6).alias("avg_token_len"),
+    ]
+
+
 def token_stats(
     df: DataFrame, id_col: str, text_col: str, micro: bool = False
 ) -> DataFrame:
     """Per-document token statistics. ``micro=True`` swaps the double ratio
     for an exact integer micro-unit column (``avg_token_len_micro``) for
     engine-portable gate contracts (no DOUBLE anywhere in the output)."""
-    t = F.col(text_col)
+    return df.select(F.col(id_col), *token_stat_cols(F.col(text_col), micro))
+
+
+def quality_ratio_cols(t: Column, micro: bool = False) -> list[Column]:
+    """The four quality ratios as column builders (no id/count columns —
+    composable into a fused projection without name collisions)."""
+    n_chars = F.length(t)
     n_tok = token_count(t)
-    nonws = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    n_stop = count_in_set(t, STOPWORDS_EN)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     if micro:
-        return df.select(
-            F.col(id_col),
-            F.length(t).cast("bigint").alias("n_chars"),
-            n_tok.cast("bigint").alias("n_tokens"),
-            micro_ratio(nonws, n_tok).alias("avg_token_len_micro"),
-        )
-    return df.select(
-        F.col(id_col),
-        F.length(t).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        F.round(F.when(n_tok > 0, nonws / n_tok), 6).alias("avg_token_len"),
-    )
+        zero = F.lit(0).cast("bigint")
+        return [
+            F.coalesce(micro_ratio(n_stop, n_tok), zero).alias("stopword_ratio_micro"),
+            F.coalesce(micro_ratio(n_punct, n_chars), zero).alias("punct_ratio_micro"),
+            F.coalesce(micro_ratio(n_digit, n_chars), zero).alias("digit_ratio_micro"),
+            F.coalesce(micro_ratio(n_upper, n_chars), zero).alias("upper_ratio_micro"),
+        ]
+    return [
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
+        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)), 6).alias("digit_ratio"),
+        F.round(F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0)), 6).alias("upper_ratio"),
+    ]
 
 
 def quality_scores(
@@ -97,57 +126,49 @@ def quality_scores(
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
-    n_stop = count_in_set(t, STOPWORDS_EN)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()]", ""))
-    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
-    if micro:
-        zero = F.lit(0).cast("bigint")
-        return df.select(
-            F.col(id_col),
-            n_chars.cast("bigint").alias("n_chars"),
-            n_tok.cast("bigint").alias("n_tokens"),
-            F.coalesce(micro_ratio(n_stop, n_tok), zero).alias("stopword_ratio_micro"),
-            F.coalesce(micro_ratio(n_punct, n_chars), zero).alias("punct_ratio_micro"),
-            F.coalesce(micro_ratio(n_digit, n_chars), zero).alias("digit_ratio_micro"),
-            F.coalesce(micro_ratio(n_upper, n_chars), zero).alias("upper_ratio_micro"),
-        )
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
-        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6).alias("punct_ratio"),
-        F.round(F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)), 6).alias("digit_ratio"),
-        F.round(F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0)), 6).alias("upper_ratio"),
+    counts = (
+        [n_chars.cast("bigint").alias("n_chars"), n_tok.cast("bigint").alias("n_tokens")]
+        if micro
+        else [n_chars.alias("n_chars"), n_tok.alias("n_tokens")]
     )
+    return df.select(F.col(id_col), *counts, *quality_ratio_cols(t, micro))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Marker-word language ID with deterministic tie-break (first language
-    in LANG_MARKERS order wins ties)."""
-    t = F.col(text_col)
+def lang_id_cols(t: Column, counts_cast: str | None = None) -> list[Column]:
+    """Column builders for :func:`lang_id` (``counts_cast='bigint'`` for the
+    integer gate contract)."""
     counts = {lang: count_in_set(t, words) for lang, words in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     pred = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):  # earlier langs overwrite later on ties
         pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    cols = [F.col(id_col)]
-    cols += [counts[lang].alias(f"n_{lang}") for lang in LANG_MARKERS]
+    cols = [
+        (counts[lang].cast(counts_cast) if counts_cast else counts[lang]).alias(f"n_{lang}")
+        for lang in LANG_MARKERS
+    ]
     cols.append(pred.alias("pred_lang"))
-    return df.select(*cols)
+    return cols
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie-break (first language
+    in LANG_MARKERS order wins ties)."""
+    return df.select(F.col(id_col), *lang_id_cols(F.col(text_col)))
+
+
+def fingerprint_cols(t: Column) -> list[Column]:
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return [
+        F.md5(norm).alias("fingerprint_md5"),
+        F.xxhash64(norm).alias("fingerprint64"),
+    ]
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 of the normalised text (exact-dup key) plus
     a 64-bit content hash for compact storage."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(
-        F.col(id_col),
-        F.md5(norm).alias("fingerprint_md5"),
-        F.xxhash64(norm).alias("fingerprint64"),
-    )
+    return df.select(F.col(id_col), *fingerprint_cols(F.col(text_col)))
 
 
 #: GPT-2-style pretokeniser, restricted to syntax Java regex and RE2 share
@@ -157,6 +178,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 BPE_SPLIT_PATTERN = r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def bpe_stat_cols(t: Column, micro: bool = False) -> list[Column]:
+    n_ws = token_count(t)
+    n_bpe = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN))
+    if micro:
+        return [
+            n_ws.cast("bigint").alias("n_ws_tokens"),
+            n_bpe.cast("bigint").alias("n_bpe_tokens"),
+            F.coalesce(
+                micro_ratio(F.length(t), n_bpe), F.lit(0).cast("bigint")
+            ).alias("chars_per_bpe_micro"),
+        ]
+    return [
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.when(n_bpe > 0, F.length(t) / n_bpe).otherwise(F.lit(0.0)), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    ]
+
+
 def bpe_token_stats(
     df: DataFrame, id_col: str, text_col: str, micro: bool = False
 ) -> DataFrame:
@@ -164,26 +205,7 @@ def bpe_token_stats(
     regex (the count every byte-pair encoder starts from) next to the
     whitespace count, plus chars-per-BPE-segment as a compression proxy
     (``micro=True``: exact integer micro-units, BIGINT)."""
-    t = F.col(text_col)
-    n_ws = token_count(t)
-    n_bpe = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN))
-    if micro:
-        return df.select(
-            F.col(id_col),
-            n_ws.cast("bigint").alias("n_ws_tokens"),
-            n_bpe.cast("bigint").alias("n_bpe_tokens"),
-            F.coalesce(
-                micro_ratio(F.length(t), n_bpe), F.lit(0).cast("bigint")
-            ).alias("chars_per_bpe_micro"),
-        )
-    return df.select(
-        F.col(id_col),
-        n_ws.alias("n_ws_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        F.round(F.when(n_bpe > 0, F.length(t) / n_bpe).otherwise(F.lit(0.0)), 6).alias(
-            "chars_per_bpe_token"
-        ),
-    )
+    return df.select(F.col(id_col), *bpe_stat_cols(F.col(text_col), micro))
 
 
 def winnowing_fingerprints(
