@@ -514,10 +514,21 @@ def build_gram_index(
     """Materialise the corpus gram-first index (ExactSubstr span dedup,
     incremental form) next to the exact/band/chunk/line tables; returns
     the distinct-gram count. ``min_tokens``/``max_doc_tokens`` must match
-    the clean-side call — they define gram boundaries and key packing."""
+    the clean-side call — they define gram boundaries and key packing.
+
+    **Id-monotonicity contract** (ADVICE r6 #3): batch doc ids must be
+    strictly greater than every id already indexed — the occurrence key
+    is ``id * max_doc_tokens + pos``, so a batch doc REUSING an indexed
+    id would compare equal-or-earlier and silently win/keep spans the
+    corpus already contains. Build/append record ``max(id)`` in a
+    ``grams_meta`` side table and ``clean_against_gram_index`` enforces
+    the contract loudly (``validate_ids``)."""
     _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "grams"))
+    docs.agg(
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id")
+    ).write.mode("overwrite").parquet(os.path.join(path, "grams_meta"))
     return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
 
 
@@ -529,6 +540,7 @@ def clean_against_gram_index(
     text_col: str = "text",
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Incremental ExactSubstr span removal: a batch span whose gram
     already occurs in the established corpus (or earlier in the combined
@@ -537,12 +549,46 @@ def clean_against_gram_index(
     arrival, and a batch against an EMPTY index reproduces
     ``dedup.substring_dedup`` exactly.
 
+    **Id-monotonicity contract**: batch ids must be strictly greater than
+    every indexed id (the packed ``id * max_doc_tokens + pos`` keys only
+    order correctly then — an id REUSED from the corpus would tie its own
+    indexed occurrences and silently keep known-duplicate spans, and a
+    LOWER batch id would win firsts against the published corpus).
+    ``validate_ids=True`` (default) checks the batch's min id against the
+    index's ``grams_meta`` watermark and raises ``ValueError`` on
+    violation; pass ``False`` only if the caller guarantees disjoint,
+    increasing id ranges out-of-band.
+
     Output matches ``substring_dedup``. Scale shape: O(batch) — the
     batch's gram firsts left-join the index on the 16-byte hash
     (shuffle-hash; corpus text never read); per-append firsts combine via
     ``min``, which is order-independent, so append ordering never changes
     the decision.
     """
+    if validate_ids:
+        meta_path = os.path.join(path, "grams_meta")
+        try:
+            indexed_max = (
+                spark.read.parquet(meta_path)
+                .agg(F.max("max_doc_id"))
+                .collect()[0][0]
+            )
+        except Exception:  # pre-watermark index layout: nothing to check
+            indexed_max = None
+        if indexed_max is not None:
+            batch_min = new_docs.agg(
+                F.min(F.col(id_col).cast("long"))
+            ).collect()[0][0]
+            if batch_min is not None and batch_min <= indexed_max:
+                raise ValueError(
+                    "clean_against_gram_index id-monotonicity violation: "
+                    f"batch min {id_col}={batch_min} <= max indexed id "
+                    f"{indexed_max}. Occurrence keys pack as "
+                    "id*max_doc_tokens+pos, so reused or lower batch ids "
+                    "silently mis-order span firsts; renumber the batch "
+                    "above the watermark (or pass validate_ids=False if "
+                    "id ranges are guaranteed disjoint out-of-band)."
+                )
     idx = (
         spark.read.parquet(os.path.join(path, "grams"))
         .groupBy("gram_hash")
@@ -568,7 +614,15 @@ def append_to_gram_index(
 ) -> None:
     """Append this batch's per-gram first keys. Reads aggregate ``min``
     across appended files, so appends in any order converge to the true
-    corpus first occurrence; compact on the lake's schedule."""
+    corpus first occurrence; compact on the lake's schedule.
+
+    Same id-monotonicity contract as :func:`build_gram_index`: this
+    batch's ids must exceed every previously indexed id (checked on the
+    clean side); the ``grams_meta`` max-id watermark is appended here so
+    the contract stays enforceable across appends."""
     _gram_first_table(
         accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
     ).write.mode("append").parquet(os.path.join(path, "grams"))
+    accepted_docs.agg(
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id")
+    ).write.mode("append").parquet(os.path.join(path, "grams_meta"))

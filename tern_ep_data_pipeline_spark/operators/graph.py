@@ -36,9 +36,25 @@ from pyspark.sql import functions as F
 from .memguard import tight_memory as _tight_memory
 
 
+#: Checkpoint dirs THIS module created (vs a user-set one, which is never
+#: touched). Contents are deleted at the end of each tight-mode CC run —
+#: after the final labels frame has been re-materialised OFF the
+#: checkpoint files — so reliable-checkpoint files no longer accumulate
+#: for the life of the session (ADVICE r6 #2); the dirs themselves go at
+#: interpreter exit.
+_OWNED_CKPT_DIRS: set[str] = set()
+
+
+def _cleanup_owned_dirs() -> None:
+    import shutil
+
+    for d in list(_OWNED_CKPT_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _truncate(df: DataFrame, tight: bool) -> DataFrame:
     """Truncate lineage: resident localCheckpoint normally, reliable disk
-    checkpoint when memory is tight (see ``_DERATE_UNIFIED_BYTES``)."""
+    checkpoint when memory is tight (see ``memguard.TIGHT_UNIFIED_BYTES``)."""
     if not tight:
         return df.localCheckpoint()
     spark = df.sparkSession
@@ -48,8 +64,40 @@ def _truncate(df: DataFrame, tight: bool) -> DataFrame:
     except Exception:
         have_dir = False
     if not have_dir:
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-cc-ckpt-"))
+        import atexit
+
+        d = tempfile.mkdtemp(prefix="spark-cc-ckpt-")
+        sc.setCheckpointDir(d)
+        if not _OWNED_CKPT_DIRS:
+            atexit.register(_cleanup_owned_dirs)
+        _OWNED_CKPT_DIRS.add(d)
     return df.checkpoint(eager=True)
+
+
+def _release_checkpoints(spark) -> None:
+    """Empty the module-owned checkpoint dir (keeping the context's live
+    checkpoint path — an owned-root/<uuid> subdir Spark appended — valid
+    for later runs). Only call after every frame that depends on the
+    checkpoint files has been materialised elsewhere. A user-set
+    checkpoint dir is never touched (not in ``_OWNED_CKPT_DIRS``)."""
+    import os
+    import shutil
+
+    sc = spark.sparkContext
+    try:
+        d = sc.getCheckpointDir()  # file:<owned-root>/<context-uuid>
+    except Exception:
+        return
+    if not d:
+        return
+    local = d.removeprefix("file:")
+    owner = next(
+        (o for o in _OWNED_CKPT_DIRS if local == o or local.startswith(o + os.sep)),
+        None,
+    )
+    if owner and os.path.isdir(owner):
+        shutil.rmtree(owner, ignore_errors=True)
+        os.makedirs(local, exist_ok=True)  # keep the live path writable
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -137,7 +185,10 @@ def connected_components(
     # arbitrarily for billion-edge inputs.
     n_edges = sym.count()
     if n_edges <= driver_threshold:
-        return _driver_union_find(sym)
+        out = _driver_union_find(sym)  # collects; independent of ckpt files
+        if tight:
+            _release_checkpoints(edges.sparkSession)
+        return out
     parallelism = sym.sparkSession.sparkContext.defaultParallelism
     parts = max(2, min(parallelism, n_edges // 50_000 + 1))
     sym = _truncate(sym.repartition(parts, "b"), tight)
@@ -188,7 +239,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels.select("node", F.col("label").alias("component"))
+            out = labels.select("node", F.col("label").alias("component"))
+            if tight:
+                # sever the result from the reliable-checkpoint files so
+                # their dir can be emptied now: the final (node, component)
+                # frame is two longs per node — resident is fine even in
+                # tight mode, unlike the per-iteration edge frames
+                out = out.localCheckpoint(eager=True)
+                _release_checkpoints(edges.sparkSession)
+            return out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

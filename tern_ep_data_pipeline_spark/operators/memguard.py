@@ -23,9 +23,13 @@ from pyspark.sql import SparkSession
 
 #: Unified-pool size under which resident state must leave memory.
 #: Calibrated to the SPILL_r05 grid: 2 GiB heap (~1.0 GiB unified) died on
-#: both fronts, 3 GiB (~1.6 GiB) completed — the threshold sits above both
-#: failing cells and below nothing that passed un-derated matters for.
-TIGHT_UNIFIED_BYTES = 2 << 30
+#: both fronts, 3 GiB heap (~1.66 GiB unified = (3072-300 MiB)*0.6)
+#: completed UN-derated — so the threshold must sit strictly between the
+#: two, not above the passing cell (r6's 2 GiB value silently derated the
+#: measured-passing 3 GiB config and every default 1g driver session —
+#: ADVICE r6 #1). 1.25 GiB keeps the failing cell derated with margin and
+#: leaves every measured-passing size at full speed.
+TIGHT_UNIFIED_BYTES = (1 << 30) + (1 << 28)  # 1.25 GiB
 _JVM_RESERVED = 300 << 20  # Spark's RESERVED_SYSTEM_MEMORY_BYTES
 
 

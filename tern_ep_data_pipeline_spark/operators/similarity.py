@@ -462,9 +462,44 @@ def label_centroids(
     """
     label_type = df.schema[label_col].dataType.simpleString()
     out_schema = f"`{label_col}` {label_type}, __cnt BIGINT, __sum ARRAY<BIGINT>"
-    qvec = F.transform(
-        F.col(vec_col), lambda v: F.round(v.cast("double") * F.lit(1.0e9)).cast("long")
-    ).alias("__qv")
+
+    # Malformed vectors fail LOUDLY here, not as an opaque mapInPandas
+    # traceback (ADVICE r6 #5): a NaN/NULL component (or |v| > 9.2e9,
+    # where the 1e9-scaled value overflows int64) would quantise to NULL
+    # long and crash np.asarray inside the Arrow partial. raise_error
+    # carries the label. (The docstring's billion-vector-per-label
+    # headroom claim additionally assumes unit-scale embeddings; larger
+    # magnitudes trade off against per-label row count.)
+    def _q_comp(v):
+        bad = v.isNull() | F.isnan(v.cast("double")) | (
+            F.abs(v.cast("double")) > F.lit(9.0e9)
+        )
+        return F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "label_centroids: non-finite or out-of-range "
+                        "(|v| > 9e9) embedding component in label "
+                    ),
+                    F.col(label_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.round(v.cast("double") * F.lit(1.0e9)).cast("long"))
+
+    qvec = (
+        F.when(
+            F.col(vec_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("label_centroids: NULL embedding vector in label "),
+                    F.col(label_col).cast("string"),
+                )
+            ).cast("array<bigint>"),
+        )
+        .otherwise(F.transform(F.col(vec_col), _q_comp))
+        .alias("__qv")
+    )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}  # label -> [count, int64 sum ndarray]

@@ -31,6 +31,7 @@ backfill on a different cluster) selects the identical corpus.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame
@@ -186,11 +187,28 @@ def curate_corpus(
     with different token densities (code vs prose).
     """
     # plan-time executor-sizing guard: fail fast with the invariant named
-    # instead of a raw heap OOM mid-checkpoint (SCALING.md §spill)
+    # instead of a raw heap OOM mid-checkpoint (SCALING.md §spill). When
+    # the session is already derating to disk-backed state (memguard
+    # tight mode: DISK_ONLY staged persists + reliable CC checkpoints),
+    # the resident profile the 16x heuristic models no longer applies —
+    # those runs were measured to COMPLETE below the floor (SPILL_r06) —
+    # so warn instead of rejecting a run the derate was built to carry
+    # (ADVICE r6 #4).
     if memory_guard:
         floor_msg = _check_memory_floor(docs)
         if floor_msg is not None:
-            raise CurationMemoryError(floor_msg)
+            from ..operators.memguard import tight_memory
+
+            if tight_memory(docs.sparkSession):
+                warnings.warn(
+                    "curate_corpus below the un-derated memory floor; "
+                    "continuing because tight-memory derating (disk-backed "
+                    "persists/checkpoints) is active. " + floor_msg,
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            else:
+                raise CurationMemoryError(floor_msg)
 
     # 0. optional corpus-level line dedup (CCNet boilerplate removal):
     # strip lines shared by >= N distinct docs BEFORE any dedup stage —

@@ -1750,3 +1750,126 @@ def test_incremental_gram_index(spark, tmp_path):
     got = clean_against_gram_index(spark, b3, path).first()
     dedup.release_staged(spark)
     assert got["n_removed_tokens"] == got["n_tokens"]
+
+
+# --------------------------------------------- round-7 ADVICE regressions
+
+def test_memguard_threshold_between_calibration_points():
+    """TIGHT_UNIFIED_BYTES must sit strictly BETWEEN the SPILL_r05 grid's
+    failing (2 GiB heap ~> 1.0 GiB unified) and passing (3 GiB heap ~>
+    1.66 GiB unified) cells — r6's 2 GiB value silently derated the
+    measured-passing config (ADVICE r6 #1)."""
+    from tern_ep_data_pipeline_spark.operators.memguard import (
+        _JVM_RESERVED,
+        TIGHT_UNIFIED_BYTES,
+    )
+
+    failing_unified = ((2 << 30) - _JVM_RESERVED) * 0.6
+    passing_unified = ((3 << 30) - _JVM_RESERVED) * 0.6
+    assert failing_unified < TIGHT_UNIFIED_BYTES < passing_unified
+
+
+def test_cc_tight_mode_cleans_checkpoint_files(spark, monkeypatch):
+    """Tight-mode CC must not leak reliable-checkpoint files for the life
+    of the session (ADVICE r6 #2): after the result is returned, the
+    module-owned checkpoint dir is empty, and the returned frame is still
+    fully usable (re-materialised off the checkpoint files)."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_tight_memory", lambda spark: True)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    out = connected_components(edges, driver_threshold=0)
+    local = spark.sparkContext.getCheckpointDir().removeprefix("file:")
+    d = next(
+        o for o in graph._OWNED_CKPT_DIRS
+        if local == o or local.startswith(o + os.sep)
+    )
+    leftover = [
+        os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs
+    ]
+    assert leftover == [], f"checkpoint files leaked: {leftover[:5]}"
+    got = {(r["node"], r["component"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # the driver union-find path cleans too
+    out2 = connected_components(edges, driver_threshold=10_000)
+    assert out2.count() == 5
+    leftover2 = [f for _, _, fs in os.walk(d) for f in fs]
+    assert leftover2 == []
+
+
+def test_curation_memory_guard_warns_when_derated(spark, monkeypatch):
+    """Below the un-derated floor with tight-memory derating active the
+    guard WARNS instead of rejecting a run the derate was built to carry
+    (ADVICE r6 #4); without derating it still raises."""
+    import warnings as _w
+
+    import tern_ep_data_pipeline_spark.plans.curation as cur
+    from tern_ep_data_pipeline_spark.operators import dedup, memguard
+    from tern_ep_data_pipeline_spark.plans.curation import (
+        CurationMemoryError,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(
+        cur, "_check_memory_floor", lambda df: "sizing invariant violated (test)"
+    )
+    monkeypatch.setattr(memguard, "tight_memory", lambda spark: True)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        n = curate_corpus(docs, min_chars=5).count()
+        dedup.release_staged(spark)
+    assert n == 1
+    assert any("derating" in str(w.message) for w in caught)
+
+    monkeypatch.setattr(memguard, "tight_memory", lambda spark: False)
+    with pytest.raises(CurationMemoryError):
+        curate_corpus(docs, min_chars=5)
+
+
+def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
+    """A batch id at or below the index watermark mis-orders the packed
+    occurrence keys — clean_against_gram_index must refuse loudly
+    (ADVICE r6 #3), and accept once ids clear the watermark."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index,
+        clean_against_gram_index,
+    )
+
+    phrase = " ".join(f"m{i}" for i in range(10))
+    path = str(tmp_path / "gidx_mono")
+    corpus = spark.createDataFrame(
+        [(5, f"alpha beta {phrase} gamma delta")], ["doc_id", "text"]
+    )
+    build_gram_index(corpus, path)
+
+    reused = spark.createDataFrame(
+        [(5, f"totally new framing {phrase} and more")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="id-monotonicity"):
+        clean_against_gram_index(spark, reused, path).collect()
+    lower = spark.createDataFrame(
+        [(3, f"other body {phrase} trailing")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="id-monotonicity"):
+        clean_against_gram_index(spark, lower, path).collect()
+
+    ok = spark.createDataFrame(
+        [(6, f"other body {phrase} trailing words here")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in clean_against_gram_index(spark, ok, path).collect()}
+    dedup.release_staged(spark)
+    assert out[6]["n_removed_tokens"] == 10
+    # opt-out path still works for out-of-band-guaranteed callers
+    n = clean_against_gram_index(
+        spark, ok, path, validate_ids=False
+    ).count()
+    dedup.release_staged(spark)
+    assert n == 1

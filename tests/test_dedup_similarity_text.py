@@ -477,3 +477,33 @@ def test_substring_dedup_rejects_bad_args(spark):
     idx = spark.createDataFrame([("h", 1)], ["gram_hash", "first_key"])
     with pytest.raises(ValueError, match="portable"):
         substring_dedup(docs, mode="fast", index_firsts=idx)
+
+
+def test_label_centroids_malformed_vector_named_error(spark):
+    """A NaN/NULL or out-of-range embedding component must surface as a
+    NAMED data error (raise_error with the label), not an opaque
+    mapInPandas traceback (ADVICE r6 #5)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    bad_nan = spark.createDataFrame(
+        [(1, [0.1, float("nan")]), (1, [0.2, 0.3])], "label long, embedding array<double>"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        similarity.label_centroids(bad_nan).collect()
+    assert "label_centroids" in str(ei.value)
+
+    bad_null = spark.createDataFrame(
+        [(2, None), (2, [0.2, 0.3])], "label long, embedding array<double>"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        similarity.label_centroids(bad_null).collect()
+    assert "label_centroids" in str(ei.value)
+
+    bad_big = spark.createDataFrame(
+        [(3, [1.0e10, 0.0])], "label long, embedding array<double>"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        similarity.label_centroids(bad_big).collect()
+    assert "label_centroids" in str(ei.value)
