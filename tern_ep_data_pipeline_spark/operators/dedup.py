@@ -1076,11 +1076,25 @@ def substring_dedup(
         # established corpus's per-gram first-occurrence keys combine via
         # min, so a span already present in the corpus loses every batch
         # occurrence, and an EMPTY index reproduces this operator exactly.
+        #
+        # Join strategy: this is the one CORPUS-scale side in the operator
+        # (the index holds every distinct gram ever ingested, growing
+        # without bound), and Spark's shuffled-hash build side cannot
+        # spill — the per-task hash map of a large index partition dies
+        # with "not enough memory to build hash map" instead of degrading
+        # (measured: sf10 stream under 3g/32, batch 7 of 10). Hash-hint
+        # only while the measured build side fits a task's memory budget;
+        # past that, the planner's sort-merge path spills cleanly and the
+        # per-batch cost stays O(batch + index scan).
+        from .memguard import hash_build_fits, plan_size_estimate
+
         idx = index_firsts.select(
             F.col("gram_hash").alias("__g"), F.col("first_key").alias("__if")
         )
+        if hash_build_fits(df.sparkSession, plan_size_estimate(index_firsts)):
+            idx = idx.hint("shuffle_hash")
         firsts = (
-            firsts.join(idx.hint("shuffle_hash"), on="__g", how="left")
+            firsts.join(idx, on="__g", how="left")
             .withColumn(
                 "__first",
                 F.least(F.col("__first"), F.coalesce("__if", F.col("__first"))),

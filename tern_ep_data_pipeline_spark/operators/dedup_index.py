@@ -527,7 +527,8 @@ def build_gram_index(
         "overwrite"
     ).parquet(os.path.join(path, "grams"))
     docs.agg(
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id")
+        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
     ).write.mode("overwrite").parquet(os.path.join(path, "grams_meta"))
     return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
 
@@ -568,26 +569,40 @@ def clean_against_gram_index(
     if validate_ids:
         meta_path = os.path.join(path, "grams_meta")
         try:
-            indexed_max = (
-                spark.read.parquet(meta_path)
-                .agg(F.max("max_doc_id"))
-                .collect()[0][0]
-            )
+            meta = [
+                (r["min_doc_id"], r["max_doc_id"])
+                for r in spark.read.parquet(meta_path).collect()
+                if r["max_doc_id"] is not None
+            ]
         except Exception:  # pre-watermark index layout: nothing to check
-            indexed_max = None
-        if indexed_max is not None:
-            batch_min = new_docs.agg(
-                F.min(F.col(id_col).cast("long"))
-            ).collect()[0][0]
-            if batch_min is not None and batch_min <= indexed_max:
+            meta = []
+        if meta:
+            lo, hi = new_docs.agg(
+                F.min(F.col(id_col).cast("long")),
+                F.max(F.col(id_col).cast("long")),
+            ).collect()[0]
+            # An append whose (min, max) range equals this batch exactly is
+            # this batch's own earlier append — foreachBatch is
+            # at-least-once, and a re-delivered batch re-appends the same
+            # per-gram minima (idempotent), so retries must pass. Partial
+            # overlaps are id reuse and rejected.
+            others = [m for m in meta if m != (lo, hi)]
+            indexed_max = max((m[1] for m in others), default=None)
+            if (
+                lo is not None
+                and indexed_max is not None
+                and lo <= indexed_max
+            ):
                 raise ValueError(
                     "clean_against_gram_index id-monotonicity violation: "
-                    f"batch min {id_col}={batch_min} <= max indexed id "
+                    f"batch min {id_col}={lo} <= max indexed id "
                     f"{indexed_max}. Occurrence keys pack as "
                     "id*max_doc_tokens+pos, so reused or lower batch ids "
                     "silently mis-order span firsts; renumber the batch "
                     "above the watermark (or pass validate_ids=False if "
-                    "id ranges are guaranteed disjoint out-of-band)."
+                    "id ranges are guaranteed disjoint out-of-band). An "
+                    "exact (min,max)-range replay of a prior append is "
+                    "allowed (foreachBatch retry)."
                 )
     idx = (
         spark.read.parquet(os.path.join(path, "grams"))
@@ -624,5 +639,6 @@ def append_to_gram_index(
         accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
     ).write.mode("append").parquet(os.path.join(path, "grams"))
     accepted_docs.agg(
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id")
+        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
     ).write.mode("append").parquet(os.path.join(path, "grams_meta"))

@@ -1846,10 +1846,13 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     phrase = " ".join(f"m{i}" for i in range(10))
     path = str(tmp_path / "gidx_mono")
     corpus = spark.createDataFrame(
-        [(5, f"alpha beta {phrase} gamma delta")], ["doc_id", "text"]
+        [(4, "unrelated earlier corpus document body"),
+         (5, f"alpha beta {phrase} gamma delta")],
+        ["doc_id", "text"],
     )
     build_gram_index(corpus, path)
 
+    # partial range overlap = id reuse, rejected
     reused = spark.createDataFrame(
         [(5, f"totally new framing {phrase} and more")], ["doc_id", "text"]
     )
@@ -1860,6 +1863,15 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="id-monotonicity"):
         clean_against_gram_index(spark, lower, path).collect()
+    # an exact (min,max)-range replay is a foreachBatch retry: allowed
+    replay = spark.createDataFrame(
+        [(4, "unrelated earlier corpus document body"),
+         (5, f"alpha beta {phrase} gamma delta")],
+        ["doc_id", "text"],
+    )
+    assert clean_against_gram_index(spark, replay, path).count() == 2
+    from tern_ep_data_pipeline_spark.operators import dedup as _d
+    _d.release_staged(spark)
 
     ok = spark.createDataFrame(
         [(6, f"other body {phrase} trailing words here")], ["doc_id", "text"]
@@ -1873,3 +1885,22 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     ).count()
     dedup.release_staged(spark)
     assert n == 1
+
+
+def test_hash_build_fits_gates_on_size(spark):
+    """The SHJ hint on the incremental gram-index join is size-gated:
+    small estimates hash-join, corpus-scale or unknown estimates take the
+    spillable sort-merge path (the sf10 stream OOM class)."""
+    from tern_ep_data_pipeline_spark.operators.memguard import (
+        hash_build_fits,
+        plan_size_estimate,
+        unified_pool_bytes,
+    )
+
+    pool = unified_pool_bytes(spark)
+    assert pool is not None and pool > 0  # local-mode session
+    assert hash_build_fits(spark, 1 << 20)          # 1 MB: hash join
+    assert not hash_build_fits(spark, 1 << 40)      # 1 TB: sort-merge
+    assert not hash_build_fits(spark, None)         # unknown: not safe
+    est = plan_size_estimate(spark.range(100).selectExpr("id", "id*2 as b"))
+    assert est is None or est > 0

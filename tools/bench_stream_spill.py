@@ -1,0 +1,146 @@
+"""Streaming ExactSubstr span-dedup at spill scale (VERDICT r6 #7).
+
+SPILL_r06 measured the BATCH substring_dedup operator only; this tool runs
+the streaming foreachBatch path over the sf10 corpus (500k docs, ~150 MB
+text) split into N id-ordered micro-batches under a constrained heap, and
+records what a long-running ingest actually needs to know:
+
+- per-batch wall time as the gram index grows (does batch k pay O(batch)
+  as designed, or O(corpus-so-far)?),
+- per-batch index growth (bytes + files under <index>/grams, reconstructed
+  from the append file sets),
+- whether memory stays flat across batches: persisted-RDD count and
+  storage memory sampled AFTER each batch (``release_staged`` +
+  ``localCheckpoint`` discipline — a leak shows as monotone growth).
+
+The micro-batch body is ``streaming.curation.span_dedup_batch`` — the
+exact function ``span_deduped_stream_sink`` registers via foreachBatch
+(the real-sink wiring itself is pytest-pinned end-to-end in
+test_streaming_multimodal); driving it through readStream +
+``maxFilesPerTrigger=1`` keeps the streaming engine in the loop while the
+instrumentation times each batch.
+
+Usage:
+  SPARK_DRIVER_MEMORY=3g SPARK_GRAFT_CPUS=32 \
+      python tools/bench_stream_spill.py --dir scaledata/sf10 --batches 10
+
+Prints one JSON line (append to SPILL_r07.json / cite in SCALING.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from tern_ep_data_pipeline_spark.session import get_spark
+
+
+def dir_bytes(path: str) -> tuple[int, int]:
+    files = [
+        f for f in glob.glob(os.path.join(path, "**"), recursive=True)
+        if os.path.isfile(f) and not f.endswith("_SUCCESS") and ".crc" not in f
+    ]
+    return sum(os.path.getsize(f) for f in files), len(files)
+
+
+def jvm_heap_used(spark) -> int:
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return int(rt.totalMemory() - rt.freeMemory())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="scaledata/sf10")
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--min-tokens", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark("stream-spill")
+    heap_conf = os.environ.get("SPARK_DRIVER_MEMORY", "(default)")
+    work = tempfile.mkdtemp(prefix="stream-spill-")
+    src_dir = os.path.join(work, "source")
+    index = os.path.join(work, "gram_index")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    # split the corpus into id-ordered batch files (monotone ids are the
+    # gram-index contract); mtimes ordered so FileStreamSource replays the
+    # ingest order deterministically
+    docs = spark.read.parquet(os.path.join(args.dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    per = (n_docs + args.batches - 1) // args.batches
+    os.makedirs(src_dir)
+    for k in range(args.batches):
+        part = docs.where(
+            (docs.doc_id >= k * per) & (docs.doc_id < (k + 1) * per)
+        ).repartition(4)
+        part.write.mode("overwrite").parquet(os.path.join(src_dir, f"b{k:02d}"))
+        t = time.time() - (args.batches - k) * 10
+        for f in glob.glob(os.path.join(src_dir, f"b{k:02d}", "*")):
+            os.utime(f, (t, t))
+
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    batch_stats: list[dict] = []
+
+    def _process(batch, batch_id: int) -> None:
+        # identical to span_deduped_stream_sink's foreachBatch body, plus
+        # instrumentation around it
+        t0 = time.time()
+        span_dedup_batch(
+            batch, index, "doc_id", "text", min_tokens=args.min_tokens
+        ).write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        sc = batch.sparkSession.sparkContext
+        idx_bytes, idx_files = dir_bytes(os.path.join(index, "grams"))
+        batch_stats.append(
+            {
+                "batch_id": int(batch_id),
+                "rows": batch.count(),
+                "sec": round(time.time() - t0, 3),
+                "index_bytes": idx_bytes,
+                "index_files": idx_files,
+                "persisted_rdds": int(sc._jsc.getPersistentRDDs().size()),
+                "heap_used_mb": jvm_heap_used(batch.sparkSession) >> 20,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "4")  # = files per batch dir (string: int options are ignored)
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out_rows = spark.read.parquet(out).count()
+    result = {
+        "metric": "streaming_span_dedup_spill",
+        "heap": heap_conf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "(default)"),
+        "dir": args.dir,
+        "n_docs": n_docs,
+        "batches": batch_stats,
+        "out_rows": out_rows,
+        "loadavg": os.getloadavg()[0],
+    }
+    print(json.dumps(result))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
