@@ -132,14 +132,18 @@ def format_control_file(data: Mapping) -> str:
     out: list[str] = []
 
     def _walk(section: Mapping, depth: int) -> None:
+        pad = "    " * (depth - 1)
+        # scalars FIRST, then subsections (ConfigObj's write order): a
+        # scalar emitted after a subsection header would re-parse into
+        # that subsection, breaking the round-trip for mappings whose
+        # insertion order interleaves the two (ADVICE r7 #3)
+        for key, val in section.items():
+            if not isinstance(val, Mapping):
+                out.append(f"{pad}{key} = {_format_value(val)}")
         for key, val in section.items():
             if isinstance(val, Mapping):
-                pad = "    " * (depth - 1)
                 out.append(f"{pad}{'[' * depth}{key}{']' * depth}")
                 _walk(val, depth + 1)
-            else:
-                pad = "    " * (depth - 1)
-                out.append(f"{pad}{key} = {_format_value(val)}")
 
     _walk(data, 1)
     return "\n".join(out) + "\n"
@@ -261,9 +265,14 @@ class VariableConfigTable:
 
     def __init__(self, data: Mapping[str, Mapping[str, object]]):
         self.data: dict[str, dict[str, str]] = {}
-        first = next(iter(data.values()), {})
+        # column union over ALL variables (the reference's pandas
+        # DataFrame-of-dicts construction unions keys): deciding from the
+        # first row only would silently drop long_name/diag_type for every
+        # row when only a later variable carries it (ADVICE r7 #4)
         use_cols = list(VAR_ATTRS) + [
-            c for c in OPTIONAL_VAR_ATTRS if c in first
+            c
+            for c in OPTIONAL_VAR_ATTRS
+            if any(c in attrs for attrs in data.values())
         ]
         for var, attrs in data.items():
             if str(attrs.get("ignore", "")).strip().lower() in (
@@ -469,6 +478,15 @@ def compile_template_configs(
         local_refs["press"] = "ps"
     for group, ref_var in local_refs.items():
         if ref_var not in template:
+            if f"{group}_height" in system_configs:
+                # the reference indexes the template frame with df.loc and
+                # KeyErrors on a missing reference variable — a configured
+                # height with nowhere to flow must fail loudly, not yield
+                # configs with silently-missing heights (ADVICE r7 #5)
+                raise KeyError(
+                    f"{group}_height is configured but reference variable "
+                    f"{ref_var!r} is not in the template"
+                )
             continue
         height = system_configs[f"{group}_height"]
         insts = _stringify(template[ref_var].get("instrument", "")).split(",")

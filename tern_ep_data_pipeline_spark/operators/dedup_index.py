@@ -21,6 +21,7 @@ so batch-vs-index joins co-locate without shuffling the index side.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -529,6 +530,7 @@ def build_gram_index(
     docs.agg(
         F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
         F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
+        F.lit("build").alias("kind"),
     ).write.mode("overwrite").parquet(os.path.join(path, "grams_meta"))
     return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
 
@@ -569,9 +571,16 @@ def clean_against_gram_index(
     if validate_ids:
         meta_path = os.path.join(path, "grams_meta")
         try:
+            mdf = spark.read.parquet(meta_path)
+            # pre-r8 meta layout carried no kind tag; those rows were all
+            # written by the same build/append code paths, so keep the old
+            # (lenient) carve-out for them rather than rejecting retries of
+            # an index built before the tag existed
+            if "kind" not in mdf.columns:
+                mdf = mdf.withColumn("kind", F.lit("append"))
             meta = [
-                (r["min_doc_id"], r["max_doc_id"])
-                for r in spark.read.parquet(meta_path).collect()
+                (r["min_doc_id"], r["max_doc_id"], r["kind"])
+                for r in mdf.collect()
                 if r["max_doc_id"] is not None
             ]
         except Exception:  # pre-watermark index layout: nothing to check
@@ -581,12 +590,19 @@ def clean_against_gram_index(
                 F.min(F.col(id_col).cast("long")),
                 F.max(F.col(id_col).cast("long")),
             ).collect()[0]
-            # An append whose (min, max) range equals this batch exactly is
+            # An APPEND whose (min, max) range equals this batch exactly is
             # this batch's own earlier append — foreachBatch is
             # at-least-once, and a re-delivered batch re-appends the same
-            # per-gram minima (idempotent), so retries must pass. Partial
-            # overlaps are id reuse and rejected.
-            others = [m for m in meta if m != (lo, hi)]
+            # per-gram minima (idempotent), so retries must pass. The
+            # carve-out applies to append-tagged ranges ONLY (ADVICE r7
+            # #1): the initial build range is not a retryable append, so a
+            # batch reusing the build's exact id range is id reuse, not a
+            # retry, and is rejected like any other overlap.
+            others = [
+                (m_lo, m_hi)
+                for (m_lo, m_hi, m_kind) in meta
+                if not (m_kind == "append" and (m_lo, m_hi) == (lo, hi))
+            ]
             indexed_max = max((m[1] for m in others), default=None)
             if (
                 lo is not None
@@ -641,4 +657,109 @@ def append_to_gram_index(
     accepted_docs.agg(
         F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
         F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
+        F.lit("append").alias("kind"),
     ).write.mode("append").parquet(os.path.join(path, "grams_meta"))
+
+
+# ------------------------------------------------------------- compaction
+
+def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
+    """Replace ``path`` with the materialisation of ``df`` (which reads
+    from ``path`` — Spark cannot overwrite a dir it is scanning, so the
+    rewrite lands in a sibling temp dir first and the dirs swap after the
+    write commits). Local-filesystem rename here; on an object-store lake
+    the same two steps are "write new version dir, flip the table
+    manifest" (Delta/Iceberg give it to you as OPTIMIZE/rewrite_data_files
+    — this is that operation for the plain-parquet index layout)."""
+    tmp = path + ".compact-tmp"
+    old = path + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.repartition(max(1, partitions)).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _compact_partitions(spark: SparkSession, path: str) -> int:
+    """Output partition count for a compacted table: its current on-disk
+    bytes over the session's target file-split size — so a compacted
+    index re-reads in the same number of tasks a fresh build would."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.endswith(".crc") and f != "_SUCCESS"
+        )
+    try:
+        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    except Exception:
+        split = 128 << 20
+    return max(1, total // max(split, 1) + 1)
+
+
+def compact_gram_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the gram-first table keeping ``min(first_key)`` per gram —
+    the same min-combine every read already applies, run once and made
+    durable, so the per-batch O(index) scan stops paying for append
+    duplication (a boilerplate gram appears in every append that saw it;
+    after compaction it is one row). Readers are unaffected mid-stream:
+    the min over the compacted rows equals the min over the raw appends
+    (min is idempotent/associative), which is also why compacting between
+    any two batches cannot change a later batch's clean decisions.
+
+    ``grams_meta`` is left byte-identical: it is the append-watermark log
+    the id-monotonicity retry carve-out matches against (one tiny row per
+    append), and folding it would erase the replay evidence.
+
+    Returns ``{rows_before, rows_after, files_before, files_after}``.
+    """
+    gp = os.path.join(path, "grams")
+    before = spark.read.parquet(gp)
+    files_before = sum(
+        1 for f in os.listdir(gp) if f.endswith(".parquet")
+    )
+    rows_before = before.count()
+    agg = before.groupBy("gram_hash").agg(F.min("first_key").alias("first_key"))
+    _rewrite_parquet_dir(agg, gp, _compact_partitions(spark, gp))
+    after = spark.read.parquet(gp)
+    return {
+        "rows_before": rows_before,
+        "rows_after": after.count(),
+        "files_before": files_before,
+        "files_after": sum(1 for f in os.listdir(gp) if f.endswith(".parquet")),
+    }
+
+
+def compact_chunk_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the chunk-hash table to distinct hashes (appends are
+    distinct within themselves only — `append_to_chunk_index`), bounding
+    the re-read the per-batch join pays. Safe at any batch boundary:
+    ``chunk_stats_against_index`` distincts the index before joining, so
+    compaction changes bytes scanned, never results."""
+    cp = os.path.join(path, "chunks")
+    before = spark.read.parquet(cp)
+    rows_before = before.count()
+    _rewrite_parquet_dir(
+        before.distinct(), cp, _compact_partitions(spark, cp)
+    )
+    return {
+        "rows_before": rows_before,
+        "rows_after": spark.read.parquet(cp).count(),
+    }
+
+
+def compact_line_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the line-count table summing ``n_docs`` per hash — the
+    same sum ``clean_against_line_index`` applies on read (counts add
+    across doc-disjoint appends), made durable once."""
+    lp = os.path.join(path, "lines")
+    before = spark.read.parquet(lp)
+    rows_before = before.count()
+    agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
+    _rewrite_parquet_dir(agg, lp, _compact_partitions(spark, lp))
+    return {
+        "rows_before": rows_before,
+        "rows_after": spark.read.parquet(lp).count(),
+    }

@@ -29,6 +29,7 @@ long before the data is the bottleneck.
 from __future__ import annotations
 
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +44,31 @@ from .memguard import tight_memory as _tight_memory
 #: for the life of the session (ADVICE r6 #2); the dirs themselves go at
 #: interpreter exit.
 _OWNED_CKPT_DIRS: set[str] = set()
+
+#: Tight-mode CC runs currently alive in this process. The checkpoint dir
+#: is SparkContext-global, so two driver threads running tight-mode CC
+#: concurrently write reliable-checkpoint files into the SAME owned root;
+#: emptying it when the first run finishes would delete the second run's
+#: live files mid-iteration (ADVICE r7 #2). Releases are refcounted: the
+#: last active run out cleans up.
+_CKPT_LOCK = threading.Lock()
+_ACTIVE_TIGHT_RUNS = 0
+
+
+def _enter_tight_run() -> None:
+    global _ACTIVE_TIGHT_RUNS
+    with _CKPT_LOCK:
+        _ACTIVE_TIGHT_RUNS += 1
+
+
+def _exit_tight_run(spark) -> None:
+    """Decrement the active-run count; empty the owned checkpoint dir only
+    when no other tight-mode run still depends on its files."""
+    global _ACTIVE_TIGHT_RUNS
+    with _CKPT_LOCK:
+        _ACTIVE_TIGHT_RUNS -= 1
+        if _ACTIVE_TIGHT_RUNS == 0:
+            _release_checkpoints(spark)
 
 
 def _cleanup_owned_dirs() -> None:
@@ -175,80 +201,91 @@ def connected_components(
         e.select(F.explode(both).alias("p")).select("p.a", "p.b").distinct()
     )
     tight = _tight_memory(edges.sparkSession)
-    sym = _truncate(sym, tight)
+    if tight:
+        # refcount the run so a concurrent tight-mode CC on the same
+        # SparkSession (driver threads) keeps its checkpoint files until
+        # BOTH runs have materialised their results off them
+        _enter_tight_run()
+    try:
+        sym = _truncate(sym, tight)
 
-    # Size the iteration's shuffles to the graph, not the session conf: the
-    # edge set is usually orders of magnitude smaller than the corpus that
-    # produced it (near-dup pairs, not documents), and every round pays per
-    # -partition scheduling overhead times two shuffles. ~50k edges per
-    # partition keeps small graphs on a few tasks while still fanning out
-    # arbitrarily for billion-edge inputs.
-    n_edges = sym.count()
-    if n_edges <= driver_threshold:
-        out = _driver_union_find(sym)  # collects; independent of ckpt files
+        # Size the iteration's shuffles to the graph, not the session
+        # conf: the edge set is usually orders of magnitude smaller than
+        # the corpus that produced it (near-dup pairs, not documents), and
+        # every round pays per-partition scheduling overhead times two
+        # shuffles. ~50k edges per partition keeps small graphs on a few
+        # tasks while still fanning out arbitrarily for billion-edge
+        # inputs.
+        n_edges = sym.count()
+        if n_edges <= driver_threshold:
+            return _driver_union_find(sym)  # collects; ckpt-independent
+        parallelism = sym.sparkSession.sparkContext.defaultParallelism
+        parts = max(2, min(parallelism, n_edges // 50_000 + 1))
+        sym = _truncate(sym.repartition(parts, "b"), tight)
+
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .repartition(parts, "node")
+        )
+        labels = _truncate(labels, tight)
+
+        for _ in range(max_iter):
+            # 1. neighbour-min over the closed neighbourhood
+            nbr = sym.join(
+                labels.withColumnRenamed("node", "b"), on="b"
+            ).select(F.col("a").alias("node"), "label")
+            stepped = (
+                nbr.unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # 2. pointer jump: label <- label(label); labels are node ids
+            # so the self-join always finds the row, but stay safe under
+            # coalesce for the (impossible) miss. The right side is
+            # re-aliased column-by-column: plain DataFrame.alias keeps the
+            # original expression ids on both branches of a self-join and
+            # Catalyst can mis-resolve them under complex upstream plans.
+            right = stepped.select(
+                F.col("node").alias("ptr_node"),
+                F.col("label").alias("ptr_label"),
+            )
+            jumped = stepped.join(
+                right, stepped["label"] == right["ptr_node"], "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("ptr_label"), F.col("label")).alias("label"),
+            )
+            new_labels = _truncate(jumped, tight)
+
+            prev = labels.select(
+                F.col("node").alias("prev_node"),
+                F.col("label").alias("prev_label"),
+            )
+            changed = (
+                new_labels.join(prev, new_labels["node"] == prev["prev_node"])
+                .where(F.col("label") != F.col("prev_label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                out = labels.select("node", F.col("label").alias("component"))
+                if tight:
+                    # sever the result from the reliable-checkpoint files
+                    # BEFORE the finally block may empty their dir: the
+                    # final (node, component) frame is two longs per node —
+                    # resident is fine even in tight mode, unlike the
+                    # per-iteration edge frames
+                    out = out.localCheckpoint(eager=True)
+                return out
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
         if tight:
-            _release_checkpoints(edges.sparkSession)
-        return out
-    parallelism = sym.sparkSession.sparkContext.defaultParallelism
-    parts = max(2, min(parallelism, n_edges // 50_000 + 1))
-    sym = _truncate(sym.repartition(parts, "b"), tight)
-
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .repartition(parts, "node")
-    )
-    labels = _truncate(labels, tight)
-
-    for _ in range(max_iter):
-        # 1. neighbour-min over the closed neighbourhood
-        nbr = sym.join(
-            labels.withColumnRenamed("node", "b"), on="b"
-        ).select(F.col("a").alias("node"), "label")
-        stepped = (
-            nbr.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # 2. pointer jump: label <- label(label); labels are node ids so
-        # the self-join always finds the row, but stay safe under
-        # coalesce for the (impossible) miss. The right side is re-aliased
-        # column-by-column: plain DataFrame.alias keeps the original
-        # expression ids on both branches of a self-join and Catalyst can
-        # mis-resolve them under complex upstream plans.
-        right = stepped.select(
-            F.col("node").alias("ptr_node"), F.col("label").alias("ptr_label")
-        )
-        jumped = stepped.join(
-            right, stepped["label"] == right["ptr_node"], "left"
-        ).select(
-            "node",
-            F.coalesce(F.col("ptr_label"), F.col("label")).alias("label"),
-        )
-        new_labels = _truncate(jumped, tight)
-
-        prev = labels.select(
-            F.col("node").alias("prev_node"), F.col("label").alias("prev_label")
-        )
-        changed = (
-            new_labels.join(prev, new_labels["node"] == prev["prev_node"])
-            .where(F.col("label") != F.col("prev_label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            out = labels.select("node", F.col("label").alias("component"))
-            if tight:
-                # sever the result from the reliable-checkpoint files so
-                # their dir can be emptied now: the final (node, component)
-                # frame is two longs per node — resident is fine even in
-                # tight mode, unlike the per-iteration edge frames
-                out = out.localCheckpoint(eager=True)
-                _release_checkpoints(edges.sparkSession)
-            return out
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            _exit_tight_run(edges.sparkSession)
 
 
 def dedup_clusters(

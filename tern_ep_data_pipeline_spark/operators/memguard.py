@@ -77,6 +77,76 @@ def hash_build_fits(
     return per_task_build <= per_task_budget
 
 
+#: Incremental span-dedup resident model, calibrated against the
+#: measured SPILL_r07 grid (sf10 corpus in 10 micro-batches, ~5.8 MB
+#: parquet/batch, index +~90 MB/batch): 2g/32 completed batch 0 then
+#: heap-OOM'd in the per-doc coverage-window stage at batch 1 (index
+#: ~87 MB); 3g/32 completed all 10 batches (index to 894 MB). The batch
+#: term models the token posexplode + two per-document row windows (a
+#: few hundred bytes per token across the concurrent tasks' sort
+#: buffers); the index term models the sort-merge/scan side of the
+#: corpus-scale first-key join. The three cells bound the constants:
+#: 210x batch + 1.0x index + 16 MiB/core sits between the measured
+#: passing and failing runs on both heaps.
+SPAN_RESIDENT_PER_BATCH_BYTE = 210
+SPAN_RESIDENT_PER_INDEX_BYTE = 1.0
+SPAN_RESIDENT_PER_CORE = 16 << 20
+
+
+def incremental_span_floor_message(
+    spark: SparkSession, batch_bytes: int | None, index_bytes: int
+) -> str | None:
+    """Plan-time sizing check for the INCREMENTAL ExactSubstr path
+    (``streaming.curation.span_dedup_batch``): the batch operator's
+    floor guard (`plans.curation._check_memory_floor`) models a
+    corpus-sized input, but the incremental path's resident set scales
+    with the micro-batch plus the growing gram index — at 2g/32 it dies
+    with a RAW executor heap OOM in the per-doc coverage-window stage
+    (SPILL_r07, batch 1) instead of a classified error. Returns the
+    violation message naming the invariant, or None when sized OK /
+    undecidable (no plan estimate; cluster mode without executor confs).
+    """
+    if batch_bytes is None or batch_bytes <= 0:
+        return None
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        cores = spark.sparkContext.defaultParallelism
+    else:
+        exec_mem = spark.conf.get("spark.executor.memory", None)
+        exec_cores = spark.conf.get("spark.executor.cores", None)
+        if not (exec_mem and exec_cores):
+            return None
+        from ..plans.curation import _parse_executor_memory
+
+        heap = _parse_executor_memory(exec_mem)
+        cores = int(exec_cores)
+    avail = max(0, heap - _JVM_RESERVED)
+    resident = int(
+        SPAN_RESIDENT_PER_BATCH_BYTE * batch_bytes
+        + SPAN_RESIDENT_PER_INDEX_BYTE * index_bytes
+        + SPAN_RESIDENT_PER_CORE * cores
+    )
+    if resident <= avail:
+        return None
+    need = resident + _JVM_RESERVED
+    return (
+        "incremental span-dedup sizing invariant violated: estimated "
+        f"resident working set ~{resident / 2**20:.0f} MiB "
+        f"(~{SPAN_RESIDENT_PER_BATCH_BYTE}x the {batch_bytes / 2**20:.1f} MiB "
+        f"micro-batch for the per-document coverage windows + "
+        f"{SPAN_RESIDENT_PER_INDEX_BYTE:g}x the {index_bytes / 2**20:.0f} MiB "
+        f"gram index + {SPAN_RESIDENT_PER_CORE >> 20} MiB x {cores} cores) "
+        f"exceeds the ~{avail / 2**20:.0f} MiB usable heap of a "
+        f"{heap / 2**30:.1f} GiB executor. Below this floor the JVM "
+        "heap-OOMs in the coverage-window stage instead of spilling "
+        "(SPILL_r07). Raise executor memory to ~"
+        f"{need / 2**30 + 0.5:.0f} GiB, shrink the micro-batch "
+        "(maxFilesPerTrigger), compact the gram index, or pass "
+        "memory_guard=False to proceed anyway."
+    )
+
+
 def plan_size_estimate(df) -> int | None:
     """Catalyst's sizeInBytes for a frame (exact for file scans, a guess
     after joins); None when unavailable or absurd."""

@@ -202,6 +202,15 @@ def _dir_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _dir_bytes(spark, path: str) -> int:
+    """Recursive byte size of a directory through the Hadoop filesystem
+    (works for hdfs:///s3a:// index paths, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def span_dedup_batch(
     batch: DataFrame,
     index_path: str,
@@ -209,6 +218,7 @@ def span_dedup_batch(
     text_col: str = "text",
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
+    memory_guard: bool = True,
 ) -> DataFrame:
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
@@ -219,14 +229,40 @@ def span_dedup_batch(
     decide. Earlier batches were decided before later data existed —
     inherent to any incremental dedup, same contract as the exact/chunk/
     line indexes.
+
+    ``memory_guard`` (default on) applies the plan-time sizing check for
+    the incremental path (``memguard.incremental_span_floor_message``):
+    below the floor this stage dies with a RAW executor heap OOM in the
+    per-document coverage windows (SPILL_r07, 2g/32 at batch 1) — the
+    guard turns that into a ``CurationMemoryError`` naming the invariant
+    BEFORE the stage launches, matching the batch operators' failure
+    quality.
     """
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
         append_to_gram_index,
         clean_against_gram_index,
     )
+    from ..operators.memguard import (
+        incremental_span_floor_message,
+        plan_size_estimate,
+    )
 
-    if _dir_exists(batch.sparkSession, f"{index_path}/grams"):
+    have_index = _dir_exists(batch.sparkSession, f"{index_path}/grams")
+    if memory_guard:
+        index_bytes = (
+            _dir_bytes(batch.sparkSession, f"{index_path}/grams")
+            if have_index
+            else 0
+        )
+        floor_msg = incremental_span_floor_message(
+            batch.sparkSession, plan_size_estimate(batch), index_bytes
+        )
+        if floor_msg is not None:
+            from ..plans.curation import CurationMemoryError
+
+            raise CurationMemoryError(floor_msg)
+    if have_index:
         cleaned = clean_against_gram_index(
             batch.sparkSession,
             batch,
@@ -261,6 +297,8 @@ def span_deduped_stream_sink(
     text_col: str = "text",
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
+    compact_every: int | None = None,
+    memory_guard: bool = True,
 ):
     """Streaming ExactSubstr span dedup via ``foreachBatch``: each
     micro-batch is cleaned against the gram index, lands as parquet, and
@@ -275,13 +313,28 @@ def span_deduped_stream_sink(
     overwrite — a retried batch replaces its own output instead of
     appending a duplicate copy. So the sink is effectively-once for both
     the index and the output.
+
+    ``compact_every=N`` compacts the gram index after every N-th batch
+    (``dedup_index.compact_gram_index``): appends re-record every gram
+    the batch shares with the corpus, so without compaction the
+    per-batch min-combine scan pays for append duplication that the
+    index's min semantics make redundant. Compaction between batches
+    cannot change any later batch's decisions (min over compacted rows
+    == min over raw appends) and a retried batch re-appends after the
+    compacted files, which the same min absorbs — so the
+    effectively-once story is unchanged.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         span_dedup_batch(
             batch, index_path, id_col, text_col,
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+            memory_guard=memory_guard,
         ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..operators.dedup_index import compact_gram_index
+
+            compact_gram_index(batch.sparkSession, index_path)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -1863,22 +1863,39 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="id-monotonicity"):
         clean_against_gram_index(spark, lower, path).collect()
-    # an exact (min,max)-range replay is a foreachBatch retry: allowed
-    replay = spark.createDataFrame(
+    # an exact range replay of the BUILD is NOT a retry: build_gram_index
+    # is a batch bootstrap the streaming engine never re-delivers, so a
+    # batch landing exactly on its id range is id reuse (ADVICE r7 #1)
+    replay_build = spark.createDataFrame(
         [(4, "unrelated earlier corpus document body"),
          (5, f"alpha beta {phrase} gamma delta")],
         ["doc_id", "text"],
     )
-    assert clean_against_gram_index(spark, replay, path).count() == 2
+    with pytest.raises(ValueError, match="id-monotonicity"):
+        clean_against_gram_index(spark, replay_build, path).collect()
+
+    # an exact (min,max)-range replay of an APPEND is a foreachBatch
+    # retry: allowed (at-least-once delivery re-runs the failed batch)
     from tern_ep_data_pipeline_spark.operators import dedup as _d
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+    )
+
+    appended = spark.createDataFrame(
+        [(8, f"first append zz1 {phrase} zz2 closing"),
+         (9, "second append document unrelated")],
+        ["doc_id", "text"],
+    )
+    append_to_gram_index(appended, path)
+    assert clean_against_gram_index(spark, appended, path).count() == 2
     _d.release_staged(spark)
 
     ok = spark.createDataFrame(
-        [(6, f"other body {phrase} trailing words here")], ["doc_id", "text"]
+        [(16, f"other body {phrase} trailing words here")], ["doc_id", "text"]
     )
     out = {r["doc_id"]: r for r in clean_against_gram_index(spark, ok, path).collect()}
     dedup.release_staged(spark)
-    assert out[6]["n_removed_tokens"] == 10
+    assert out[16]["n_removed_tokens"] == 10
     # opt-out path still works for out-of-band-guaranteed callers
     n = clean_against_gram_index(
         spark, ok, path, validate_ids=False
@@ -1904,3 +1921,236 @@ def test_hash_build_fits_gates_on_size(spark):
     assert not hash_build_fits(spark, None)         # unknown: not safe
     est = plan_size_estimate(spark.range(100).selectExpr("id", "id*2 as b"))
     assert est is None or est > 0
+
+
+# ----------------------------------------------------- round-8: compaction
+
+def test_compact_gram_index_preserves_decisions(spark, tmp_path):
+    """Compaction is a pure re-encoding: the per-batch min-combine over
+    compacted rows equals the min over raw appends, so clean decisions on
+    the next batch are EXACTLY unchanged — while duplicated append rows
+    collapse (the O(index) scan the per-batch join pays shrinks)."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        build_gram_index,
+        clean_against_gram_index,
+        compact_gram_index,
+    )
+
+    phrase = " ".join(f"c{i}" for i in range(10))
+    path = str(tmp_path / "gidx_compact")
+    corpus = spark.createDataFrame(
+        [(1, f"corpus first copy {phrase} end of document")],
+        ["doc_id", "text"],
+    )
+    build_gram_index(corpus, path)
+    # two appends that RE-RECORD the phrase grams (each saw a copy) — the
+    # raw index now holds 3 rows per phrase gram with the corpus's min key
+    for ids in ((10, 11), (20, 21)):
+        append_to_gram_index(
+            spark.createDataFrame(
+                [(ids[0], f"another copy {phrase} trailing"),
+                 (ids[1], f"unique filler u{ids[1]} body words")],
+                ["doc_id", "text"],
+            ),
+            path,
+        )
+
+    probe = spark.createDataFrame(
+        [(30, f"probe document {phrase} with fresh tail tokens"),
+         (31, "entirely novel probe body nothing shared")],
+        ["doc_id", "text"],
+    )
+    key = lambda rows: sorted(
+        (r["doc_id"], r["clean_text"], r["n_tokens"],
+         r["n_removed_tokens"], r["n_dup_spans"])
+        for r in rows
+    )
+    before = key(clean_against_gram_index(spark, probe, path).collect())
+    dedup.release_staged(spark)
+
+    stats = compact_gram_index(spark, path)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert stats["files_after"] <= stats["files_before"]
+    # distinct grams survive exactly once
+    grams = spark.read.parquet(str(tmp_path / "gidx_compact" / "grams"))
+    assert grams.count() == grams.select("gram_hash").distinct().count()
+
+    after = key(clean_against_gram_index(spark, probe, path).collect())
+    dedup.release_staged(spark)
+    assert before == after
+
+    # the append-watermark log is untouched: an exact-range APPEND replay
+    # is still recognised as a retry after compaction
+    replay = spark.createDataFrame(
+        [(20, f"another copy {phrase} trailing"),
+         (21, "unique filler u21 body words")],
+        ["doc_id", "text"],
+    )
+    assert clean_against_gram_index(spark, replay, path).count() == 2
+    dedup.release_staged(spark)
+
+    # idempotent: compacting a compacted index changes nothing
+    stats2 = compact_gram_index(spark, path)
+    assert stats2["rows_before"] == stats2["rows_after"] == stats["rows_after"]
+
+
+def test_compact_chunk_and_line_index(spark, tmp_path):
+    """Chunk compaction distincts, line compaction sums — both preserve
+    the next batch's results exactly while shrinking the stored rows."""
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_chunk_index,
+        append_to_line_index,
+        build_chunk_index,
+        build_line_index,
+        chunk_stats_against_index,
+        clean_against_line_index,
+        compact_chunk_index,
+        compact_line_index,
+    )
+
+    cpath = str(tmp_path / "cidx")
+    lpath = str(tmp_path / "lidx")
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    base = mk([(1, " ".join(f"t{i}" for i in range(20)))])
+    build_chunk_index(base, cpath, chunk_tokens=5)
+    build_line_index(mk([(1, "shared line\nalpha only"),
+                         (2, "shared line\nbeta only")]), lpath)
+    # appends duplicating existing hashes
+    append_to_chunk_index(
+        base.withColumn("doc_id", base.doc_id + 10), cpath, chunk_tokens=5
+    )
+    append_to_line_index(mk([(11, "shared line\ngamma only")]), lpath)
+
+    probe_c = mk([(50, " ".join(f"t{i}" for i in range(10)) + " novel tail")])
+    probe_l = mk([(60, "shared line\ndelta only")])
+    before_c = sorted(map(tuple, chunk_stats_against_index(
+        spark, probe_c, cpath, chunk_tokens=5).collect()))
+    before_l = sorted(map(tuple, clean_against_line_index(
+        spark, probe_l, lpath, min_docs=2).collect()))
+
+    sc = compact_chunk_index(spark, cpath)
+    sl = compact_line_index(spark, lpath)
+    assert sc["rows_after"] < sc["rows_before"]
+    assert sl["rows_after"] < sl["rows_before"]
+
+    after_c = sorted(map(tuple, chunk_stats_against_index(
+        spark, probe_c, cpath, chunk_tokens=5).collect()))
+    after_l = sorted(map(tuple, clean_against_line_index(
+        spark, probe_l, lpath, min_docs=2).collect()))
+    assert before_c == after_c
+    assert before_l == after_l
+    # the summed line counts are true corpus counts: 'shared line' seen in
+    # docs 1, 2, 11 -> one row carrying n_docs == 3
+    import hashlib
+
+    lh = hashlib.md5(b"shared line").hexdigest()
+    rows = spark.read.parquet(lpath + "/lines").collect()
+    counts = {r["line_hash"]: r["n_docs"] for r in rows}
+    assert counts[lh] == 3
+    assert len(rows) == len(counts)  # one row per hash after compaction
+
+
+def test_incremental_span_floor_calibration():
+    """The incremental span-dedup floor constants must reproduce the
+    SPILL_r07 grid: 2g/32 passed batch 0 (empty index) and heap-OOM'd at
+    batch 1 (~87 MB index, ~5.8 MB parquet batch); 3g/32 completed all
+    batches (index to 894 MB)."""
+    from tern_ep_data_pipeline_spark.operators.memguard import (
+        _JVM_RESERVED,
+        SPAN_RESIDENT_PER_BATCH_BYTE,
+        SPAN_RESIDENT_PER_CORE,
+        SPAN_RESIDENT_PER_INDEX_BYTE,
+    )
+
+    batch = int(5.8 * 2**20)
+    cores = 32
+
+    def resident(index_bytes):
+        return (
+            SPAN_RESIDENT_PER_BATCH_BYTE * batch
+            + SPAN_RESIDENT_PER_INDEX_BYTE * index_bytes
+            + SPAN_RESIDENT_PER_CORE * cores
+        )
+
+    avail_2g = (2 << 30) - _JVM_RESERVED
+    avail_3g = (3 << 30) - _JVM_RESERVED
+    assert resident(0) <= avail_2g                      # batch 0 passed
+    assert resident(87 << 20) > avail_2g                # batch 1 OOM'd
+    assert resident(894 << 20) <= avail_3g              # 3g completed
+
+
+def test_span_dedup_batch_memory_guard(spark, tmp_path, monkeypatch):
+    """Below the incremental floor the guard raises the SAME classified
+    error as the batch operators (CurationMemoryError) BEFORE the
+    coverage-window stage launches; memory_guard=False opts out."""
+    from tern_ep_data_pipeline_spark.operators import dedup, memguard
+    from tern_ep_data_pipeline_spark.plans.curation import CurationMemoryError
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    batch = spark.createDataFrame(
+        [(1, "some tokens repeated here some tokens repeated here")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "span_idx")
+
+    monkeypatch.setattr(
+        memguard,
+        "incremental_span_floor_message",
+        lambda spark, b, i: "incremental span-dedup sizing invariant violated (test)",
+    )
+    with pytest.raises(CurationMemoryError, match="sizing invariant"):
+        span_dedup_batch(batch, idx, "doc_id", "text")
+    # guard fired at plan time: nothing was appended to the index
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "grams"))
+
+    out = span_dedup_batch(batch, idx, "doc_id", "text", memory_guard=False)
+    assert out.count() == 1
+    dedup.release_staged(spark)
+
+    # sized-OK path: the real estimator returns None/OK on this session
+    monkeypatch.setattr(
+        memguard, "incremental_span_floor_message", lambda spark, b, i: None
+    )
+    out2 = span_dedup_batch(
+        batch.withColumn("doc_id", batch.doc_id + 1), idx, "doc_id", "text"
+    )
+    assert out2.count() == 1
+    dedup.release_staged(spark)
+
+
+def test_cc_concurrent_tight_runs_refcount(spark, monkeypatch):
+    """A tight-mode CC run must not empty the shared checkpoint root while
+    ANOTHER tight-mode run is still alive (ADVICE r7 #2): releases are
+    refcounted, so the files survive until the last run exits."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_tight_memory", lambda spark: True)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    # simulate a second live run holding the checkpoint root
+    graph._enter_tight_run()
+    try:
+        out = connected_components(edges, driver_threshold=0)
+        assert out.count() == 5
+        local = spark.sparkContext.getCheckpointDir().removeprefix("file:")
+        d = next(
+            o for o in graph._OWNED_CKPT_DIRS
+            if local == o or local.startswith(o + os.sep)
+        )
+        leftover = [f for _, _, fs in os.walk(d) for f in fs]
+        assert leftover != [], (
+            "checkpoint files were deleted while a concurrent tight-mode "
+            "run was still active"
+        )
+    finally:
+        graph._exit_tight_run(spark)
+    # last run out cleans up
+    leftover = [f for _, _, fs in os.walk(d) for f in fs]
+    assert leftover == []

@@ -1016,6 +1016,74 @@ def test_span_dedup_stream_sink_end_to_end(spark, tmp_path):
     assert globmod.glob(f"{idx}/grams/*.parquet")
 
 
+def test_span_dedup_stream_sink_with_compaction(spark, tmp_path):
+    """compact_every=1 compacts the gram index after every micro-batch;
+    the cleaned output is identical to the uncompacted sink (min over
+    compacted rows == min over raw appends) and later batches still see
+    earlier batches' spans through the compacted index."""
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    phrase = " ".join(f"q{i}" for i in range(10))
+    texts = [
+        (1, f"first holder doc {phrase} original ending content words"),
+        (2, "plain novel doc nothing shared with any other"),
+        (11, f"late copier piece {phrase} different framing entirely now"),
+        (12, "another plain novel doc all unique tokens again"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def run(compact_every):
+        tag = f"c{compact_every or 0}"
+        src = str(tmp_path / f"src_{tag}")
+        # two id-ordered batch files so the second batch is cleaned
+        # against an index that HAS been compacted (compact_every=1)
+        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
+        docs.where("doc_id >= 10").coalesce(1).write.parquet(f"{src}/b1")
+        import glob as globmod
+        import os as osmod
+        import time as timemod
+
+        for k, sub in enumerate(("b0", "b1")):
+            t = timemod.time() - (2 - k) * 10
+            for f in globmod.glob(f"{src}/{sub}/*"):
+                osmod.utime(f, (t, t))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            span_deduped_stream_sink(
+                stream,
+                str(tmp_path / f"gidx_{tag}"),
+                out,
+                str(tmp_path / f"ckpt_{tag}"),
+                compact_every=compact_every,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        release_staged(spark)
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    plain = run(None)
+    compacted = run(1)
+    assert compacted == plain
+    # the cross-batch span was actually cut (through the compacted index)
+    assert compacted[11][1] == 10
+    # compaction left one distinct row per gram
+    grams = spark.read.parquet(str(tmp_path / "gidx_c1" / "grams"))
+    assert grams.count() == grams.select("gram_hash").distinct().count()
+
+
 # ---------------------------------- round-7: binding cross-decode pins
 
 def _require_pillow():

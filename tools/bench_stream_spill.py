@@ -61,6 +61,20 @@ def main() -> None:
     ap.add_argument("--dir", default="scaledata/sf10")
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--min-tokens", type=int, default=8)
+    ap.add_argument(
+        "--compact-every",
+        type=int,
+        default=0,
+        help="compact the gram index after every N-th batch (0 = never) — "
+        "the dedup_index.compact_gram_index trigger the production sink "
+        "wires via span_deduped_stream_sink(compact_every=N)",
+    )
+    ap.add_argument(
+        "--no-memory-guard",
+        action="store_true",
+        help="disable the plan-time incremental sizing check (to measure "
+        "the raw failure mode the guard classifies)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stream-spill")
@@ -89,28 +103,39 @@ def main() -> None:
         for f in glob.glob(os.path.join(src_dir, f"b{k:02d}", "*")):
             os.utime(f, (t, t))
 
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        compact_gram_index,
+    )
     from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
 
     batch_stats: list[dict] = []
 
     def _process(batch, batch_id: int) -> None:
-        # identical to span_deduped_stream_sink's foreachBatch body, plus
-        # instrumentation around it
+        # identical to span_deduped_stream_sink's foreachBatch body
+        # (including its compact_every trigger), plus instrumentation
         t0 = time.time()
         span_dedup_batch(
-            batch, index, "doc_id", "text", min_tokens=args.min_tokens
+            batch, index, "doc_id", "text", min_tokens=args.min_tokens,
+            memory_guard=not args.no_memory_guard,
         ).write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        sec = round(time.time() - t0, 3)
+        compact = None
+        if args.compact_every and (batch_id + 1) % args.compact_every == 0:
+            tc = time.time()
+            compact = compact_gram_index(batch.sparkSession, index)
+            compact["sec"] = round(time.time() - tc, 3)
         sc = batch.sparkSession.sparkContext
         idx_bytes, idx_files = dir_bytes(os.path.join(index, "grams"))
         batch_stats.append(
             {
                 "batch_id": int(batch_id),
                 "rows": batch.count(),
-                "sec": round(time.time() - t0, 3),
+                "sec": sec,
                 "index_bytes": idx_bytes,
                 "index_files": idx_files,
                 "persisted_rdds": int(sc._jsc.getPersistentRDDs().size()),
                 "heap_used_mb": jvm_heap_used(batch.sparkSession) >> 20,
+                **({"compact": compact} if compact else {}),
             }
         )
 
@@ -125,17 +150,33 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    error = None
+    try:
+        q.awaitTermination()
+    except Exception as exc:  # record the classified failure (2g guard row)
+        msg = str(exc)
+        lines = msg.splitlines() or [type(exc).__name__]
+        head = next((ln for ln in lines if "sizing invariant" in ln), lines[0])
+        error = {
+            "classified": "CurationMemoryError" in msg,
+            "head": head.strip()[:400],
+        }
 
-    out_rows = spark.read.parquet(out).count()
+    try:
+        out_rows = spark.read.parquet(out).count()
+    except Exception:
+        out_rows = 0
     result = {
         "metric": "streaming_span_dedup_spill",
         "heap": heap_conf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "(default)"),
         "dir": args.dir,
         "n_docs": n_docs,
+        "compact_every": args.compact_every or None,
+        "memory_guard": not args.no_memory_guard,
         "batches": batch_stats,
         "out_rows": out_rows,
+        **({"error": error} if error else {}),
         "loadavg": os.getloadavg()[0],
     }
     print(json.dumps(result))
