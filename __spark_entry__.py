@@ -2823,7 +2823,7 @@ GROUP BY 1
 """
 
 
-ORACLE_DOC_PROFILE_A = f"""
+_ORACLE_DOC_PROFILE_A_BASE = f"""
 WITH t AS ({ORACLE_TOKEN_STATS_MICRO}), q AS ({ORACLE_QUALITY_MICRO}),
 l AS ({ORACLE_LANG_ID_PLAIN}), fp AS ({ORACLE_FINGERPRINT_PLAIN}),
 b AS ({ORACLE_BPE_MICRO}), ch AS ({ORACLE_CHUNK_MICRO}),
@@ -3054,6 +3054,27 @@ _CANARIES: list[tuple[str, str, str]] = [
      " || '#' || "
      r"regexp_replace('a ' || chr(9) || ' b', '\s+', ' ', 'g')",
      "'a|b|c#5#a b'"),
+    # ---- round 8: the a-half's remaining construct families (VERDICT r7
+    # #8) — the lambda IN-list count behind _NSTOP and the language
+    # markers, the greatest/CASE tie-break behind pred_lang, the chunk
+    # grid's least/greatest integer ceil, and the lpad in the ldn trailer.
+    ("list_filter_in",
+     "CAST(len(list_filter(string_split('the cat and le chien', ' '), "
+     "x -> x IN ('the','and'))) AS VARCHAR) || '#' || "
+     "CAST(len(list_filter(string_split('', ' '), x -> x IN ('a'))) AS VARCHAR)",
+     "'2#0'"),
+    ("greatest_case",
+     "CAST(greatest(2, 5, 5) AS VARCHAR) || '#' || lower('AbC') || '#' || "
+     "(CASE WHEN 0 = greatest(0, 0) THEN 'und' ELSE 'x' END)",
+     "'5#abc#und'"),
+    ("chunk_intmath",
+     "CAST(least(10, 23 - 2*10) AS VARCHAR) || '#' || "
+     "CAST(greatest((23+9)//10, 1) AS VARCHAR) || '#' || "
+     "CAST(greatest((0+9)//10, 1) AS VARCHAR)",
+     "'3#3#1'"),
+    ("lpad",
+     "lpad(CAST(7 AS VARCHAR), 4, '0') || '#' || lpad('abc', 2, '0')",
+     "'0007#ab'"),
 ]
 
 #: Null cells for a canary row, in ORACLE_DOC_PROFILE_B column order (the
@@ -3108,6 +3129,52 @@ JOIN ss USING (doc_id)
         "\nUNION ALL\n" + _canary_sql(k, name, expr, expected)
         for k, (name, expr, expected) in enumerate(_CANARIES)
     )
+)
+
+#: Null cells for an a-half canary row, in ORACLE_DOC_PROFILE_A column
+#: order (the canary name rides in fingerprint_md5). Round 8 (VERDICT r7
+#: #8): the 2**k drift canary previously protected only the b-half; the
+#: a-half's constructs (translate counts, string_split, list_filter IN,
+#: chunk int math, ...) now carry the same engineered rows_match signal.
+_CANARY_ROW_COLS_A = (
+    "CAST(NULL AS BIGINT) AS n_chars, "
+    "CAST(NULL AS BIGINT) AS n_tokens, "
+    "CAST(NULL AS BIGINT) AS avg_token_len_micro, "
+    "CAST(NULL AS BIGINT) AS stopword_ratio_micro, "
+    "CAST(NULL AS BIGINT) AS punct_ratio_micro, "
+    "CAST(NULL AS BIGINT) AS digit_ratio_micro, "
+    "CAST(NULL AS BIGINT) AS upper_ratio_micro, "
+    "CAST(NULL AS BIGINT) AS n_en, "
+    "CAST(NULL AS BIGINT) AS n_de, "
+    "CAST(NULL AS BIGINT) AS n_fr, "
+    "CAST(NULL AS BIGINT) AS n_es, "
+    "CAST(NULL AS BIGINT) AS n_zh, "
+    "CAST(NULL AS VARCHAR) AS pred_lang, "
+    "{name} AS fingerprint_md5, "
+    "CAST(NULL AS BIGINT) AS n_ws_tokens, "
+    "CAST(NULL AS BIGINT) AS n_bpe_tokens, "
+    "CAST(NULL AS BIGINT) AS chars_per_bpe_micro, "
+    "CAST(NULL AS BIGINT) AS n_chunks, "
+    "CAST(NULL AS BIGINT) AS n_dup_chunks, "
+    "CAST(NULL AS BIGINT) AS dup_chunk_frac_micro, "
+    "CAST(NULL AS BIGINT) AS kept_tokens, "
+    "CAST(NULL AS BIGINT) AS canonical_id, "
+    "CAST(NULL AS BIGINT) AS n_copies"
+)
+
+
+def _canary_sql_a(k: int, name: str, expr: str, expected: str) -> str:
+    cols = _CANARY_ROW_COLS_A.format(name=f"'canary:{name}'")
+    return (
+        f"SELECT CAST({-2001 - k} AS BIGINT) AS doc_id, {cols} "
+        f"FROM range({2 ** k}) "
+        f"WHERE NOT (({expr}) IS NOT DISTINCT FROM ({expected}))"
+    )
+
+
+ORACLE_DOC_PROFILE_A = _ORACLE_DOC_PROFILE_A_BASE + "".join(
+    "\nUNION ALL\n" + _canary_sql_a(k, name, expr, expected)
+    for k, (name, expr, expected) in enumerate(_CANARIES)
 )
 
 

@@ -13,6 +13,13 @@ estimator least sensitive to both. Totals stay comparable with earlier
 best-of-2 rounds: more runs only tighten the same floor. No
 DataFrame/table caching is used — every timed run re-scans the parquet
 inputs.
+
+Cross-round comparisons MUST go through the per-query floor table in
+README.md ("Per-query floor table"): it records each query's r1 floor,
+the r6 quiet-box floor, composition changes (pricing_summary absorbed
+the q17 small-quantity branch in r7 — its +0.5 s is added work, not
+regression), and per-round box-speed calibration (the r8 box measures a
+uniform ~25-30% slower than the r6/r7 box at the same loadavg).
 """
 
 from __future__ import annotations

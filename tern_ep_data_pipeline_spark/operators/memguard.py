@@ -78,17 +78,20 @@ def hash_build_fits(
 
 
 #: Incremental span-dedup resident model, calibrated against the
-#: measured SPILL_r07 grid (sf10 corpus in 10 micro-batches, ~5.8 MB
-#: parquet/batch, index +~90 MB/batch): 2g/32 completed batch 0 then
-#: heap-OOM'd in the per-doc coverage-window stage at batch 1 (index
-#: ~87 MB); 3g/32 completed all 10 batches (index to 894 MB). The batch
-#: term models the token posexplode + two per-document row windows (a
-#: few hundred bytes per token across the concurrent tasks' sort
-#: buffers); the index term models the sort-merge/scan side of the
-#: corpus-scale first-key join. The three cells bound the constants:
-#: 210x batch + 1.0x index + 16 MiB/core sits between the measured
-#: passing and failing runs on both heaps.
-SPAN_RESIDENT_PER_BATCH_BYTE = 210
+#: measured SPILL_r07 grid (sf10 corpus = 148.8 MB raw text in 10
+#: micro-batches of ~14.9 MB, index +~90 MB/batch): 2g/32 completed
+#: batch 0 then heap-OOM'd in the per-doc coverage-window stage at
+#: batch 1 (index ~87 MB); 3g/32 completed all 10 batches (index to
+#: 894 MB). ``batch_bytes`` is the RAW TEXT byte count of the
+#: micro-batch (measured with one map-only aggregate — a streaming
+#: micro-batch frame has no usable Catalyst size estimate, verified
+#: r8: the plan-stats path silently skipped the guard and the JVM died
+#: raw at 2g). The batch term models the token posexplode + two
+#: per-document row windows (~80 bytes of sort-buffer state per text
+#: byte across the concurrent tasks); the index term the sort-merge
+#: scan side of the corpus-scale first-key join. The three measured
+#: cells bound the constants with 43/44/174 MB margins.
+SPAN_RESIDENT_PER_BATCH_BYTE = 80
 SPAN_RESIDENT_PER_INDEX_BYTE = 1.0
 SPAN_RESIDENT_PER_CORE = 16 << 20
 
@@ -102,9 +105,11 @@ def incremental_span_floor_message(
     corpus-sized input, but the incremental path's resident set scales
     with the micro-batch plus the growing gram index — at 2g/32 it dies
     with a RAW executor heap OOM in the per-doc coverage-window stage
-    (SPILL_r07, batch 1) instead of a classified error. Returns the
+    (SPILL_r07, batch 1) instead of a classified error.
+    ``batch_bytes`` = raw text bytes of the micro-batch. Returns the
     violation message naming the invariant, or None when sized OK /
-    undecidable (no plan estimate; cluster mode without executor confs).
+    undecidable (unknown batch size; cluster mode without executor
+    confs).
     """
     if batch_bytes is None or batch_bytes <= 0:
         return None
@@ -134,7 +139,7 @@ def incremental_span_floor_message(
         "incremental span-dedup sizing invariant violated: estimated "
         f"resident working set ~{resident / 2**20:.0f} MiB "
         f"(~{SPAN_RESIDENT_PER_BATCH_BYTE}x the {batch_bytes / 2**20:.1f} MiB "
-        f"micro-batch for the per-document coverage windows + "
+        f"of micro-batch text for the per-document coverage windows + "
         f"{SPAN_RESIDENT_PER_INDEX_BYTE:g}x the {index_bytes / 2**20:.0f} MiB "
         f"gram index + {SPAN_RESIDENT_PER_CORE >> 20} MiB x {cores} cores) "
         f"exceeds the ~{avail / 2**20:.0f} MiB usable heap of a "

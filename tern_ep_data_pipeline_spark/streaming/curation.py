@@ -243,10 +243,7 @@ def span_dedup_batch(
         append_to_gram_index,
         clean_against_gram_index,
     )
-    from ..operators.memguard import (
-        incremental_span_floor_message,
-        plan_size_estimate,
-    )
+    from ..operators.memguard import incremental_span_floor_message
 
     have_index = _dir_exists(batch.sparkSession, f"{index_path}/grams")
     if memory_guard:
@@ -255,8 +252,16 @@ def span_dedup_batch(
             if have_index
             else 0
         )
+        # raw text bytes via a map-only aggregate: a streaming micro-batch
+        # frame carries no usable Catalyst size estimate (measured r8 —
+        # the plan-stats path silently skipped the guard and the JVM died
+        # with a raw heap OOM at the 2g floor), and text bytes are the
+        # quantity the coverage-window resident model is calibrated on
+        batch_bytes = batch.agg(
+            F.sum(F.octet_length(F.col(text_col)))
+        ).collect()[0][0]
         floor_msg = incremental_span_floor_message(
-            batch.sparkSession, plan_size_estimate(batch), index_bytes
+            batch.sparkSession, batch_bytes, index_bytes
         )
         if floor_msg is not None:
             from ..plans.curation import CurationMemoryError

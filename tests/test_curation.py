@@ -2055,8 +2055,9 @@ def test_compact_chunk_and_line_index(spark, tmp_path):
 def test_incremental_span_floor_calibration():
     """The incremental span-dedup floor constants must reproduce the
     SPILL_r07 grid: 2g/32 passed batch 0 (empty index) and heap-OOM'd at
-    batch 1 (~87 MB index, ~5.8 MB parquet batch); 3g/32 completed all
-    batches (index to 894 MB)."""
+    batch 1 (~87 MB index; each micro-batch is ~14.9 MB of raw text —
+    148.8 MB sf10 corpus over 10 batches); 3g/32 completed all batches
+    (index to 894 MB)."""
     from tern_ep_data_pipeline_spark.operators.memguard import (
         _JVM_RESERVED,
         SPAN_RESIDENT_PER_BATCH_BYTE,
@@ -2064,7 +2065,7 @@ def test_incremental_span_floor_calibration():
         SPAN_RESIDENT_PER_INDEX_BYTE,
     )
 
-    batch = int(5.8 * 2**20)
+    batch = int(14.9 * 2**20)
     cores = 32
 
     def resident(index_bytes):

@@ -88,7 +88,31 @@ def test_canary_multiplicities_unique():
     to a distinct row-count delta (binary representation)."""
     deltas = [2 ** k for k in range(len(entrymod._CANARIES))]
     assert len(set(deltas)) == len(deltas)
-    assert sum(deltas) < 10_000  # bounded noise even if ALL fire
+    assert sum(deltas) < 2 ** 15  # bounded noise even if ALL fire
+
+
+def test_canary_tail_a_empty_locally(con):
+    """Round 8 (VERDICT r7 #8): the a-half oracle carries the same drift
+    canary tail as the b-half — empty when the executing DuckDB agrees
+    with every pin."""
+    out = con.sql(entrymod.ORACLE_DOC_PROFILE_A).df()
+    canary_rows = out[out["doc_id"] < 0]
+    assert len(canary_rows) == 0, (
+        "a-half canary tail fired locally: "
+        + repr(canary_rows["fingerprint_md5"].tolist())
+    )
+
+
+def test_canary_tail_a_fires_on_drift(con):
+    """Inverting a pin makes the a-tail emit exactly 2**k rows tagged in
+    fingerprint_md5 (UNION plumbing carries the signal)."""
+    k, (name, expr, expected) = 5, entrymod._CANARIES[5]
+    broken = entrymod._canary_sql_a(k, name, expr, "'deliberately-wrong'")
+    n, tag = con.sql(
+        f"SELECT count(*), min(fingerprint_md5) FROM ({broken})"
+    ).fetchone()
+    assert n == 2 ** k
+    assert tag == f"canary:{name}"
 
 
 def _spark_schema_types(spark, name):

@@ -75,6 +75,17 @@ def main() -> None:
         help="disable the plan-time incremental sizing check (to measure "
         "the raw failure mode the guard classifies)",
     )
+    ap.add_argument(
+        "--dup-frac",
+        type=float,
+        default=0.0,
+        help="fraction of each later batch's documents whose text is an "
+        "exact copy of a batch-0 document (deterministic by id) — models "
+        "the boilerplate-heavy ingest where every batch re-appends grams "
+        "the index already holds, i.e. the append-duplication regime "
+        "compaction exists for (the synthetic corpus is ~99%% unique "
+        "grams, so --dup-frac 0 exercises pure index growth instead)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stream-spill")
@@ -94,10 +105,32 @@ def main() -> None:
     n_docs = docs.count()
     per = (n_docs + args.batches - 1) // args.batches
     os.makedirs(src_dir)
+    from pyspark.sql import functions as F
+
+    b0 = docs.where(docs.doc_id < per).select(
+        docs.doc_id.alias("__src_id"), docs.text.alias("__src_text")
+    )
     for k in range(args.batches):
         part = docs.where(
             (docs.doc_id >= k * per) & (docs.doc_id < (k + 1) * per)
-        ).repartition(4)
+        )
+        if args.dup_frac > 0 and k > 0:
+            # deterministic by id: doc_id % 1000 < 1000*p copies the text
+            # of its batch-0 twin (doc_id % per); ids stay monotone, so
+            # the gram-index contract holds while the batch's gram set
+            # overlaps the index at rate ~p
+            part = (
+                part.withColumn("__src_id", F.col("doc_id") % per)
+                .join(F.broadcast(b0), "__src_id")
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("doc_id") % 1000 < int(args.dup_frac * 1000),
+                        F.col("__src_text"),
+                    ).otherwise(F.col("text")).alias("text"),
+                )
+            )
+        part = part.repartition(4)
         part.write.mode("overwrite").parquet(os.path.join(src_dir, f"b{k:02d}"))
         t = time.time() - (args.batches - k) * 10
         for f in glob.glob(os.path.join(src_dir, f"b{k:02d}", "*")):
@@ -174,6 +207,7 @@ def main() -> None:
         "n_docs": n_docs,
         "compact_every": args.compact_every or None,
         "memory_guard": not args.no_memory_guard,
+        "dup_frac": args.dup_frac,
         "batches": batch_stats,
         "out_rows": out_rows,
         **({"error": error} if error else {}),
