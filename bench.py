@@ -16,10 +16,13 @@ inputs.
 
 Cross-round comparisons MUST go through the per-query floor table in
 README.md ("Per-query floor table"): it records each query's r1 floor,
-the r6 quiet-box floor, composition changes (pricing_summary absorbed
-the q17 small-quantity branch in r7 — its +0.5 s is added work, not
-regression), and per-round box-speed calibration (the r8 box measures a
-uniform ~25-30% slower than the r6/r7 box at the same loadavg).
+the r6 quiet-box floor, and composition changes (pricing_summary
+absorbed the q17 small-quantity branch in r7 — its +0.5 s is added
+work, not regression). Box state caveat (measured r8): quiet loadavg +
+warm page cache are necessary but NOT sufficient — a long-idle box
+under-clocks and reads 15-30% slow on every query; the floor only
+reproduces on a run preceded by sustained load (see the README
+round-8 addendum).
 """
 
 from __future__ import annotations
