@@ -13,9 +13,13 @@ MinHash signature agreement; everything else is fresh. Appending the
 accepted batch's rows keeps the index current — each ingest batch costs
 O(batch), not O(corpus).
 
-The index lives as plain parquet directories. At cluster scale, write
-the band table bucketed by (band, bh) (``sources.lake.write_bucketed``)
-so batch-vs-index joins co-locate without shuffling the index side.
+The index lives as plain parquet directories by default. At cluster
+scale, the batch-vs-index joins should co-locate WITHOUT shuffling the
+index side: the gram-first table ships a bucketed-table layout
+(``build/append/clean_against_gram_index_bucketed`` — bucketBy
+gram_hash, zero index-side Exchange per batch, measured in SPILL_r08);
+the band table can use the same pattern via
+``sources.lake.write_bucketed`` on (band, bh).
 """
 
 from __future__ import annotations
@@ -122,7 +126,29 @@ def match_against_index(
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
+    return _match_frames(
+        new_docs, ex_idx, band_idx, id_col, text_col, n, num_hashes,
+        bands, hash_mode, min_band_matches, min_est_jaccard, max_bucket,
+    )
 
+
+def _match_frames(
+    new_docs: DataFrame,
+    ex_idx: DataFrame,
+    band_idx: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_mode: str,
+    min_band_matches: int,
+    min_est_jaccard: float | None,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Layout-independent core of :func:`match_against_index`: the index
+    arrives as two frames (parquet-dir scan or bucketed-table scan — the
+    latter joins with zero index-side Exchange)."""
     new_exact = _exact_table(new_docs, id_col, text_col)
     exact_hits = (
         new_exact.join(
@@ -581,45 +607,18 @@ def clean_against_gram_index(
             meta = [
                 (r["min_doc_id"], r["max_doc_id"], r["kind"])
                 for r in mdf.collect()
-                if r["max_doc_id"] is not None
             ]
         except Exception:  # pre-watermark index layout: nothing to check
             meta = []
-        if meta:
-            lo, hi = new_docs.agg(
-                F.min(F.col(id_col).cast("long")),
-                F.max(F.col(id_col).cast("long")),
-            ).collect()[0]
-            # An APPEND whose (min, max) range equals this batch exactly is
-            # this batch's own earlier append — foreachBatch is
-            # at-least-once, and a re-delivered batch re-appends the same
-            # per-gram minima (idempotent), so retries must pass. The
-            # carve-out applies to append-tagged ranges ONLY (ADVICE r7
-            # #1): the initial build range is not a retryable append, so a
-            # batch reusing the build's exact id range is id reuse, not a
-            # retry, and is rejected like any other overlap.
-            others = [
-                (m_lo, m_hi)
-                for (m_lo, m_hi, m_kind) in meta
-                if not (m_kind == "append" and (m_lo, m_hi) == (lo, hi))
-            ]
-            indexed_max = max((m[1] for m in others), default=None)
-            if (
-                lo is not None
-                and indexed_max is not None
-                and lo <= indexed_max
-            ):
-                raise ValueError(
-                    "clean_against_gram_index id-monotonicity violation: "
-                    f"batch min {id_col}={lo} <= max indexed id "
-                    f"{indexed_max}. Occurrence keys pack as "
-                    "id*max_doc_tokens+pos, so reused or lower batch ids "
-                    "silently mis-order span firsts; renumber the batch "
-                    "above the watermark (or pass validate_ids=False if "
-                    "id ranges are guaranteed disjoint out-of-band). An "
-                    "exact (min,max)-range replay of a prior append is "
-                    "allowed (foreachBatch retry)."
-                )
+        # An APPEND whose (min, max) range equals this batch exactly is
+        # this batch's own earlier append — foreachBatch is at-least-once,
+        # and a re-delivered batch re-appends the same per-gram minima
+        # (idempotent), so retries must pass. The carve-out applies to
+        # append-tagged ranges ONLY (ADVICE r7 #1): the initial build
+        # range is not a retryable append, so a batch reusing the build's
+        # exact id range is id reuse, not a retry, and is rejected like
+        # any other overlap.
+        _validate_gram_ids(spark, new_docs, id_col, meta)
     idx = (
         spark.read.parquet(os.path.join(path, "grams"))
         .groupBy("gram_hash")
@@ -773,3 +772,266 @@ def compact_line_index(spark: SparkSession, path: str) -> dict:
         "rows_before": rows_before,
         "rows_after": spark.read.parquet(lp).count(),
     }
+
+
+# ----------------------------------------- bucketed gram-index layout
+#
+# The plain-parquet layout above re-SHUFFLES the corpus-sized gram table
+# on every batch: the min-combine groupBy and the first-key join both
+# hash-partition the index by gram_hash, and a directory of parquet
+# files carries no partitioning guarantee, so Spark exchanges the whole
+# index per micro-batch — the dominant per-batch cost once the index
+# dwarfs the batch. Storing the index as a BUCKETED table (bucketBy
+# gram_hash, sortBy gram_hash) makes the scan itself hash-distributed:
+# the groupBy and the join reuse the bucket layout with ZERO index-side
+# Exchange, and only the O(batch) side shuffles — the join co-location
+# this module's header promised for the band table, delivered for the
+# hot (gram) table. Appends preserve the spec (Spark enforces it), so
+# the property survives the whole ingest lifecycle.
+
+def build_gram_index_bucketed(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+    n_buckets: int = 32,
+) -> int:
+    """Bucketed-table twin of :func:`build_gram_index`. Same
+    id-monotonicity contract; the watermark log lives in ``<table>_meta``
+    (tiny, unbucketed). ``n_buckets`` sizes the fixed bucket count —
+    pick it for the TARGET corpus (buckets are the index's permanent
+    unit of join parallelism; at 100 TB use thousands)."""
+    from ..sources.lake import write_bucketed
+
+    grams = _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens)
+    write_bucketed(
+        grams, table, ["gram_hash"], n_buckets=n_buckets,
+        sort_cols=["gram_hash"], mode="overwrite",
+    )
+    docs.agg(
+        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
+        F.lit("build").alias("kind"),
+    ).write.mode("overwrite").saveAsTable(table + "_meta")
+    return docs.sparkSession.table(table).count()
+
+
+def append_to_gram_index_bucketed(
+    accepted_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+    n_buckets: int = 32,
+) -> None:
+    """Append a batch's per-gram first keys into the bucketed layout
+    (``n_buckets`` must match the build — Spark rejects a mismatched
+    spec, so drift fails loudly)."""
+    from ..sources.lake import write_bucketed
+
+    grams = _gram_first_table(
+        accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
+    )
+    write_bucketed(
+        grams, table, ["gram_hash"], n_buckets=n_buckets,
+        sort_cols=["gram_hash"], mode="append",
+    )
+    accepted_docs.agg(
+        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
+        F.lit("append").alias("kind"),
+    ).write.mode("append").saveAsTable(table + "_meta")
+
+
+def _validate_gram_ids(
+    spark: SparkSession, new_docs: DataFrame, id_col: str, meta
+) -> None:
+    """Shared id-monotonicity check (see :func:`clean_against_gram_index`
+    for the contract): ``meta`` is a list of (min, max, kind) rows."""
+    meta = [(lo, hi, k) for (lo, hi, k) in meta if hi is not None]
+    if not meta:
+        return
+    lo, hi = new_docs.agg(
+        F.min(F.col(id_col).cast("long")),
+        F.max(F.col(id_col).cast("long")),
+    ).collect()[0]
+    others = [
+        (m_lo, m_hi)
+        for (m_lo, m_hi, m_kind) in meta
+        if not (m_kind == "append" and (m_lo, m_hi) == (lo, hi))
+    ]
+    indexed_max = max((m[1] for m in others), default=None)
+    if lo is not None and indexed_max is not None and lo <= indexed_max:
+        raise ValueError(
+            "clean_against_gram_index id-monotonicity violation: "
+            f"batch min {id_col}={lo} <= max indexed id {indexed_max}. "
+            "Occurrence keys pack as id*max_doc_tokens+pos, so reused or "
+            "lower batch ids silently mis-order span firsts; renumber the "
+            "batch above the watermark (or pass validate_ids=False if id "
+            "ranges are guaranteed disjoint out-of-band). An exact "
+            "(min,max)-range replay of a prior append is allowed "
+            "(foreachBatch retry)."
+        )
+
+
+def clean_against_gram_index_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_doc_tokens: int = 1 << 24,
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Bucketed-table twin of :func:`clean_against_gram_index` — same
+    output, same contract, but the index-side min-combine and first-key
+    join run WITHOUT exchanging the index: the bucketed scan is already
+    hash-distributed on gram_hash, so only the O(batch) gram frame
+    shuffles. This is what keeps the per-batch plan O(batch + index
+    SCAN) rather than O(index shuffle) once the corpus dwarfs the batch.
+    """
+    if validate_ids:
+        try:
+            meta = [
+                (r["min_doc_id"], r["max_doc_id"], r["kind"])
+                for r in spark.table(table + "_meta").collect()
+            ]
+        except Exception:
+            meta = []
+        _validate_gram_ids(spark, new_docs, id_col, meta)
+    idx = (
+        spark.table(table)
+        .groupBy("gram_hash")
+        .agg(F.min("first_key").alias("first_key"))
+    )
+    return dedup_ops.substring_dedup(
+        new_docs,
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        max_doc_tokens=max_doc_tokens,
+        index_firsts=idx,
+    )
+
+
+def compact_gram_index_bucketed(
+    spark: SparkSession, table: str, n_buckets: int = 32
+) -> dict:
+    """Compact the bucketed gram index: min(first_key) per gram rewritten
+    into a fresh bucketed table that atomically replaces the old one
+    (write tmp table, drop, rename — the metastore flip that
+    ``_rewrite_parquet_dir``'s directory swap approximates for the plain
+    layout). Bucket-local: every row of a gram lives in one bucket, so
+    the compaction aggregation itself needs no exchange either. The
+    ``<table>_meta`` watermark log is untouched."""
+    from ..sources.lake import write_bucketed
+
+    before = spark.table(table)
+    rows_before = before.count()
+    agg = before.groupBy("gram_hash").agg(F.min("first_key").alias("first_key"))
+    tmp = table + "_compact_tmp"
+    write_bucketed(
+        agg, tmp, ["gram_hash"], n_buckets=n_buckets,
+        sort_cols=["gram_hash"], mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return {
+        "rows_before": rows_before,
+        "rows_after": spark.table(table).count(),
+    }
+
+
+def build_dedup_index_bucketed(
+    docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    n_buckets: int = 32,
+) -> dict:
+    """Bucketed-table twin of :func:`build_dedup_index`: the exact table
+    bucketed by content_hash (``<prefix>_exact``), the band table by
+    (band, bh) (``<prefix>_bands``) — the band-table co-location the
+    module header calls for, so every later batch's exact semi-join and
+    LSH candidate join read the corpus-sized index without exchanging
+    it."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _exact_table(docs, id_col, text_col),
+        table_prefix + "_exact", ["content_hash"],
+        n_buckets=n_buckets, sort_cols=["content_hash"], mode="overwrite",
+    )
+    write_bucketed(
+        _band_table(docs, id_col, text_col, n, num_hashes, bands, hash_mode),
+        table_prefix + "_bands", ["band", "bh"],
+        n_buckets=n_buckets, sort_cols=["band", "bh"], mode="overwrite",
+    )
+    spark = docs.sparkSession
+    return {
+        "exact_rows": spark.table(table_prefix + "_exact").count(),
+        "band_rows": spark.table(table_prefix + "_bands").count(),
+    }
+
+
+def match_against_index_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    min_band_matches: int = 1,
+    min_est_jaccard: float | None = 0.5,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Bucketed-table twin of :func:`match_against_index` — identical
+    classification, but both batch-vs-index joins consume the bucketed
+    scans' hash distribution instead of shuffling the index per batch."""
+    return _match_frames(
+        new_docs,
+        spark.table(table_prefix + "_exact"),
+        spark.table(table_prefix + "_bands"),
+        id_col, text_col, n, num_hashes, bands, hash_mode,
+        min_band_matches, min_est_jaccard, max_bucket,
+    )
+
+
+def append_to_index_bucketed(
+    accepted_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    n_buckets: int = 32,
+) -> None:
+    """Append accepted docs' rows into the bucketed layout (spec must
+    match the build — Spark rejects drift loudly)."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _exact_table(accepted_docs, id_col, text_col),
+        table_prefix + "_exact", ["content_hash"],
+        n_buckets=n_buckets, sort_cols=["content_hash"], mode="append",
+    )
+    write_bucketed(
+        _band_table(
+            accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+        ),
+        table_prefix + "_bands", ["band", "bh"],
+        n_buckets=n_buckets, sort_cols=["band", "bh"], mode="append",
+    )

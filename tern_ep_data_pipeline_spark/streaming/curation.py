@@ -219,6 +219,8 @@ def span_dedup_batch(
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
     memory_guard: bool = True,
+    index_table: str | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
@@ -241,17 +243,27 @@ def span_dedup_batch(
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
         append_to_gram_index,
+        append_to_gram_index_bucketed,
         clean_against_gram_index,
+        clean_against_gram_index_bucketed,
     )
-    from ..operators.memguard import incremental_span_floor_message
+    from ..operators.memguard import (
+        incremental_span_floor_message,
+        plan_size_estimate,
+    )
 
-    have_index = _dir_exists(batch.sparkSession, f"{index_path}/grams")
+    spark = batch.sparkSession
+    if index_table is not None:
+        have_index = spark.catalog.tableExists(index_table)
+    else:
+        have_index = _dir_exists(spark, f"{index_path}/grams")
     if memory_guard:
-        index_bytes = (
-            _dir_bytes(batch.sparkSession, f"{index_path}/grams")
-            if have_index
-            else 0
-        )
+        if not have_index:
+            index_bytes = 0
+        elif index_table is not None:
+            index_bytes = plan_size_estimate(spark.table(index_table)) or 0
+        else:
+            index_bytes = _dir_bytes(spark, f"{index_path}/grams")
         # raw text bytes via a map-only aggregate: a streaming micro-batch
         # frame carries no usable Catalyst size estimate (measured r8 —
         # the plan-stats path silently skipped the guard and the JVM died
@@ -267,9 +279,14 @@ def span_dedup_batch(
             from ..plans.curation import CurationMemoryError
 
             raise CurationMemoryError(floor_msg)
-    if have_index:
+    if have_index and index_table is not None:
+        cleaned = clean_against_gram_index_bucketed(
+            spark, batch, index_table, id_col, text_col,
+            min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+        )
+    elif have_index:
         cleaned = clean_against_gram_index(
-            batch.sparkSession,
+            spark,
             batch,
             index_path,
             id_col,
@@ -285,11 +302,22 @@ def span_dedup_batch(
     out = cleaned.localCheckpoint()  # decide BEFORE the index moves
     # the operator stages its token table per call; a long-running stream
     # must not accumulate one persisted frame per micro-batch
-    release_staged(batch.sparkSession)
-    append_to_gram_index(
-        batch, index_path, id_col, text_col,
-        min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
-    )
+    release_staged(spark)
+    if index_table is not None:
+        # append-mode creates the table on the first batch, and tags the
+        # meta row 'append' — a foreachBatch retry of batch 0 must pass
+        # the watermark carve-out (build tags are for batch bootstraps
+        # the streaming engine never re-delivers)
+        append_to_gram_index_bucketed(
+            batch, index_table, id_col, text_col,
+            min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+            n_buckets=n_buckets,
+        )
+    else:
+        append_to_gram_index(
+            batch, index_path, id_col, text_col,
+            min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+        )
     return out
 
 
@@ -304,6 +332,8 @@ def span_deduped_stream_sink(
     max_doc_tokens: int = 1 << 24,
     compact_every: int | None = None,
     memory_guard: bool = True,
+    index_table: str | None = None,
+    n_buckets: int = 32,
 ):
     """Streaming ExactSubstr span dedup via ``foreachBatch``: each
     micro-batch is cleaned against the gram index, lands as parquet, and
@@ -328,6 +358,14 @@ def span_deduped_stream_sink(
     == min over raw appends) and a retried batch re-appends after the
     compacted files, which the same min absorbs — so the
     effectively-once story is unchanged.
+
+    ``index_table=NAME`` stores the index as a BUCKETED table (bucketBy
+    gram_hash, ``n_buckets``) instead of the ``index_path`` parquet dir:
+    the per-batch min-combine and first-key join then run with zero
+    index-side Exchange — only the O(batch) side shuffles — which is
+    the layout a 100 TB ingest should run (SPILL_r08 measures both).
+    The first micro-batch creates the table; every meta row is
+    append-tagged so batch-0 retries validate.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -335,11 +373,21 @@ def span_deduped_stream_sink(
             batch, index_path, id_col, text_col,
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
             memory_guard=memory_guard,
+            index_table=index_table, n_buckets=n_buckets,
         ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         if compact_every and (batch_id + 1) % compact_every == 0:
-            from ..operators.dedup_index import compact_gram_index
+            if index_table is not None:
+                from ..operators.dedup_index import (
+                    compact_gram_index_bucketed,
+                )
 
-            compact_gram_index(batch.sparkSession, index_path)
+                compact_gram_index_bucketed(
+                    batch.sparkSession, index_table, n_buckets=n_buckets
+                )
+            else:
+                from ..operators.dedup_index import compact_gram_index
+
+                compact_gram_index(batch.sparkSession, index_path)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -2155,3 +2155,163 @@ def test_cc_concurrent_tight_runs_refcount(spark, monkeypatch):
     # last run out cleans up
     leftover = [f for _, _, fs in os.walk(d) for f in fs]
     assert leftover == []
+
+
+def test_bucketed_gram_index_equivalence(spark, tmp_path):
+    """The bucketed-table gram index is a pure layout change: identical
+    clean decisions to the parquet-dir layout, with FEWER shuffle
+    exchanges in the per-batch plan (the bucketed scan is already
+    hash-distributed on gram_hash, so the index side needs no Exchange
+    for the min-combine or the first-key join)."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index_bucketed,
+        build_gram_index,
+        build_gram_index_bucketed,
+        clean_against_gram_index,
+        clean_against_gram_index_bucketed,
+        compact_gram_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.sources import lake
+
+    phrase = " ".join(f"bk{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, f"corpus owner copy {phrase} ending words"),
+         (2, "unrelated corpus document body here")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "gidx_dir")
+    table = "gidx_bkt_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    try:
+        build_gram_index(corpus, path)
+        assert build_gram_index_bucketed(corpus, table, n_buckets=4) > 0
+
+        batch = spark.createDataFrame(
+            [(10, f"late arrival {phrase} fresh tail content"),
+             (11, "totally novel batch document only")],
+            ["doc_id", "text"],
+        )
+        key = lambda rows: sorted(map(tuple, rows))
+        via_dir = clean_against_gram_index(spark, batch, path)
+        via_bkt = clean_against_gram_index_bucketed(spark, batch, table)
+        rows_dir = key(via_dir.collect())
+        dedup.release_staged(spark)
+        rows_bkt = key(via_bkt.collect())
+        assert rows_dir == rows_bkt
+        # index-side co-location: the bucketed plan carries strictly fewer
+        # shuffle exchanges than the directory plan
+        n_dir = lake.exchange_count(via_dir)
+        n_bkt = lake.exchange_count(via_bkt)
+        dedup.release_staged(spark)
+        assert n_bkt < n_dir, (n_bkt, n_dir)
+
+        # appends preserve the spec; compaction preserves decisions and
+        # the append-replay carve-out
+        append_to_gram_index_bucketed(batch, table, n_buckets=4)
+        probe = spark.createDataFrame(
+            [(20, f"probe repeats {phrase} and also totally novel batch "
+                  "document only plus fresh text")],
+            ["doc_id", "text"],
+        )
+        before = key(
+            clean_against_gram_index_bucketed(spark, probe, table).collect()
+        )
+        dedup.release_staged(spark)
+        stats = compact_gram_index_bucketed(spark, table, n_buckets=4)
+        assert stats["rows_after"] <= stats["rows_before"]
+        after = key(
+            clean_against_gram_index_bucketed(spark, probe, table).collect()
+        )
+        dedup.release_staged(spark)
+        assert before == after
+        # retry of the (10,11) append still passes after compaction;
+        # build-range (1,2) reuse is still rejected
+        assert clean_against_gram_index_bucketed(spark, batch, table).count() == 2
+        dedup.release_staged(spark)
+        with pytest.raises(ValueError, match="id-monotonicity"):
+            clean_against_gram_index_bucketed(spark, corpus, table).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+
+def test_bucketed_dedup_index_equivalence(spark, tmp_path):
+    """The bucketed exact/band dedup index classifies identically to the
+    parquet-dir layout with fewer shuffle exchanges (both batch-vs-index
+    joins consume the bucketed scans' distribution)."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_index,
+        append_to_index_bucketed,
+        build_dedup_index,
+        build_dedup_index_bucketed,
+        match_against_index,
+        match_against_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.sources import lake
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "entirely different corpus text body here")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "didx_dir")
+    prefix = "didx_bkt_test"
+    for t in (f"{prefix}_exact", f"{prefix}_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        build_dedup_index(corpus, path)
+        stats = build_dedup_index_bucketed(corpus, prefix, n_buckets=4)
+        assert stats["exact_rows"] == 2 and stats["band_rows"] > 0
+
+        near = base.replace("w3 ", "w3x ")  # 1-token change: near dup
+        batch = spark.createDataFrame(
+            [(10, base),            # exact dup of doc 1
+             (11, near),            # near dup of doc 1
+             (12, "a wholly fresh document with new words only")],
+            ["doc_id", "text"],
+        )
+        via_dir = match_against_index(spark, batch, path)
+        via_bkt = match_against_index_bucketed(spark, batch, prefix)
+        rows_dir = sorted(map(tuple, via_dir.collect()))
+        dedup.release_staged(spark)
+        rows_bkt = sorted(map(tuple, via_bkt.collect()))
+        assert rows_dir == rows_bkt
+        by_id = {r[0]: r for r in rows_bkt}
+        assert by_id[10][-1] == "exact" or by_id[10][1:] == (1, "exact")
+        # plan shape: with broadcast off (fixture-sized frames broadcast
+        # in BOTH layouts, hiding the difference; a corpus-sized index
+        # never broadcasts), the bucketed index joins without exchanging
+        # the index side
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            n_dir = lake.exchange_count(match_against_index(spark, batch, path))
+            n_bkt = lake.exchange_count(
+                match_against_index_bucketed(spark, batch, prefix)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        dedup.release_staged(spark)
+        assert n_bkt < n_dir, (n_bkt, n_dir)
+
+        # appends preserve the spec and later matches agree across layouts
+        fresh = batch.where("doc_id = 12")
+        append_to_index(fresh, path)
+        append_to_index_bucketed(fresh, prefix, n_buckets=4)
+        b2 = spark.createDataFrame(
+            [(20, "a wholly fresh document with new words only")],
+            ["doc_id", "text"],
+        )
+        r_dir = sorted(map(tuple, match_against_index(spark, b2, path).collect()))
+        dedup.release_staged(spark)
+        r_bkt = sorted(map(tuple, match_against_index_bucketed(spark, b2, prefix).collect()))
+        dedup.release_staged(spark)
+        assert r_dir == r_bkt
+        assert r_bkt[0][2] == "exact"  # doc 12's text now indexed
+    finally:
+        for t in (f"{prefix}_exact", f"{prefix}_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

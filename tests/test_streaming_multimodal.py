@@ -1084,6 +1084,83 @@ def test_span_dedup_stream_sink_with_compaction(spark, tmp_path):
     assert grams.count() == grams.select("gram_hash").distinct().count()
 
 
+def test_span_dedup_stream_sink_bucketed_index(spark, tmp_path):
+    """index_table= switches the sink to the bucketed gram-index layout
+    (zero index-side Exchange per batch): identical cleaned output to
+    the parquet-dir sink, batch-0 retry-compatible meta (append-tagged),
+    and the every-N compaction runs its bucketed form."""
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    phrase = " ".join(f"bs{i}" for i in range(10))
+    texts = [
+        (1, f"first holder doc {phrase} original ending content words"),
+        (2, "plain novel doc nothing shared with any other"),
+        (11, f"late copier piece {phrase} different framing entirely now"),
+        (12, "another plain novel doc all unique tokens again"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    table = "gidx_sink_bkt_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+
+    def run(tag, **sink_kwargs):
+        src = str(tmp_path / f"src_{tag}")
+        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
+        docs.where("doc_id >= 10").coalesce(1).write.parquet(f"{src}/b1")
+        import glob as globmod
+        import os as osmod
+        import time as timemod
+
+        for k, sub in enumerate(("b0", "b1")):
+            t = timemod.time() - (2 - k) * 10
+            for f in globmod.glob(f"{src}/{sub}/*"):
+                osmod.utime(f, (t, t))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            span_deduped_stream_sink(
+                stream,
+                str(tmp_path / f"gidx_{tag}"),
+                out,
+                str(tmp_path / f"ckpt_{tag}"),
+                **sink_kwargs,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        release_staged(spark)
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        plain = run("dirmode")
+        bucketed = run(
+            "bktmode", index_table=table, n_buckets=4, compact_every=1
+        )
+        assert bucketed == plain
+        assert bucketed[11][1] == 10  # cross-batch span cut via the table
+        # batch-0's meta row is append-tagged (retryable), never 'build'
+        kinds = {r["kind"] for r in spark.table(f"{table}_meta").collect()}
+        assert kinds == {"append"}
+        # compaction kept one live row per gram
+        grams = spark.table(table)
+        assert grams.count() == grams.select("gram_hash").distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+
 # ---------------------------------- round-7: binding cross-decode pins
 
 def _require_pillow():
