@@ -210,45 +210,64 @@ def chunk_dedup_stats(
     (rounded 6), and ``kept_tokens`` — tokens remaining if duplicate chunks
     were excised.
 
-    Scale shape: one map-side-combinable ``groupBy(chunk_hash).min`` (hot
-    boilerplate chunks partial-aggregate before the shuffle), a join back on
-    the 16-byte hash (AQE skew-join splits a mega-hot chunk), and a final
-    per-doc aggregation. No self-join, no window over a hot key.
+    Scale shape: two map-side-combinable aggregations and ONE doc-keyed
+    join of per-document partials — the full chunk table is never joined
+    back or persisted. ``groupBy(chunk_hash).min(struct(id, pos,
+    ctoks))`` finds each chunk's global first occurrence (hot boilerplate
+    chunks partial-aggregate before the shuffle; the first's token count
+    rides in the struct, never reached as a tiebreak since (id, pos) is
+    unique); re-keying the firsts by their owning document gives per-doc
+    first counts + kept tokens, and a direct per-doc groupBy gives chunk
+    totals — ``n_dup = n_chunks - n_firsts`` without re-shuffling the
+    occurrence table (r8: this removes the second corpus-wide shuffle
+    and the staged persist the join-back design paid). No self-join, no
+    window over a hot key.
     """
     chunks = chunk_frame(df, id_col, text_col, chunk_tokens).select(
         "__id",
         "__ctoks",
         F.md5(F.col("__chunk")).alias("__h"),
-        F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p")).alias(
-            "__occ"
-        ),
+        F.struct(
+            F.col("__id").alias("i"),
+            F.col("__pos").alias("p"),
+            F.col("__ctoks").alias("t"),
+        ).alias("__occ"),
     )
-    chunks = _stage(chunks)
-    first = chunks.groupBy("__h").agg(F.min("__occ").alias("__first"))
-    occ = chunks.join(first, on="__h")
-    dup = F.col("__occ") != F.col("__first")
+    totals = chunks.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    firsts = (
+        chunks.groupBy("__h")
+        .agg(F.min("__occ").alias("__first"))
+        .groupBy(F.col("__first.i").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("__n_first"),
+            F.sum("__first.t").alias("kept_tokens"),
+        )
+    )
+    # LEFT join + coalesce: a document none of whose chunks are global
+    # firsts (every chunk seen earlier) has no firsts row
+    out = totals.join(firsts, on=id_col, how="left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("__n_first"), F.lit(0)).alias("__n_first"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+    )
+    n_dup = (F.col("n_chunks") - F.col("__n_first")).alias("n_dup_chunks")
     if micro:
         from .text import micro_ratio
 
         frac = F.coalesce(
-            micro_ratio(F.sum(dup.cast("long")), F.count(F.lit(1))),
+            micro_ratio(
+                F.col("n_chunks") - F.col("__n_first"), F.col("n_chunks")
+            ),
             F.lit(0).cast("bigint"),
         ).alias("dup_chunk_frac_micro")
     else:
         frac = F.round(
-            F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
+            (F.col("n_chunks") - F.col("__n_first")) / F.col("n_chunks"), 6
         ).alias("dup_chunk_frac")
-    return (
-        occ.groupBy(F.col("__id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(dup.cast("long")).alias("n_dup_chunks"),
-            frac,
-            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("__ctoks"))).alias(
-                "kept_tokens"
-            ),
-        )
-    )
+    return out.select(id_col, "n_chunks", n_dup, frac, "kept_tokens")
 
 
 def line_dedup_frame(
