@@ -662,16 +662,52 @@ def append_to_gram_index(
 
 # ------------------------------------------------------------- compaction
 
+def _require_local_path(path: str) -> None:
+    """The plain-parquet compactors swap DIRECTORIES with local-filesystem
+    renames; a scheme-qualified path (hdfs://, s3a://) would write its
+    Spark temp dir fine and then die on ``os.rename``, killing a stream
+    mid-compaction. Refuse up front with the alternatives named."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"compact_*_index swaps directories with local-fs renames; "
+            f"{path!r} is not a local path. On a cluster store, either use "
+            "the bucketed-table layout (compact_gram_index_bucketed swaps "
+            "tables through the metastore) or run the equivalent rewrite "
+            "through the lake's table format (Delta OPTIMIZE / Iceberg "
+            "rewrite_data_files)."
+        )
+
+
+def recover_interrupted_compaction(path: str) -> bool:
+    """Heal a compaction swap that died between its two renames: if the
+    live dir is missing but the ``.compact-old`` survivor exists, rename
+    it back. Called automatically at the start of every compaction and by
+    the streaming sink before the index-existence check — without it, a
+    crash in the (millisecond) swap window would make the next batch see
+    NO index and silently reset dedup state. Returns True if a recovery
+    was performed."""
+    old = path + ".compact-old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
     """Replace ``path`` with the materialisation of ``df`` (which reads
     from ``path`` — Spark cannot overwrite a dir it is scanning, so the
     rewrite lands in a sibling temp dir first and the dirs swap after the
-    write commits). Local-filesystem rename here; on an object-store lake
-    the same two steps are "write new version dir, flip the table
-    manifest" (Delta/Iceberg give it to you as OPTIMIZE/rewrite_data_files
-    — this is that operation for the plain-parquet index layout)."""
+    write commits). Local-filesystem renames (``_require_local_path`` is
+    checked by callers); on an object-store lake the same two steps are
+    "write new version dir, flip the table manifest" (Delta/Iceberg give
+    it to you as OPTIMIZE/rewrite_data_files — this is that operation for
+    the plain-parquet index layout). Crash safety: the data always exists
+    in ``path`` or ``path + '.compact-old'`` — a crash between the two
+    renames is healed by :func:`recover_interrupted_compaction`, and the
+    old dir is only deleted after the new dir is in place."""
     tmp = path + ".compact-tmp"
     old = path + ".compact-old"
+    recover_interrupted_compaction(path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     df.repartition(max(1, partitions)).write.mode("overwrite").parquet(tmp)
@@ -724,7 +760,9 @@ def compact_gram_index(spark: SparkSession, path: str) -> dict:
 
     Returns ``{rows_before, rows_after, files_before, files_after}``.
     """
+    _require_local_path(path)
     gp = os.path.join(path, "grams")
+    recover_interrupted_compaction(gp)
     before = spark.read.parquet(gp)
     files_before = sum(
         1 for f in os.listdir(gp) if f.endswith(".parquet")
@@ -747,7 +785,9 @@ def compact_chunk_index(spark: SparkSession, path: str) -> dict:
     the re-read the per-batch join pays. Safe at any batch boundary:
     ``chunk_stats_against_index`` distincts the index before joining, so
     compaction changes bytes scanned, never results."""
+    _require_local_path(path)
     cp = os.path.join(path, "chunks")
+    recover_interrupted_compaction(cp)
     before = spark.read.parquet(cp)
     rows_before = before.count()
     _rewrite_parquet_dir(
@@ -763,7 +803,9 @@ def compact_line_index(spark: SparkSession, path: str) -> dict:
     """Rewrite the line-count table summing ``n_docs`` per hash — the
     same sum ``clean_against_line_index`` applies on read (counts add
     across doc-disjoint appends), made durable once."""
+    _require_local_path(path)
     lp = os.path.join(path, "lines")
+    recover_interrupted_compaction(lp)
     before = spark.read.parquet(lp)
     rows_before = before.count()
     agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))

@@ -45,29 +45,34 @@ from .memguard import tight_memory as _tight_memory
 #: interpreter exit.
 _OWNED_CKPT_DIRS: set[str] = set()
 
-#: Tight-mode CC runs currently alive in this process. The checkpoint dir
-#: is SparkContext-global, so two driver threads running tight-mode CC
-#: concurrently write reliable-checkpoint files into the SAME owned root;
-#: emptying it when the first run finishes would delete the second run's
-#: live files mid-iteration (ADVICE r7 #2). Releases are refcounted: the
-#: last active run out cleans up.
+#: Tight-mode CC runs currently alive, PER SparkContext (keyed by
+#: applicationId — the checkpoint dir is context-global, not
+#: process-global, so a run on context A must neither delete B's live
+#: files nor leave A's own release gated on B's lifetime). Two driver
+#: threads running tight-mode CC on the same context write
+#: reliable-checkpoint files into the SAME owned root; emptying it when
+#: the first run finishes would delete the second run's live files
+#: mid-iteration (ADVICE r7 #2). Releases are refcounted per context:
+#: the last active run on that context cleans its dir up.
 _CKPT_LOCK = threading.Lock()
-_ACTIVE_TIGHT_RUNS = 0
+_ACTIVE_TIGHT_RUNS: dict = {}
 
 
-def _enter_tight_run() -> None:
-    global _ACTIVE_TIGHT_RUNS
+def _enter_tight_run(spark) -> None:
+    key = spark.sparkContext.applicationId
     with _CKPT_LOCK:
-        _ACTIVE_TIGHT_RUNS += 1
+        _ACTIVE_TIGHT_RUNS[key] = _ACTIVE_TIGHT_RUNS.get(key, 0) + 1
 
 
 def _exit_tight_run(spark) -> None:
-    """Decrement the active-run count; empty the owned checkpoint dir only
-    when no other tight-mode run still depends on its files."""
-    global _ACTIVE_TIGHT_RUNS
+    """Decrement this context's active-run count; empty its owned
+    checkpoint dir only when no other tight-mode run on the SAME context
+    still depends on the files."""
+    key = spark.sparkContext.applicationId
     with _CKPT_LOCK:
-        _ACTIVE_TIGHT_RUNS -= 1
-        if _ACTIVE_TIGHT_RUNS == 0:
+        _ACTIVE_TIGHT_RUNS[key] -= 1
+        if _ACTIVE_TIGHT_RUNS[key] == 0:
+            del _ACTIVE_TIGHT_RUNS[key]
             _release_checkpoints(spark)
 
 
@@ -205,7 +210,7 @@ def connected_components(
         # refcount the run so a concurrent tight-mode CC on the same
         # SparkSession (driver threads) keeps its checkpoint files until
         # BOTH runs have materialised their results off them
-        _enter_tight_run()
+        _enter_tight_run(edges.sparkSession)
     try:
         sym = _truncate(sym, tight)
 

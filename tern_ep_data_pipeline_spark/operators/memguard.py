@@ -96,6 +96,22 @@ SPAN_RESIDENT_PER_INDEX_BYTE = 1.0
 SPAN_RESIDENT_PER_CORE = 16 << 20
 
 
+def incremental_span_floor_decidable(spark: SparkSession) -> bool:
+    """True when :func:`incremental_span_floor_message` could possibly
+    fire — local mode (the driver IS the executor) or a cluster session
+    with executor memory AND cores configured. Callers check this BEFORE
+    measuring batch/index sizes: the batch-bytes aggregate is a full
+    extra scan of the micro-batch, not worth paying for a check that can
+    never fire."""
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        return True
+    return bool(
+        spark.conf.get("spark.executor.memory", None)
+        and spark.conf.get("spark.executor.cores", None)
+    )
+
+
 def incremental_span_floor_message(
     spark: SparkSession, batch_bytes: int | None, index_bytes: int
 ) -> str | None:

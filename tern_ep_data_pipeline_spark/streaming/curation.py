@@ -252,12 +252,26 @@ def span_dedup_batch(
         plan_size_estimate,
     )
 
+    from ..operators.memguard import incremental_span_floor_decidable
+
     spark = batch.sparkSession
     if index_table is not None:
         have_index = spark.catalog.tableExists(index_table)
     else:
+        if "://" not in index_path:
+            from ..operators.dedup_index import (
+                recover_interrupted_compaction,
+            )
+
+            # heal a compaction swap that died between its renames —
+            # otherwise this batch would see NO index and silently reset
+            # the dedup state (the .compact-old survivor holds the data)
+            recover_interrupted_compaction(f"{index_path}/grams")
         have_index = _dir_exists(spark, f"{index_path}/grams")
-    if memory_guard:
+    # decidability FIRST: on a cluster without executor mem/core confs the
+    # floor model can never fire, and the batch-bytes aggregate below is a
+    # full extra scan of the micro-batch — don't pay it for a no-op check
+    if memory_guard and incremental_span_floor_decidable(spark):
         if not have_index:
             index_bytes = 0
         elif index_table is not None:

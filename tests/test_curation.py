@@ -2136,7 +2136,7 @@ def test_cc_concurrent_tight_runs_refcount(spark, monkeypatch):
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
     )
     # simulate a second live run holding the checkpoint root
-    graph._enter_tight_run()
+    graph._enter_tight_run(spark)
     try:
         out = connected_components(edges, driver_threshold=0)
         assert out.count() == 5
@@ -2315,3 +2315,51 @@ def test_bucketed_dedup_index_equivalence(spark, tmp_path):
     finally:
         for t in (f"{prefix}_exact", f"{prefix}_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_swap_recovery_and_scheme_guard(spark, tmp_path):
+    """A compaction swap killed between its two renames leaves the data in
+    .compact-old; the next batch (and the next compaction) must heal it
+    instead of silently resetting the dedup state. Scheme-qualified paths
+    are refused up front (the swap is local-fs rename)."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index,
+        compact_gram_index,
+        recover_interrupted_compaction,
+    )
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    phrase = " ".join(f"rc{i}" for i in range(10))
+    path = str(tmp_path / "gidx_recover")
+    build_gram_index(
+        spark.createDataFrame(
+            [(1, f"owner doc {phrase} tail words")], ["doc_id", "text"]
+        ),
+        path,
+    )
+    # simulate the crash window: grams renamed away, new dir not yet in place
+    gp = os.path.join(path, "grams")
+    os.rename(gp, gp + ".compact-old")
+    assert not os.path.exists(gp)
+
+    # the streaming batch heals it and still cuts the indexed span
+    batch = spark.createDataFrame(
+        [(10, f"later copy {phrase} fresh ending")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in span_dedup_batch(batch, path).collect()}
+    dedup.release_staged(spark)
+    assert out[10]["n_removed_tokens"] == 10  # index was NOT reset
+    assert os.path.exists(gp)
+
+    # an interrupted swap is also healed by the next compaction itself
+    os.rename(gp, gp + ".compact-old")
+    stats = compact_gram_index(spark, path)
+    assert stats["rows_after"] > 0
+    # idempotent no-op when nothing is interrupted
+    assert recover_interrupted_compaction(gp) is False
+
+    with pytest.raises(NotImplementedError, match="local"):
+        compact_gram_index(spark, "s3a://bucket/gidx")
