@@ -15,11 +15,12 @@ O(batch), not O(corpus).
 
 The index lives as plain parquet directories by default. At cluster
 scale, the batch-vs-index joins should co-locate WITHOUT shuffling the
-index side: the gram-first table ships a bucketed-table layout
-(``build/append/clean_against_gram_index_bucketed`` — bucketBy
-gram_hash, zero index-side Exchange per batch, measured in SPILL_r08);
-the band table can use the same pattern via
-``sources.lake.write_bucketed`` on (band, bh).
+index side: every table ships a bucketed-table twin (``*_bucketed``
+functions — gram-first bucketed by gram_hash with zero index-side
+Exchange per batch, measured in SPILL_r08; exact by content_hash;
+bands by (band, bh); chunks by chunk_hash; lines by line_hash), with
+metastore-swap compaction where the plain layout uses directory
+renames.
 """
 
 from __future__ import annotations
@@ -354,6 +355,32 @@ def chunk_stats_against_index(
     broadcast but never scanned more than once) plus one within-batch
     groupBy.min; the index text is never read.
     """
+    # distinct BEFORE the left join: the index accumulates parquet appends
+    # and the same chunk_hash routinely lands in several of them (accepted
+    # docs below the gate still carry already-indexed chunks); a plain left
+    # join would multiply each matching occurrence row per index copy,
+    # inflating n_chunks / n_dup_chunks — the exact value callers gate on.
+    indexed = (
+        spark.read.parquet(os.path.join(path, "chunks"))
+        .select(F.col("chunk_hash").alias("__h"))
+        .distinct()
+        .withColumn("__indexed", F.lit(True))
+        .hint("shuffle_hash")
+    )
+    return _chunk_stats_core(new_docs, indexed, id_col, text_col, chunk_tokens)
+
+
+def _chunk_stats_core(
+    new_docs: DataFrame,
+    indexed: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+) -> DataFrame:
+    """Layout-independent core of the incremental chunk stats: ``indexed``
+    is a distinct (__h, __indexed=True) membership frame from either the
+    parquet-dir scan (shuffle-hash hinted) or the bucketed-table scan
+    (joins on its own bucket distribution)."""
     occ = (
         dedup_ops.chunk_frame(new_docs, id_col, text_col, chunk_tokens)
         .select(
@@ -367,20 +394,7 @@ def chunk_stats_against_index(
     )
     occ = dedup_ops._stage(occ)
     batch_first = occ.groupBy("__h").agg(F.min("__occ").alias("__first"))
-    # distinct BEFORE the left join: the index accumulates parquet appends
-    # and the same chunk_hash routinely lands in several of them (accepted
-    # docs below the gate still carry already-indexed chunks); a plain left
-    # join would multiply each matching occurrence row per index copy,
-    # inflating n_chunks / n_dup_chunks — the exact value callers gate on.
-    indexed = (
-        spark.read.parquet(os.path.join(path, "chunks"))
-        .select(F.col("chunk_hash").alias("__h"))
-        .distinct()
-        .withColumn("__indexed", F.lit(True))
-    )
-    joined = occ.join(batch_first, on="__h").join(
-        indexed.hint("shuffle_hash"), on="__h", how="left"
-    )
+    joined = occ.join(batch_first, on="__h").join(indexed, on="__h", how="left")
     dup = F.coalesce(F.col("__indexed"), F.lit(False)) | (
         F.col("__occ") != F.col("__first")
     )
@@ -1077,3 +1091,177 @@ def append_to_index_bucketed(
         table_prefix + "_bands", ["band", "bh"],
         n_buckets=n_buckets, sort_cols=["band", "bh"], mode="append",
     )
+
+
+def build_chunk_index_bucketed(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    n_buckets: int = 32,
+) -> int:
+    """Bucketed-table twin of :func:`build_chunk_index` (bucketBy
+    chunk_hash): the per-batch membership join reads the corpus-sized
+    chunk set without exchanging it."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _chunk_table(docs, id_col, text_col, chunk_tokens),
+        table, ["chunk_hash"],
+        n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="overwrite",
+    )
+    return docs.sparkSession.table(table).count()
+
+
+def chunk_stats_against_index_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Bucketed twin of :func:`chunk_stats_against_index` — identical
+    output; the distinct + left join consume the bucketed scan's hash
+    distribution instead of shuffling the index per batch."""
+    indexed = (
+        spark.table(table)
+        .select(F.col("chunk_hash").alias("__h"))
+        .distinct()
+        .withColumn("__indexed", F.lit(True))
+    )
+    return _chunk_stats_core(new_docs, indexed, id_col, text_col, chunk_tokens)
+
+
+def append_to_chunk_index_bucketed(
+    accepted_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    n_buckets: int = 32,
+) -> None:
+    """Append accepted docs' distinct chunk hashes into the bucketed
+    layout (distinct within the append only — reads distinct again, and
+    :func:`compact_chunk_index_bucketed` makes it durable)."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _chunk_table(accepted_docs, id_col, text_col, chunk_tokens),
+        table, ["chunk_hash"],
+        n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="append",
+    )
+
+
+def compact_chunk_index_bucketed(
+    spark: SparkSession, table: str, n_buckets: int = 32
+) -> dict:
+    """Distinct-rewrite of the bucketed chunk table via a metastore table
+    swap (bucket-local: a hash's copies share a bucket)."""
+    from ..sources.lake import write_bucketed
+
+    before = spark.table(table)
+    rows_before = before.count()
+    tmp = table + "_compact_tmp"
+    write_bucketed(
+        before.distinct(), tmp, ["chunk_hash"],
+        n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return {"rows_before": rows_before, "rows_after": spark.table(table).count()}
+
+
+def build_line_index_bucketed(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+    n_buckets: int = 32,
+) -> int:
+    """Bucketed-table twin of :func:`build_line_index` (bucketBy
+    line_hash): the per-batch count join reads the corpus line counts
+    without exchanging them."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _line_count_table(docs, id_col, text_col, delimiter, min_line_chars),
+        table, ["line_hash"],
+        n_buckets=n_buckets, sort_cols=["line_hash"], mode="overwrite",
+    )
+    return docs.sparkSession.table(table).count()
+
+
+def clean_against_line_index_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Bucketed twin of :func:`clean_against_line_index` — identical
+    output; the per-hash count sum runs on the bucketed scan's own
+    distribution."""
+    idx = (
+        spark.table(table)
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return dedup_ops.line_dedup_frame(
+        new_docs,
+        id_col,
+        text_col,
+        min_docs=min_docs,
+        min_line_chars=min_line_chars,
+        delimiter=delimiter,
+        index_counts=idx,
+    )
+
+
+def append_to_line_index_bucketed(
+    accepted_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+    n_buckets: int = 32,
+) -> None:
+    """Append this batch's per-line distinct-doc counts (doc-disjoint
+    batches sum to true corpus counts on read;
+    :func:`compact_line_index_bucketed` makes the sum durable)."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _line_count_table(
+            accepted_docs, id_col, text_col, delimiter, min_line_chars
+        ),
+        table, ["line_hash"],
+        n_buckets=n_buckets, sort_cols=["line_hash"], mode="append",
+    )
+
+
+def compact_line_index_bucketed(
+    spark: SparkSession, table: str, n_buckets: int = 32
+) -> dict:
+    """Sum-rewrite of the bucketed line-count table via a metastore
+    table swap (bucket-local aggregation)."""
+    from ..sources.lake import write_bucketed
+
+    before = spark.table(table)
+    rows_before = before.count()
+    agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
+    tmp = table + "_compact_tmp"
+    write_bucketed(
+        agg, tmp, ["line_hash"],
+        n_buckets=n_buckets, sort_cols=["line_hash"], mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return {"rows_before": rows_before, "rows_after": spark.table(table).count()}

@@ -2363,3 +2363,71 @@ def test_compaction_swap_recovery_and_scheme_guard(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="local"):
         compact_gram_index(spark, "s3a://bucket/gidx")
+
+
+def test_bucketed_chunk_and_line_index_equivalence(spark, tmp_path):
+    """Bucketed chunk/line index twins: identical per-batch results to
+    the parquet-dir layouts, with compaction swaps through the
+    metastore."""
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_chunk_index,
+        append_to_chunk_index_bucketed,
+        append_to_line_index,
+        append_to_line_index_bucketed,
+        build_chunk_index,
+        build_chunk_index_bucketed,
+        build_line_index,
+        build_line_index_bucketed,
+        chunk_stats_against_index,
+        chunk_stats_against_index_bucketed,
+        clean_against_line_index,
+        clean_against_line_index_bucketed,
+        compact_chunk_index_bucketed,
+        compact_line_index_bucketed,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    base = mk([(1, " ".join(f"bc{i}" for i in range(20)))])
+    lines_corpus = mk([(1, "common line\nalpha tail"), (2, "common line\nbeta tail")])
+    cpath, lpath = str(tmp_path / "cidx_d"), str(tmp_path / "lidx_d")
+    ctab, ltab = "cidx_bkt_test", "lidx_bkt_test"
+    for t in (ctab, ltab):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        build_chunk_index(base, cpath, chunk_tokens=5)
+        build_chunk_index_bucketed(base, ctab, chunk_tokens=5, n_buckets=4)
+        build_line_index(lines_corpus, lpath)
+        build_line_index_bucketed(lines_corpus, ltab, n_buckets=4)
+        # duplicated appends in both layouts
+        more = base.withColumn("doc_id", base.doc_id + 10)
+        append_to_chunk_index(more, cpath, chunk_tokens=5)
+        append_to_chunk_index_bucketed(more, ctab, chunk_tokens=5, n_buckets=4)
+        late = mk([(11, "common line\ngamma tail")])
+        append_to_line_index(late, lpath)
+        append_to_line_index_bucketed(late, ltab, n_buckets=4)
+
+        probe_c = mk([(50, " ".join(f"bc{i}" for i in range(10)) + " novel tail")])
+        probe_l = mk([(60, "common line\ndelta tail")])
+        key = lambda rows: sorted(map(tuple, rows))
+        dir_c = key(chunk_stats_against_index(
+            spark, probe_c, cpath, chunk_tokens=5).collect())
+        bkt_c = key(chunk_stats_against_index_bucketed(
+            spark, probe_c, ctab, chunk_tokens=5).collect())
+        assert dir_c == bkt_c
+        dir_l = key(clean_against_line_index(
+            spark, probe_l, lpath, min_docs=2).collect())
+        bkt_l = key(clean_against_line_index_bucketed(
+            spark, probe_l, ltab, min_docs=2).collect())
+        assert dir_l == bkt_l
+
+        sc = compact_chunk_index_bucketed(spark, ctab, n_buckets=4)
+        sl = compact_line_index_bucketed(spark, ltab, n_buckets=4)
+        assert sc["rows_after"] < sc["rows_before"]
+        assert sl["rows_after"] < sl["rows_before"]
+        assert key(chunk_stats_against_index_bucketed(
+            spark, probe_c, ctab, chunk_tokens=5).collect()) == bkt_c
+        assert key(clean_against_line_index_bucketed(
+            spark, probe_l, ltab, min_docs=2).collect()) == bkt_l
+    finally:
+        for t in (ctab, ltab, ctab + "_compact_tmp", ltab + "_compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
