@@ -950,6 +950,7 @@ def clean_against_gram_index_bucketed(
     shuffles. This is what keeps the per-batch plan O(batch + index
     SCAN) rather than O(index shuffle) once the corpus dwarfs the batch.
     """
+    recover_interrupted_table_compaction(spark, table)
     if validate_ids:
         try:
             meta = [
@@ -974,25 +975,62 @@ def clean_against_gram_index_bucketed(
     )
 
 
-def compact_gram_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int = 32
+def _table_n_buckets(spark: SparkSession, table: str) -> int | None:
+    """The table's bucket count from the catalog (DESCRIBE EXTENDED), or
+    None when unreadable. Compactors use this so a rewrite keeps the spec
+    the table was built with — a caller-supplied default would silently
+    degrade a thousands-of-buckets production index to 32 and break the
+    next append with a spec-mismatch error."""
+    try:
+        for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if str(row[0]).strip().lower() == "num buckets":
+                return int(str(row[1]).strip())
+    except Exception:
+        return None
+    return None
+
+
+def recover_interrupted_table_compaction(
+    spark: SparkSession, table: str
+) -> bool:
+    """Heal a metastore-swap compaction that died between DROP and
+    RENAME: the live table is gone but ``<table>_compact_tmp`` holds the
+    full compacted data — rename it into place. Called automatically by
+    every bucketed compactor and reader; the table-layout analogue of
+    :func:`recover_interrupted_compaction`. Returns True on recovery."""
+    tmp = table + "_compact_tmp"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(tmp):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        return True
+    return False
+
+
+def _compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    agg_fn,
+    n_buckets: int | None,
 ) -> dict:
-    """Compact the bucketed gram index: min(first_key) per gram rewritten
-    into a fresh bucketed table that atomically replaces the old one
-    (write tmp table, drop, rename — the metastore flip that
-    ``_rewrite_parquet_dir``'s directory swap approximates for the plain
-    layout). Bucket-local: every row of a gram lives in one bucket, so
-    the compaction aggregation itself needs no exchange either. The
-    ``<table>_meta`` watermark log is untouched."""
+    """Shared bucketed-compaction protocol: heal any interrupted prior
+    swap, rewrite ``agg_fn(table)`` into a fresh bucketed tmp table with
+    the SAME bucket spec (read from the catalog unless explicitly
+    overridden), then swap through the metastore (DROP + RENAME — the
+    flip a lake table format makes atomic; the crash window between the
+    two statements is healed by the recovery above, so the data always
+    exists under ``table`` or ``table_compact_tmp``). Bucket-local:
+    every key's rows share a bucket, so the aggregation itself needs no
+    exchange."""
     from ..sources.lake import write_bucketed
 
+    recover_interrupted_table_compaction(spark, table)
+    resolved = n_buckets or _table_n_buckets(spark, table) or 32
     before = spark.table(table)
     rows_before = before.count()
-    agg = before.groupBy("gram_hash").agg(F.min("first_key").alias("first_key"))
     tmp = table + "_compact_tmp"
     write_bucketed(
-        agg, tmp, ["gram_hash"], n_buckets=n_buckets,
-        sort_cols=["gram_hash"], mode="overwrite",
+        agg_fn(before), tmp, [bucket_col], n_buckets=resolved,
+        sort_cols=[bucket_col], mode="overwrite",
     )
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
@@ -1000,6 +1038,26 @@ def compact_gram_index_bucketed(
         "rows_before": rows_before,
         "rows_after": spark.table(table).count(),
     }
+
+
+def compact_gram_index_bucketed(
+    spark: SparkSession, table: str, n_buckets: int | None = None
+) -> dict:
+    """Compact the bucketed gram index: min(first_key) per gram rewritten
+    into a fresh bucketed table that replaces the old one through the
+    metastore (see :func:`_compact_bucketed` for the swap/recovery
+    protocol; the bucket spec is read from the catalog so the rewrite
+    cannot silently change it). The ``<table>_meta`` watermark log is
+    untouched."""
+    return _compact_bucketed(
+        spark,
+        table,
+        "gram_hash",
+        lambda df: df.groupBy("gram_hash").agg(
+            F.min("first_key").alias("first_key")
+        ),
+        n_buckets,
+    )
 
 
 def build_dedup_index_bucketed(
@@ -1125,6 +1183,7 @@ def chunk_stats_against_index_bucketed(
     """Bucketed twin of :func:`chunk_stats_against_index` — identical
     output; the distinct + left join consume the bucketed scan's hash
     distribution instead of shuffling the index per batch."""
+    recover_interrupted_table_compaction(spark, table)
     indexed = (
         spark.table(table)
         .select(F.col("chunk_hash").alias("__h"))
@@ -1155,22 +1214,14 @@ def append_to_chunk_index_bucketed(
 
 
 def compact_chunk_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int = 32
+    spark: SparkSession, table: str, n_buckets: int | None = None
 ) -> dict:
-    """Distinct-rewrite of the bucketed chunk table via a metastore table
-    swap (bucket-local: a hash's copies share a bucket)."""
-    from ..sources.lake import write_bucketed
-
-    before = spark.table(table)
-    rows_before = before.count()
-    tmp = table + "_compact_tmp"
-    write_bucketed(
-        before.distinct(), tmp, ["chunk_hash"],
-        n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="overwrite",
+    """Distinct-rewrite of the bucketed chunk table via the shared
+    metastore-swap protocol (:func:`_compact_bucketed` — catalog-derived
+    bucket spec, interrupted-swap recovery)."""
+    return _compact_bucketed(
+        spark, table, "chunk_hash", lambda df: df.distinct(), n_buckets
     )
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    return {"rows_before": rows_before, "rows_after": spark.table(table).count()}
 
 
 def build_line_index_bucketed(
@@ -1208,6 +1259,7 @@ def clean_against_line_index_bucketed(
     """Bucketed twin of :func:`clean_against_line_index` — identical
     output; the per-hash count sum runs on the bucketed scan's own
     distribution."""
+    recover_interrupted_table_compaction(spark, table)
     idx = (
         spark.table(table)
         .groupBy("line_hash")
@@ -1248,20 +1300,14 @@ def append_to_line_index_bucketed(
 
 
 def compact_line_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int = 32
+    spark: SparkSession, table: str, n_buckets: int | None = None
 ) -> dict:
-    """Sum-rewrite of the bucketed line-count table via a metastore
-    table swap (bucket-local aggregation)."""
-    from ..sources.lake import write_bucketed
-
-    before = spark.table(table)
-    rows_before = before.count()
-    agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
-    tmp = table + "_compact_tmp"
-    write_bucketed(
-        agg, tmp, ["line_hash"],
-        n_buckets=n_buckets, sort_cols=["line_hash"], mode="overwrite",
+    """Sum-rewrite of the bucketed line-count table via the shared
+    metastore-swap protocol (:func:`_compact_bucketed`)."""
+    return _compact_bucketed(
+        spark,
+        table,
+        "line_hash",
+        lambda df: df.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs")),
+        n_buckets,
     )
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    return {"rows_before": rows_before, "rows_after": spark.table(table).count()}

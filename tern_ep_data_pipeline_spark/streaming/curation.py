@@ -256,6 +256,13 @@ def span_dedup_batch(
 
     spark = batch.sparkSession
     if index_table is not None:
+        from ..operators.dedup_index import (
+            recover_interrupted_table_compaction,
+        )
+
+        # heal a metastore swap that died between DROP and RENAME — the
+        # table-layout analogue of the parquet-dir recovery below
+        recover_interrupted_table_compaction(spark, index_table)
         have_index = spark.catalog.tableExists(index_table)
     else:
         if "://" not in index_path:

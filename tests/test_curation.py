@@ -2406,28 +2406,82 @@ def test_bucketed_chunk_and_line_index_equivalence(spark, tmp_path):
         append_to_line_index(late, lpath)
         append_to_line_index_bucketed(late, ltab, n_buckets=4)
 
+        from tern_ep_data_pipeline_spark.operators import dedup
+        from tern_ep_data_pipeline_spark.sources import lake
+
         probe_c = mk([(50, " ".join(f"bc{i}" for i in range(10)) + " novel tail")])
         probe_l = mk([(60, "common line\ndelta tail")])
         key = lambda rows: sorted(map(tuple, rows))
         dir_c = key(chunk_stats_against_index(
             spark, probe_c, cpath, chunk_tokens=5).collect())
+        dedup.release_staged(spark)
         bkt_c = key(chunk_stats_against_index_bucketed(
             spark, probe_c, ctab, chunk_tokens=5).collect())
+        dedup.release_staged(spark)
         assert dir_c == bkt_c
         dir_l = key(clean_against_line_index(
             spark, probe_l, lpath, min_docs=2).collect())
+        dedup.release_staged(spark)
         bkt_l = key(clean_against_line_index_bucketed(
             spark, probe_l, ltab, min_docs=2).collect())
+        dedup.release_staged(spark)
         assert dir_l == bkt_l
+        # index-side co-location: with broadcast disabled (fixture-sized
+        # indexes broadcast in both layouts, hiding the difference), the
+        # bucketed plans carry strictly fewer shuffle exchanges
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert lake.exchange_count(
+                chunk_stats_against_index_bucketed(
+                    spark, probe_c, ctab, chunk_tokens=5)
+            ) < lake.exchange_count(
+                chunk_stats_against_index(
+                    spark, probe_c, cpath, chunk_tokens=5)
+            )
+            assert lake.exchange_count(
+                clean_against_line_index_bucketed(
+                    spark, probe_l, ltab, min_docs=2)
+            ) < lake.exchange_count(
+                clean_against_line_index(
+                    spark, probe_l, lpath, min_docs=2)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        dedup.release_staged(spark)
 
-        sc = compact_chunk_index_bucketed(spark, ctab, n_buckets=4)
-        sl = compact_line_index_bucketed(spark, ltab, n_buckets=4)
+        sc = compact_chunk_index_bucketed(spark, ctab)
+        sl = compact_line_index_bucketed(spark, ltab)
         assert sc["rows_after"] < sc["rows_before"]
         assert sl["rows_after"] < sl["rows_before"]
+        # compaction read the 4-bucket spec from the catalog, not a default
+        from tern_ep_data_pipeline_spark.operators.dedup_index import (
+            _table_n_buckets,
+        )
+
+        assert _table_n_buckets(spark, ctab) == 4
+        assert _table_n_buckets(spark, ltab) == 4
         assert key(chunk_stats_against_index_bucketed(
             spark, probe_c, ctab, chunk_tokens=5).collect()) == bkt_c
+        dedup.release_staged(spark)
         assert key(clean_against_line_index_bucketed(
             spark, probe_l, ltab, min_docs=2).collect()) == bkt_l
+        dedup.release_staged(spark)
+
+        # a swap killed between DROP and RENAME is healed by the next read
+        from tern_ep_data_pipeline_spark.operators.dedup_index import (
+            recover_interrupted_table_compaction,
+        )
+
+        spark.sql(f"ALTER TABLE {ltab} RENAME TO {ltab}_compact_tmp")
+        assert key(clean_against_line_index_bucketed(
+            spark, probe_l, ltab, min_docs=2).collect()) == bkt_l
+        dedup.release_staged(spark)
+        assert recover_interrupted_table_compaction(spark, ltab) is False
+        # appends still carry the original spec after compaction
+        append_to_line_index_bucketed(
+            mk([(21, "common line\nepsilon tail")]), ltab, n_buckets=4
+        )
     finally:
         for t in (ctab, ltab, ctab + "_compact_tmp", ltab + "_compact_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
