@@ -118,3 +118,32 @@ def curate_documents(spark: SparkSession, site: str) -> dict:
     release_staged(spark)
     n_in, n_out = docs.count(), spark.read.parquet(dest).count()
     return {"rows_in": n_in, "rows_out": n_out, "path": dest}
+
+
+@register("compact_dedup_indexes")
+def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
+    """Lake-schedule compaction of the incremental dedup indexes (the
+    off-ingest-path maintenance the index docstrings defer to): for the
+    index root at ``$SPARK_GRAFT_INDEX_DIR`` (default ``<out>/dedup_index/
+    site=<site>``), rewrite whichever of the grams/chunks/lines tables
+    exist to their canonical aggregates (``dedup_index.compact_*_index``).
+    Bucketed-table indexes compact through their own ``*_bucketed``
+    functions on the lake's catalog, not this task. Returns per-table
+    row counts before/after; tables absent from the root are skipped."""
+    from .operators import dedup_index as di
+
+    apply_engine_conf(spark)
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(_out_dir(), "dedup_index", f"site={site}"),
+    )
+    out: dict = {"path": root}
+    for sub, fn in (
+        ("grams", di.compact_gram_index),
+        ("chunks", di.compact_chunk_index),
+        ("lines", di.compact_line_index),
+    ):
+        di.recover_interrupted_compaction(os.path.join(root, sub))
+        if os.path.isdir(os.path.join(root, sub)):
+            out[sub] = fn(spark, root)
+    return out

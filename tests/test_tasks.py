@@ -96,3 +96,50 @@ def test_curate_documents_task(spark, tmp_path, monkeypatch):
     assert 0 < out["rows_out"] <= out["rows_in"]
     curated = spark.read.parquet(out["path"])
     assert {"doc_id", "text", "n_chars_clean"} <= set(curated.columns)
+
+
+def test_compact_dedup_indexes_task(spark, tmp_path, monkeypatch):
+    import importlib
+
+    import tern_ep_data_pipeline_spark.tasks_builtin as builtin_mod
+    from tern_ep_data_pipeline_spark import tasks as task_mod
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        append_to_line_index,
+        build_gram_index,
+        build_line_index,
+        clean_against_gram_index,
+    )
+
+    importlib.reload(builtin_mod)
+
+    root = str(tmp_path / "didx")
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tk{i}" for i in range(12)) + "\nshared line")],
+        ["doc_id", "text"],
+    )
+    build_gram_index(docs, root)
+    append_to_gram_index(docs.withColumn("doc_id", docs.doc_id + 1), root)
+    build_line_index(docs, root)
+    append_to_line_index(docs.withColumn("doc_id", docs.doc_id + 1), root)
+    # no chunks table on purpose: absent tables are skipped, not errors
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", root)
+    matrix = task_mod.SiteTaskMatrix({"TestSite": {"compact_dedup_indexes": True}})
+    results = task_mod.run_task(spark, "compact_dedup_indexes", matrix)
+    assert len(results) == 1 and results[0].ok, results[0].error
+    out = results[0].result
+    assert out["grams"]["rows_after"] < out["grams"]["rows_before"]
+    assert out["lines"]["rows_after"] < out["lines"]["rows_before"]
+    assert "chunks" not in out
+    # the compacted index still answers: an id-3 batch repeating indexed
+    # text loses all its tokens
+    got = clean_against_gram_index(
+        spark,
+        docs.withColumn("doc_id", docs.doc_id + 2),
+        root,
+    ).first()
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+
+    release_staged(spark)
+    assert got["n_removed_tokens"] == got["n_tokens"]
