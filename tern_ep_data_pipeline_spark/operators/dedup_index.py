@@ -942,6 +942,7 @@ def clean_against_gram_index_bucketed(
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
     validate_ids: bool = True,
+    staged: bool = False,
 ) -> DataFrame:
     """Bucketed-table twin of :func:`clean_against_gram_index` — same
     output, same contract, but the index-side min-combine and first-key
@@ -949,6 +950,17 @@ def clean_against_gram_index_bucketed(
     hash-distributed on gram_hash, so only the O(batch) gram frame
     shuffles. This is what keeps the per-batch plan O(batch + index
     SCAN) rather than O(index shuffle) once the corpus dwarfs the batch.
+
+    ``staged=True`` deliberately re-introduces the index-side exchange
+    (one ``repartition`` on gram_hash before the min-combine). That
+    costs the O(index) shuffle back, but un-fuses the scan + aggregate +
+    join pipeline into exchange-separated, independently-spillable
+    stages — the dir layout's shape, measured completing at index sizes
+    where the fused plan heap-OOMs (SPILL_r08: fused 1-of-2 OOM at a
+    531 MiB index under 3g/32; staged/dir passing to 845 MiB). The
+    streaming guard (``streaming.curation.span_dedup_batch``) picks it
+    automatically when the fused resident model exceeds the heap but
+    the staged model fits.
     """
     recover_interrupted_table_compaction(spark, table)
     if validate_ids:
@@ -960,8 +972,21 @@ def clean_against_gram_index_bucketed(
         except Exception:
             meta = []
         _validate_gram_ids(spark, new_docs, id_col, meta)
+    scan = spark.table(table)
+    if staged:
+        # explicit partition count, chosen != the table's bucket count:
+        # a count-less repartition("gram_hash") is elided by AQE's
+        # redundant-repartition rule (the bucketed scan already satisfies
+        # the clustering), silently restoring the fused plan (measured —
+        # the final adaptive plan kept SelectedBucketsCount and dropped
+        # the Exchange). A mismatched explicit count cannot be elided.
+        n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        nb = _table_n_buckets(spark, table) or 0
+        scan = scan.repartition(
+            n_shuf if n_shuf != nb else 2 * n_shuf, "gram_hash"
+        )
     idx = (
-        spark.table(table)
+        scan
         .groupBy("gram_hash")
         .agg(F.min("first_key").alias("first_key"))
     )

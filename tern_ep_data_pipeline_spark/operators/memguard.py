@@ -95,6 +95,24 @@ SPAN_RESIDENT_PER_BATCH_BYTE = 80
 SPAN_RESIDENT_PER_INDEX_BYTE = 1.0
 SPAN_RESIDENT_PER_CORE = 16 << 20
 
+#: Index coefficient for the BUCKETED-table layout's fused plan. The
+#: zero-exchange min-combine (``clean_against_gram_index_bucketed``)
+#: fuses index scan + hash aggregate + first-key join into ONE stage, so
+#: peak per-task memory concentrates instead of spreading across
+#: exchange-separated, independently-spillable stages — the dir layout's
+#: 1.0x is optimistic there. Calibrated on the SPILL_r08 bucketed pair
+#: at 3g/32 (~14.2 MiB text/batch): one run heap-OOM'd processing batch
+#: 13 (guard-visible index 531 MiB), its twin completed to 799 MiB with
+#: post-batch heap samples at 2.6 GiB inside the 3 GiB heap — a
+#: stochastically-failing cell, which the model must classify as
+#: failing, not lucky-passing. 2.25 puts the 3g/32 floor exactly at the
+#: observed failing cell (fires at index >= 507 MiB) while leaving every
+#: measured-passing dir-layout cell untouched. When the fused model
+#: fires but the dir model passes, the streaming guard DERATES to the
+#: staged plan (index-side exchange restored) instead of refusing —
+#: measured passing to 845 MiB raw index at 3g/32 (SPILL_r08 runs 0-4).
+SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 2.25
+
 
 def incremental_span_floor_decidable(spark: SparkSession) -> bool:
     """True when :func:`incremental_span_floor_message` could possibly
@@ -113,7 +131,10 @@ def incremental_span_floor_decidable(spark: SparkSession) -> bool:
 
 
 def incremental_span_floor_message(
-    spark: SparkSession, batch_bytes: int | None, index_bytes: int
+    spark: SparkSession,
+    batch_bytes: int | None,
+    index_bytes: int,
+    bucketed: bool = False,
 ) -> str | None:
     """Plan-time sizing check for the INCREMENTAL ExactSubstr path
     (``streaming.curation.span_dedup_batch``): the batch operator's
@@ -122,8 +143,12 @@ def incremental_span_floor_message(
     with the micro-batch plus the growing gram index — at 2g/32 it dies
     with a RAW executor heap OOM in the per-doc coverage-window stage
     (SPILL_r07, batch 1) instead of a classified error.
-    ``batch_bytes`` = raw text bytes of the micro-batch. Returns the
-    violation message naming the invariant, or None when sized OK /
+    ``batch_bytes`` = raw text bytes of the micro-batch. ``bucketed``
+    selects the fused zero-exchange plan's index coefficient
+    (:data:`SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED`) — the bucketed
+    layout concentrates the index working set in one stage, so its
+    floor sits lower than the dir layout's at the same sizes. Returns
+    the violation message naming the invariant, or None when sized OK /
     undecidable (unknown batch size; cluster mode without executor
     confs).
     """
@@ -143,21 +168,28 @@ def incremental_span_floor_message(
         heap = _parse_executor_memory(exec_mem)
         cores = int(exec_cores)
     avail = max(0, heap - _JVM_RESERVED)
+    per_index = (
+        SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED
+        if bucketed
+        else SPAN_RESIDENT_PER_INDEX_BYTE
+    )
     resident = int(
         SPAN_RESIDENT_PER_BATCH_BYTE * batch_bytes
-        + SPAN_RESIDENT_PER_INDEX_BYTE * index_bytes
+        + per_index * index_bytes
         + SPAN_RESIDENT_PER_CORE * cores
     )
     if resident <= avail:
         return None
     need = resident + _JVM_RESERVED
+    layout = "bucketed fused-plan" if bucketed else "parquet-dir"
     return (
         "incremental span-dedup sizing invariant violated: estimated "
         f"resident working set ~{resident / 2**20:.0f} MiB "
         f"(~{SPAN_RESIDENT_PER_BATCH_BYTE}x the {batch_bytes / 2**20:.1f} MiB "
         f"of micro-batch text for the per-document coverage windows + "
-        f"{SPAN_RESIDENT_PER_INDEX_BYTE:g}x the {index_bytes / 2**20:.0f} MiB "
-        f"gram index + {SPAN_RESIDENT_PER_CORE >> 20} MiB x {cores} cores) "
+        f"{per_index:g}x the {index_bytes / 2**20:.0f} MiB "
+        f"gram index [{layout}] + {SPAN_RESIDENT_PER_CORE >> 20} MiB x "
+        f"{cores} cores) "
         f"exceeds the ~{avail / 2**20:.0f} MiB usable heap of a "
         f"{heap / 2**30:.1f} GiB executor. Below this floor the JVM "
         "heap-OOMs in the coverage-window stage instead of spilling "

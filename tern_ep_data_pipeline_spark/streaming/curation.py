@@ -239,6 +239,19 @@ def span_dedup_batch(
     guard turns that into a ``CurationMemoryError`` naming the invariant
     BEFORE the stage launches, matching the batch operators' failure
     quality.
+
+    With ``index_table`` (bucketed layout) the guard is LAYOUT-AWARE and
+    degrades in two steps rather than one: the fused zero-exchange plan
+    concentrates the index working set in a single stage (coefficient
+    ``SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED``, calibrated on the
+    SPILL_r08 1-of-2 OOM cell), so when the fused model exceeds the
+    heap but the dir-shaped model still fits, the batch runs the STAGED
+    plan (``clean_against_gram_index_bucketed(staged=True)`` — index
+    exchange restored, spillable) instead of raising; only past the
+    staged model too does it refuse classified. The chosen plan is
+    published thread-locally as SparkContext local property
+    ``tern.span_dedup.plan`` (``bucketed-fused`` / ``bucketed-staged`` /
+    ``dir`` / ``bootstrap``) for sinks and benches to record.
     """
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
@@ -278,6 +291,7 @@ def span_dedup_batch(
     # decidability FIRST: on a cluster without executor mem/core confs the
     # floor model can never fire, and the batch-bytes aggregate below is a
     # full extra scan of the micro-batch — don't pay it for a no-op check
+    staged = False
     if memory_guard and incremental_span_floor_decidable(spark):
         if not have_index:
             index_bytes = 0
@@ -293,17 +307,37 @@ def span_dedup_batch(
         batch_bytes = batch.agg(
             F.sum(F.octet_length(F.col(text_col)))
         ).collect()[0][0]
+        bucketed = index_table is not None and have_index
         floor_msg = incremental_span_floor_message(
-            batch.sparkSession, batch_bytes, index_bytes
+            batch.sparkSession, batch_bytes, index_bytes, bucketed=bucketed
         )
+        if floor_msg is not None and bucketed:
+            # the fused zero-exchange plan is over the floor — before
+            # refusing, try the STAGED plan (index-side exchange
+            # restored): the dir layout's resident shape, measured
+            # passing at index sizes where the fused plan OOMs
+            # (SPILL_r08). Slower by one O(index) shuffle, completes.
+            if incremental_span_floor_message(
+                batch.sparkSession, batch_bytes, index_bytes, bucketed=False
+            ) is None:
+                staged = True
+                floor_msg = None
         if floor_msg is not None:
             from ..plans.curation import CurationMemoryError
 
             raise CurationMemoryError(floor_msg)
+    plan = (
+        "bootstrap" if not have_index
+        else "dir" if index_table is None
+        else "bucketed-staged" if staged
+        else "bucketed-fused"
+    )
+    spark.sparkContext.setLocalProperty("tern.span_dedup.plan", plan)
     if have_index and index_table is not None:
         cleaned = clean_against_gram_index_bucketed(
             spark, batch, index_table, id_col, text_col,
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+            staged=staged,
         )
     elif have_index:
         cleaned = clean_against_gram_index(

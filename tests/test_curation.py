@@ -2081,6 +2081,40 @@ def test_incremental_span_floor_calibration():
     assert resident(87 << 20) > avail_2g                # batch 1 OOM'd
     assert resident(894 << 20) <= avail_3g              # 3g completed
 
+    # bucketed fused-plan coefficient, calibrated on the SPILL_r08 pair
+    # (~14.2 MiB text/batch: 500k docs over 20 batches): one 3g/32 run
+    # heap-OOM'd processing the batch whose guard-visible index was
+    # 531 MiB (its twin finished — a stochastic cell must classify as
+    # FAILING), while both runs were healthy through a 400 MiB index;
+    # the staged/dir-shaped model must keep passing the measured-passing
+    # dir cells up to the 845 MiB raw-append index of runs 0-4.
+    from tern_ep_data_pipeline_spark.operators.memguard import (
+        SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED,
+    )
+
+    batch_r8 = int(14.2 * 2**20)
+
+    def resident_bkt(index_bytes):
+        return (
+            SPAN_RESIDENT_PER_BATCH_BYTE * batch_r8
+            + SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED * index_bytes
+            + SPAN_RESIDENT_PER_CORE * cores
+        )
+
+    def resident_r8(index_bytes):
+        return (
+            SPAN_RESIDENT_PER_BATCH_BYTE * batch_r8
+            + SPAN_RESIDENT_PER_INDEX_BYTE * index_bytes
+            + SPAN_RESIDENT_PER_CORE * cores
+        )
+
+    assert resident_bkt(531 << 20) > avail_3g           # fused 1-of-2 OOM cell
+    assert resident_bkt(400 << 20) <= avail_3g          # fused healthy band
+    assert resident_r8(845 << 20) <= avail_3g           # staged/dir passing
+    # so the derate window (fused fires, staged fits) is non-empty: the
+    # guard stages rather than refuses at the OOM cell
+    assert resident_r8(531 << 20) <= avail_3g
+
 
 def test_span_dedup_batch_memory_guard(spark, tmp_path, monkeypatch):
     """Below the incremental floor the guard raises the SAME classified
@@ -2099,7 +2133,7 @@ def test_span_dedup_batch_memory_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(
         memguard,
         "incremental_span_floor_message",
-        lambda spark, b, i: "incremental span-dedup sizing invariant violated (test)",
+        lambda spark, b, i, **kw: "incremental span-dedup sizing invariant violated (test)",
     )
     with pytest.raises(CurationMemoryError, match="sizing invariant"):
         span_dedup_batch(batch, idx, "doc_id", "text")
@@ -2114,7 +2148,7 @@ def test_span_dedup_batch_memory_guard(spark, tmp_path, monkeypatch):
 
     # sized-OK path: the real estimator returns None/OK on this session
     monkeypatch.setattr(
-        memguard, "incremental_span_floor_message", lambda spark, b, i: None
+        memguard, "incremental_span_floor_message", lambda spark, b, i, **kw: None
     )
     out2 = span_dedup_batch(
         batch.withColumn("doc_id", batch.doc_id + 1), idx, "doc_id", "text"
@@ -2232,6 +2266,83 @@ def test_bucketed_gram_index_equivalence(spark, tmp_path):
         dedup.release_staged(spark)
         with pytest.raises(ValueError, match="id-monotonicity"):
             clean_against_gram_index_bucketed(spark, corpus, table).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+
+def test_bucketed_gram_index_staged_plan(spark, tmp_path, monkeypatch):
+    """The memory-derated STAGED plan (index-side exchange restored) is
+    decision-identical to the fused plan, carries MORE exchanges (that's
+    the point — exchange-separated stages spill independently), and
+    span_dedup_batch picks it automatically when the fused floor model
+    fires while the dir-shaped model passes (SPILL_r08 derate window)."""
+    from tern_ep_data_pipeline_spark.operators import dedup, memguard
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index_bucketed,
+        clean_against_gram_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.sources import lake
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    phrase = " ".join(f"st{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, f"corpus holds {phrase} first occurrence"),
+         (2, "independent corpus filler document")],
+        ["doc_id", "text"],
+    )
+    table = "gidx_staged_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    try:
+        build_gram_index_bucketed(corpus, table, n_buckets=4)
+        batch = spark.createDataFrame(
+            [(10, f"batch repeats {phrase} plus novel tail"),
+             (11, "entirely new material here only")],
+            ["doc_id", "text"],
+        )
+        key = lambda rows: sorted(map(tuple, rows))
+        fused = clean_against_gram_index_bucketed(spark, batch, table)
+        staged = clean_against_gram_index_bucketed(
+            spark, batch, table, staged=True
+        )
+        rows_f = key(fused.collect())
+        dedup.release_staged(spark)
+        rows_s = key(staged.collect())
+        assert rows_f == rows_s
+        # the staged plan inserts the index-side repartition Exchange
+        # directly above the bucketed scan (the un-fusing boundary); the
+        # fused plan consumes the bucketed distribution with none. Total
+        # exchange counts can tie — the join may re-exchange the fused
+        # index side anyway — so pin the boundary, not the total.
+        plan_f = fused._jdf.queryExecution().executedPlan().toString()
+        plan_s = staged._jdf.queryExecution().executedPlan().toString()
+        dedup.release_staged(spark)
+        assert "REPARTITION_BY_NUM" not in plan_f
+        assert "REPARTITION_BY_NUM" in plan_s
+        assert lake.exchange_count(staged) >= lake.exchange_count(fused)
+
+        # derate window: fused model fires, dir model passes -> the
+        # streaming guard stages instead of raising, publishes the plan
+        def fake_floor(spark_, b, i, bucketed=False):
+            return "over the fused floor (test)" if bucketed else None
+
+        monkeypatch.setattr(
+            memguard, "incremental_span_floor_message", fake_floor
+        )
+        probe = spark.createDataFrame(
+            [(20, f"probe sees {phrase} again plus fresh words")],
+            ["doc_id", "text"],
+        )
+        out = span_dedup_batch(probe, str(tmp_path / "unused"), "doc_id",
+                               "text", index_table=table, n_buckets=4)
+        assert out.count() == 1
+        assert (
+            spark.sparkContext.getLocalProperty("tern.span_dedup.plan")
+            == "bucketed-staged"
+        )
+        dedup.release_staged(spark)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_meta")

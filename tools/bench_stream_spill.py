@@ -188,6 +188,9 @@ def main() -> None:
                 "batch_id": int(batch_id),
                 "rows": batch.count(),
                 "sec": sec,
+                # span_dedup_batch publishes the plan it chose (fused vs
+                # memory-derated staged) thread-locally — same thread here
+                "plan": sc.getLocalProperty("tern.span_dedup.plan"),
                 "index_bytes": idx_bytes,
                 "index_files": idx_files,
                 "persisted_rdds": int(sc._jsc.getPersistentRDDs().size()),
