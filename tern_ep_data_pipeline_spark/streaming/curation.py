@@ -211,6 +211,27 @@ def _dir_bytes(spark, path: str) -> int:
     return int(fs.getContentSummary(jpath).getLength())
 
 
+def _table_bytes(spark, table: str) -> int:
+    """On-disk byte size of a catalog table, via the filesystem of its
+    location. The Catalyst plan estimate is USELESS here: a saveAsTable
+    table without ANALYZE stats reports ``spark.sql.defaultSizeInBytes``
+    (Long.MaxValue) — measured r8: ``plan_size_estimate`` rejected it as
+    absurd, the memory guard saw ``index_bytes=0``, and the bucketed
+    fused plan ran unguarded into the very OOM the guard exists to
+    classify (SPILL_r08 run 6)."""
+    try:
+        loc = None
+        for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if str(row[0]).strip().lower() == "location":
+                loc = str(row[1]).strip()
+                break
+        if not loc:
+            return 0
+        return _dir_bytes(spark, loc)
+    except Exception:
+        return 0
+
+
 def span_dedup_batch(
     batch: DataFrame,
     index_path: str,
@@ -261,11 +282,9 @@ def span_dedup_batch(
         clean_against_gram_index_bucketed,
     )
     from ..operators.memguard import (
+        incremental_span_floor_decidable,
         incremental_span_floor_message,
-        plan_size_estimate,
     )
-
-    from ..operators.memguard import incremental_span_floor_decidable
 
     spark = batch.sparkSession
     if index_table is not None:
@@ -296,7 +315,7 @@ def span_dedup_batch(
         if not have_index:
             index_bytes = 0
         elif index_table is not None:
-            index_bytes = plan_size_estimate(spark.table(index_table)) or 0
+            index_bytes = _table_bytes(spark, index_table)
         else:
             index_bytes = _dir_bytes(spark, f"{index_path}/grams")
         # raw text bytes via a map-only aggregate: a streaming micro-batch

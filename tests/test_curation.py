@@ -2349,6 +2349,59 @@ def test_bucketed_gram_index_staged_plan(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
 
 
+def test_bucketed_guard_sees_index_bytes(spark, tmp_path, monkeypatch):
+    """The memory guard must measure the bucketed index's ON-DISK size:
+    the Catalyst plan estimate of a saveAsTable table without ANALYZE
+    stats is defaultSizeInBytes (Long.MaxValue), which plan_size_estimate
+    rejects — so the guard silently saw index_bytes=0 and the fused plan
+    ran unguarded into the OOM it exists to classify (SPILL_r08 run 6)."""
+    from tern_ep_data_pipeline_spark.operators import dedup, memguard
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.streaming import curation as sc
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    table = "gidx_guard_sz_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    try:
+        corpus = spark.createDataFrame(
+            [(1, " ".join(f"gw{j}" for j in range(30))),
+             (2, "other corpus text body words here")],
+            ["doc_id", "text"],
+        )
+        build_gram_index_bucketed(corpus, table, n_buckets=4)
+        # the direct helper sees real bytes
+        assert sc._table_bytes(spark, table) > 0
+
+        seen = {}
+
+        def capture(spark_, b, i, bucketed=False):
+            seen["index_bytes"] = i
+            seen["bucketed"] = bucketed
+            return None
+
+        monkeypatch.setattr(
+            memguard, "incremental_span_floor_message", capture
+        )
+        batch = spark.createDataFrame(
+            [(10, "fresh batch words entirely new")], ["doc_id", "text"]
+        )
+        span_dedup_batch(batch, str(tmp_path / "unused"), "doc_id", "text",
+                         index_table=table, n_buckets=4)
+        dedup.release_staged(spark)
+        assert seen["bucketed"] is True
+        assert seen["index_bytes"] > 0, (
+            "guard measured a zero-byte index for an existing bucketed "
+            "table — the floor model is blind again"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+
 def test_bucketed_dedup_index_equivalence(spark, tmp_path):
     """The bucketed exact/band dedup index classifies identically to the
     parquet-dir layout with fewer shuffle exchanges (both batch-vs-index
