@@ -100,18 +100,24 @@ SPAN_RESIDENT_PER_CORE = 16 << 20
 #: fuses index scan + hash aggregate + first-key join into ONE stage, so
 #: peak per-task memory concentrates instead of spreading across
 #: exchange-separated, independently-spillable stages — the dir layout's
-#: 1.0x is optimistic there. Calibrated on the SPILL_r08 bucketed pair
-#: at 3g/32 (~14.2 MiB text/batch): one run heap-OOM'd processing batch
-#: 13 (guard-visible index 531 MiB), its twin completed to 799 MiB with
-#: post-batch heap samples at 2.6 GiB inside the 3 GiB heap — a
-#: stochastically-failing cell, which the model must classify as
-#: failing, not lucky-passing. 2.25 puts the 3g/32 floor exactly at the
-#: observed failing cell (fires at index >= 507 MiB) while leaving every
-#: measured-passing dir-layout cell untouched. When the fused model
-#: fires but the dir model passes, the streaming guard DERATES to the
-#: staged plan (index-side exchange restored) instead of refusing —
+#: 1.0x is optimistic there. Calibrated on THREE observed 3g/32 cells,
+#: all at the r8 bucketed runs' true batch size (~7.1 MiB text/batch —
+#: 148.8 MB sf10 corpus over 20 batches; an earlier 2.25 value was
+#: solved against r7's 14.9 MiB batches by mistake, which inflated the
+#: batch term by ~570 MiB and pushed the computed fire point to a
+#: 752 MiB index, past BOTH observed OOMs — the guard never derated and
+#: the JVM died raw at batch 14): (a) one of the SPILL_r08 run-6/7 pair
+#: heap-OOM'd processing the batch whose guard-visible index was
+#: 531 MiB while its twin completed — a stochastic cell must classify
+#: as FAILING; (b) the guarded derate probe OOM'd at a 574 MiB start
+#: index after completing 531 MiB fused; (c) both runs were healthy
+#: through a 488 MiB index. Classifying (a) needs c >= 3.19; 3.25 puts
+#: the 3g/32 fire point at a ~521 MiB index for 7.1 MiB batches —
+#: between the healthy band and the stochastic-OOM cell. When the fused
+#: model fires but the dir model passes, the streaming guard DERATES to
+#: the staged plan (index-side exchange restored) instead of refusing —
 #: measured passing to 845 MiB raw index at 3g/32 (SPILL_r08 runs 0-4).
-SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 2.25
+SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 3.25
 
 
 def incremental_span_floor_decidable(spark: SparkSession) -> bool:

@@ -2081,18 +2081,24 @@ def test_incremental_span_floor_calibration():
     assert resident(87 << 20) > avail_2g                # batch 1 OOM'd
     assert resident(894 << 20) <= avail_3g              # 3g completed
 
-    # bucketed fused-plan coefficient, calibrated on the SPILL_r08 pair
-    # (~14.2 MiB text/batch: 500k docs over 20 batches): one 3g/32 run
+    # bucketed fused-plan coefficient, calibrated on the SPILL_r08 runs
+    # at their TRUE batch size: the r8 bucketed runs split the 148.8 MB
+    # sf10 corpus into 20 batches (~7.1 MiB text each — NOT r7's 14.9
+    # MiB/10-batch size; solving against the wrong batch size inflated
+    # the batch term by ~570 MiB and left the guard silent past both
+    # observed OOMs). Observed 3g/32 cells: one of the run-6/7 pair
     # heap-OOM'd processing the batch whose guard-visible index was
     # 531 MiB (its twin finished — a stochastic cell must classify as
-    # FAILING), while both runs were healthy through a 400 MiB index;
-    # the staged/dir-shaped model must keep passing the measured-passing
-    # dir cells up to the 845 MiB raw-append index of runs 0-4.
+    # FAILING); the guarded derate probe OOM'd at a 574 MiB start index
+    # after completing 531 MiB fused; both runs healthy through a
+    # 488 MiB index. The staged/dir-shaped model must keep passing the
+    # measured-passing dir cells up to the 845 MiB raw-append index of
+    # runs 0-4 so the derate window is non-empty.
     from tern_ep_data_pipeline_spark.operators.memguard import (
         SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED,
     )
 
-    batch_r8 = int(14.2 * 2**20)
+    batch_r8 = int(148.8 * 10**6 / 20)
 
     def resident_bkt(index_bytes):
         return (
@@ -2109,11 +2115,13 @@ def test_incremental_span_floor_calibration():
         )
 
     assert resident_bkt(531 << 20) > avail_3g           # fused 1-of-2 OOM cell
-    assert resident_bkt(400 << 20) <= avail_3g          # fused healthy band
+    assert resident_bkt(574 << 20) > avail_3g           # derate-probe OOM cell
+    assert resident_bkt(488 << 20) <= avail_3g          # fused healthy band
     assert resident_r8(845 << 20) <= avail_3g           # staged/dir passing
     # so the derate window (fused fires, staged fits) is non-empty: the
-    # guard stages rather than refuses at the OOM cell
+    # guard stages rather than refuses at both OOM cells
     assert resident_r8(531 << 20) <= avail_3g
+    assert resident_r8(574 << 20) <= avail_3g
 
 
 def test_span_dedup_batch_memory_guard(spark, tmp_path, monkeypatch):
