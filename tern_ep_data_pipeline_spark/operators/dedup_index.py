@@ -544,6 +544,29 @@ def _gram_first_table(
     )
 
 
+def _meta_row(docs: DataFrame, id_col: str, text_col: str, kind: str) -> DataFrame:
+    """One watermark-log row for a build/append: the batch's id range
+    plus an order-independent content fingerprint (sum of
+    ``xxhash64(id, text)`` — rides the same map-side aggregate as the
+    min/max, no extra scan). The fingerprint lets the replay carve-out
+    tell a genuine foreachBatch retry (identical rows → identical
+    fingerprint) from a full-range id REUSE carrying different
+    documents, which must be rejected like any other overlap
+    (ADVICE r7 #1). XOR-fold, not sum: a long SUM of hashes overflows,
+    which ANSI mode (Spark 4 default) turns into a task-killing
+    ArithmeticException; XOR is order-independent and overflow-free,
+    and batch ids are unique (monotonicity contract), so identical
+    pairs cannot cancel."""
+    return docs.agg(
+        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
+        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
+        F.lit(kind).alias("kind"),
+        F.bit_xor(
+            F.xxhash64(F.col(id_col).cast("long"), F.col(text_col))
+        ).alias("fingerprint"),
+    )
+
+
 def build_gram_index(
     docs: DataFrame,
     path: str,
@@ -567,11 +590,9 @@ def build_gram_index(
     _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "grams"))
-    docs.agg(
-        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
-        F.lit("build").alias("kind"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "grams_meta"))
+    _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").parquet(
+        os.path.join(path, "grams_meta")
+    )
     return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
 
 
@@ -618,8 +639,10 @@ def clean_against_gram_index(
             # an index built before the tag existed
             if "kind" not in mdf.columns:
                 mdf = mdf.withColumn("kind", F.lit("append"))
+            if "fingerprint" not in mdf.columns:
+                mdf = mdf.withColumn("fingerprint", F.lit(None).cast("long"))
             meta = [
-                (r["min_doc_id"], r["max_doc_id"], r["kind"])
+                (r["min_doc_id"], r["max_doc_id"], r["kind"], r["fingerprint"])
                 for r in mdf.collect()
             ]
         except Exception:  # pre-watermark index layout: nothing to check
@@ -628,11 +651,12 @@ def clean_against_gram_index(
         # this batch's own earlier append — foreachBatch is at-least-once,
         # and a re-delivered batch re-appends the same per-gram minima
         # (idempotent), so retries must pass. The carve-out applies to
-        # append-tagged ranges ONLY (ADVICE r7 #1): the initial build
-        # range is not a retryable append, so a batch reusing the build's
-        # exact id range is id reuse, not a retry, and is rejected like
-        # any other overlap.
-        _validate_gram_ids(spark, new_docs, id_col, meta)
+        # append-tagged ranges ONLY, and only when the batch's content
+        # fingerprint matches the recorded append's (ADVICE r7 #1): the
+        # initial build range is not a retryable append, and an exact
+        # append range carrying DIFFERENT documents is id reuse, not a
+        # retry — both rejected like any other overlap.
+        _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
     idx = (
         spark.read.parquet(os.path.join(path, "grams"))
         .groupBy("gram_hash")
@@ -667,11 +691,9 @@ def append_to_gram_index(
     _gram_first_table(
         accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
     ).write.mode("append").parquet(os.path.join(path, "grams"))
-    accepted_docs.agg(
-        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
-        F.lit("append").alias("kind"),
-    ).write.mode("append").parquet(os.path.join(path, "grams_meta"))
+    _meta_row(accepted_docs, id_col, text_col, "append").write.mode("append").parquet(
+        os.path.join(path, "grams_meta")
+    )
 
 
 # ------------------------------------------------------------- compaction
@@ -866,11 +888,9 @@ def build_gram_index_bucketed(
         grams, table, ["gram_hash"], n_buckets=n_buckets,
         sort_cols=["gram_hash"], mode="overwrite",
     )
-    docs.agg(
-        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
-        F.lit("build").alias("kind"),
-    ).write.mode("overwrite").saveAsTable(table + "_meta")
+    _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").saveAsTable(
+        table + "_meta"
+    )
     return docs.sparkSession.table(table).count()
 
 
@@ -895,29 +915,38 @@ def append_to_gram_index_bucketed(
         grams, table, ["gram_hash"], n_buckets=n_buckets,
         sort_cols=["gram_hash"], mode="append",
     )
-    accepted_docs.agg(
-        F.min(F.col(id_col).cast("long")).alias("min_doc_id"),
-        F.max(F.col(id_col).cast("long")).alias("max_doc_id"),
-        F.lit("append").alias("kind"),
-    ).write.mode("append").saveAsTable(table + "_meta")
+    _meta_row(accepted_docs, id_col, text_col, "append").write.mode(
+        "append"
+    ).saveAsTable(table + "_meta")
 
 
 def _validate_gram_ids(
-    spark: SparkSession, new_docs: DataFrame, id_col: str, meta
+    spark: SparkSession, new_docs: DataFrame, id_col: str, text_col: str, meta
 ) -> None:
     """Shared id-monotonicity check (see :func:`clean_against_gram_index`
-    for the contract): ``meta`` is a list of (min, max, kind) rows."""
-    meta = [(lo, hi, k) for (lo, hi, k) in meta if hi is not None]
+    for the contract): ``meta`` is a list of (min, max, kind,
+    fingerprint) rows. The replay carve-out requires the batch content
+    fingerprint to MATCH the recorded append's when one was recorded —
+    an exact-range id reuse with different documents is rejected, not
+    mistaken for an at-least-once retry (ADVICE r7 #1). Rows from a
+    pre-fingerprint meta layout carry ``None`` and keep the lenient
+    range-only carve-out."""
+    meta = [(lo, hi, k, fp) for (lo, hi, k, fp) in meta if hi is not None]
     if not meta:
         return
-    lo, hi = new_docs.agg(
+    lo, hi, fp = new_docs.agg(
         F.min(F.col(id_col).cast("long")),
         F.max(F.col(id_col).cast("long")),
+        F.bit_xor(F.xxhash64(F.col(id_col).cast("long"), F.col(text_col))),
     ).collect()[0]
     others = [
         (m_lo, m_hi)
-        for (m_lo, m_hi, m_kind) in meta
-        if not (m_kind == "append" and (m_lo, m_hi) == (lo, hi))
+        for (m_lo, m_hi, m_kind, m_fp) in meta
+        if not (
+            m_kind == "append"
+            and (m_lo, m_hi) == (lo, hi)
+            and (m_fp is None or m_fp == fp)
+        )
     ]
     indexed_max = max((m[1] for m in others), default=None)
     if lo is not None and indexed_max is not None and lo <= indexed_max:
@@ -928,8 +957,8 @@ def _validate_gram_ids(
             "lower batch ids silently mis-order span firsts; renumber the "
             "batch above the watermark (or pass validate_ids=False if id "
             "ranges are guaranteed disjoint out-of-band). An exact "
-            "(min,max)-range replay of a prior append is allowed "
-            "(foreachBatch retry)."
+            "(min,max)-range replay of a prior append with matching "
+            "content is allowed (foreachBatch retry)."
         )
 
 
@@ -965,13 +994,16 @@ def clean_against_gram_index_bucketed(
     recover_interrupted_table_compaction(spark, table)
     if validate_ids:
         try:
+            mdf = spark.table(table + "_meta")
+            if "fingerprint" not in mdf.columns:
+                mdf = mdf.withColumn("fingerprint", F.lit(None).cast("long"))
             meta = [
-                (r["min_doc_id"], r["max_doc_id"], r["kind"])
-                for r in spark.table(table + "_meta").collect()
+                (r["min_doc_id"], r["max_doc_id"], r["kind"], r["fingerprint"])
+                for r in mdf.collect()
             ]
         except Exception:
             meta = []
-        _validate_gram_ids(spark, new_docs, id_col, meta)
+        _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
     scan = spark.table(table)
     if staged:
         # explicit partition count, chosen != the table's bucket count:

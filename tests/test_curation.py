@@ -1890,6 +1890,18 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     assert clean_against_gram_index(spark, appended, path).count() == 2
     _d.release_staged(spark)
 
+    # an exact append (min,max) range carrying DIFFERENT documents is id
+    # reuse wearing a retry's range, not a retry: the content fingerprint
+    # recorded with the append must match (ADVICE r7 #1, second half)
+    imposter = spark.createDataFrame(
+        [(8, f"different body {phrase} entirely"),
+         (9, "also not the appended document")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="id-monotonicity"):
+        clean_against_gram_index(spark, imposter, path).collect()
+    _d.release_staged(spark)
+
     ok = spark.createDataFrame(
         [(16, f"other body {phrase} trailing words here")], ["doc_id", "text"]
     )
