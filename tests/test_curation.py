@@ -2286,6 +2286,16 @@ def test_bucketed_gram_index_equivalence(spark, tmp_path):
         dedup.release_staged(spark)
         with pytest.raises(ValueError, match="id-monotonicity"):
             clean_against_gram_index_bucketed(spark, corpus, table).collect()
+        # an exact (10,11) range carrying different documents is id reuse,
+        # not a retry — the append fingerprint must match (ADVICE r7 #1)
+        imposter = spark.createDataFrame(
+            [(10, "not the appended text at all"),
+             (11, "and neither is this one")],
+            ["doc_id", "text"],
+        )
+        with pytest.raises(ValueError, match="id-monotonicity"):
+            clean_against_gram_index_bucketed(spark, imposter, table).collect()
+        dedup.release_staged(spark)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
