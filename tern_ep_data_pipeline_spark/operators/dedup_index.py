@@ -915,9 +915,18 @@ def append_to_gram_index_bucketed(
         grams, table, ["gram_hash"], n_buckets=n_buckets,
         sort_cols=["gram_hash"], mode="append",
     )
-    _meta_row(accepted_docs, id_col, text_col, "append").write.mode(
-        "append"
-    ).saveAsTable(table + "_meta")
+    row = _meta_row(accepted_docs, id_col, text_col, "append")
+    spark = accepted_docs.sparkSession
+    if spark.catalog.tableExists(table + "_meta"):
+        # a metastore append REJECTS extra columns (unlike a parquet dir,
+        # which just unions schemas) — a _meta table built before the
+        # fingerprint/kind columns existed must keep its own schema, and
+        # its rows stay on the lenient range-only carve-out
+        existing = spark.table(table + "_meta").columns
+        # select in the TABLE's column order: v1 saveAsTable append
+        # resolves by position
+        row = row.select(*[c for c in existing if c in row.columns])
+    row.write.mode("append").saveAsTable(table + "_meta")
 
 
 def _validate_gram_ids(
@@ -995,6 +1004,13 @@ def clean_against_gram_index_bucketed(
     if validate_ids:
         try:
             mdf = spark.table(table + "_meta")
+            # pre-kind / pre-fingerprint meta layouts: default the missing
+            # columns (lenient append carve-out) rather than letting the
+            # KeyError fall into the except below and silently SKIP the
+            # whole monotonicity check — which is what happened before
+            # this defaulting existed
+            if "kind" not in mdf.columns:
+                mdf = mdf.withColumn("kind", F.lit("append"))
             if "fingerprint" not in mdf.columns:
                 mdf = mdf.withColumn("fingerprint", F.lit(None).cast("long"))
             meta = [

@@ -2432,6 +2432,61 @@ def test_bucketed_guard_sees_index_bytes(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
 
 
+def test_bucketed_meta_append_onto_pre_fingerprint_table(spark):
+    """Appending onto a _meta table built BEFORE the fingerprint column
+    existed must not throw (a metastore append rejects extra columns,
+    unlike a parquet dir) — the old table keeps its schema and its rows
+    stay on the lenient range-only replay carve-out."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index_bucketed,
+        build_gram_index_bucketed,
+        clean_against_gram_index_bucketed,
+    )
+
+    table = "gidx_oldmeta_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    try:
+        corpus = spark.createDataFrame(
+            [(1, "corpus words for the old layout body"),
+             (2, "second corpus document text here")],
+            ["doc_id", "text"],
+        )
+        build_gram_index_bucketed(corpus, table, n_buckets=4)
+        # rebuild _meta in the pre-fingerprint (and pre-kind) shape
+        old = spark.table(table + "_meta").select("min_doc_id", "max_doc_id")
+        old_rows = old.collect()
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.createDataFrame(
+            old_rows, "min_doc_id long, max_doc_id long"
+        ).write.saveAsTable(table + "_meta")
+
+        batch = spark.createDataFrame(
+            [(10, "a fresh appended document body"),
+             (11, "another appended document text")],
+            ["doc_id", "text"],
+        )
+        append_to_gram_index_bucketed(batch, table, n_buckets=4)  # no throw
+        assert spark.table(table + "_meta").columns == [
+            "min_doc_id", "max_doc_id"
+        ]
+        # lenient carve-out still applies to the schema-less rows: an
+        # exact-range replay of the append passes, a lower id is rejected
+        assert clean_against_gram_index_bucketed(spark, batch, table).count() == 2
+        dedup.release_staged(spark)
+        with pytest.raises(ValueError, match="id-monotonicity"):
+            clean_against_gram_index_bucketed(
+                spark,
+                spark.createDataFrame([(5, "reused id body")], ["doc_id", "text"]),
+                table,
+            ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+
 def test_bucketed_dedup_index_equivalence(spark, tmp_path):
     """The bucketed exact/band dedup index classifies identically to the
     parquet-dir layout with fewer shuffle exchanges (both batch-vs-index
