@@ -3541,25 +3541,39 @@ def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only (not in the registry — L-BFGS float iteration is not
+    """Bench-only (not in the registry — logistic float iteration is not
     SQL-reproducible): the model-based quality-filter pipeline end to end —
-    repetition weak labels, heuristic-feature logistic regression
-    (pyspark.ml), map-only scoring, threshold filter."""
+    weak labels, bounded-sample logistic fit, broadcast-weights map-only
+    scoring, threshold filter. r8: trains driver-side on a capped
+    deterministic sample (`quality_model.train_quality_weights_sampled`)
+    instead of ~50 pyspark.ml treeAggregate passes — the trainer shape
+    that survives 100 TB (the pipeline trainer remains for callers who
+    want pyspark.ml; rank-parity pinned in tests/test_quality_model.py)."""
     from tern_ep_data_pipeline_spark.operators import quality_model as qm
+
+    import numpy as np
 
     docs = _t(spark, sf_dir, "documents")
     # class-balanced weak label for ANY corpus: median split on a continuous
     # signal (the driver's synthetic corpus has ~zero n-gram repetition, so
-    # the Gopher repetition labeller would be one-sided here)
-    med = text.quality_scores(docs, "doc_id", "text").select(
-        F.percentile_approx("stopword_ratio", 0.5)
-    ).first()[0]
-    labels = text.quality_scores(docs, "doc_id", "text").select(
-        "doc_id", (F.col("stopword_ratio") >= F.lit(med)).cast("double").alias("label")
+    # the Gopher repetition labeller would be one-sided here). Median AND
+    # labels derive from the bounded sample itself — a weak label needs no
+    # exact corpus median — so the whole job is TWO corpus passes: the
+    # deterministic top-k sample collect, and the fused score+filter scan.
+    sample = np.asarray(
+        docs.select(
+            F.xxhash64(F.col("doc_id")).alias("__h"),
+            *qm._feature_exprs(F.col("text")),
+        )
+        .orderBy("__h")
+        .limit(100_000)
+        .drop("__h")
+        .collect(),
+        dtype=np.float64,
     )
-    labelled = docs.join(labels, on="doc_id")
-    model = qm.train_quality_classifier(labelled, "doc_id", "text")
-    return qm.quality_filter(model, docs, "doc_id", "text", threshold=0.5)
+    sr = sample[:, 0]  # stopword_ratio is HEURISTIC_FEATURES[0]
+    weights = qm.fit_logistic_sample(sample, (sr >= np.median(sr)).astype(float))
+    return docs.where(qm.quality_prob_expr(weights, "text") >= F.lit(0.5))
 
 
 def _llm_curation_oracle() -> str:

@@ -72,7 +72,7 @@ EXTENDED = [
     "asof_click_attribution",
     "llm_curation_suite",  # minhash pairs -> connected components + sampling/pii/tfidf
     "ivf_pq_rerank",  # PQ train+encode+coarse-probe+ADC+exact re-rank
-    "quality_filter",  # weak labels -> pyspark.ml LR -> map-only score+filter
+    "quality_filter",  # weak labels -> bounded-sample logistic fit -> fused score+filter scan
     "doc_profile_a",  # per-doc profile half A: token/quality/lang/bpe/chunk/exact-dup
     "doc_profile_b",  # per-doc profile half B: unigram/qf/line-dedup/span-dedup
     "embedding_near_dup",  # pair listing + SemDeDup keep/drop (shared staged base)

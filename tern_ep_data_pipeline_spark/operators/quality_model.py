@@ -190,6 +190,150 @@ def quality_filter(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _feature_exprs(t) -> list:
+    """The HEURISTIC_FEATURES as raw column expressions over a text
+    column, in registry order — composable into fused projections and
+    filter predicates without materialising a feature frame."""
+    from .text import quality_ratio_cols, token_count, token_stat_cols
+
+    return [
+        *quality_ratio_cols(t),
+        token_count(t).cast("double").alias("n_tokens"),
+        token_stat_cols(t)[2],
+    ]
+
+
+def train_quality_weights_sampled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    sample_rows: int = 100_000,
+    iters: int = 25,
+    reg: float = 0.01,
+) -> dict:
+    """Driver-side logistic fit on a BOUNDED sample — the trainer shape
+    that survives 100 TB. The distributed pipeline
+    (:func:`train_quality_classifier`) runs ``maxIter`` treeAggregate
+    passes over the full corpus; for a 6-feature linear model that is
+    50 cluster-wide passes to estimate 7 numbers. Like the PQ codebook
+    trainer (``similarity.pq_train``), this instead collects a capped,
+    DETERMINISTIC sample (top-``sample_rows`` by ``xxhash64(id)`` — a
+    map-side top-k, no shuffle of the corpus) and runs Newton-Raphson
+    in numpy: the model state is O(#features), the sample is
+    O(sample_rows * #features) bytes, and neither grows with the
+    corpus. Returns ``{"cols", "mean", "std", "w", "b"}`` for
+    :func:`score_quality_weights`; scoring stays fully distributed.
+    """
+    import numpy as np
+
+    # ONE fused row-local projection (label rides along — no feature-frame
+    # join; every heuristic signal derives from the row's own text), then
+    # a map-side top-k on xxhash64(id) = the deterministic bounded sample
+    sample = (
+        df.select(
+            F.col(label_col),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+            *_feature_exprs(F.col(text_col)),
+        )
+        .orderBy("__h")
+        .limit(int(sample_rows))
+        .select(label_col, *HEURISTIC_FEATURES)
+        .collect()
+    )
+    a = np.asarray([[float(v) for v in r] for r in sample], dtype=np.float64)
+    return fit_logistic_sample(a[:, 1:], a[:, 0], iters=iters, reg=reg)
+
+
+def fit_logistic_sample(X, y, iters: int = 25, reg: float = 0.01) -> dict:
+    """Newton-Raphson logistic fit over an in-memory sample (features in
+    :data:`HEURISTIC_FEATURES` order). Exposed separately so callers
+    that already hold a collected sample — e.g. to derive weak labels
+    from the sample itself — fit without a second corpus pass."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    # z-standardise (the pipeline's StandardScaler shape: withStd only),
+    # but mean-center too so the intercept is well-conditioned
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    std[std == 0.0] = 1.0
+    Xs = np.hstack([(X - mean) / std, np.ones((len(X), 1))])
+    w = np.zeros(Xs.shape[1])
+    lam = np.full(Xs.shape[1], reg)
+    lam[-1] = 0.0  # don't regularise the intercept
+    for _ in range(int(iters)):
+        p = 1.0 / (1.0 + np.exp(-Xs @ w))
+        grad = Xs.T @ (p - y) / len(y) + lam * w
+        h = (Xs.T * (p * (1.0 - p))) @ Xs / len(y) + np.diag(
+            np.maximum(lam, 1e-9)
+        )
+        step = np.linalg.solve(h, grad)
+        w -= step
+        if float(np.abs(step).max()) < 1e-10:
+            break
+    return {
+        "cols": list(HEURISTIC_FEATURES),
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "w": w[:-1].tolist(),
+        "b": float(w[-1]),
+    }
+
+
+def score_quality_weights(
+    weights: dict, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Map-only scoring against :func:`train_quality_weights_sampled`
+    output: the coefficient vector folds into ONE whole-stage-codegen
+    projection (feature exprs -> sigmoid), no VectorAssembler UDT, no
+    Python in the hot path — the broadcast-weights twin of
+    :func:`score_quality`."""
+    scored = heuristic_feature_frame(df, id_col, text_col)
+    z = F.lit(weights["b"])
+    for c, m, s, wc in zip(
+        weights["cols"], weights["mean"], weights["std"], weights["w"]
+    ):
+        z = z + F.lit(wc) * ((F.col(c) - F.lit(m)) / F.lit(s))
+    return scored.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
+    )
+
+
+def quality_prob_expr(weights: dict, text_col: str):
+    """P(keep) as ONE column expression over the raw text — the
+    broadcast-weights model folded inline, so a filter can score and
+    cut in the same whole-stage-codegen pass with no feature frame, no
+    join, nothing but the row."""
+    exprs = _feature_exprs(F.col(text_col))
+    z = F.lit(weights["b"])
+    for e, m, s, wc in zip(exprs, weights["mean"], weights["std"], weights["w"]):
+        z = z + F.lit(wc) * ((e - F.lit(m)) / F.lit(s))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_filter_sampled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    threshold: float = 0.5,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """End-to-end sampled-trainer filter: bounded driver fit, then ONE
+    row-local scoring+filter pass (the weights fold into the predicate
+    via :func:`quality_prob_expr` — no semi-join back, the corpus
+    columns never leave the row) versus the pipeline trainer's
+    ~``maxIter`` treeAggregate passes plus a join."""
+    weights = train_quality_weights_sampled(
+        df, id_col, text_col, label_col, sample_rows=sample_rows
+    )
+    out = df.where(quality_prob_expr(weights, text_col) >= F.lit(threshold))
+    return out.drop(label_col) if label_col in df.columns else out
+
+
 def repetition_weak_labels(
     df: DataFrame, id_col: str, text_col: str, frac_threshold: float = 0.2
 ) -> DataFrame:

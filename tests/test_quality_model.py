@@ -89,3 +89,50 @@ def test_scoring_is_rank_stable_across_fits(spark, labelled):
     order1 = sorted(s1, key=lambda k: (s1[k], k))
     order2 = sorted(s2, key=lambda k: (s2[k], k))
     assert order1 == order2
+
+
+def test_sampled_trainer_separates_and_caps(spark, labelled):
+    """The bounded driver-side trainer must rank like the pipeline
+    trainer (every good doc above every bad doc on the separable
+    fixture), honour its sample cap, and keep scoring distributed
+    (pure column expressions — no UDF, no ml UDT in the plan)."""
+    w = qm.train_quality_weights_sampled(labelled, "doc_id", "text")
+    scored = qm.score_quality_weights(w, labelled, "doc_id", "text").join(
+        labelled.select("doc_id", "label"), on="doc_id"
+    )
+    rows = scored.collect()
+    good = [r["quality_prob"] for r in rows if r["label"] == 1.0]
+    bad = [r["quality_prob"] for r in rows if r["label"] == 0.0]
+    assert min(good) > max(bad)
+    assert all(0.0 <= p <= 1.0 for p in good + bad)
+    # deterministic: same sample (hash order), same Newton path
+    w2 = qm.train_quality_weights_sampled(labelled, "doc_id", "text")
+    assert w == w2
+    # the cap binds: training on a 10-row sample still returns weights
+    w_small = qm.train_quality_weights_sampled(
+        labelled, "doc_id", "text", sample_rows=10
+    )
+    assert len(w_small["w"]) == len(qm.HEURISTIC_FEATURES)
+    # scoring plan is JVM-only — no BatchEvalPython / pandas stages
+    plan = (
+        qm.score_quality_weights(w, labelled, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+def test_sampled_filter_matches_pipeline_filter(spark, labelled):
+    kept_ml = qm.quality_filter(
+        qm.train_quality_classifier(labelled, "doc_id", "text"),
+        labelled, "doc_id", "text", threshold=0.5,
+    )
+    kept_np = qm.quality_filter_sampled(
+        labelled.drop("label").join(
+            labelled.select("doc_id", "label"), on="doc_id"
+        ),
+        "doc_id", "text", threshold=0.5,
+    )
+    ids_ml = {r["doc_id"] for r in kept_ml.select("doc_id").collect()}
+    ids_np = {r["doc_id"] for r in kept_np.select("doc_id").collect()}
+    assert ids_ml == ids_np  # separable corpus: both keep exactly the good docs
+    assert "label" not in kept_np.columns
