@@ -3561,14 +3561,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact corpus median — so the whole job is TWO corpus passes: the
     # deterministic top-k sample collect, and the fused score+filter scan.
     sample = np.asarray(
-        docs.select(
-            F.xxhash64(F.col("doc_id")).alias("__h"),
-            *qm._feature_exprs(F.col("text")),
-        )
-        .orderBy("__h")
-        .limit(100_000)
-        .drop("__h")
-        .collect(),
+        qm.collect_feature_sample(docs, "doc_id", "text", 100_000),
         dtype=np.float64,
     )
     sr = sample[:, 0]  # stopword_ratio is HEURISTIC_FEATURES[0]

@@ -203,6 +203,47 @@ def _feature_exprs(t) -> list:
     ]
 
 
+def collect_feature_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_rows: int = 100_000,
+    lead_cols: tuple = (),
+) -> list:
+    """Bounded DETERMINISTIC sample of (``lead_cols...``,
+    HEURISTIC_FEATURES...) rows, collected to the driver in one fused
+    row-local projection (no feature-frame join — every signal derives
+    from the row's own text).
+
+    Scale shape: a bare ``orderBy(h).limit(k)`` is a TakeOrdered whose
+    single merge task streams up to k rows FROM EVERY map partition —
+    at 100 TB (~1e5 partitions) that is 1e10 rows through one reducer.
+    Instead: count the corpus (metadata-cheap on columnar sources),
+    and when it exceeds the cap pre-filter to the hash range expected
+    to hold ~1.2x the cap (map-only, prunes at the scan) BEFORE the
+    top-k — the merge task then streams ~1.2x sample_rows total,
+    independent of corpus size. The kept set (rows below a fixed
+    xxhash64 threshold, tie-broken by the hash order) is deterministic
+    across runs and cluster layouts; the 1.2 safety factor means the
+    sample lands in [~0.8x, 1.0x] of the cap — a training-sample
+    bound, not an exact-k contract."""
+    base = df.select(
+        *[F.col(c) for c in lead_cols],
+        F.xxhash64(F.col(id_col)).alias("__h"),
+        *_feature_exprs(F.col(text_col)),
+    )
+    n = df.count()
+    if n > sample_rows:
+        frac = min(1.0, 1.2 * sample_rows / n)
+        cutoff = min(2**63 - 1, int(-(2**63) + frac * 2**64))
+        base = (
+            base.where(F.col("__h") < F.lit(cutoff))
+            .orderBy("__h")
+            .limit(int(sample_rows))
+        )
+    return base.select(*lead_cols, *HEURISTIC_FEATURES).collect()
+
+
 def train_quality_weights_sampled(
     df: DataFrame,
     id_col: str,
@@ -218,28 +259,16 @@ def train_quality_weights_sampled(
     passes over the full corpus; for a 6-feature linear model that is
     50 cluster-wide passes to estimate 7 numbers. Like the PQ codebook
     trainer (``similarity.pq_train``), this instead collects a capped,
-    DETERMINISTIC sample (top-``sample_rows`` by ``xxhash64(id)`` — a
-    map-side top-k, no shuffle of the corpus) and runs Newton-Raphson
-    in numpy: the model state is O(#features), the sample is
-    O(sample_rows * #features) bytes, and neither grows with the
-    corpus. Returns ``{"cols", "mean", "std", "w", "b"}`` for
+    deterministic sample (:func:`collect_feature_sample`) and runs
+    Newton-Raphson in numpy: the model state is O(#features), the
+    sample is O(sample_rows * #features) bytes, and neither grows with
+    the corpus. Returns ``{"cols", "mean", "std", "w", "b"}`` for
     :func:`score_quality_weights`; scoring stays fully distributed.
     """
     import numpy as np
 
-    # ONE fused row-local projection (label rides along — no feature-frame
-    # join; every heuristic signal derives from the row's own text), then
-    # a map-side top-k on xxhash64(id) = the deterministic bounded sample
-    sample = (
-        df.select(
-            F.col(label_col),
-            F.xxhash64(F.col(id_col)).alias("__h"),
-            *_feature_exprs(F.col(text_col)),
-        )
-        .orderBy("__h")
-        .limit(int(sample_rows))
-        .select(label_col, *HEURISTIC_FEATURES)
-        .collect()
+    sample = collect_feature_sample(
+        df, id_col, text_col, sample_rows, lead_cols=(label_col,)
     )
     a = np.asarray([[float(v) for v in r] for r in sample], dtype=np.float64)
     return fit_logistic_sample(a[:, 1:], a[:, 0], iters=iters, reg=reg)

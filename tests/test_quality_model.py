@@ -136,3 +136,18 @@ def test_sampled_filter_matches_pipeline_filter(spark, labelled):
     ids_np = {r["doc_id"] for r in kept_np.select("doc_id").collect()}
     assert ids_ml == ids_np  # separable corpus: both keep exactly the good docs
     assert "label" not in kept_np.columns
+
+
+def test_feature_sample_prefilters_past_the_cap(spark, labelled):
+    """Above the cap the sampler must pre-filter to a hash range BEFORE
+    the top-k (the bare TakeOrdered merge task otherwise streams k rows
+    from every map partition — 1e10 rows at corpus scale), stay
+    deterministic, and land within [~0.6x, 1.0x] of the cap."""
+    s1 = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=20)
+    s2 = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=20)
+    assert s1 == s2
+    assert len(s1) <= 20
+    assert len(s1) >= 12  # 1.2x-expected hash range, 60-row corpus
+    # below the cap: everything, no ordering stage at all
+    s_all = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=500)
+    assert len(s_all) == labelled.count()
