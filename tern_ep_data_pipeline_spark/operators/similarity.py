@@ -590,19 +590,31 @@ def pq_train(
     empty clusters keep their previous centroid.
 
     Scale note: ``orderBy(md5).limit(n)`` compiles to
-    TakeOrderedAndProject — a per-partition top-n merged on the driver,
-    NOT a full corpus sort (verified in the executed plan).
+    TakeOrderedAndProject — a per-partition top-n, NOT a full corpus
+    sort. But its single merge task still streams up to ``sample``
+    VECTORS from every map partition (fat rows times 1e5 partitions at
+    corpus scale), so past the cap the sample is pre-filtered to the
+    md5 prefix range expected to hold ~1.2x the cap first (map-only);
+    the top-k within that range is the SAME rows in the SAME order as
+    the unfiltered top-k whenever the true k-th smallest md5 falls
+    inside it (1.2x margin — holds with overwhelming probability), so
+    the trained codebooks are unchanged.
     """
     d = len(corpus.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")
-    sampled = (
-        corpus.select(
-            F.md5(F.col(id_col).cast("string")).alias("__o"), F.col(vec_col)
-        )
-        .orderBy("__o")
-        .limit(sample)
+    sampled = corpus.select(
+        F.md5(F.col(id_col).cast("string")).alias("__o"), F.col(vec_col)
     )
+    n = corpus.count()
+    if n > sample:
+        frac = min(1.0, 1.2 * sample / n)
+        # fixed-width lowercase hex compares lexicographically as the
+        # number it encodes: an 8-hex-char prefix cutoff is a uniform
+        # threshold over the md5 space
+        cutoff = format(min(16**8 - 1, int(frac * 16**8) + 1), "08x")
+        sampled = sampled.where(F.substring("__o", 1, 8) < F.lit(cutoff))
+    sampled = sampled.orderBy("__o").limit(sample)
     x = np.array([r[vec_col] for r in sampled.collect()], dtype=np.float64)
     if len(x) < k:
         raise ValueError(

@@ -365,6 +365,14 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
     # deterministic: retraining yields identical codebooks
     books2 = sim.pq_train(emb, m=8, k=16, iters=4)
     assert np.array_equal(books, books2)
+    # the over-cap hash-range pre-filter (the TakeOrdered merge-funnel
+    # guard) must select the SAME top-k sample: codebooks identical to
+    # the below-cap path trained on the full corpus top-k
+    n = emb.count()
+    books_pref = sim.pq_train(emb, m=8, k=16, iters=4, sample=n // 2)
+    books_ref = sim.pq_train(emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(n // 2),
+                             m=8, k=16, iters=4)
+    assert np.array_equal(books_pref, books_ref)
 
     codes = sim.pq_encode(emb, books)
     row = codes.first()
