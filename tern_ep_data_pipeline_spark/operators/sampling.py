@@ -123,12 +123,19 @@ def weighted_hash_sample(
     )
     if not group_cols:
         # orderBy + limit compiles to TakeOrderedAndProject (per-partition
-        # top-n, merged on the driver) — a window over partitionBy() would
-        # funnel every row through one task
-        return (
-            scored.orderBy(F.col("__ws").desc(), F.col(key_col).asc())
+        # top-n, no full sort) — but its single merge task streams up to n
+        # rows from EVERY map partition, so run the top-n over a two-column
+        # (key, score) projection and semi-join the winners back: the
+        # funnel then carries ~16-byte rows, not documents, and the
+        # join-back broadcasts (n keys is driver-bounded by construction)
+        winners = (
+            scored.select(key_col, "__ws")
+            .orderBy(F.col("__ws").desc(), F.col(key_col).asc())
             .limit(n)
-            .drop("__ws")
+            .select(key_col)
+        )
+        return scored.drop("__ws").join(
+            F.broadcast(winners), on=key_col, how="left_semi"
         )
     from pyspark.sql import Window
 
