@@ -134,9 +134,12 @@ def weighted_hash_sample(
             .limit(n)
             .select(key_col)
         )
-        return scored.drop("__ws").join(
-            F.broadcast(winners), on=key_col, how="left_semi"
-        )
+        # force the broadcast only while n keys are trivially small; a
+        # caller asking for a huge sample gets the optimizer's choice
+        # (forcing it would push an n-row table into every executor)
+        if n <= 1_000_000:
+            winners = F.broadcast(winners)
+        return scored.drop("__ws").join(winners, on=key_col, how="left_semi")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(
