@@ -336,6 +336,12 @@ def quality_prob_expr(weights: dict, text_col: str):
     broadcast-weights model folded inline, so a filter can score and
     cut in the same whole-stage-codegen pass with no feature frame, no
     join, nothing but the row."""
+    if list(weights["cols"]) != list(HEURISTIC_FEATURES):
+        raise ValueError(
+            "weights were fitted on a different feature set/order than "
+            f"HEURISTIC_FEATURES: {weights['cols']!r} — the inline "
+            "expression zip is positional"
+        )
     exprs = _feature_exprs(F.col(text_col))
     z = F.lit(weights["b"])
     for e, m, s, wc in zip(exprs, weights["mean"], weights["std"], weights["w"]):
