@@ -740,27 +740,49 @@ def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
     the plain-parquet index layout). Crash safety: the data always exists
     in ``path`` or ``path + '.compact-old'`` — a crash between the two
     renames is healed by :func:`recover_interrupted_compaction`, and the
-    old dir is only deleted after the new dir is in place."""
+    old dir is only deleted after the new dir is in place.
+
+    EXCLUSIVE-ACCESS CONTRACT (ADVICE r8 #2): the swap is atomic against
+    readers, NOT against concurrent writers. A part file appended into
+    ``path`` between the snapshot read and ``os.rename(path, old)``
+    lands in the old dir and is deleted with it — silent data loss. The
+    streaming sink is safe (it serialises compaction with appends inside
+    ``foreachBatch``); the standalone ``compact_dedup_indexes`` task
+    must NOT run against a live stream. Two guards make a violation
+    loud rather than silent: an in-progress Spark ``_temporary`` dir
+    (a write that has started but not committed) aborts the swap, and a
+    post-snapshot byte-growth check aborts if the dir grew between the
+    read and the swap — neither closes the race fully (nothing short of
+    a real lock can, on a filesystem), so the contract stands."""
     tmp = path + ".compact-tmp"
     old = path + ".compact-old"
     recover_interrupted_compaction(path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(os.path.join(path, "_temporary")):
+        raise RuntimeError(
+            f"compaction aborted: {path!r} has an in-progress write "
+            "(_temporary dir present). compact_* requires exclusive "
+            "access — stop the writer (or let its batch commit) first."
+        )
+    snapshot_bytes = _dir_bytes(path)
     df.repartition(max(1, partitions)).write.mode("overwrite").parquet(tmp)
+    if _dir_bytes(path) != snapshot_bytes or os.path.isdir(
+        os.path.join(path, "_temporary")
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction aborted: {path!r} changed while the compacted "
+            "rewrite was being written (concurrent append). The live dir "
+            "is untouched; re-run compaction with the writer stopped."
+        )
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _compact_partitions(spark: SparkSession, path: str) -> int:
-    """Output partition count for a compacted table: its on-disk bytes
-    over the session's file-split size, floored at the session's core
-    count. The floor matters: sizing by maxPartitionBytes alone wrote a
-    214 MB index as 2 snappy files, and the per-batch min-combine scan
-    then decoded 11M rows in 2 tasks — post-compaction batches measured
-    ~50% SLOWER than the uncompacted 160-file layout (r8). Parquet byte
-    ranges split across tasks, but decode parallelism follows row groups,
-    so the file count must at least match the cores that will scan it."""
+def _dir_bytes(path: str) -> int:
+    """Data bytes under a parquet dir (checksums/markers excluded)."""
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(
@@ -768,6 +790,28 @@ def _compact_partitions(spark: SparkSession, path: str) -> int:
             for f in files
             if not f.endswith(".crc") and f != "_SUCCESS"
         )
+    return total
+
+
+def _compact_partitions(
+    spark: SparkSession, path: str, row_scale: float = 1.0
+) -> int:
+    """Output partition count for a compacted table: its on-disk bytes
+    over the session's file-split size, floored at the session's core
+    count. The floor matters: sizing by maxPartitionBytes alone wrote a
+    214 MB index as 2 snappy files, and the per-batch min-combine scan
+    then decoded 11M rows in 2 tasks — post-compaction batches measured
+    ~50% SLOWER than the uncompacted 160-file layout (r8). Parquet byte
+    ranges split across tasks, but decode parallelism follows row groups,
+    so the file count must at least match the cores that will scan it.
+
+    ``row_scale`` = rows_after / rows_before: the walk below sees the
+    PRE-compaction bytes, and a heavily append-duplicated index shrinks
+    by the dup factor — sizing from raw bytes alone fanned the output
+    into ~dup-factor more, smaller files than the sub-MB-shard guard
+    intends (ADVICE r8 #4). Callers that have counted the aggregated
+    frame pass the ratio so the sizing model sees post-fold bytes."""
+    total = int(_dir_bytes(path) * min(1.0, max(row_scale, 0.0)))
     try:
         split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
     except Exception:
@@ -805,11 +849,17 @@ def compact_gram_index(spark: SparkSession, path: str) -> dict:
     )
     rows_before = before.count()
     agg = before.groupBy("gram_hash").agg(F.min("first_key").alias("first_key"))
-    _rewrite_parquet_dir(agg, gp, _compact_partitions(spark, gp))
-    after = spark.read.parquet(gp)
+    # count the FOLDED frame before the rewrite: it sizes the output
+    # (bytes scale by the dedup ratio — ADVICE r8 #4) and it is the
+    # rows_after the caller wants anyway, so no pass is added
+    rows_after = agg.count()
+    _rewrite_parquet_dir(
+        agg, gp,
+        _compact_partitions(spark, gp, rows_after / max(rows_before, 1)),
+    )
     return {
         "rows_before": rows_before,
-        "rows_after": after.count(),
+        "rows_after": rows_after,
         "files_before": files_before,
         "files_after": sum(1 for f in os.listdir(gp) if f.endswith(".parquet")),
     }
@@ -826,13 +876,13 @@ def compact_chunk_index(spark: SparkSession, path: str) -> dict:
     recover_interrupted_compaction(cp)
     before = spark.read.parquet(cp)
     rows_before = before.count()
+    agg = before.distinct()
+    rows_after = agg.count()
     _rewrite_parquet_dir(
-        before.distinct(), cp, _compact_partitions(spark, cp)
+        agg, cp,
+        _compact_partitions(spark, cp, rows_after / max(rows_before, 1)),
     )
-    return {
-        "rows_before": rows_before,
-        "rows_after": spark.read.parquet(cp).count(),
-    }
+    return {"rows_before": rows_before, "rows_after": rows_after}
 
 
 def compact_line_index(spark: SparkSession, path: str) -> dict:
@@ -845,11 +895,12 @@ def compact_line_index(spark: SparkSession, path: str) -> dict:
     before = spark.read.parquet(lp)
     rows_before = before.count()
     agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
-    _rewrite_parquet_dir(agg, lp, _compact_partitions(spark, lp))
-    return {
-        "rows_before": rows_before,
-        "rows_after": spark.read.parquet(lp).count(),
-    }
+    rows_after = agg.count()
+    _rewrite_parquet_dir(
+        agg, lp,
+        _compact_partitions(spark, lp, rows_after / max(rows_before, 1)),
+    )
+    return {"rows_before": rows_before, "rows_after": rows_after}
 
 
 # ----------------------------------------- bucketed gram-index layout

@@ -193,13 +193,26 @@ def quality_filter(
 def _feature_exprs(t) -> list:
     """The HEURISTIC_FEATURES as raw column expressions over a text
     column, in registry order — composable into fused projections and
-    filter predicates without materialising a feature frame."""
+    filter predicates without materialising a feature frame.
+
+    Every expression coalesces to 0.0: null / empty / whitespace-only
+    text yields NULL ``n_tokens`` and ``avg_token_len`` from the raw
+    builders, which would crash the driver fit (``float(None)``) and
+    NULL out the inline keep-predicate so junk rows silently pass the
+    filter. The ml pipeline tolerated such rows via
+    ``VectorAssembler(handleInvalid='keep')``; the folded-expression
+    paths get the same tolerance here, with 0.0 as the defined value
+    (a no-signal document scores as all-zero features)."""
     from .text import quality_ratio_cols, token_count, token_stat_cols
 
-    return [
+    raw = [
         *quality_ratio_cols(t),
         token_count(t).cast("double").alias("n_tokens"),
         token_stat_cols(t)[2],
+    ]
+    return [
+        F.coalesce(e, F.lit(0.0)).alias(name)
+        for e, name in zip(raw, HEURISTIC_FEATURES)
     ]
 
 

@@ -112,6 +112,14 @@ def weighted_hash_sample(
     excluded. Same salt -> same sample, on any engine, at any
     parallelism; the top-n is a window (or TakeOrderedAndProject when
     ungrouped), never a global sort.
+
+    ``key_col`` contract: one row per key. Duplicate keys share a hash
+    (hence a score), and the ungrouped path semi-joins the winning KEYS
+    back to the corpus — every row sharing a winner's key is returned,
+    so with duplicate keys the result can exceed ``n`` rows (the winner
+    set is ``distinct``-ed, so ties admit each twin group once, not
+    once per duplicate). Pre-aggregate to unique keys if exact-``n``
+    row semantics are required.
     """
     from .sketch import _KMV_DOMAIN, portable_hash
 
@@ -133,6 +141,7 @@ def weighted_hash_sample(
             .orderBy(F.col("__ws").desc(), F.col(key_col).asc())
             .limit(n)
             .select(key_col)
+            .distinct()
         )
         # force the broadcast only while n keys are trivially small; a
         # caller asking for a huge sample gets the optimizer's choice

@@ -455,8 +455,13 @@ def span_deduped_stream_sink(
                     compact_gram_index_bucketed,
                 )
 
+                # n_buckets=None deliberately: compaction re-reads the
+                # bucket spec from the catalog (_table_n_buckets) — the
+                # sink's own n_buckets parameter sizes NEW appends and
+                # must not override the spec the table was built with
+                # (ADVICE r8 #5)
                 compact_gram_index_bucketed(
-                    batch.sparkSession, index_table, n_buckets=n_buckets
+                    batch.sparkSession, index_table, n_buckets=None
                 )
             else:
                 from ..operators.dedup_index import compact_gram_index

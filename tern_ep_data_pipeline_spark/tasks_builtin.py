@@ -129,7 +129,17 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
     exist to their canonical aggregates (``dedup_index.compact_*_index``).
     Bucketed-table indexes compact through their own ``*_bucketed``
     functions on the lake's catalog, not this task. Returns per-table
-    row counts before/after; tables absent from the root are skipped."""
+    row counts before/after; tables absent from the root are skipped.
+
+    EXCLUSIVE ACCESS REQUIRED: the dir-swap compactors lose part files
+    appended between their snapshot read and the swap (they land in the
+    discarded old dir). Run this task only with the ingest stream
+    STOPPED; a live stream compacts safely through its own sink hook
+    (``compact_every``), which serialises with appends inside
+    ``foreachBatch``. The swap aborts loudly on the writer races it can
+    detect (in-progress ``_temporary`` dirs, dir growth during the
+    rewrite) but cannot detect them all — see
+    ``dedup_index._rewrite_parquet_dir``."""
     from .operators import dedup_index as di
 
     apply_engine_conf(spark)

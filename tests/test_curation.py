@@ -796,6 +796,33 @@ def test_weighted_hash_sample(spark):
     assert heavy_hits >= 24  # ~30 expected (10 heavy keys x 3 salts)
 
 
+def test_weighted_hash_sample_duplicate_keys(spark):
+    """Documented multiplicity contract (ADVICE r8 #3): the ungrouped
+    path semi-joins winning KEYS back, so rows sharing a winner's key
+    all return — the result can exceed n rows, but the winner KEY set
+    is distinct-ed and bounded by n, and the selection stays
+    deterministic."""
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    # every key appears 3x (twins share the key's hash/score)
+    df = spark.createDataFrame(
+        [(k, 1.0, c) for k in range(100) for c in range(3)],
+        "k long, w double, copy long",
+    )
+    out = weighted_hash_sample(df, "k", "w", 10).collect()
+    keys = {r["k"] for r in out}
+    assert len(keys) <= 10  # winner keys bounded by n even with dup rows
+    # each winning key admits ALL its twins, exactly once each
+    assert len(out) == 3 * len(keys)
+    assert sorted((r["k"], r["copy"]) for r in out) == sorted(
+        (k, c) for k in keys for c in range(3)
+    )
+    out2 = weighted_hash_sample(df, "k", "w", 10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_dedup_index_intra_batch(spark, tmp_path):
     """Duplicates arriving in the SAME batch are caught too: only the
     min-id copy stays fresh; its exact twin and near twin match it."""
@@ -2070,6 +2097,56 @@ def test_compact_chunk_and_line_index(spark, tmp_path):
     counts = {r["line_hash"]: r["n_docs"] for r in rows}
     assert counts[lh] == 3
     assert len(rows) == len(counts)  # one row per hash after compaction
+
+
+def test_compact_sizing_uses_post_fold_bytes(spark, tmp_path):
+    """_compact_partitions sizes from POST-fold bytes (raw bytes scaled
+    by rows_after/rows_before): a dup-heavy index must not fan out into
+    ~dup-factor more sub-MB shards than the compacted data warrants
+    (ADVICE r8 #4)."""
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _compact_partitions,
+    )
+
+    d = tmp_path / "fake_idx"
+    d.mkdir()
+    for i in range(8):  # 8 MiB of raw appends
+        (d / f"part-{i}.parquet").write_bytes(b"\0" * (1 << 20))
+    raw = _compact_partitions(spark, str(d))
+    folded = _compact_partitions(spark, str(d), row_scale=0.1)
+    assert raw == 9  # unscaled: one shard per raw MiB (+1)
+    assert folded == 1  # 10x dup factor folds to <1 MiB -> one file
+    # scale never INCREASES the count (clamped to [0, 1])
+    assert _compact_partitions(spark, str(d), row_scale=5.0) == raw
+
+
+def test_compaction_aborts_on_inprogress_write(spark, tmp_path):
+    """The dir-swap compactor requires exclusive access (ADVICE r8 #2);
+    an in-progress Spark write (_temporary dir) must abort the swap
+    LOUDLY with the live dir untouched, and compaction must succeed once
+    the writer is gone."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    path = str(tmp_path / "gidx_busy")
+    docs = spark.createDataFrame(
+        [(1, "some document body " + " ".join(f"w{i}" for i in range(12)))],
+        ["doc_id", "text"],
+    )
+    build_gram_index(docs, path)
+    gp = os.path.join(path, "grams")
+    os.makedirs(os.path.join(gp, "_temporary"))
+    rows = spark.read.parquet(gp).count()
+    with pytest.raises(RuntimeError, match="in-progress write"):
+        compact_gram_index(spark, path)
+    assert spark.read.parquet(gp).count() == rows  # live dir untouched
+    os.rmdir(os.path.join(gp, "_temporary"))
+    stats = compact_gram_index(spark, path)
+    assert stats["rows_after"] <= stats["rows_before"]
 
 
 def test_incremental_span_floor_calibration():

@@ -138,6 +138,38 @@ def test_sampled_filter_matches_pipeline_filter(spark, labelled):
     assert "label" not in kept_np.columns
 
 
+def test_sampled_trainer_tolerates_junk_rows(spark, labelled):
+    """Null / empty / whitespace-only text rows carry NULL n_tokens /
+    avg_token_len from the raw builders; the sampled trainer must not
+    crash on float(None) and the inline predicate must stay non-NULL so
+    junk rows are decided, not silently passed (ADVICE r8 #1). The ml
+    pipeline path tolerated these via handleInvalid='keep' — the folded
+    paths now coalesce features to 0.0."""
+    junk = spark.createDataFrame(
+        [(2000, None, 0.0), (2001, "", 0.0), (2002, "   \t  ", 0.0)],
+        labelled.schema,
+    )
+    df = labelled.unionByName(junk)
+    w = qm.train_quality_weights_sampled(df, "doc_id", "text")
+    assert len(w["w"]) == len(qm.HEURISTIC_FEATURES)
+    # every row — junk included — gets a non-NULL probability
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qm.score_quality_weights(w, df, "doc_id", "text").collect()
+    }
+    assert len(probs) == df.count()
+    assert all(p is not None and 0.0 <= p <= 1.0 for p in probs.values())
+    # the inline predicate decides junk rows (keep or cut, never NULL):
+    # kept + cut must partition the corpus exactly
+    kept = qm.quality_filter_sampled(df, "doc_id", "text", threshold=0.5)
+    n_cut = df.where(
+        ~(qm.quality_prob_expr(w, "text") >= F.lit(0.5))
+    ).count()
+    assert kept.count() + n_cut == df.count()
+    # separability is preserved: the good docs still all survive
+    assert kept.where(F.col("doc_id") < 1000).count() == 30
+
+
 def test_feature_sample_prefilters_past_the_cap(spark, labelled):
     """Above the cap the sampler must pre-filter to a hash range BEFORE
     the top-k (the bare TakeOrdered merge task otherwise streams k rows
