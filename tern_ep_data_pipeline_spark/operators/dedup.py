@@ -644,6 +644,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     hash_mode: str = "fast",
     max_bucket: int | None = 100_000,
+    cap_stats: dict | None = None,
     _shingled: bool = False,
 ) -> DataFrame:
     """MinHash LSH candidate pairs: (id_a, id_b) sharing >= 1 band.
@@ -659,6 +660,16 @@ def minhash_lsh_candidates(
     quadratic. Buckets above the cap are dropped from the candidate join
     (their members are near-exact duplicates of each other and belong to
     the much cheaper exact-dedup pass). ``None`` disables the guard.
+
+    The cap is no longer silent (VERDICT r9 #4): pass a dict as
+    ``cap_stats`` and it is filled (eagerly, at call time) with
+    ``n_band_rows_dropped`` (band-membership rows in dropped buckets),
+    ``n_buckets_dropped`` and ``n_band_rows``. The aggregation runs over
+    the staged band table the self-join is about to read anyway, so it
+    warms that cache rather than adding a corpus pass. (A zero-extra-pass
+    ``Observation``/CollectMetrics design was tried and rejected: AQE's
+    empty-relation propagation prunes the metrics node whenever the cap
+    drops everything — exactly the case the stats exist to report.)
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -692,11 +703,30 @@ def minhash_lsh_candidates(
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bh")
-        banded = _stage(
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )  # staged: both self-join branches read the capped table once
+        # staged PRE-filter: both self-join branches (and the optional
+        # stats aggregation) read the flagged table once; the dropped
+        # rows it additionally holds are the same order as the band table
+        flagged = _stage(banded.withColumn("__bsz", F.count(F.lit(1)).over(wb)))
+        if cap_stats is not None:
+            over = F.col("__bsz") > max_bucket
+            row = flagged.agg(
+                F.coalesce(
+                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+                ).alias("n_band_rows_dropped"),
+                # every row of a dropped bucket carries that bucket's size,
+                # so sum(1/size) over dropped rows counts dropped BUCKETS
+                # without a second grouping; round() absorbs the 1/k
+                # float residue
+                F.coalesce(
+                    F.round(
+                        F.sum(F.when(over, 1.0 / F.col("__bsz")).otherwise(0.0))
+                    ).cast("long"),
+                    F.lit(0),
+                ).alias("n_buckets_dropped"),
+                F.count(F.lit(1)).alias("n_band_rows"),
+            ).first()
+            cap_stats.update(row.asDict())
+        banded = flagged.where(F.col("__bsz") <= max_bucket).drop("__bsz")
     a = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_b"))
     return (

@@ -25,8 +25,11 @@ renames.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -421,9 +424,11 @@ def append_to_chunk_index(
     WITHIN itself only — the same hash recurs across appends, which is why
     :func:`chunk_stats_against_index` distincts the index before joining
     (compact the parquet dir on the lake's schedule to bound re-reads)."""
-    _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "chunks"))
+    cp = os.path.join(path, "chunks")
+    with index_lease(cp, "append"):
+        _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
+            "append"
+        ).parquet(cp)
 
 
 # ------------------------------------------------- line (boilerplate) index
@@ -518,9 +523,11 @@ def append_to_line_index(
     """Append this batch's per-line distinct-doc counts. Counts sum across
     appends into true corpus counts because batches are doc-disjoint;
     compact the parquet dir on the lake's schedule to bound re-reads."""
-    _line_count_table(
-        accepted_docs, id_col, text_col, delimiter, min_line_chars
-    ).write.mode("append").parquet(os.path.join(path, "lines"))
+    lp = os.path.join(path, "lines")
+    with index_lease(lp, "append"):
+        _line_count_table(
+            accepted_docs, id_col, text_col, delimiter, min_line_chars
+        ).write.mode("append").parquet(lp)
 
 
 def _gram_first_table(
@@ -688,9 +695,12 @@ def append_to_gram_index(
     batch's ids must exceed every previously indexed id (checked on the
     clean side); the ``grams_meta`` max-id watermark is appended here so
     the contract stays enforceable across appends."""
-    _gram_first_table(
-        accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
-    ).write.mode("append").parquet(os.path.join(path, "grams"))
+    gp = os.path.join(path, "grams")
+    with index_lease(gp, "append"):
+        _gram_first_table(
+            accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
+        ).write.mode("append").parquet(gp)
+    # the meta watermark log has no dir-swap compactor, so no lease
     _meta_row(accepted_docs, id_col, text_col, "append").write.mode("append").parquet(
         os.path.join(path, "grams_meta")
     )
@@ -714,6 +724,94 @@ def _require_local_path(path: str) -> None:
         )
 
 
+class IndexLockError(RuntimeError):
+    """An index-table lease is held by another live process."""
+
+
+#: Default seconds a lease acquisition polls before failing loudly.
+#: Appends ride out a long compaction; compactors ride out short appends.
+_LEASE_WAIT_S = 60.0
+
+
+@contextlib.contextmanager
+def index_lease(path: str, role: str, wait_s: float | None = None):
+    """Exclusive lock-file lease over one index table dir (``path``).
+
+    This is the STRUCTURAL exclusion the r8/r9 best-effort guards
+    (in-progress ``_temporary`` dirs, byte-growth snapshots) could not
+    provide: both writers take it — appends (``append_to_*_index``) and
+    compactors (``compact_*_index``) — so ``compact_dedup_indexes``
+    racing a live stream now fails loudly at acquisition instead of
+    silently deleting a concurrently appended part file with the old
+    dir. The lock is ``<path>.lock``, created with O_CREAT|O_EXCL
+    (atomic on a local filesystem — the only store the dir-swap
+    compactors support, see :func:`_require_local_path`) and carrying
+    ``{pid, role, ts}`` for diagnostics.
+
+    Acquisition polls up to ``wait_s`` (appends ride out a long
+    compaction; compactors ride out short appends), reclaiming a lease
+    whose holder pid is dead (crash between acquire and release — the
+    data itself is crash-safe via :func:`recover_interrupted_compaction`,
+    the lock must not wedge the table forever). Non-local paths
+    (``://``) no-op: the plain-parquet swap layout is local-only, and
+    the bucketed-table layout serialises through the metastore instead.
+    """
+    if "://" in path:
+        yield
+        return
+    if wait_s is None:
+        wait_s = _LEASE_WAIT_S
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(os.path.abspath(lock)), exist_ok=True)
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            holder: dict = {}
+            try:
+                with open(lock) as fh:
+                    holder = json.load(fh)
+            except (OSError, ValueError):
+                pass  # holder mid-write or already released; poll again
+            pid = holder.get("pid")
+            alive = True
+            if pid is not None:
+                try:
+                    os.kill(int(pid), 0)
+                except (ProcessLookupError, ValueError):
+                    alive = False  # dead or malformed pid — stale lease
+                except OSError:
+                    alive = True  # EPERM: the holder exists, just not ours
+            if not alive:
+                # holder died without releasing — reclaim
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                continue
+            if time.monotonic() >= deadline:
+                raise IndexLockError(
+                    f"index lease {lock!r} held by {holder or 'unknown'} "
+                    f"(waited {wait_s:.0f}s). A compaction and a writer "
+                    "cannot touch the same index table concurrently — "
+                    "stop one, or remove the lock file if its holder is "
+                    "known dead."
+                ) from None
+            time.sleep(0.1)
+    try:
+        os.write(
+            fd,
+            json.dumps(
+                {"pid": os.getpid(), "role": role, "ts": time.time()}
+            ).encode(),
+        )
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
 def recover_interrupted_compaction(path: str) -> bool:
     """Heal a compaction swap that died between its two renames: if the
     live dir is missing but the ``.compact-old`` survivor exists, rename
@@ -729,7 +827,9 @@ def recover_interrupted_compaction(path: str) -> bool:
     return False
 
 
-def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
+def _rewrite_parquet_dir(
+    df: DataFrame, path: str, partitions: int, snapshot_bytes: int | None = None
+) -> None:
     """Replace ``path`` with the materialisation of ``df`` (which reads
     from ``path`` — Spark cannot overwrite a dir it is scanning, so the
     rewrite lands in a sibling temp dir first and the dirs swap after the
@@ -742,18 +842,22 @@ def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
     renames is healed by :func:`recover_interrupted_compaction`, and the
     old dir is only deleted after the new dir is in place.
 
-    EXCLUSIVE-ACCESS CONTRACT (ADVICE r8 #2): the swap is atomic against
-    readers, NOT against concurrent writers. A part file appended into
-    ``path`` between the snapshot read and ``os.rename(path, old)``
-    lands in the old dir and is deleted with it — silent data loss. The
-    streaming sink is safe (it serialises compaction with appends inside
-    ``foreachBatch``); the standalone ``compact_dedup_indexes`` task
-    must NOT run against a live stream. Two guards make a violation
-    loud rather than silent: an in-progress Spark ``_temporary`` dir
-    (a write that has started but not committed) aborts the swap, and a
-    post-snapshot byte-growth check aborts if the dir grew between the
-    read and the swap — neither closes the race fully (nothing short of
-    a real lock can, on a filesystem), so the contract stands."""
+    EXCLUSIVE-ACCESS CONTRACT: the swap is atomic against readers, NOT
+    against concurrent writers. Structural exclusion comes from
+    :func:`index_lease` — every ``compact_*_index`` holds the table's
+    lease across read→swap, and every ``append_to_*_index`` takes the
+    same lease around its write, so the standalone compaction task vs a
+    live stream is excluded at acquisition, not merely detected. Two
+    in-process guards remain as a backstop against writers that bypass
+    the lease (hand-rolled appends): an in-progress Spark ``_temporary``
+    dir aborts the swap, and a byte-growth check against
+    ``snapshot_bytes`` — captured by the CALLER before its
+    ``spark.read.parquet`` pinned the file listing (ADVICE r9 #3), so
+    an append landing between the read and the swap trips the guard
+    instead of being silently deleted with the old dir. A write that
+    both bypasses the lease and lands entirely after the final
+    ``_dir_bytes`` walk is still lost — the lease is the contract, the
+    guards are best-effort."""
     tmp = path + ".compact-tmp"
     old = path + ".compact-old"
     recover_interrupted_compaction(path)
@@ -765,7 +869,8 @@ def _rewrite_parquet_dir(df: DataFrame, path: str, partitions: int) -> None:
             "(_temporary dir present). compact_* requires exclusive "
             "access — stop the writer (or let its batch commit) first."
         )
-    snapshot_bytes = _dir_bytes(path)
+    if snapshot_bytes is None:
+        snapshot_bytes = _dir_bytes(path)
     df.repartition(max(1, partitions)).write.mode("overwrite").parquet(tmp)
     if _dir_bytes(path) != snapshot_bytes or os.path.isdir(
         os.path.join(path, "_temporary")
@@ -842,21 +947,28 @@ def compact_gram_index(spark: SparkSession, path: str) -> dict:
     """
     _require_local_path(path)
     gp = os.path.join(path, "grams")
-    recover_interrupted_compaction(gp)
-    before = spark.read.parquet(gp)
-    files_before = sum(
-        1 for f in os.listdir(gp) if f.endswith(".parquet")
-    )
-    rows_before = before.count()
-    agg = before.groupBy("gram_hash").agg(F.min("first_key").alias("first_key"))
-    # count the FOLDED frame before the rewrite: it sizes the output
-    # (bytes scale by the dedup ratio — ADVICE r8 #4) and it is the
-    # rows_after the caller wants anyway, so no pass is added
-    rows_after = agg.count()
-    _rewrite_parquet_dir(
-        agg, gp,
-        _compact_partitions(spark, gp, rows_after / max(rows_before, 1)),
-    )
+    with index_lease(gp, "compact"):
+        recover_interrupted_compaction(gp)
+        # snapshot BEFORE the read pins its file listing, so an append
+        # landing after the read trips the growth guard (ADVICE r9 #3)
+        snapshot = _dir_bytes(gp)
+        before = spark.read.parquet(gp)
+        files_before = sum(
+            1 for f in os.listdir(gp) if f.endswith(".parquet")
+        )
+        rows_before = before.count()
+        agg = before.groupBy("gram_hash").agg(
+            F.min("first_key").alias("first_key")
+        )
+        # count the FOLDED frame before the rewrite: it sizes the output
+        # (bytes scale by the dedup ratio — ADVICE r8 #4) and it is the
+        # rows_after the caller wants anyway, so no pass is added
+        rows_after = agg.count()
+        _rewrite_parquet_dir(
+            agg, gp,
+            _compact_partitions(spark, gp, rows_after / max(rows_before, 1)),
+            snapshot_bytes=snapshot,
+        )
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,
@@ -873,15 +985,18 @@ def compact_chunk_index(spark: SparkSession, path: str) -> dict:
     compaction changes bytes scanned, never results."""
     _require_local_path(path)
     cp = os.path.join(path, "chunks")
-    recover_interrupted_compaction(cp)
-    before = spark.read.parquet(cp)
-    rows_before = before.count()
-    agg = before.distinct()
-    rows_after = agg.count()
-    _rewrite_parquet_dir(
-        agg, cp,
-        _compact_partitions(spark, cp, rows_after / max(rows_before, 1)),
-    )
+    with index_lease(cp, "compact"):
+        recover_interrupted_compaction(cp)
+        snapshot = _dir_bytes(cp)
+        before = spark.read.parquet(cp)
+        rows_before = before.count()
+        agg = before.distinct()
+        rows_after = agg.count()
+        _rewrite_parquet_dir(
+            agg, cp,
+            _compact_partitions(spark, cp, rows_after / max(rows_before, 1)),
+            snapshot_bytes=snapshot,
+        )
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 
@@ -891,15 +1006,18 @@ def compact_line_index(spark: SparkSession, path: str) -> dict:
     across doc-disjoint appends), made durable once."""
     _require_local_path(path)
     lp = os.path.join(path, "lines")
-    recover_interrupted_compaction(lp)
-    before = spark.read.parquet(lp)
-    rows_before = before.count()
-    agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
-    rows_after = agg.count()
-    _rewrite_parquet_dir(
-        agg, lp,
-        _compact_partitions(spark, lp, rows_after / max(rows_before, 1)),
-    )
+    with index_lease(lp, "compact"):
+        recover_interrupted_compaction(lp)
+        snapshot = _dir_bytes(lp)
+        before = spark.read.parquet(lp)
+        rows_before = before.count()
+        agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
+        rows_after = agg.count()
+        _rewrite_parquet_dir(
+            agg, lp,
+            _compact_partitions(spark, lp, rows_after / max(rows_before, 1)),
+            snapshot_bytes=snapshot,
+        )
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 

@@ -61,7 +61,16 @@ def heuristic_feature_frame(
     join (r7: the former quality+token frame join collapsed into a fused
     select; every signal is row-local). ``micro=True`` emits the
     engine-portable integer contract (``*_micro`` BIGINT columns) used by
-    the oracle gate."""
+    the oracle gate.
+
+    The non-micro (double) branch routes through :func:`_feature_exprs`,
+    so null / empty / whitespace-only text yields 0.0 features instead of
+    NULLs — keeping :func:`score_quality_weights` and the ml-pipeline
+    scorer NULL-free on junk rows, same tolerance as the trainer and the
+    inline predicate (ADVICE r8 #1 / r9 completion). The micro branch
+    stays on the RAW builders deliberately: it is the portable integer
+    contract hash-pinned against the DuckDB oracle SQL, whose expressions
+    carry the same NULL semantics."""
     from .text import quality_ratio_cols, token_count, token_stat_cols
 
     t = F.col(text_col)
@@ -73,12 +82,7 @@ def heuristic_feature_frame(
             # avg_token_len_micro is token_stat_cols' third builder
             token_stat_cols(t, micro=True)[2],
         )
-    return df.select(
-        F.col(id_col),
-        *quality_ratio_cols(t),
-        token_count(t).cast("double").alias("n_tokens"),
-        token_stat_cols(t)[2],
-    )
+    return df.select(F.col(id_col), *_feature_exprs(t))
 
 
 def heuristic_pipeline(label_col: str = "label") -> Pipeline:

@@ -17,10 +17,18 @@ sample forever.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+#: winner-set size above which the forced broadcast derates to the
+#: optimizer's choice (an n-row table pushed into every executor stops
+#: being "trivially small" around this point)
+_BROADCAST_WINNER_CAP = 1_000_000
 
 
 def hash_bucket(key: Column, salt: str = "smp", buckets: int = 10_000) -> Column:
@@ -145,9 +153,20 @@ def weighted_hash_sample(
         )
         # force the broadcast only while n keys are trivially small; a
         # caller asking for a huge sample gets the optimizer's choice
-        # (forcing it would push an n-row table into every executor)
-        if n <= 1_000_000:
+        # (forcing it would push an n-row table into every executor).
+        # The derate is REPORTED, not silent (VERDICT r9 #4): at 100 TB
+        # a sort-merge join appearing where a broadcast was assumed is a
+        # plan regression the operator must own up to.
+        if n <= _BROADCAST_WINNER_CAP:
             winners = F.broadcast(winners)
+        else:
+            _log.warning(
+                "weighted_hash_sample: winner-set broadcast derated "
+                "(n=%d > %d); the winner semi-join strategy is left to "
+                "the optimizer/AQE",
+                n,
+                _BROADCAST_WINNER_CAP,
+            )
         return scored.drop("__ws").join(winners, on=key_col, how="left_semi")
     from pyspark.sql import Window
 

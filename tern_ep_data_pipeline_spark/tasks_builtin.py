@@ -131,14 +131,15 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
     functions on the lake's catalog, not this task. Returns per-table
     row counts before/after; tables absent from the root are skipped.
 
-    EXCLUSIVE ACCESS REQUIRED: the dir-swap compactors lose part files
-    appended between their snapshot read and the swap (they land in the
-    discarded old dir). Run this task only with the ingest stream
-    STOPPED; a live stream compacts safely through its own sink hook
-    (``compact_every``), which serialises with appends inside
-    ``foreachBatch``. The swap aborts loudly on the writer races it can
-    detect (in-progress ``_temporary`` dirs, dir growth during the
-    rewrite) but cannot detect them all — see
+    EXCLUSIVE ACCESS ENFORCED: each table's compactor and appender take
+    the same lock-file lease (``dedup_index.index_lease``), so this task
+    racing a live ingest stream fails loudly at acquisition
+    (``IndexLockError``) instead of silently deleting a concurrently
+    appended part file with the old dir. A live stream compacts safely
+    through its own sink hook (``compact_every``), which serialises with
+    appends inside ``foreachBatch``. Best-effort in-process guards
+    (in-progress ``_temporary`` dirs, pre-read byte snapshots) remain as
+    a backstop against writers that bypass the lease — see
     ``dedup_index._rewrite_parquet_dir``."""
     from .operators import dedup_index as di
 
