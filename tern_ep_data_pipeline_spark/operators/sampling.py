@@ -31,6 +31,24 @@ _log = logging.getLogger(__name__)
 _BROADCAST_WINNER_CAP = 1_000_000
 
 
+def scan_rows_lower_bound(df: DataFrame, row_bytes_upper: int) -> int:
+    """Plan-time LOWER bound on ``df``'s row count — zero Spark jobs.
+
+    The optimizer's ``sizeInBytes`` statistic (file-footer bytes for
+    parquet scans, in-memory estimate for local relations) divided by a
+    CONSERVATIVE upper bound on stored bytes per row. Used by the
+    bounded samplers (``quality_model.collect_feature_sample``,
+    ``similarity.pq_train``) to size their hash-range pre-filter without
+    the full corpus ``count()`` they previously spent (VERDICT r9 #6):
+    underestimating the row count only WIDENS the range (a larger but
+    still corpus-size-independent top-k funnel — inflated by
+    row_bytes_upper / true-avg-row-bytes); the sampler's fallback path
+    covers the rare overestimate (rows fatter than ``row_bytes_upper``).
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return max(1, size // max(row_bytes_upper, 1))
+
+
 def hash_bucket(key: Column, salt: str = "smp", buckets: int = 10_000) -> Column:
     """Deterministic bucket in [0, buckets) from md5(salt:key) — the shared
     portable-hash construction (one definition: sketch.portable_hash)."""

@@ -569,6 +569,11 @@ def recall_at_k(
 
 # ---------------------------------------------------------- product quant
 
+#: Conservative stored-bytes-per-row multiplier (x 8d raw vector bytes)
+#: for sizing pq_train's hash-range pre-filter from byte statistics —
+#: underestimating the row count only widens the range (see pq_train).
+_VEC_ROW_BYTES_UPPER_MULT = 16
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -593,29 +598,40 @@ def pq_train(
     TakeOrderedAndProject — a per-partition top-n, NOT a full corpus
     sort. But its single merge task still streams up to ``sample``
     VECTORS from every map partition (fat rows times 1e5 partitions at
-    corpus scale), so past the cap the sample is pre-filtered to the
-    md5 prefix range expected to hold ~1.2x the cap first (map-only);
-    the top-k within that range is the SAME rows in the SAME order as
-    the unfiltered top-k whenever the true k-th smallest md5 falls
-    inside it (1.2x margin — holds with overwhelming probability), so
-    the trained codebooks are unchanged.
+    corpus scale), so when the corpus plausibly exceeds the cap the
+    sample is pre-filtered to the md5 prefix range expected to hold
+    ~1.2x the cap first (map-only). One Spark job (VERDICT r9 #6): the
+    range is sized from the optimizer's byte statistics
+    (``sampling.scan_rows_lower_bound`` with a ``16 * 8d``-bytes/row
+    bound — no corpus ``count()``), deliberately underestimating the
+    row count so the range only errs wide; if it still comes back with
+    fewer than ``sample`` rows, one fallback top-k over the full hash
+    order restores exactness. Either way the trained sample is the
+    global top-``sample`` by md5 — codebooks are unchanged by the
+    estimate's accuracy.
     """
+    from .sampling import scan_rows_lower_bound
+
     d = len(corpus.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")
     sampled = corpus.select(
         F.md5(F.col(id_col).cast("string")).alias("__o"), F.col(vec_col)
     )
-    n = corpus.count()
-    if n > sample:
-        frac = min(1.0, 1.2 * sample / n)
+    est = scan_rows_lower_bound(corpus, _VEC_ROW_BYTES_UPPER_MULT * 8 * d)
+    frac = min(1.0, 1.2 * sample / est)
+    if frac < 1.0:
         # fixed-width lowercase hex compares lexicographically as the
         # number it encodes: an 8-hex-char prefix cutoff is a uniform
         # threshold over the md5 space
         cutoff = format(min(16**8 - 1, int(frac * 16**8) + 1), "08x")
-        sampled = sampled.where(F.substring("__o", 1, 8) < F.lit(cutoff))
-    sampled = sampled.orderBy("__o").limit(sample)
-    x = np.array([r[vec_col] for r in sampled.collect()], dtype=np.float64)
+        ranged = sampled.where(F.substring("__o", 1, 8) < F.lit(cutoff))
+        rows = ranged.orderBy("__o").limit(sample).collect()
+        if len(rows) < sample:
+            rows = sampled.orderBy("__o").limit(sample).collect()
+    else:
+        rows = sampled.orderBy("__o").limit(sample).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     if len(x) < k:
         raise ValueError(
             f"PQ training needs >= k={k} vectors, sample has {len(x)}"

@@ -381,6 +381,16 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
     books_ref = sim.pq_train(emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(n // 2),
                              m=8, k=16, iters=4)
     assert np.array_equal(books_pref, books_ref)
+    # force the statistics-sized pre-filter (VERDICT r9 #6: one job, no
+    # corpus count) into its narrow-estimate regime: the exact fallback
+    # must keep codebooks identical
+    orig = sim._VEC_ROW_BYTES_UPPER_MULT
+    sim._VEC_ROW_BYTES_UPPER_MULT = 1e-6
+    try:
+        books_forced = sim.pq_train(emb, m=8, k=16, iters=4, sample=n // 2)
+    finally:
+        sim._VEC_ROW_BYTES_UPPER_MULT = orig
+    assert np.array_equal(books_forced, books_ref)
 
     codes = sim.pq_encode(emb, books)
     row = codes.first()

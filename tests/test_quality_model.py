@@ -170,16 +170,126 @@ def test_sampled_trainer_tolerates_junk_rows(spark, labelled):
     assert kept.where(F.col("doc_id") < 1000).count() == 30
 
 
-def test_feature_sample_prefilters_past_the_cap(spark, labelled):
-    """Above the cap the sampler must pre-filter to a hash range BEFORE
-    the top-k (the bare TakeOrdered merge task otherwise streams k rows
-    from every map partition — 1e10 rows at corpus scale), stay
-    deterministic, and land within [~0.6x, 1.0x] of the cap."""
+def test_feature_sample_prefilters_past_the_cap(spark, labelled, monkeypatch):
+    """The bounded sampler is one Spark job sized from byte statistics
+    (VERDICT r9 #6), and its result is ALWAYS the global top-k by
+    xxhash64(id) regardless of whether the hash-range pre-filter (the
+    TakeOrdered merge-funnel guard) applies, errs wide, or errs narrow
+    and takes the exact fallback."""
     s1 = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=20)
     s2 = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=20)
     assert s1 == s2
-    assert len(s1) <= 20
-    assert len(s1) >= 12  # 1.2x-expected hash range, 60-row corpus
-    # below the cap: everything, no ordering stage at all
+    assert len(s1) == 20  # exact top-k, whatever path was taken
+    # below the cap: everything (hash-sorted)
     s_all = qm.collect_feature_sample(labelled, "doc_id", "text", sample_rows=500)
     assert len(s_all) == labelled.count()
+    # force the pre-filter on this 60-row corpus by inflating the
+    # row-count estimate (tiny row-byte bound): the ranged path must
+    # return the SAME top-k as the unfiltered path — via the range when
+    # it holds >= k rows, via the exact fallback when it doesn't
+    monkeypatch.setattr(qm, "_TEXT_ROW_BYTES_UPPER", 1)
+    s_forced = qm.collect_feature_sample(
+        labelled, "doc_id", "text", sample_rows=20
+    )
+    assert s_forced == s1
+
+
+def test_fit_logistic_sample_matches_scalar_reference():
+    """Pin the logistic float stage (VERDICT r9 #7): fit_logistic_sample's
+    Newton path reproduced by an INDEPENDENT scalar-arithmetic reference
+    (pure-Python loops, explicit partial-pivot Gaussian elimination — no
+    numpy) on a fixed 6-point / 6-feature dataset, weights and
+    probabilities agreeing to 1e-12. Any drift in the standardisation,
+    gradient, Hessian ridge, or convergence break now fails loudly
+    instead of silently shifting every downstream quality decision."""
+    import math
+
+    # 6 points x 6 features (HEURISTIC_FEATURES width), values chosen
+    # irrational-ish so no term cancels exactly; labels separable-ish
+    X = [
+        [0.10, 0.70, 0.00, 0.05, 40.0, 4.2],
+        [0.30, 0.10, 0.02, 0.01, 55.0, 5.1],
+        [0.05, 0.90, 0.10, 0.30, 8.0, 2.0],
+        [0.45, 0.05, 0.01, 0.02, 70.0, 4.8],
+        [0.02, 0.80, 0.20, 0.40, 5.0, 1.5],
+        [0.38, 0.12, 0.03, 0.00, 62.0, 5.6],
+    ]
+    y = [1.0, 1.0, 0.0, 1.0, 0.0, 0.0]
+    iters, reg = 25, 0.01
+    n, d = 6, 6
+
+    # ---- scalar reference (mirrors the documented algorithm, not the code)
+    mean = [sum(X[i][j] for i in range(n)) / n for j in range(d)]
+    var = [sum((X[i][j] - mean[j]) ** 2 for i in range(n)) / n for j in range(d)]
+    std = [math.sqrt(v) if v != 0.0 else 1.0 for v in var]
+    Xs = [[(X[i][j] - mean[j]) / std[j] for j in range(d)] + [1.0] for i in range(n)]
+    w = [0.0] * (d + 1)
+    lam = [reg] * d + [0.0]
+
+    def solve(a, b):
+        # partial-pivot Gaussian elimination, same pivoting as LAPACK LU
+        m = [row[:] + [bv] for row, bv in zip(a, b)]
+        k = len(b)
+        for col in range(k):
+            piv = max(range(col, k), key=lambda r: abs(m[r][col]))
+            m[col], m[piv] = m[piv], m[col]
+            for r in range(col + 1, k):
+                f = m[r][col] / m[col][col]
+                for c in range(col, k + 1):
+                    m[r][c] -= f * m[col][c]
+        x = [0.0] * k
+        for r in range(k - 1, -1, -1):
+            s = m[r][k] - sum(m[r][c] * x[c] for c in range(r + 1, k))
+            x[r] = s / m[r][r]
+        return x
+
+    for _ in range(iters):
+        p = [1.0 / (1.0 + math.exp(-sum(Xs[i][j] * w[j] for j in range(d + 1))))
+             for i in range(n)]
+        grad = [
+            sum(Xs[i][j] * (p[i] - y[i]) for i in range(n)) / n + lam[j] * w[j]
+            for j in range(d + 1)
+        ]
+        h = [
+            [
+                sum(Xs[i][j] * p[i] * (1.0 - p[i]) * Xs[i][c] for i in range(n)) / n
+                + (max(lam[j], 1e-9) if j == c else 0.0)
+                for c in range(d + 1)
+            ]
+            for j in range(d + 1)
+        ]
+        step = solve(h, grad)
+        w = [wv - sv for wv, sv in zip(w, step)]
+        if max(abs(s) for s in step) < 1e-10:
+            break
+
+    got = qm.fit_logistic_sample(X, y, iters=iters, reg=reg)
+    assert got["cols"] == list(qm.HEURISTIC_FEATURES)
+    for a, b in zip(got["mean"], mean):
+        assert abs(a - b) < 1e-12
+    for a, b in zip(got["std"], std):
+        assert abs(a - b) < 1e-12
+    for a, b in zip(got["w"], w[:-1]):
+        assert abs(a - b) < 1e-12
+    assert abs(got["b"] - w[-1]) < 1e-12
+    # the fit actually separates this fixture (sanity that the pin is
+    # pinning a meaningful model, not a degenerate all-zeros one)
+    probs = [
+        1.0
+        / (
+            1.0
+            + math.exp(
+                -(
+                    got["b"]
+                    + sum(
+                        got["w"][j] * (X[i][j] - got["mean"][j]) / got["std"][j]
+                        for j in range(d)
+                    )
+                )
+            )
+        )
+        for i in range(n)
+    ]
+    assert min(p for p, lab in zip(probs, y) if lab == 1.0) > max(
+        p for p, lab in zip(probs, y) if lab == 0.0
+    )
