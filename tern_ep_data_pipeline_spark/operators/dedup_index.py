@@ -574,6 +574,54 @@ def _meta_row(docs: DataFrame, id_col: str, text_col: str, kind: str) -> DataFra
     )
 
 
+#: Partition column of the range-partitioned gram layout (directory
+#: names ``__part=K``); derived deterministically from gram_hash so
+#: every gram's rows land in ONE partition and per-partition min ==
+#: global min.
+_PART_COL = "__part"
+
+
+def _part_expr(p: int):
+    """Partition id for a gram_hash (md5 string): pmod(xxhash64, P).
+    Engine-local routing only — the portable md5 stays the join key."""
+    return F.pmod(F.xxhash64(F.col("gram_hash")), F.lit(int(p)))
+
+
+def _read_layout(table_dir: str) -> dict:
+    """The table's layout marker (``_layout.json``), {} when flat."""
+    try:
+        with open(os.path.join(table_dir, "_layout.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_layout(table_dir: str, layout: dict) -> None:
+    with open(os.path.join(table_dir, "_layout.json"), "w") as fh:
+        json.dump(layout, fh)
+
+
+def _write_part_meta(part_dir: str) -> None:
+    """Record the partition's byte size at compaction time — the clean
+    watermark the dirty-fraction test compares appends against."""
+    with open(os.path.join(part_dir, "_compact_meta.json"), "w") as fh:
+        json.dump({"bytes": _dir_bytes(part_dir)}, fh)
+
+
+def _part_dirty_fraction(part_dir: str) -> tuple[float, int, int]:
+    """(dirty_fraction, cur_bytes, clean_bytes): the fraction of the
+    partition's bytes appended since its last compaction (1.0 when never
+    compacted)."""
+    cur = _dir_bytes(part_dir)
+    try:
+        with open(os.path.join(part_dir, "_compact_meta.json")) as fh:
+            clean = int(json.load(fh)["bytes"])
+    except (OSError, ValueError, KeyError):
+        return 1.0, cur, 0
+    dirty = max(cur - clean, 0)
+    return (dirty / cur if cur else 0.0), cur, clean
+
+
 def build_gram_index(
     docs: DataFrame,
     path: str,
@@ -581,11 +629,25 @@ def build_gram_index(
     text_col: str = "text",
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
+    range_partitions: int | None = None,
 ) -> int:
     """Materialise the corpus gram-first index (ExactSubstr span dedup,
     incremental form) next to the exact/band/chunk/line tables; returns
     the distinct-gram count. ``min_tokens``/``max_doc_tokens`` must match
     the clean-side call — they define gram boundaries and key packing.
+
+    ``range_partitions`` (VERDICT r9 #3) selects the hash-range-
+    partitioned layout: the table is stored as ``__part=K`` directories
+    (K = pmod(gram_hash, P)), so compaction can rewrite ONLY the
+    partitions whose raw-append fraction crossed a threshold — per-
+    compaction cost proportional to dirty bytes, not total index bytes.
+    Appends auto-detect the layout from the ``_layout.json`` marker (P
+    is read from the marker, so drift is impossible); readers are
+    layout-agnostic (`spark.read.parquet` discovers the partitioning,
+    and every consumer aggregates over ``gram_hash``, which fully
+    determines the partition). Pick P for the TARGET index size — each
+    partition should compact in one comfortable job (at 100 TB use
+    hundreds-to-thousands).
 
     **Id-monotonicity contract** (ADVICE r6 #3): batch doc ids must be
     strictly greater than every id already indexed — the occurrence key
@@ -594,13 +656,19 @@ def build_gram_index(
     corpus already contains. Build/append record ``max(id)`` in a
     ``grams_meta`` side table and ``clean_against_gram_index`` enforces
     the contract loudly (``validate_ids``)."""
-    _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "grams"))
+    gp = os.path.join(path, "grams")
+    grams = _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens)
+    if range_partitions:
+        grams.withColumn(
+            _PART_COL, _part_expr(range_partitions)
+        ).write.mode("overwrite").partitionBy(_PART_COL).parquet(gp)
+        _write_layout(gp, {"range_partitions": int(range_partitions)})
+    else:
+        grams.write.mode("overwrite").parquet(gp)
     _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").parquet(
         os.path.join(path, "grams_meta")
     )
-    return docs.sparkSession.read.parquet(os.path.join(path, "grams")).count()
+    return docs.sparkSession.read.parquet(gp).count()
 
 
 def clean_against_gram_index(
@@ -694,12 +762,23 @@ def append_to_gram_index(
     Same id-monotonicity contract as :func:`build_gram_index`: this
     batch's ids must exceed every previously indexed id (checked on the
     clean side); the ``grams_meta`` max-id watermark is appended here so
-    the contract stays enforceable across appends."""
+    the contract stays enforceable across appends.
+
+    The range-partitioned layout is auto-detected from the table's
+    ``_layout.json`` marker (written by the build), and the partition
+    count is read from it — callers cannot drift the routing."""
     gp = os.path.join(path, "grams")
     with index_lease(gp, "append"):
-        _gram_first_table(
+        grams = _gram_first_table(
             accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
-        ).write.mode("append").parquet(gp)
+        )
+        p = _read_layout(gp).get("range_partitions")
+        if p:
+            grams.withColumn(_PART_COL, _part_expr(p)).write.mode(
+                "append"
+            ).partitionBy(_PART_COL).parquet(gp)
+        else:
+            grams.write.mode("append").parquet(gp)
     # the meta watermark log has no dir-swap compactor, so no lease
     _meta_row(accepted_docs, id_col, text_col, "append").write.mode("append").parquet(
         os.path.join(path, "grams_meta")
@@ -812,15 +891,18 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
             os.unlink(lock)
 
 
-def recover_interrupted_compaction(path: str) -> bool:
+def recover_interrupted_compaction(path: str, scratch: str | None = None) -> bool:
     """Heal a compaction swap that died between its two renames: if the
     live dir is missing but the ``.compact-old`` survivor exists, rename
     it back. Called automatically at the start of every compaction and by
     the streaming sink before the index-existence check — without it, a
     crash in the (millisecond) swap window would make the next batch see
-    NO index and silently reset dedup state. Returns True if a recovery
-    was performed."""
-    old = path + ".compact-old"
+    NO index and silently reset dedup state. ``scratch`` overrides where
+    the survivor dir lives (partition-scoped compaction keeps scratch
+    dirs OUTSIDE the partitioned table root, where Spark's partition
+    discovery would choke on them). Returns True if a recovery was
+    performed."""
+    old = (scratch or path) + ".compact-old"
     if not os.path.exists(path) and os.path.isdir(old):
         os.rename(old, path)
         return True
@@ -828,7 +910,11 @@ def recover_interrupted_compaction(path: str) -> bool:
 
 
 def _rewrite_parquet_dir(
-    df: DataFrame, path: str, partitions: int, snapshot_bytes: int | None = None
+    df: DataFrame,
+    path: str,
+    partitions: int,
+    snapshot_bytes: int | None = None,
+    scratch: str | None = None,
 ) -> None:
     """Replace ``path`` with the materialisation of ``df`` (which reads
     from ``path`` — Spark cannot overwrite a dir it is scanning, so the
@@ -857,10 +943,15 @@ def _rewrite_parquet_dir(
     instead of being silently deleted with the old dir. A write that
     both bypasses the lease and lands entirely after the final
     ``_dir_bytes`` walk is still lost — the lease is the contract, the
-    guards are best-effort."""
-    tmp = path + ".compact-tmp"
-    old = path + ".compact-old"
-    recover_interrupted_compaction(path)
+    guards are best-effort.
+
+    ``scratch`` relocates the tmp/old sibling dirs (partition-scoped
+    compaction must keep them OUTSIDE the partitioned table root —
+    a ``__part=5.compact-old`` dir inside it would poison Spark's
+    partition discovery)."""
+    tmp = (scratch or path) + ".compact-tmp"
+    old = (scratch or path) + ".compact-old"
+    recover_interrupted_compaction(path, scratch)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(os.path.join(path, "_temporary")):
@@ -887,13 +978,14 @@ def _rewrite_parquet_dir(
 
 
 def _dir_bytes(path: str) -> int:
-    """Data bytes under a parquet dir (checksums/markers excluded)."""
+    """Data bytes under a parquet dir (checksums and ``_``-prefixed
+    markers excluded — the same files Spark's file index ignores)."""
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(
             os.path.getsize(os.path.join(root, f))
             for f in files
-            if not f.endswith(".crc") and f != "_SUCCESS"
+            if not f.endswith(".crc") and not f.startswith("_")
         )
     return total
 
@@ -929,7 +1021,9 @@ def _compact_partitions(
     )
 
 
-def compact_gram_index(spark: SparkSession, path: str) -> dict:
+def compact_gram_index(
+    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+) -> dict:
     """Rewrite the gram-first table keeping ``min(first_key)`` per gram —
     the same min-combine every read already applies, run once and made
     durable, so the per-batch O(index) scan stops paying for append
@@ -939,14 +1033,27 @@ def compact_gram_index(spark: SparkSession, path: str) -> dict:
     (min is idempotent/associative), which is also why compacting between
     any two batches cannot change a later batch's clean decisions.
 
+    On the range-partitioned layout (``build_gram_index(...,
+    range_partitions=P)``) only partitions whose raw-append fraction
+    exceeds ``dirty_threshold`` are rewritten (VERDICT r9 #3): each
+    partition records its byte size at compaction in a
+    ``_compact_meta.json`` marker, and the dirty fraction is
+    (bytes_now - bytes_at_compaction) / bytes_now — per-compaction cost
+    is proportional to DIRTY bytes, not total index bytes. Partition
+    routing is a pure function of gram_hash, so per-partition min ==
+    global min and decisions are identical to a whole-table compaction.
+
     ``grams_meta`` is left byte-identical: it is the append-watermark log
     the id-monotonicity retry carve-out matches against (one tiny row per
     append), and folding it would erase the replay evidence.
 
-    Returns ``{rows_before, rows_after, files_before, files_after}``.
+    Returns ``{rows_before, rows_after, files_before, files_after}``
+    (flat layout) or per-partition totals (partitioned layout).
     """
     _require_local_path(path)
     gp = os.path.join(path, "grams")
+    if _read_layout(gp).get("range_partitions"):
+        return _compact_gram_index_ranged(spark, gp, dirty_threshold)
     with index_lease(gp, "compact"):
         recover_interrupted_compaction(gp)
         # snapshot BEFORE the read pins its file listing, so an append
@@ -974,6 +1081,85 @@ def compact_gram_index(spark: SparkSession, path: str) -> dict:
         "rows_after": rows_after,
         "files_before": files_before,
         "files_after": sum(1 for f in os.listdir(gp) if f.endswith(".parquet")),
+    }
+
+
+def _gram_part_scratch(gp: str, k: str) -> str:
+    """Scratch-prefix for one partition's swap dirs — a SIBLING of the
+    table root (a ``__part=K.compact-old`` dir inside it would poison
+    Spark's partition discovery)."""
+    return f"{gp}.part-{k}"
+
+
+def _recover_gram_partitions(gp: str) -> None:
+    """Heal any partition swap that died between its renames: scan for
+    sibling scratch survivors and rename them back."""
+    parent, base = os.path.dirname(gp) or ".", os.path.basename(gp)
+    for d in os.listdir(parent):
+        if d.startswith(base + ".part-") and d.endswith(".compact-old"):
+            k = d[len(base) + len(".part-") : -len(".compact-old")]
+            recover_interrupted_compaction(
+                os.path.join(gp, f"{_PART_COL}={k}"),
+                scratch=_gram_part_scratch(gp, k),
+            )
+
+
+def _compact_gram_index_ranged(
+    spark: SparkSession, gp: str, dirty_threshold: float
+) -> dict:
+    """Partition-scoped compaction of the range-partitioned gram table:
+    rewrite only the ``__part=K`` directories whose raw-append fraction
+    exceeds ``dirty_threshold``. Swaps reuse the flat compactor's
+    machinery per partition (pre-read byte snapshot, ``_temporary``
+    guard, crash-healable double rename) with scratch dirs outside the
+    table root; the whole pass holds the table's lease once."""
+    rows_before = rows_after = 0
+    n_compacted = 0
+    bytes_total = bytes_dirty = bytes_rewritten = 0
+    with index_lease(gp, "compact"):
+        _recover_gram_partitions(gp)
+        parts = sorted(
+            d for d in os.listdir(gp)
+            if d.startswith(_PART_COL + "=")
+            and os.path.isdir(os.path.join(gp, d))
+        )
+        for d in parts:
+            pdir = os.path.join(gp, d)
+            frac, cur, clean = _part_dirty_fraction(pdir)
+            bytes_total += cur
+            bytes_dirty += max(cur - clean, 0) if clean else cur
+            if cur == 0 or (clean > 0 and frac <= dirty_threshold):
+                continue
+            snapshot = _dir_bytes(pdir)
+            before = spark.read.parquet(pdir)
+            rb = before.count()
+            agg = before.groupBy("gram_hash").agg(
+                F.min("first_key").alias("first_key")
+            )
+            ra = agg.count()
+            k = d.split("=", 1)[1]
+            _rewrite_parquet_dir(
+                agg,
+                pdir,
+                _compact_partitions(spark, pdir, ra / max(rb, 1)),
+                snapshot_bytes=snapshot,
+                scratch=_gram_part_scratch(gp, k),
+            )
+            _write_part_meta(pdir)
+            rows_before += rb
+            rows_after += ra
+            bytes_rewritten += cur
+            n_compacted += 1
+    return {
+        "layout": "ranged",
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "partitions_total": len(parts),
+        "partitions_compacted": n_compacted,
+        "bytes_total": bytes_total,
+        "bytes_dirty": bytes_dirty,
+        "bytes_rewritten": bytes_rewritten,
+        "dirty_threshold": dirty_threshold,
     }
 
 

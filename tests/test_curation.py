@@ -2926,3 +2926,102 @@ def test_bucketed_chunk_and_line_index_equivalence(spark, tmp_path):
     finally:
         for t in (ctab, ltab, ctab + "_compact_tmp", ltab + "_compact_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ranged_gram_index_partition_scoped_compaction(spark, tmp_path):
+    """The range-partitioned gram layout (VERDICT r9 #3): clean decisions
+    identical to the flat layout; compaction rewrites ONLY dirty
+    partitions (a one-gram append dirties exactly one), is idempotent
+    (an immediate re-run compacts nothing), and never changes the
+    min-per-gram view readers aggregate."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        build_gram_index,
+        clean_against_gram_index,
+        compact_gram_index,
+    )
+
+    phrase = " ".join(f"r{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {phrase} outro words"),
+            (2, "another indexed document with distinct body tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    flat, ranged = str(tmp_path / "gidx_flat"), str(tmp_path / "gidx_ranged")
+    n_flat = build_gram_index(corpus, flat)
+    n_ranged = build_gram_index(corpus, ranged, range_partitions=4)
+    assert n_flat == n_ranged
+
+    batch = spark.createDataFrame(
+        [
+            (10, f"new document body {phrase} trailing content here now"),
+            (11, "a fresh unrelated document with its own words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out_flat = sorted(
+        map(tuple, clean_against_gram_index(spark, batch, flat).collect())
+    )
+    dedup.release_staged(spark)
+    out_ranged = sorted(
+        map(tuple, clean_against_gram_index(spark, batch, ranged).collect())
+    )
+    dedup.release_staged(spark)
+    assert out_flat == out_ranged  # decision equality across layouts
+
+    import os
+
+    gp = os.path.join(ranged, "grams")
+
+    def min_view():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    view0 = min_view()
+    # first compaction: no partition has a clean watermark yet -> all
+    s1 = compact_gram_index(spark, ranged)
+    assert s1["layout"] == "ranged"
+    assert s1["partitions_compacted"] == s1["partitions_total"] > 0
+    assert min_view() == view0  # readers see the identical aggregate
+    # idempotent: immediately re-running compacts NOTHING
+    s2 = compact_gram_index(spark, ranged)
+    assert s2["partitions_compacted"] == 0
+    assert s2["bytes_rewritten"] == 0
+
+    # a single-gram append (exactly min_tokens tokens) dirties exactly
+    # one partition; compaction cost is scoped to it
+    one_gram = spark.createDataFrame(
+        [(20, " ".join(f"z{i}" for i in range(8)))], ["doc_id", "text"]
+    )
+    append_to_gram_index(one_gram, ranged)
+    view1 = min_view()
+    s3 = compact_gram_index(spark, ranged)
+    assert s3["partitions_compacted"] == 1
+    assert s3["bytes_rewritten"] < s2["bytes_total"]  # scoped, not O(index)
+    assert min_view() == view1
+    # decisions against the compacted ranged index still match a fresh
+    # flat index over the same corpus
+    append_to_gram_index(one_gram, flat)
+    b2 = spark.createDataFrame(
+        [(30, f"later arrival with {phrase} and closing words")],
+        ["doc_id", "text"],
+    )
+    got_flat = sorted(
+        map(tuple, clean_against_gram_index(spark, b2, flat).collect())
+    )
+    dedup.release_staged(spark)
+    got_ranged = sorted(
+        map(tuple, clean_against_gram_index(spark, b2, ranged).collect())
+    )
+    dedup.release_staged(spark)
+    assert got_flat == got_ranged
