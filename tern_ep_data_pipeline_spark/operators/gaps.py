@@ -75,8 +75,16 @@ def _lagged_global(dist: DataFrame, ts_col: str) -> DataFrame:
     per-partition min/max aggregate that is one row per partition. The
     global first timestamp keeps prev_ts = null, as a plain lag would give.
     """
-    ranged = dist.repartitionByRange(F.col(ts_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    from .dedup import _stage
+
+    # staged: both the within-partition lag and the boundary-repair
+    # branch read the ranged axis — unstaged, each rebuilt the whole
+    # scan -> distinct -> range-shuffle pipeline (r10 fusion audit:
+    # 7 -> 5 exchanges inside the lagged plan, distinct work halved)
+    ranged = _stage(
+        dist.repartitionByRange(F.col(ts_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w = Window.partitionBy("__pid").orderBy(ts_col)
     inner = (

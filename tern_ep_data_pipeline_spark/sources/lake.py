@@ -45,9 +45,66 @@ def colocated_join(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchanges in the executed plan (test/audit hook)."""
+    """Number of shuffle Exchanges the plan will EXECUTE (audit hook).
+
+    Three corrections over a naive substring count (r10 fusion audit):
+    each DISTINCT cached subtree counts once — the executedPlan string
+    prints an InMemoryRelation's child plan under EVERY InMemoryTableScan
+    that references it, so a staged frame shared by two branches
+    double-counted its exchanges (gap_suite printed 15 where runtime
+    pays 8); ``ReusedExchange`` nodes are excluded (they read an
+    existing shuffle, writing nothing); broadcasts are excluded as
+    before."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+    def count_line(s: str) -> int:
+        return (
+            s.count("Exchange")
+            - s.count("BroadcastExchange")
+            - s.count("ReusedExchange")
+        )
+
+    def depth(s: str) -> int:
+        return len(re.match(r"^[\s:+\-*]*", s).group(0))
+
+    seen_blocks: set[str] = set()
+    lines = plan.splitlines()
+
+    def norm(seg: list[str]) -> str:
+        # two scans of ONE cache print it with different attribute ids
+        # (ts#1 vs ts#56) and different tree-drawing prefixes (branch
+        # position) but identical plan_ids — normalise both away so the
+        # dedupe key matches
+        return re.sub(
+            r"#\d+",
+            "#",
+            "\n".join(re.sub(r"^[\s:+\-*]*", "", x) for x in seg),
+        )
+
+    def count_range(lo: int, hi: int) -> int:
+        total = 0
+        i = lo
+        while i < hi:
+            line = lines[i]
+            if "InMemoryRelation" in line:
+                d = depth(line)
+                j = i + 1
+                while j < hi and depth(lines[j]) > d and lines[j].strip():
+                    j += 1
+                block = norm(lines[i:j])
+                if block not in seen_blocks:
+                    seen_blocks.add(block)
+                    # recurse: a cached plan can itself scan other caches
+                    total += count_range(i + 1, j)
+                i = j
+            else:
+                total += count_line(line)
+                i += 1
+        return total
+
+    return count_range(0, len(lines))
 
 
 def compact_partition(
