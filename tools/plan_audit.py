@@ -24,9 +24,15 @@ PLANS_PATH = os.path.join(
 
 
 def audit(df) -> dict:
+    from tern_ep_data_pipeline_spark.sources.lake import exchange_count
+
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
-        "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+        # EXECUTED exchanges: lake.exchange_count dedupes cached subtrees
+        # (the plan string prints a staged frame's lineage under every
+        # scan referencing it) and excludes ReusedExchange — the r8/r9
+        # substring counts overstated plans with shared staged frames
+        "exchanges": exchange_count(df),
         "broadcasts": plan.count("BroadcastExchange"),
         "smj": plan.count("SortMergeJoin"),
         "bhj": plan.count("BroadcastHashJoin"),
