@@ -864,9 +864,21 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                 except OSError:
                     alive = True  # EPERM: the holder exists, just not ours
             if not alive:
-                # holder died without releasing — reclaim
-                with contextlib.suppress(OSError):
-                    os.unlink(lock)
+                # holder died without releasing — reclaim. Re-read just
+                # before the unlink: another waiter may have reclaimed
+                # and re-acquired in the meantime, and unlinking ITS
+                # live lease would let two writers in (the remaining
+                # read->unlink window is nanoseconds against lease
+                # lifetimes of seconds; full atomicity would need
+                # renameat2, which POSIX doesn't portably give us).
+                try:
+                    with open(lock) as fh:
+                        still = json.load(fh)
+                except (OSError, ValueError):
+                    continue  # gone or mid-write — poll again
+                if still.get("pid") == pid:
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock)
                 continue
             if time.monotonic() >= deadline:
                 raise IndexLockError(
