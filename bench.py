@@ -179,10 +179,13 @@ def main() -> None:
                 # with BENCH_r01/BENCH_r02 totals
                 "value_best_of_2": round(sum(timings2.values()), 3),
                 "queries_best_of_2": timings2,
-                # box load context: 1-min loadavg at start and the
-                # max/mean of per-query samples during the run. A headline
-                # delta vs a prior round is only code-attributable when
-                # both artifacts show comparable load.
+                # box load context: loadavg_start is sampled BEFORE the
+                # warm-up burn — it is the foreign-load attribution
+                # signal. The during-samples have ALWAYS included
+                # bench's own 32-thread load (and now the warm-up's
+                # tail); compare rounds on loadavg_start, use
+                # during-max only to spot a mid-run intruder spike far
+                # above the self-load plateau.
                 "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg_during_max": round(max(load_samples), 2),
                 "loadavg_during_mean": round(

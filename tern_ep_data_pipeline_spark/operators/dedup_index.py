@@ -811,6 +811,11 @@ class IndexLockError(RuntimeError):
 #: Appends ride out a long compaction; compactors ride out short appends.
 _LEASE_WAIT_S = 60.0
 
+#: Seconds a CONTENTLESS lock file must persist before it is treated as
+#: crash debris and reclaimed (a live writer links payload atomically,
+#: so a lock that stays empty has no holder to liveness-check).
+_LEASE_UNREADABLE_GRACE_S = 5.0
+
 
 @contextlib.contextmanager
 def index_lease(path: str, role: str, wait_s: float | None = None):
@@ -843,26 +848,56 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
     lock = path + ".lock"
     os.makedirs(os.path.dirname(os.path.abspath(lock)), exist_ok=True)
     deadline = time.monotonic() + wait_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+    # the payload is linked into place ATOMICALLY (write a private temp
+    # file, hard-link it to the lock path): a holder killed between an
+    # O_EXCL create and its payload write would leave a contentless lock
+    # no liveness check can ever clear (review finding 5). With link(),
+    # a visible lock always carries its holder. Pre-existing contentless
+    # locks (older layouts, exotic filesystems) are reclaimed after a
+    # grace period instead of wedging the table forever.
+    payload = json.dumps(
+        {"pid": os.getpid(), "role": role, "ts": time.time()}
+    ).encode()
+    tmpf = f"{lock}.{os.getpid()}.tmp"
+    with open(tmpf, "wb") as fh:
+        fh.write(payload)
+    unreadable_since: float | None = None
+    acquired = False
+    try:
+        while True:
+            try:
+                os.link(tmpf, lock)
+                acquired = True
+                break
+            except FileExistsError:
+                pass
             holder: dict = {}
+            readable = False
             try:
                 with open(lock) as fh:
                     holder = json.load(fh)
-            except (OSError, ValueError):
-                pass  # holder mid-write or already released; poll again
+                readable = True
+            except OSError:
+                continue  # released between link and read; retry now
+            except ValueError:
+                pass  # contentless/corrupt lock — grace-period below
             pid = holder.get("pid")
             alive = True
-            if pid is not None:
+            if readable and pid is not None:
+                unreadable_since = None
                 try:
                     os.kill(int(pid), 0)
                 except (ProcessLookupError, ValueError):
                     alive = False  # dead or malformed pid — stale lease
                 except OSError:
                     alive = True  # EPERM: the holder exists, just not ours
+            elif not readable or pid is None:
+                now = time.monotonic()
+                if unreadable_since is None:
+                    unreadable_since = now
+                # a real writer links payload atomically, so a lock that
+                # STAYS contentless was left by a crash — reclaimable
+                alive = now - unreadable_since < _LEASE_UNREADABLE_GRACE_S
             if not alive:
                 # holder died without releasing — reclaim. Re-read just
                 # before the unlink: another waiter may have reclaimed
@@ -871,14 +906,20 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                 # read->unlink window is nanoseconds against lease
                 # lifetimes of seconds; full atomicity would need
                 # renameat2, which POSIX doesn't portably give us).
+                still: dict | None = {}
                 try:
                     with open(lock) as fh:
                         still = json.load(fh)
-                except (OSError, ValueError):
-                    continue  # gone or mid-write — poll again
-                if still.get("pid") == pid:
+                except OSError:
+                    continue  # gone — poll again
+                except ValueError:
+                    still = None  # still contentless
+                if (still is None and not readable) or (
+                    still is not None and still.get("pid") == pid
+                ):
                     with contextlib.suppress(OSError):
                         os.unlink(lock)
+                    unreadable_since = None
                 continue
             if time.monotonic() >= deadline:
                 raise IndexLockError(
@@ -889,36 +930,88 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                     "known dead."
                 ) from None
             time.sleep(0.1)
-    try:
-        os.write(
-            fd,
-            json.dumps(
-                {"pid": os.getpid(), "role": role, "ts": time.time()}
-            ).encode(),
-        )
-        os.close(fd)
         yield
     finally:
         with contextlib.suppress(OSError):
-            os.unlink(lock)
+            os.unlink(tmpf)
+        if acquired:  # never remove a FOREIGN holder's lock on failure
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
 
 
 def recover_interrupted_compaction(path: str, scratch: str | None = None) -> bool:
-    """Heal a compaction swap that died between its two renames: if the
-    live dir is missing but the ``.compact-old`` survivor exists, rename
-    it back. Called automatically at the start of every compaction and by
-    the streaming sink before the index-existence check — without it, a
-    crash in the (millisecond) swap window would make the next batch see
-    NO index and silently reset dedup state. ``scratch`` overrides where
-    the survivor dir lives (partition-scoped compaction keeps scratch
-    dirs OUTSIDE the partitioned table root, where Spark's partition
-    discovery would choke on them). Returns True if a recovery was
-    performed."""
-    old = (scratch or path) + ".compact-old"
-    if not os.path.exists(path) and os.path.isdir(old):
-        os.rename(old, path)
+    """Heal a compaction swap that died at ANY point — called at the
+    start of every compaction and by the streaming sink before the
+    index-existence check. Without it, a crash in the swap window would
+    make the next batch see NO index and silently reset dedup state;
+    worse (r10 review finding 1), an APPEND landing after the crash
+    recreates the live dir, so a naive "restore only if missing" heal
+    would leave the ``.compact-old`` survivor to be rmtree'd later —
+    permanent silent loss of the pre-compaction rows.
+
+    The swap protocol is: write tmp -> rename(live, old) -> rename(tmp,
+    live) -> rmtree(old). The crash state is therefore decidable from
+    which scratch dirs exist:
+
+    - ``old`` and ``tmp`` both exist: died between the renames. The
+      authoritative data is ``old``; the live dir, if present, holds
+      only post-crash appends — restore ``old`` by renaming it back
+      (live missing) or by MOVING its data files in (live recreated;
+      union is decision-correct: every table's read-side aggregate —
+      min / distinct / sum-over-disjoint-appends — treats the restored
+      rows exactly as pre-compaction appends). ``tmp`` is discarded.
+    - ``old`` exists, ``tmp`` missing: rename 2 completed (the live dir
+      IS the compacted data); ``old`` is a stale pre-compaction copy —
+      merging it would double-count a sum table — so it is deleted.
+    - ``tmp`` exists alone: died before rename 1; live dir untouched —
+      delete ``tmp``. (Also closes review finding 8: orphaned tmp dirs
+      no longer leak until the partition re-crosses the dirty
+      threshold.)
+
+    ``scratch`` overrides where the swap dirs live (partition-scoped
+    compaction keeps them OUTSIDE the partitioned table root, where
+    Spark's partition discovery would choke on them). Returns True if
+    any state was healed."""
+    base = scratch or path
+    old = base + ".compact-old"
+    tmp = base + ".compact-tmp"
+    has_old, has_tmp = os.path.isdir(old), os.path.isdir(tmp)
+    if not has_old and not has_tmp:
+        return False
+    if has_old and has_tmp:
+        # died between the renames: old is authoritative
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            _merge_dir_files(old, path)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         return True
-    return False
+    if has_old:
+        if not os.path.exists(path):
+            # defensive: shouldn't be reachable (tmp missing means
+            # rename 2 ran, which creates the live dir) — restore
+            os.rename(old, path)
+            return True
+        shutil.rmtree(old, ignore_errors=True)  # stale post-swap copy
+        return True
+    shutil.rmtree(tmp, ignore_errors=True)  # died before rename 1
+    return True
+
+
+def _merge_dir_files(src: str, dst: str) -> None:
+    """Move ``src``'s data files into ``dst`` under collision-proof
+    names (crash-recovery merge of a swap survivor into a live dir that
+    appends recreated)."""
+    for f in os.listdir(src):
+        if f.startswith("_") or f.endswith(".crc"):
+            continue
+        target = os.path.join(dst, f"restored-{f}")
+        n = 0
+        while os.path.exists(target):
+            n += 1
+            target = os.path.join(dst, f"restored-{n}-{f}")
+        os.rename(os.path.join(src, f), target)
 
 
 def _rewrite_parquet_dir(
@@ -963,9 +1056,19 @@ def _rewrite_parquet_dir(
     partition discovery)."""
     tmp = (scratch or path) + ".compact-tmp"
     old = (scratch or path) + ".compact-old"
-    recover_interrupted_compaction(path, scratch)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    # the CALLER heals interrupted swaps BEFORE pinning its read of
+    # ``path`` (recover_interrupted_compaction can merge a crash
+    # survivor's files into the live dir — running that here, after the
+    # caller's read pinned its file listing, would let this rewrite
+    # silently drop the just-restored rows). Scratch dirs appearing at
+    # this point mean a concurrent compactor — fail loudly.
+    if os.path.isdir(tmp) or os.path.isdir(old):
+        raise RuntimeError(
+            f"compaction aborted: scratch dirs for {path!r} appeared after "
+            "the caller's heal — a concurrent compaction holds this table? "
+            "The lease should make this unreachable; investigate before "
+            "re-running."
+        )
     if os.path.isdir(os.path.join(path, "_temporary")):
         raise RuntimeError(
             f"compaction aborted: {path!r} has an in-progress write "
@@ -1104,16 +1207,24 @@ def _gram_part_scratch(gp: str, k: str) -> str:
 
 
 def _recover_gram_partitions(gp: str) -> None:
-    """Heal any partition swap that died between its renames: scan for
-    sibling scratch survivors and rename them back."""
+    """Heal any partition swap that died at any point: scan for sibling
+    scratch survivors (``.compact-old`` AND orphaned ``.compact-tmp`` —
+    review finding 8) and run the full state-machine heal per
+    partition. Safe against appends that recreated the partition dir
+    after the crash (the survivor's files are merged in, not dropped —
+    review finding 1)."""
     parent, base = os.path.dirname(gp) or ".", os.path.basename(gp)
+    prefix = base + ".part-"
+    ks = set()
     for d in os.listdir(parent):
-        if d.startswith(base + ".part-") and d.endswith(".compact-old"):
-            k = d[len(base) + len(".part-") : -len(".compact-old")]
-            recover_interrupted_compaction(
-                os.path.join(gp, f"{_PART_COL}={k}"),
-                scratch=_gram_part_scratch(gp, k),
-            )
+        for suffix in (".compact-old", ".compact-tmp"):
+            if d.startswith(prefix) and d.endswith(suffix):
+                ks.add(d[len(prefix) : -len(suffix)])
+    for k in ks:
+        recover_interrupted_compaction(
+            os.path.join(gp, f"{_PART_COL}={k}"),
+            scratch=_gram_part_scratch(gp, k),
+        )
 
 
 def _compact_gram_index_ranged(

@@ -295,6 +295,13 @@ class _BitReader:
         ln = lut[1][w]
         if ln == 0:
             raise ValueError("invalid huffman code in entropy stream")
+        if p + ln > self.nbits:
+            # the code itself straddles the segment end: on a non-last
+            # segment that means the decoder ran into a restart marker
+            # mid-symbol (corrupt stream — the legacy bit-serial reader
+            # raised here too); on the last segment it is the legal
+            # zero-pad tail
+            self._overrun()
         self.bitpos = p + ln
         return lut[0][w]
 

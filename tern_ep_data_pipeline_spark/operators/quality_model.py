@@ -280,7 +280,19 @@ def collect_feature_sample(
     )
     if len(rows) >= sample_rows:
         return rows  # range held >= k rows: identical to the global top-k
-    return topk.collect()  # estimate erred narrow: exact fallback
+    # estimate erred narrow (rows fatter than the byte bound, or
+    # join-inflated stats): one exact pass restores correctness — but at
+    # corpus scale its merge funnel is the cost the range exists to
+    # avoid, so the derate is reported, not silent
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "collect_feature_sample: hash range (frac=%.3g from est=%d rows) "
+        "held only %d of %d sample rows; running the unguarded exact "
+        "top-k fallback",
+        frac, est, len(rows), sample_rows,
+    )
+    return topk.collect()
 
 
 def train_quality_weights_sampled(

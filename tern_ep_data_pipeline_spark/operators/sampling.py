@@ -44,9 +44,26 @@ def scan_rows_lower_bound(df: DataFrame, row_bytes_upper: int) -> int:
     still corpus-size-independent top-k funnel — inflated by
     row_bytes_upper / true-avg-row-bytes); the sampler's fallback path
     covers the rare overestimate (rows fatter than ``row_bytes_upper``).
+
+    Frames with UNKNOWN stats (in-memory relations report sizeInBytes =
+    Long.MaxValue; multi-join plans multiply child estimates into
+    garbage) would turn the "lower bound" into a wild OVERestimate —
+    the range filter would then keep ~nothing and every call would pay
+    the ranged job plus the unguarded exact fallback. Detected (any
+    estimate at or beyond 2^56 bytes — 72 PB — is not a measurement)
+    and handled by falling back to one honest ``count()``, reported via
+    the module logger (r10 review finding 3).
     """
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    return max(1, size // max(row_bytes_upper, 1))
+    if size >= 1 << 56:
+        _log.info(
+            "scan_rows_lower_bound: optimizer stats unusable "
+            "(sizeInBytes=%d); falling back to a corpus count() to size "
+            "the sampler's hash range",
+            size,
+        )
+        return max(1, df.count())
+    return max(1, int(size // max(row_bytes_upper, 1)))
 
 
 def hash_bucket(key: Column, salt: str = "smp", buckets: int = 10_000) -> Column:

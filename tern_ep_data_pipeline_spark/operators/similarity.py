@@ -628,6 +628,14 @@ def pq_train(
         ranged = sampled.where(F.substring("__o", 1, 8) < F.lit(cutoff))
         rows = ranged.orderBy("__o").limit(sample).collect()
         if len(rows) < sample:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pq_train: md5 range (frac=%.3g from est=%d rows) held "
+                "only %d of %d sample vectors; running the unguarded "
+                "exact top-k fallback",
+                frac, est, len(rows), sample,
+            )
             rows = sampled.orderBy("__o").limit(sample).collect()
     else:
         rows = sampled.orderBy("__o").limit(sample).collect()

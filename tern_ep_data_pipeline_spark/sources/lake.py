@@ -76,7 +76,12 @@ def exchange_count(df: DataFrame) -> int:
         # two scans of ONE cache print it with different attribute ids
         # (ts#1 vs ts#56) and different tree-drawing prefixes (branch
         # position) but identical plan_ids — normalise both away so the
-        # dedupe key matches
+        # dedupe key matches. Distinct caches CANNOT collapse into one
+        # key whenever they contain an Exchange: every Exchange prints
+        # its [plan_id=N], which this normalisation keeps, and separate
+        # cache instantiations get separate plan_ids (the CacheManager
+        # dedupes semantically-equal plans into one relation anyway);
+        # exchange-free caches collapse harmlessly — they contribute 0.
         return re.sub(
             r"#\d+",
             "#",

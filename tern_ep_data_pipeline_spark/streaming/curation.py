@@ -21,6 +21,8 @@ scheduled tasks use).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -299,13 +301,21 @@ def span_dedup_batch(
     else:
         if "://" not in index_path:
             from ..operators.dedup_index import (
+                _read_layout,
+                _recover_gram_partitions,
                 recover_interrupted_compaction,
             )
 
             # heal a compaction swap that died between its renames —
             # otherwise this batch would see NO index and silently reset
-            # the dedup state (the .compact-old survivor holds the data)
-            recover_interrupted_compaction(f"{index_path}/grams")
+            # the dedup state (the .compact-old survivor holds the data).
+            # MUST run before this batch's append: an append recreating
+            # a swap-window dir would otherwise strand the survivor
+            # (r10 review finding 2) — the heal merges it instead.
+            gp = f"{index_path}/grams"
+            recover_interrupted_compaction(gp)
+            if os.path.isdir(gp) and _read_layout(gp).get("range_partitions"):
+                _recover_gram_partitions(gp)
         have_index = _dir_exists(spark, f"{index_path}/grams")
     # decidability FIRST: on a cluster without executor mem/core confs the
     # floor model can never fire, and the batch-bytes aggregate below is a

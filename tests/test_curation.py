@@ -3025,3 +3025,99 @@ def test_ranged_gram_index_partition_scoped_compaction(spark, tmp_path):
     )
     dedup.release_staged(spark)
     assert got_flat == got_ranged
+
+
+def test_compaction_crash_with_append_heals_by_merge(spark, tmp_path):
+    """r10 review finding 1: a compaction crash between the two swap
+    renames followed by an APPEND (which recreates the live dir) must
+    not strand the .compact-old survivor — recovery merges its files
+    into the recreated dir instead of rmtree'ing history. Covers both
+    the ranged-partition and flat layouts, plus orphan tmp cleanup."""
+    import os
+    import shutil
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _gram_part_scratch,
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    def grams(gp):
+        return {
+            r["gram_hash"]
+            for r in spark.read.parquet(gp).select("gram_hash").collect()
+        }
+
+    base = spark.createDataFrame(
+        [(1, "original corpus body " + " ".join(f"g{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    more = spark.createDataFrame(
+        [(5, "appended body " + " ".join(f"h{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+
+    # ----- ranged layout
+    ranged = str(tmp_path / "gidx_crash_ranged")
+    build_gram_index(base, ranged, range_partitions=2)
+    gp = os.path.join(ranged, "grams")
+    original = grams(gp)
+    # simulate a crash between rename 1 and rename 2 on one partition:
+    # live partition renamed away to .compact-old, tmp left behind
+    part = next(d for d in sorted(os.listdir(gp)) if d.startswith("__part="))
+    pdir = os.path.join(gp, part)
+    scratch = _gram_part_scratch(gp, part.split("=", 1)[1])
+    os.rename(pdir, scratch + ".compact-old")
+    shutil.copytree(scratch + ".compact-old", scratch + ".compact-tmp")
+    # an append recreates the partition dir with ONLY the new batch
+    append_to_gram_index(more, ranged)
+    stats = compact_gram_index(spark, ranged)
+    assert stats["layout"] == "ranged"
+    healed = grams(gp)
+    assert original <= healed  # nothing from the pre-crash index lost
+    assert not os.path.isdir(scratch + ".compact-old")
+    assert not os.path.isdir(scratch + ".compact-tmp")
+
+    # ----- flat layout, same crash shape on the whole table dir
+    flat = str(tmp_path / "gidx_crash_flat")
+    build_gram_index(base, flat, )
+    gpf = os.path.join(flat, "grams")
+    original_f = grams(gpf)
+    os.rename(gpf, gpf + ".compact-old")
+    shutil.copytree(gpf + ".compact-old", gpf + ".compact-tmp")
+    append_to_gram_index(more, flat)
+    compact_gram_index(spark, flat)
+    assert original_f <= grams(gpf)
+    assert not os.path.isdir(gpf + ".compact-old")
+    assert not os.path.isdir(gpf + ".compact-tmp")
+
+    # ----- post-swap crash (old stale, tmp gone): old must be DROPPED,
+    # not merged (merging a stale copy would double a sum table)
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        recover_interrupted_compaction,
+    )
+
+    shutil.copytree(gpf, gpf + ".compact-old")
+    before = grams(gpf)
+    assert recover_interrupted_compaction(gpf)
+    assert grams(gpf) == before
+    assert not os.path.isdir(gpf + ".compact-old")
+
+
+def test_contentless_lock_reclaimed_after_grace(tmp_path, monkeypatch):
+    """r10 review finding 5: a holder killed before writing its lease
+    payload must not wedge the table — a lock that STAYS contentless is
+    reclaimed after the grace period (real writers link their payload
+    atomically, so an empty lock can only be crash debris)."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+    monkeypatch.setattr(di, "_LEASE_UNREADABLE_GRACE_S", 0.3)
+    monkeypatch.setattr(di, "_LEASE_WAIT_S", 5.0)
+    target = str(tmp_path / "tbl")
+    open(target + ".lock", "w").close()  # crash debris: zero bytes
+    with di.index_lease(target, "append"):
+        pass  # acquired after the grace; released cleanly
+    import os
+
+    assert not os.path.exists(target + ".lock")
