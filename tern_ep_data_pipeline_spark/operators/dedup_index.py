@@ -325,13 +325,19 @@ def build_chunk_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 10,
+    range_partitions: int | None = None,
 ) -> int:
     """Materialise the sub-document chunk index next to the exact/band
-    tables; returns the distinct-chunk count."""
-    _chunk_table(docs, id_col, text_col, chunk_tokens).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "chunks"))
-    return docs.sparkSession.read.parquet(os.path.join(path, "chunks")).count()
+    tables; returns the distinct-chunk count. ``range_partitions``
+    selects the hash-range-partitioned layout (same mechanics and
+    dirty-threshold compaction as the gram table — see
+    :func:`build_gram_index`)."""
+    cp = os.path.join(path, "chunks")
+    _write_ranged(
+        _chunk_table(docs, id_col, text_col, chunk_tokens),
+        cp, "chunk_hash", range_partitions, "overwrite",
+    )
+    return docs.sparkSession.read.parquet(cp).count()
 
 
 def chunk_stats_against_index(
@@ -426,9 +432,11 @@ def append_to_chunk_index(
     (compact the parquet dir on the lake's schedule to bound re-reads)."""
     cp = os.path.join(path, "chunks")
     with index_lease(cp, "append"):
-        _chunk_table(accepted_docs, id_col, text_col, chunk_tokens).write.mode(
-            "append"
-        ).parquet(cp)
+        _write_ranged(
+            _chunk_table(accepted_docs, id_col, text_col, chunk_tokens),
+            cp, "chunk_hash",
+            _read_layout(cp).get("range_partitions"), "append",
+        )
 
 
 # ------------------------------------------------- line (boilerplate) index
@@ -464,14 +472,20 @@ def build_line_index(
     text_col: str = "text",
     delimiter: str = "\n",
     min_line_chars: int = 1,
+    range_partitions: int | None = None,
 ) -> int:
     """Materialise the corpus line-count index (CCNet boilerplate removal,
     incremental form) next to the exact/band/chunk tables; returns the
-    distinct-line count."""
-    _line_count_table(docs, id_col, text_col, delimiter, min_line_chars).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "lines"))
-    return docs.sparkSession.read.parquet(os.path.join(path, "lines")).count()
+    distinct-line count. ``range_partitions`` selects the hash-range-
+    partitioned layout (see :func:`build_gram_index`) — per-partition
+    count sums equal global sums because every line_hash routes to one
+    partition."""
+    lp = os.path.join(path, "lines")
+    _write_ranged(
+        _line_count_table(docs, id_col, text_col, delimiter, min_line_chars),
+        lp, "line_hash", range_partitions, "overwrite",
+    )
+    return docs.sparkSession.read.parquet(lp).count()
 
 
 def clean_against_line_index(
@@ -525,9 +539,13 @@ def append_to_line_index(
     compact the parquet dir on the lake's schedule to bound re-reads."""
     lp = os.path.join(path, "lines")
     with index_lease(lp, "append"):
-        _line_count_table(
-            accepted_docs, id_col, text_col, delimiter, min_line_chars
-        ).write.mode("append").parquet(lp)
+        _write_ranged(
+            _line_count_table(
+                accepted_docs, id_col, text_col, delimiter, min_line_chars
+            ),
+            lp, "line_hash",
+            _read_layout(lp).get("range_partitions"), "append",
+        )
 
 
 def _gram_first_table(
@@ -581,10 +599,12 @@ def _meta_row(docs: DataFrame, id_col: str, text_col: str, kind: str) -> DataFra
 _PART_COL = "__part"
 
 
-def _part_expr(p: int):
-    """Partition id for a gram_hash (md5 string): pmod(xxhash64, P).
-    Engine-local routing only — the portable md5 stays the join key."""
-    return F.pmod(F.xxhash64(F.col("gram_hash")), F.lit(int(p)))
+def _part_expr(p: int, key_col: str = "gram_hash"):
+    """Partition id for a hash-keyed index row (md5 string key):
+    pmod(xxhash64, P). Engine-local routing only — the portable md5
+    stays the join key; all rows of one key land in ONE partition, so
+    per-partition folds equal global folds."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(p)))
 
 
 def _read_layout(table_dir: str) -> dict:
@@ -606,6 +626,28 @@ def _write_part_meta(part_dir: str) -> None:
     watermark the dirty-fraction test compares appends against."""
     with open(os.path.join(part_dir, "_compact_meta.json"), "w") as fh:
         json.dump({"bytes": _dir_bytes(part_dir)}, fh)
+
+
+def _write_ranged(
+    frame: DataFrame,
+    table_dir: str,
+    key_col: str,
+    range_partitions: int | None,
+    mode: str,
+) -> None:
+    """Write an index frame flat or range-partitioned. On an overwrite
+    with ``range_partitions`` the layout marker is (re)written; appends
+    pass the marker's value so routing can never drift."""
+    if range_partitions:
+        frame.withColumn(
+            _PART_COL, _part_expr(range_partitions, key_col)
+        ).write.mode(mode).partitionBy(_PART_COL).parquet(table_dir)
+        if mode == "overwrite":
+            _write_layout(
+                table_dir, {"range_partitions": int(range_partitions)}
+            )
+    else:
+        frame.write.mode(mode).parquet(table_dir)
 
 
 def _part_dirty_fraction(part_dir: str) -> tuple[float, int, int]:
@@ -657,14 +699,10 @@ def build_gram_index(
     ``grams_meta`` side table and ``clean_against_gram_index`` enforces
     the contract loudly (``validate_ids``)."""
     gp = os.path.join(path, "grams")
-    grams = _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens)
-    if range_partitions:
-        grams.withColumn(
-            _PART_COL, _part_expr(range_partitions)
-        ).write.mode("overwrite").partitionBy(_PART_COL).parquet(gp)
-        _write_layout(gp, {"range_partitions": int(range_partitions)})
-    else:
-        grams.write.mode("overwrite").parquet(gp)
+    _write_ranged(
+        _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens),
+        gp, "gram_hash", range_partitions, "overwrite",
+    )
     _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").parquet(
         os.path.join(path, "grams_meta")
     )
@@ -769,16 +807,13 @@ def append_to_gram_index(
     count is read from it — callers cannot drift the routing."""
     gp = os.path.join(path, "grams")
     with index_lease(gp, "append"):
-        grams = _gram_first_table(
-            accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
+        _write_ranged(
+            _gram_first_table(
+                accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
+            ),
+            gp, "gram_hash",
+            _read_layout(gp).get("range_partitions"), "append",
         )
-        p = _read_layout(gp).get("range_partitions")
-        if p:
-            grams.withColumn(_PART_COL, _part_expr(p)).write.mode(
-                "append"
-            ).partitionBy(_PART_COL).parquet(gp)
-        else:
-            grams.write.mode("append").parquet(gp)
     # the meta watermark log has no dir-swap compactor, so no lease
     _meta_row(accepted_docs, id_col, text_col, "append").write.mode("append").parquet(
         os.path.join(path, "grams_meta")
@@ -1168,7 +1203,14 @@ def compact_gram_index(
     _require_local_path(path)
     gp = os.path.join(path, "grams")
     if _read_layout(gp).get("range_partitions"):
-        return _compact_gram_index_ranged(spark, gp, dirty_threshold)
+        return _compact_ranged(
+            spark,
+            gp,
+            lambda df: df.groupBy("gram_hash").agg(
+                F.min("first_key").alias("first_key")
+            ),
+            dirty_threshold,
+        )
     with index_lease(gp, "compact"):
         recover_interrupted_compaction(gp)
         # snapshot BEFORE the read pins its file listing, so an append
@@ -1199,21 +1241,24 @@ def compact_gram_index(
     }
 
 
-def _gram_part_scratch(gp: str, k: str) -> str:
+def _gram_part_scratch(table_dir: str, k: str) -> str:
     """Scratch-prefix for one partition's swap dirs — a SIBLING of the
     table root (a ``__part=K.compact-old`` dir inside it would poison
-    Spark's partition discovery)."""
-    return f"{gp}.part-{k}"
+    Spark's partition discovery). Shared by every ranged index table
+    (grams/chunks/lines), not just grams — the name predates the
+    generalisation."""
+    return f"{table_dir}.part-{k}"
 
 
-def _recover_gram_partitions(gp: str) -> None:
+def _recover_gram_partitions(table_dir: str) -> None:
     """Heal any partition swap that died at any point: scan for sibling
     scratch survivors (``.compact-old`` AND orphaned ``.compact-tmp`` —
     review finding 8) and run the full state-machine heal per
     partition. Safe against appends that recreated the partition dir
     after the crash (the survivor's files are merged in, not dropped —
-    review finding 1)."""
-    parent, base = os.path.dirname(gp) or ".", os.path.basename(gp)
+    review finding 1). Works on any ranged index table dir."""
+    parent = os.path.dirname(table_dir) or "."
+    base = os.path.basename(table_dir)
     prefix = base + ".part-"
     ks = set()
     for d in os.listdir(parent):
@@ -1222,32 +1267,36 @@ def _recover_gram_partitions(gp: str) -> None:
                 ks.add(d[len(prefix) : -len(suffix)])
     for k in ks:
         recover_interrupted_compaction(
-            os.path.join(gp, f"{_PART_COL}={k}"),
-            scratch=_gram_part_scratch(gp, k),
+            os.path.join(table_dir, f"{_PART_COL}={k}"),
+            scratch=_gram_part_scratch(table_dir, k),
         )
 
 
-def _compact_gram_index_ranged(
-    spark: SparkSession, gp: str, dirty_threshold: float
+def _compact_ranged(
+    spark: SparkSession, table_dir: str, fold, dirty_threshold: float
 ) -> dict:
-    """Partition-scoped compaction of the range-partitioned gram table:
+    """Partition-scoped compaction of a range-partitioned index table:
     rewrite only the ``__part=K`` directories whose raw-append fraction
-    exceeds ``dirty_threshold``. Swaps reuse the flat compactor's
-    machinery per partition (pre-read byte snapshot, ``_temporary``
-    guard, crash-healable double rename) with scratch dirs outside the
-    table root; the whole pass holds the table's lease once."""
+    exceeds ``dirty_threshold``, folding each with ``fold`` (the
+    table's canonical aggregate — min per gram, distinct chunk hashes,
+    summed line counts; partition routing is a pure function of the
+    table's hash key, so per-partition folds equal global folds). Swaps
+    reuse the flat compactor's machinery per partition (pre-read byte
+    snapshot, ``_temporary`` guard, crash-healable double rename) with
+    scratch dirs outside the table root; the whole pass holds the
+    table's lease once."""
     rows_before = rows_after = 0
     n_compacted = 0
     bytes_total = bytes_dirty = bytes_rewritten = 0
-    with index_lease(gp, "compact"):
-        _recover_gram_partitions(gp)
+    with index_lease(table_dir, "compact"):
+        _recover_gram_partitions(table_dir)
         parts = sorted(
-            d for d in os.listdir(gp)
+            d for d in os.listdir(table_dir)
             if d.startswith(_PART_COL + "=")
-            and os.path.isdir(os.path.join(gp, d))
+            and os.path.isdir(os.path.join(table_dir, d))
         )
         for d in parts:
-            pdir = os.path.join(gp, d)
+            pdir = os.path.join(table_dir, d)
             frac, cur, clean = _part_dirty_fraction(pdir)
             bytes_total += cur
             bytes_dirty += max(cur - clean, 0) if clean else cur
@@ -1256,9 +1305,7 @@ def _compact_gram_index_ranged(
             snapshot = _dir_bytes(pdir)
             before = spark.read.parquet(pdir)
             rb = before.count()
-            agg = before.groupBy("gram_hash").agg(
-                F.min("first_key").alias("first_key")
-            )
+            agg = fold(before)
             ra = agg.count()
             k = d.split("=", 1)[1]
             _rewrite_parquet_dir(
@@ -1266,7 +1313,7 @@ def _compact_gram_index_ranged(
                 pdir,
                 _compact_partitions(spark, pdir, ra / max(rb, 1)),
                 snapshot_bytes=snapshot,
-                scratch=_gram_part_scratch(gp, k),
+                scratch=_gram_part_scratch(table_dir, k),
             )
             _write_part_meta(pdir)
             rows_before += rb
@@ -1286,14 +1333,23 @@ def _compact_gram_index_ranged(
     }
 
 
-def compact_chunk_index(spark: SparkSession, path: str) -> dict:
+def compact_chunk_index(
+    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+) -> dict:
     """Rewrite the chunk-hash table to distinct hashes (appends are
     distinct within themselves only — `append_to_chunk_index`), bounding
     the re-read the per-batch join pays. Safe at any batch boundary:
     ``chunk_stats_against_index`` distincts the index before joining, so
-    compaction changes bytes scanned, never results."""
+    compaction changes bytes scanned, never results. On the ranged
+    layout, only partitions past ``dirty_threshold`` rewrite (the
+    partitioned distinct equals the global distinct — every chunk_hash
+    routes to one partition)."""
     _require_local_path(path)
     cp = os.path.join(path, "chunks")
+    if _read_layout(cp).get("range_partitions"):
+        return _compact_ranged(
+            spark, cp, lambda df: df.distinct(), dirty_threshold
+        )
     with index_lease(cp, "compact"):
         recover_interrupted_compaction(cp)
         snapshot = _dir_bytes(cp)
@@ -1309,12 +1365,26 @@ def compact_chunk_index(spark: SparkSession, path: str) -> dict:
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 
-def compact_line_index(spark: SparkSession, path: str) -> dict:
+def compact_line_index(
+    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+) -> dict:
     """Rewrite the line-count table summing ``n_docs`` per hash — the
     same sum ``clean_against_line_index`` applies on read (counts add
-    across doc-disjoint appends), made durable once."""
+    across doc-disjoint appends), made durable once. On the ranged
+    layout, only partitions past ``dirty_threshold`` rewrite (per-
+    partition sums equal global sums — every line_hash routes to one
+    partition)."""
     _require_local_path(path)
     lp = os.path.join(path, "lines")
+    if _read_layout(lp).get("range_partitions"):
+        return _compact_ranged(
+            spark,
+            lp,
+            lambda df: df.groupBy("line_hash").agg(
+                F.sum("n_docs").alias("n_docs")
+            ),
+            dirty_threshold,
+        )
     with index_lease(lp, "compact"):
         recover_interrupted_compaction(lp)
         snapshot = _dir_bytes(lp)

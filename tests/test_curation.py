@@ -3121,3 +3121,115 @@ def test_contentless_lock_reclaimed_after_grace(tmp_path, monkeypatch):
     import os
 
     assert not os.path.exists(target + ".lock")
+
+
+def test_ranged_chunk_and_line_index_layouts(spark, tmp_path):
+    """The ranged layout generalised to the chunk and line tables (r10):
+    batch decisions identical to the flat layout, dirty-threshold
+    compaction scoped and idempotent, and the line table's SUM fold
+    preserved exactly across compaction."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_chunk_index,
+        append_to_line_index,
+        build_chunk_index,
+        build_line_index,
+        chunk_stats_against_index,
+        clean_against_line_index,
+        compact_chunk_index,
+        compact_line_index,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, body + " one"), (2, body + " two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, body + " ten"), (11, "wholly new words only here now")],
+        ["doc_id", "text"],
+    )
+    lines_corpus = spark.createDataFrame(
+        [(1, "shared line\nunique a"), (2, "shared line\nunique b")],
+        ["doc_id", "text"],
+    )
+    lines_batch = spark.createDataFrame(
+        [(10, "shared line\nfresh line")], ["doc_id", "text"]
+    )
+
+    flat, ranged = str(tmp_path / "flat"), str(tmp_path / "ranged")
+    assert build_chunk_index(corpus, flat, chunk_tokens=5) == build_chunk_index(
+        corpus, ranged, chunk_tokens=5, range_partitions=4
+    )
+    build_line_index(lines_corpus, flat)
+    build_line_index(lines_corpus, ranged, range_partitions=4)
+
+    def chunk_rows(p):
+        return sorted(
+            map(
+                tuple,
+                chunk_stats_against_index(
+                    spark, batch, p, chunk_tokens=5
+                ).collect(),
+            )
+        )
+
+    def line_rows(p):
+        return sorted(
+            map(
+                tuple,
+                clean_against_line_index(
+                    spark, lines_batch, p, min_docs=2
+                ).collect(),
+            )
+        )
+
+    assert chunk_rows(flat) == chunk_rows(ranged)
+    assert line_rows(flat) == line_rows(ranged)
+
+    # appends + compaction: decisions stable, sums exact, scoping works
+    append_to_chunk_index(batch, ranged, chunk_tokens=5)
+    append_to_line_index(lines_batch, ranged)
+    append_to_chunk_index(batch, flat, chunk_tokens=5)
+    append_to_line_index(lines_batch, flat)
+    lp = os.path.join(ranged, "lines")
+    pre_sum = sorted(
+        map(
+            tuple,
+            spark.read.parquet(lp)
+            .groupBy("line_hash")
+            .agg(F.sum("n_docs").alias("n"))
+            .collect(),
+        )
+    )
+    sc = compact_chunk_index(spark, ranged)
+    sl = compact_line_index(spark, ranged)
+    assert sc["layout"] == sl["layout"] == "ranged"
+    assert sc["partitions_compacted"] > 0 and sl["partitions_compacted"] > 0
+    # the SUM fold is exact: 'shared line' seen in docs 1, 2, 10 -> 3
+    post_sum = sorted(
+        map(
+            tuple,
+            spark.read.parquet(lp)
+            .groupBy("line_hash")
+            .agg(F.sum("n_docs").alias("n"))
+            .collect(),
+        )
+    )
+    assert post_sum == pre_sum
+    import hashlib
+
+    shared = hashlib.md5(b"shared line").hexdigest()
+    assert dict(post_sum)[shared] == 3
+    # idempotent: an immediate re-run compacts nothing
+    assert compact_chunk_index(spark, ranged)["partitions_compacted"] == 0
+    assert compact_line_index(spark, ranged)["partitions_compacted"] == 0
+    # post-compaction decisions still equal the flat layout's
+    b2c = spark.createDataFrame([(20, body + " twenty")], ["doc_id", "text"])
+    b2l = spark.createDataFrame([(20, "shared line\nlast")], ["doc_id", "text"])
+    got_c = sorted(map(tuple, chunk_stats_against_index(spark, b2c, ranged, chunk_tokens=5).collect()))
+    exp_c = sorted(map(tuple, chunk_stats_against_index(spark, b2c, flat, chunk_tokens=5).collect()))
+    got_l = sorted(map(tuple, clean_against_line_index(spark, b2l, ranged, min_docs=2).collect()))
+    exp_l = sorted(map(tuple, clean_against_line_index(spark, b2l, flat, min_docs=2).collect()))
+    assert got_c == exp_c
+    assert got_l == exp_l
