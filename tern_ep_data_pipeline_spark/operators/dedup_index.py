@@ -1626,12 +1626,47 @@ def recover_interrupted_table_compaction(
     return False
 
 
+def _table_data_bytes(spark: SparkSession, table: str) -> int:
+    """On-disk bytes of a catalog table's location (0 = unknown; the
+    Catalyst estimate is useless — an un-ANALYZEd saveAsTable reports
+    defaultSizeInBytes). Local filesystems only; elsewhere returns 0 so
+    byte-gated callers degrade to always-compact."""
+    try:
+        loc = None
+        for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if str(row[0]).strip().lower() == "location":
+                loc = str(row[1]).strip()
+                break
+        if not loc:
+            return 0
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        if "://" in loc:
+            return 0
+        return _dir_bytes(loc)
+    except Exception:
+        return 0
+
+
+def _table_clean_bytes(spark: SparkSession, table: str) -> int:
+    """The table's byte size recorded at its last compaction (a table
+    property, so it survives the metastore swap); 0 = never recorded."""
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {table}('spark_graft.clean_bytes')"
+        ).collect()
+        return int(rows[0]["value"])
+    except Exception:
+        return 0
+
+
 def _compact_bucketed(
     spark: SparkSession,
     table: str,
     bucket_col: str,
     agg_fn,
     n_buckets: int | None,
+    dirty_threshold: float = 0.0,
 ) -> dict:
     """Shared bucketed-compaction protocol: heal any interrupted prior
     swap, rewrite ``agg_fn(table)`` into a fresh bucketed tmp table with
@@ -1641,10 +1676,28 @@ def _compact_bucketed(
     two statements is healed by the recovery above, so the data always
     exists under ``table`` or ``table_compact_tmp``). Bucket-local:
     every key's rows share a bucket, so the aggregation itself needs no
-    exchange."""
+    exchange.
+
+    ``dirty_threshold`` > 0 gates the rewrite on the table's raw-append
+    fraction (bytes now vs the ``spark_graft.clean_bytes`` property
+    stamped at the last compaction): a metastore swap cannot be scoped
+    to sub-table units the way the ranged dir layout is, but a
+    scheduled compactor (the streaming sink's ``compact_every`` hook)
+    must still not pay O(table) when barely-dirty — the r10 dirty-cost
+    principle applied at table granularity."""
     from ..sources.lake import write_bucketed
 
     recover_interrupted_table_compaction(spark, table)
+    if dirty_threshold > 0:
+        cur = _table_data_bytes(spark, table)
+        clean = _table_clean_bytes(spark, table)
+        if cur and clean and (cur - clean) / cur <= dirty_threshold:
+            return {
+                "skipped": True,
+                "bytes_total": cur,
+                "bytes_clean": clean,
+                "dirty_threshold": dirty_threshold,
+            }
     resolved = n_buckets or _table_n_buckets(spark, table) or 32
     before = spark.table(table)
     rows_before = before.count()
@@ -1655,6 +1708,12 @@ def _compact_bucketed(
     )
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    new_bytes = _table_data_bytes(spark, table)
+    if new_bytes:
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('spark_graft.clean_bytes'='{new_bytes}')"
+        )
     return {
         "rows_before": rows_before,
         "rows_after": spark.table(table).count(),
@@ -1662,7 +1721,10 @@ def _compact_bucketed(
 
 
 def compact_gram_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int | None = None
+    spark: SparkSession,
+    table: str,
+    n_buckets: int | None = None,
+    dirty_threshold: float = 0.0,
 ) -> dict:
     """Compact the bucketed gram index: min(first_key) per gram rewritten
     into a fresh bucketed table that replaces the old one through the
@@ -1678,6 +1740,7 @@ def compact_gram_index_bucketed(
             F.min("first_key").alias("first_key")
         ),
         n_buckets,
+        dirty_threshold,
     )
 
 
@@ -1835,13 +1898,17 @@ def append_to_chunk_index_bucketed(
 
 
 def compact_chunk_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int | None = None
+    spark: SparkSession,
+    table: str,
+    n_buckets: int | None = None,
+    dirty_threshold: float = 0.0,
 ) -> dict:
     """Distinct-rewrite of the bucketed chunk table via the shared
     metastore-swap protocol (:func:`_compact_bucketed` — catalog-derived
     bucket spec, interrupted-swap recovery)."""
     return _compact_bucketed(
-        spark, table, "chunk_hash", lambda df: df.distinct(), n_buckets
+        spark, table, "chunk_hash", lambda df: df.distinct(), n_buckets,
+        dirty_threshold,
     )
 
 
@@ -1921,7 +1988,10 @@ def append_to_line_index_bucketed(
 
 
 def compact_line_index_bucketed(
-    spark: SparkSession, table: str, n_buckets: int | None = None
+    spark: SparkSession,
+    table: str,
+    n_buckets: int | None = None,
+    dirty_threshold: float = 0.0,
 ) -> dict:
     """Sum-rewrite of the bucketed line-count table via the shared
     metastore-swap protocol (:func:`_compact_bucketed`)."""
@@ -1931,4 +2001,5 @@ def compact_line_index_bucketed(
         "line_hash",
         lambda df: df.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs")),
         n_buckets,
+        dirty_threshold,
     )

@@ -469,9 +469,12 @@ def span_deduped_stream_sink(
                 # bucket spec from the catalog (_table_n_buckets) — the
                 # sink's own n_buckets parameter sizes NEW appends and
                 # must not override the spec the table was built with
-                # (ADVICE r8 #5)
+                # (ADVICE r8 #5). dirty_threshold: a scheduled rewrite
+                # must not pay O(table) when the appends since the last
+                # compaction are a small fraction of it (r10)
                 compact_gram_index_bucketed(
-                    batch.sparkSession, index_table, n_buckets=None
+                    batch.sparkSession, index_table, n_buckets=None,
+                    dirty_threshold=0.2,
                 )
             else:
                 from ..operators.dedup_index import compact_gram_index

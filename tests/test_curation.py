@@ -2472,6 +2472,15 @@ def test_bucketed_gram_index_equivalence(spark, tmp_path):
         )
         dedup.release_staged(spark)
         assert before == after
+        # the table-level dirty gate (r10): the compaction above stamped
+        # clean_bytes, so a barely-dirty scheduled re-run SKIPS the
+        # O(table) rewrite; the unconditional default still compacts
+        gated = compact_gram_index_bucketed(
+            spark, table, n_buckets=4, dirty_threshold=0.2
+        )
+        assert gated.get("skipped") is True
+        ungated = compact_gram_index_bucketed(spark, table, n_buckets=4)
+        assert "rows_after" in ungated  # default: compact unconditionally
         # retry of the (10,11) append still passes after compaction;
         # build-range (1,2) reuse is still rejected
         assert clean_against_gram_index_bucketed(spark, batch, table).count() == 2
