@@ -1203,10 +1203,13 @@ def compact_gram_index(
     _require_local_path(path)
     gp = os.path.join(path, "grams")
     if _read_layout(gp).get("range_partitions"):
+        # the fold groups by (key, __part) so the one-pass staging write
+        # can partition its output; __part is a pure function of the
+        # key, so the groups — and the folded values — are identical
         return _compact_ranged(
             spark,
             gp,
-            lambda df: df.groupBy("gram_hash").agg(
+            lambda df: df.groupBy("gram_hash", _PART_COL).agg(
                 F.min("first_key").alias("first_key")
             ),
             dirty_threshold,
@@ -1270,6 +1273,11 @@ def _recover_gram_partitions(table_dir: str) -> None:
             os.path.join(table_dir, f"{_PART_COL}={k}"),
             scratch=_gram_part_scratch(table_dir, k),
         )
+    # an orphaned one-pass staging root (crash before any partition was
+    # staged into its scratch name) holds only unstaged copies whose
+    # live dirs are untouched — safe to drop AFTER the per-partition
+    # states above are healed
+    shutil.rmtree(table_dir + ".compact-ranged-tmp", ignore_errors=True)
 
 
 def _compact_ranged(
@@ -1277,17 +1285,26 @@ def _compact_ranged(
 ) -> dict:
     """Partition-scoped compaction of a range-partitioned index table:
     rewrite only the ``__part=K`` directories whose raw-append fraction
-    exceeds ``dirty_threshold``, folding each with ``fold`` (the
-    table's canonical aggregate — min per gram, distinct chunk hashes,
-    summed line counts; partition routing is a pure function of the
-    table's hash key, so per-partition folds equal global folds). Swaps
-    reuse the flat compactor's machinery per partition (pre-read byte
-    snapshot, ``_temporary`` guard, crash-healable double rename) with
-    scratch dirs outside the table root; the whole pass holds the
-    table's lease once."""
-    rows_before = rows_after = 0
+    exceeds ``dirty_threshold``, folding with ``fold`` (the table's
+    canonical aggregate — min per gram, distinct chunk hashes, summed
+    line counts; partition routing is a pure function of the table's
+    hash key, so per-partition folds equal global folds).
+
+    ONE Spark pass for the whole set (r10): all dirty partitions are
+    read together (``basePath`` keeps the ``__part`` column), folded in
+    one job, and written to one staging root partitioned by ``__part``
+    — the per-partition-serial alternative issues ~3 driver-blocking
+    jobs per dirty partition, which at the recommended
+    hundreds-to-thousands of partitions makes the DRIVER the compactor
+    bottleneck. The swap then happens per partition with the same
+    crash-healable double rename as before (stage the written partition
+    under the canonical scratch name, rename live->old, scratch->live,
+    drop old), so a crash at any point heals partition-locally via
+    :func:`_recover_gram_partitions` and partitions never half-swap.
+    The whole pass holds the table's lease once."""
     n_compacted = 0
     bytes_total = bytes_dirty = bytes_rewritten = 0
+    tmp_root = table_dir + ".compact-ranged-tmp"
     with index_lease(table_dir, "compact"):
         _recover_gram_partitions(table_dir)
         parts = sorted(
@@ -1295,6 +1312,8 @@ def _compact_ranged(
             if d.startswith(_PART_COL + "=")
             and os.path.isdir(os.path.join(table_dir, d))
         )
+        dirty: list[str] = []
+        snapshots: dict[str, int] = {}
         for d in parts:
             pdir = os.path.join(table_dir, d)
             frac, cur, clean = _part_dirty_fraction(pdir)
@@ -1302,24 +1321,68 @@ def _compact_ranged(
             bytes_dirty += max(cur - clean, 0) if clean else cur
             if cur == 0 or (clean > 0 and frac <= dirty_threshold):
                 continue
-            snapshot = _dir_bytes(pdir)
-            before = spark.read.parquet(pdir)
-            rb = before.count()
-            agg = fold(before)
-            ra = agg.count()
-            k = d.split("=", 1)[1]
-            _rewrite_parquet_dir(
-                agg,
-                pdir,
-                _compact_partitions(spark, pdir, ra / max(rb, 1)),
-                snapshot_bytes=snapshot,
-                scratch=_gram_part_scratch(table_dir, k),
+            dirty.append(d)
+            snapshots[d] = cur
+        rows_before = rows_after = 0
+        if dirty:
+            df = spark.read.option("basePath", table_dir).parquet(
+                *[os.path.join(table_dir, d) for d in dirty]
             )
-            _write_part_meta(pdir)
-            rows_before += rb
-            rows_after += ra
-            bytes_rewritten += cur
-            n_compacted += 1
+            rows_before = df.count()
+            agg = fold(df)
+            # count the FOLDED frame before the write: sizes the output
+            # by the dedup ratio and is the rows_after stat anyway
+            rows_after = agg.count()
+            scale = rows_after / max(rows_before, 1)
+            try:
+                split = int(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", str(128 << 20)
+                    )
+                )
+            except Exception:
+                split = 128 << 20
+            n_out = sum(
+                max(1, int(snapshots[d] * scale) // max(split, 1) + 1)
+                for d in dirty
+            )
+            n_out = max(n_out, min(
+                spark.sparkContext.defaultParallelism, len(dirty)
+            ))
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            agg.repartition(n_out, F.col(_PART_COL)).write.partitionBy(
+                _PART_COL
+            ).mode("overwrite").parquet(tmp_root)
+            for d in dirty:
+                pdir = os.path.join(table_dir, d)
+                staged = os.path.join(tmp_root, d)
+                if _dir_bytes(pdir) != snapshots[d] or os.path.isdir(
+                    os.path.join(pdir, "_temporary")
+                ):
+                    shutil.rmtree(tmp_root, ignore_errors=True)
+                    raise RuntimeError(
+                        f"compaction aborted: {pdir!r} changed while the "
+                        "compacted rewrite was being written (concurrent "
+                        "append bypassing the lease). Partitions swapped "
+                        "so far are complete and decision-identical; "
+                        "re-run compaction with the writer stopped."
+                    )
+                scratch = _gram_part_scratch(table_dir, d.split("=", 1)[1])
+                old, tmp = scratch + ".compact-old", scratch + ".compact-tmp"
+                if not os.path.isdir(staged):
+                    # a dirty partition can legitimately fold to ZERO
+                    # output rows only if it held zero data rows; its
+                    # parquet dir still swaps to an empty staging dir
+                    os.makedirs(staged, exist_ok=True)
+                os.rename(staged, tmp)  # canonical scratch name: the
+                # per-partition crash state machine heals from here on
+                os.rename(pdir, old)
+                os.rename(tmp, pdir)
+                shutil.rmtree(old, ignore_errors=True)
+                _write_part_meta(pdir)
+                bytes_rewritten += snapshots[d]
+                n_compacted += 1
+            shutil.rmtree(tmp_root, ignore_errors=True)
     return {
         "layout": "ranged",
         "rows_before": rows_before,
@@ -1347,6 +1410,8 @@ def compact_chunk_index(
     _require_local_path(path)
     cp = os.path.join(path, "chunks")
     if _read_layout(cp).get("range_partitions"):
+        # distinct over (chunk_hash, __part) == distinct chunk hashes:
+        # __part is derived from the hash
         return _compact_ranged(
             spark, cp, lambda df: df.distinct(), dirty_threshold
         )
@@ -1380,7 +1445,7 @@ def compact_line_index(
         return _compact_ranged(
             spark,
             lp,
-            lambda df: df.groupBy("line_hash").agg(
+            lambda df: df.groupBy("line_hash", _PART_COL).agg(
                 F.sum("n_docs").alias("n_docs")
             ),
             dirty_threshold,
