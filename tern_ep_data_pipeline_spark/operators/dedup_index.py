@@ -108,6 +108,7 @@ def match_against_index(
     min_band_matches: int = 1,
     min_est_jaccard: float | None = 0.5,
     max_bucket: int | None = 100_000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Classify a new batch against the index AND against itself.
 
@@ -133,6 +134,7 @@ def match_against_index(
     return _match_frames(
         new_docs, ex_idx, band_idx, id_col, text_col, n, num_hashes,
         bands, hash_mode, min_band_matches, min_est_jaccard, max_bucket,
+        cap_stats,
     )
 
 
@@ -149,6 +151,7 @@ def _match_frames(
     min_band_matches: int,
     min_est_jaccard: float | None,
     max_bucket: int | None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Layout-independent core of :func:`match_against_index`: the index
     arrives as two frames (parquet-dir scan or bucketed-table scan — the
@@ -223,15 +226,31 @@ def _match_frames(
         # same degenerate-bucket guard as minhash_lsh_candidates: one
         # near-identical boilerplate key must not make the self-join
         # quadratic (the batch-vs-index join above is linear per bucket
-        # hit and keeps the full table).
+        # hit and keeps the full table). Reported like the LSH cap
+        # (VERDICT r9 #4): cap_stats fills eagerly from one O(batch)
+        # aggregation.
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bh")
-        self_bands = (
-            new_bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+        flagged = new_bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        if cap_stats is not None:
+            over = F.col("__bsz") > max_bucket
+            row = flagged.agg(
+                F.coalesce(
+                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+                ).alias("n_band_rows_dropped"),
+                F.coalesce(
+                    F.round(
+                        F.sum(
+                            F.when(over, 1.0 / F.col("__bsz")).otherwise(0.0)
+                        )
+                    ).cast("long"),
+                    F.lit(0),
+                ).alias("n_buckets_dropped"),
+                F.count(F.lit(1)).alias("n_band_rows"),
+            ).first()
+            cap_stats.update(row.asDict())
+        self_bands = flagged.where(F.col("__bsz") <= max_bucket).drop("__bsz")
     a = self_bands.select(
         "band", "bh", F.col("doc_id").alias("__ida"), F.col("sig").alias("__siga")
     )
@@ -1858,6 +1877,7 @@ def match_against_index_bucketed(
     min_band_matches: int = 1,
     min_est_jaccard: float | None = 0.5,
     max_bucket: int | None = 100_000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Bucketed-table twin of :func:`match_against_index` — identical
     classification, but both batch-vs-index joins consume the bucketed
@@ -1867,7 +1887,7 @@ def match_against_index_bucketed(
         spark.table(table_prefix + "_exact"),
         spark.table(table_prefix + "_bands"),
         id_col, text_col, n, num_hashes, bands, hash_mode,
-        min_band_matches, min_est_jaccard, max_bucket,
+        min_band_matches, min_est_jaccard, max_bucket, cap_stats,
     )
 
 

@@ -802,6 +802,7 @@ def winnow_containment_pairs(
     fp_col: str = "fingerprint",
     min_shared: int = 2,
     max_bucket: int | None = 100_000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Pairwise overlap scoring from winnowing fingerprints — the MOSS
     consumer (Schleimer et al. '03 §5): two documents' shared selected
@@ -820,7 +821,11 @@ def winnow_containment_pairs(
     materialise only for documents that actually share a fingerprint, and
     ``max_bucket`` drops degenerate fingerprints (boilerplate selected by
     every doc) whose buckets would go quadratic, same guard as MinHash
-    LSH. Totals join back per doc (shuffle-hash; corpus-proportional).
+    LSH — reported through ``cap_stats`` like the LSH cap (VERDICT r9
+    #4): pass a dict and it fills eagerly with ``n_rows_dropped``,
+    ``n_fingerprints_dropped`` and ``n_rows`` from an aggregation over
+    the staged table the self-join reads anyway. Totals join back per
+    doc (shuffle-hash; corpus-proportional).
     """
     from pyspark.sql import Window
 
@@ -829,12 +834,31 @@ def winnow_containment_pairs(
     base = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
     if max_bucket is not None:
         w = Window.partitionBy("__fp")
-        base = (
+        flagged = _stage(
             base.withColumn("__bucket", F.count(F.lit(1)).over(w))
-            .where(F.col("__bucket") <= max_bucket)
-            .drop("__bucket")
         )
-    base = _stage(base)
+        if cap_stats is not None:
+            over = F.col("__bucket") > max_bucket
+            row = flagged.agg(
+                F.coalesce(
+                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+                ).alias("n_rows_dropped"),
+                # sum(1/size) over dropped rows counts dropped
+                # fingerprint buckets; round() absorbs the 1/k residue
+                F.coalesce(
+                    F.round(
+                        F.sum(
+                            F.when(over, 1.0 / F.col("__bucket")).otherwise(0.0)
+                        )
+                    ).cast("long"),
+                    F.lit(0),
+                ).alias("n_fingerprints_dropped"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).first()
+            cap_stats.update(row.asDict())
+        base = flagged.where(F.col("__bucket") <= max_bucket).drop("__bucket")
+    else:
+        base = _stage(base)
     totals = base.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
     a = base.select(F.col("__id").alias("id_a"), "__fp")
     b = base.select(F.col("__id").alias("id_b"), "__fp")

@@ -3242,3 +3242,59 @@ def test_ranged_chunk_and_line_index_layouts(spark, tmp_path):
     exp_l = sorted(map(tuple, clean_against_line_index(spark, b2l, flat, min_docs=2).collect()))
     assert got_c == exp_c
     assert got_l == exp_l
+
+
+def test_cap_stats_reported_on_match_and_winnow(spark, tmp_path):
+    """The r9 #4 cap reporting extended to the remaining silent caps:
+    the batch self-join guard in match_against_index and the degenerate-
+    fingerprint guard in winnow_containment_pairs both fill a cap_stats
+    dict on a constructed degenerate corpus."""
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_dedup_index,
+        match_against_index,
+    )
+    from tern_ep_data_pipeline_spark.operators.text import (
+        winnow_containment_pairs,
+        winnowing_fingerprints,
+    )
+
+    path = str(tmp_path / "didx")
+    seed = spark.createDataFrame(
+        [(1, "a seed document with its own distinct words here")],
+        ["doc_id", "text"],
+    )
+    build_dedup_index(seed, path, num_hashes=16, bands=4)
+    # NEAR-identical batch docs (exact-identical ones collapse in the
+    # exact pass before banding): shared boilerplate, one unique tail
+    # token each. max_bucket=0 drops every self-join bucket, so the
+    # reported counts are fully determined: all 8x4 band rows dropped.
+    batch = spark.createDataFrame(
+        [(10 + i, "the same boilerplate licence header text " * 3 + f"t{i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = match_against_index(
+        spark, batch, path, num_hashes=16, bands=4, max_bucket=0,
+        cap_stats=stats,
+    )
+    assert stats["n_band_rows"] == 32  # 8 canon docs x 4 bands
+    assert stats["n_band_rows_dropped"] == 32
+    assert 4 <= stats["n_buckets_dropped"] <= 32
+    assert out.count() == 8  # every doc still classified
+    dedup.release_staged(spark)
+
+    # winnowing: one fingerprint shared by every doc (identical text)
+    docs = spark.createDataFrame(
+        [(i, "repeated body " + " ".join(f"w{j}" for j in range(30)))
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text")
+    wstats: dict = {}
+    winnow_containment_pairs(fps, max_bucket=3, cap_stats=wstats)
+    assert wstats["n_rows"] > 0
+    assert wstats["n_rows_dropped"] > 0  # every bucket holds all 6 docs
+    assert wstats["n_fingerprints_dropped"] > 0
+    dedup.release_staged(spark)
