@@ -477,9 +477,26 @@ def span_deduped_stream_sink(
                     dirty_threshold=0.2,
                 )
             else:
-                from ..operators.dedup_index import compact_gram_index
+                from ..operators.dedup_index import (
+                    _part_dirty_fraction,
+                    _read_layout,
+                    _write_part_meta,
+                    compact_gram_index,
+                )
 
-                compact_gram_index(batch.sparkSession, index_path)
+                gp2 = f"{index_path}/grams"
+                if _read_layout(gp2).get("range_partitions"):
+                    # per-partition dirty gate lives inside the compactor
+                    compact_gram_index(batch.sparkSession, index_path)
+                else:
+                    # flat layout: explicit compaction is unconditional
+                    # BY DESIGN, so the scheduled hook carries its own
+                    # byte watermark — an O(index) rewrite only once the
+                    # appends since the last one exceed 20% (r10)
+                    frac, _cur, clean = _part_dirty_fraction(gp2)
+                    if clean == 0 or frac > 0.2:
+                        compact_gram_index(batch.sparkSession, index_path)
+                        _write_part_meta(gp2)
 
     return (
         stream.writeStream.foreachBatch(_process)
