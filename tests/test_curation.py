@@ -3298,3 +3298,75 @@ def test_cap_stats_reported_on_match_and_winnow(spark, tmp_path):
     assert wstats["n_rows_dropped"] > 0  # every bucket holds all 6 docs
     assert wstats["n_fingerprints_dropped"] > 0
     dedup.release_staged(spark)
+
+
+@pytest.mark.parametrize("crash_point", ["p0_tmp_written", "p1_mid_swap", "p2_old_stale"])
+@pytest.mark.parametrize("append_after", [False, True])
+def test_swap_crash_matrix(spark, tmp_path, crash_point, append_after):
+    """Exhaustive crash matrix for the compaction swap protocol (write
+    tmp -> rename live->old -> rename tmp->live -> drop old): at EVERY
+    crash point, with and without an append landing before recovery, the
+    healed index must contain every pre-crash gram plus every appended
+    gram, and the min-per-gram view must equal a never-crashed index
+    over the same documents."""
+    import os
+    import shutil
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+        recover_interrupted_compaction,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "first corpus body " + " ".join(f"a{i}" for i in range(20))),
+         (2, "second corpus body " + " ".join(f"b{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+    more = spark.createDataFrame(
+        [(9, "appended body " + " ".join(f"c{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+
+    def min_view(gp):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    # the oracle: the same documents, never crashed
+    ref = str(tmp_path / f"ref_{crash_point}_{append_after}")
+    build_gram_index(base, ref)
+    if append_after:
+        append_to_gram_index(more, ref)
+    expected = min_view(os.path.join(ref, "grams"))
+
+    idx = str(tmp_path / f"idx_{crash_point}_{append_after}")
+    build_gram_index(base, idx)
+    gp = os.path.join(idx, "grams")
+    old, tmp = gp + ".compact-old", gp + ".compact-tmp"
+    # simulate the swap's on-disk states by hand. The tmp staging dir is
+    # a COMPLETE folded copy (the write commits before any rename).
+    if crash_point == "p0_tmp_written":
+        shutil.copytree(gp, tmp)
+    elif crash_point == "p1_mid_swap":
+        shutil.copytree(gp, tmp)
+        os.rename(gp, old)
+    elif crash_point == "p2_old_stale":
+        shutil.copytree(gp, tmp)
+        os.rename(gp, old)
+        os.rename(tmp, gp)
+    if append_after:
+        append_to_gram_index(more, idx)  # may recreate a missing live dir
+    recover_interrupted_compaction(gp)
+    assert min_view(gp) == expected
+    assert not os.path.isdir(old) and not os.path.isdir(tmp)
+    # and a subsequent real compaction works and preserves the view
+    compact_gram_index(spark, idx)
+    assert min_view(gp) == expected
