@@ -635,6 +635,38 @@ def minhash_signatures(
     )
 
 
+def bucket_cap_stats(
+    flagged: DataFrame,
+    max_bucket: int,
+    size_col: str,
+    rows_alias: str,
+    buckets_alias: str,
+    total_alias: str,
+) -> dict:
+    """ONE aggregation over a window-flagged table reporting what a
+    bucket-size cap drops (VERDICT r9 #4): rows in over-cap buckets, the
+    over-cap bucket count, and the total row count. Every row of a
+    dropped bucket carries that bucket's size, so sum(1/size) over
+    dropped rows counts dropped BUCKETS without a second grouping;
+    round() absorbs the 1/k float residue. Shared by the LSH candidate
+    cap, the batch self-join cap (dedup_index) and the winnowing
+    fingerprint cap (text)."""
+    over = F.col(size_col) > max_bucket
+    row = flagged.agg(
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
+            rows_alias
+        ),
+        F.coalesce(
+            F.round(
+                F.sum(F.when(over, 1.0 / F.col(size_col)).otherwise(0.0))
+            ).cast("long"),
+            F.lit(0),
+        ).alias(buckets_alias),
+        F.count(F.lit(1)).alias(total_alias),
+    ).first()
+    return row.asDict()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -708,24 +740,12 @@ def minhash_lsh_candidates(
         # rows it additionally holds are the same order as the band table
         flagged = _stage(banded.withColumn("__bsz", F.count(F.lit(1)).over(wb)))
         if cap_stats is not None:
-            over = F.col("__bsz") > max_bucket
-            row = flagged.agg(
-                F.coalesce(
-                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
-                ).alias("n_band_rows_dropped"),
-                # every row of a dropped bucket carries that bucket's size,
-                # so sum(1/size) over dropped rows counts dropped BUCKETS
-                # without a second grouping; round() absorbs the 1/k
-                # float residue
-                F.coalesce(
-                    F.round(
-                        F.sum(F.when(over, 1.0 / F.col("__bsz")).otherwise(0.0))
-                    ).cast("long"),
-                    F.lit(0),
-                ).alias("n_buckets_dropped"),
-                F.count(F.lit(1)).alias("n_band_rows"),
-            ).first()
-            cap_stats.update(row.asDict())
+            cap_stats.update(
+                bucket_cap_stats(
+                    flagged, max_bucket, "__bsz",
+                    "n_band_rows_dropped", "n_buckets_dropped", "n_band_rows",
+                )
+            )
         banded = flagged.where(F.col("__bsz") <= max_bucket).drop("__bsz")
     a = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("__id").alias("id_b"))

@@ -234,22 +234,12 @@ def _match_frames(
         wb = Window.partitionBy("band", "bh")
         flagged = new_bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
         if cap_stats is not None:
-            over = F.col("__bsz") > max_bucket
-            row = flagged.agg(
-                F.coalesce(
-                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
-                ).alias("n_band_rows_dropped"),
-                F.coalesce(
-                    F.round(
-                        F.sum(
-                            F.when(over, 1.0 / F.col("__bsz")).otherwise(0.0)
-                        )
-                    ).cast("long"),
-                    F.lit(0),
-                ).alias("n_buckets_dropped"),
-                F.count(F.lit(1)).alias("n_band_rows"),
-            ).first()
-            cap_stats.update(row.asDict())
+            cap_stats.update(
+                dedup_ops.bucket_cap_stats(
+                    flagged, max_bucket, "__bsz",
+                    "n_band_rows_dropped", "n_buckets_dropped", "n_band_rows",
+                )
+            )
         self_bands = flagged.where(F.col("__bsz") <= max_bucket).drop("__bsz")
     a = self_bands.select(
         "band", "bh", F.col("doc_id").alias("__ida"), F.col("sig").alias("__siga")
@@ -945,7 +935,7 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                     alive = False  # dead or malformed pid — stale lease
                 except OSError:
                     alive = True  # EPERM: the holder exists, just not ours
-            elif not readable or pid is None:
+            else:  # contentless or pid-less lock
                 now = time.monotonic()
                 if unreadable_since is None:
                     unreadable_since = now
@@ -1159,6 +1149,23 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _split_bytes(spark: SparkSession) -> int:
+    """The session's file-split size (maxPartitionBytes), defaulting to
+    128 MB when unreadable — the denominator every compaction output
+    sizing divides by."""
+    try:
+        return max(
+            1,
+            int(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", str(128 << 20)
+                )
+            ),
+        )
+    except Exception:
+        return 128 << 20
+
+
 def _compact_partitions(
     spark: SparkSession, path: str, row_scale: float = 1.0
 ) -> int:
@@ -1178,10 +1185,7 @@ def _compact_partitions(
     intends (ADVICE r8 #4). Callers that have counted the aggregated
     frame pass the ratio so the sizing model sees post-fold bytes."""
     total = int(_dir_bytes(path) * min(1.0, max(row_scale, 0.0)))
-    try:
-        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
-    except Exception:
-        split = 128 << 20
+    split = _split_bytes(spark)
     return max(
         # decode-parallelism floor, but never fan a tiny index into
         # sub-MB shards just to hit the core count
@@ -1353,14 +1357,7 @@ def _compact_ranged(
             # by the dedup ratio and is the rows_after stat anyway
             rows_after = agg.count()
             scale = rows_after / max(rows_before, 1)
-            try:
-                split = int(
-                    spark.conf.get(
-                        "spark.sql.files.maxPartitionBytes", str(128 << 20)
-                    )
-                )
-            except Exception:
-                split = 128 << 20
+            split = _split_bytes(spark)
             n_out = sum(
                 max(1, int(snapshots[d] * scale) // max(split, 1) + 1)
                 for d in dirty

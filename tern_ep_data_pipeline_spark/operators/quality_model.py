@@ -37,10 +37,14 @@ from pyspark.ml.feature import (
     StandardScaler,
     VectorAssembler,
 )
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import quality_scores, token_stats
+
+_log = logging.getLogger(__name__)
 
 #: Conservative upper bound on stored bytes per document row, used to
 #: size the sampler's hash-range pre-filter from byte statistics alone
@@ -284,9 +288,7 @@ def collect_feature_sample(
     # join-inflated stats): one exact pass restores correctness — but at
     # corpus scale its merge funnel is the cost the range exists to
     # avoid, so the derate is reported, not silent
-    import logging
-
-    logging.getLogger(__name__).warning(
+    _log.warning(
         "collect_feature_sample: hash range (frac=%.3g from est=%d rows) "
         "held only %d of %d sample rows; running the unguarded exact "
         "top-k fallback",

@@ -14,6 +14,7 @@ Beyond-reference operators for the training-data pipeline (driver mandate):
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,6 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _memo_stage
+
+_log = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -628,9 +631,7 @@ def pq_train(
         ranged = sampled.where(F.substring("__o", 1, 8) < F.lit(cutoff))
         rows = ranged.orderBy("__o").limit(sample).collect()
         if len(rows) < sample:
-            import logging
-
-            logging.getLogger(__name__).warning(
+            _log.warning(
                 "pq_train: md5 range (frac=%.3g from est=%d rows) held "
                 "only %d of %d sample vectors; running the unguarded "
                 "exact top-k fallback",

@@ -838,24 +838,14 @@ def winnow_containment_pairs(
             base.withColumn("__bucket", F.count(F.lit(1)).over(w))
         )
         if cap_stats is not None:
-            over = F.col("__bucket") > max_bucket
-            row = flagged.agg(
-                F.coalesce(
-                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
-                ).alias("n_rows_dropped"),
-                # sum(1/size) over dropped rows counts dropped
-                # fingerprint buckets; round() absorbs the 1/k residue
-                F.coalesce(
-                    F.round(
-                        F.sum(
-                            F.when(over, 1.0 / F.col("__bucket")).otherwise(0.0)
-                        )
-                    ).cast("long"),
-                    F.lit(0),
-                ).alias("n_fingerprints_dropped"),
-                F.count(F.lit(1)).alias("n_rows"),
-            ).first()
-            cap_stats.update(row.asDict())
+            from .dedup import bucket_cap_stats
+
+            cap_stats.update(
+                bucket_cap_stats(
+                    flagged, max_bucket, "__bucket",
+                    "n_rows_dropped", "n_fingerprints_dropped", "n_rows",
+                )
+            )
         base = flagged.where(F.col("__bucket") <= max_bucket).drop("__bucket")
     else:
         base = _stage(base)
