@@ -3370,3 +3370,20 @@ def test_swap_crash_matrix(spark, tmp_path, crash_point, append_after):
     # and a subsequent real compaction works and preserves the view
     compact_gram_index(spark, idx)
     assert min_view(gp) == expected
+
+
+def test_scan_rows_lower_bound_detects_unknown_stats(spark, sf_dir):
+    """r10 review finding 3: frames with unusable optimizer statistics
+    (in-memory relations report sizeInBytes = Long.MaxValue) must fall
+    back to an honest count() instead of turning the 'lower bound' into
+    a wild overestimate; parquet scans keep the zero-job byte path."""
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        scan_rows_lower_bound,
+    )
+
+    mem = spark.createDataFrame([(i, "x") for i in range(7)], "id long, t string")
+    assert scan_rows_lower_bound(mem, 64) == 7  # count() fallback, exact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = scan_rows_lower_bound(docs, 64 << 10)
+    n = docs.count()
+    assert 1 <= est <= n  # a true lower bound from real file statistics
