@@ -3387,3 +3387,72 @@ def test_scan_rows_lower_bound_detects_unknown_stats(spark, sf_dir):
     est = scan_rows_lower_bound(docs, 64 << 10)
     n = docs.count()
     assert 1 <= est <= n  # a true lower bound from real file statistics
+
+
+@pytest.mark.parametrize("crash_point", ["p0_tmp_written", "p1_mid_swap", "p2_old_stale"])
+@pytest.mark.parametrize("append_after", [False, True])
+def test_ranged_swap_crash_matrix(spark, tmp_path, crash_point, append_after):
+    """The flat crash matrix replayed at PARTITION granularity on the
+    ranged layout: per-partition scratch dirs (siblings of the table
+    root) heal through the same state machine, with the partitioned
+    append able to recreate a mid-swap partition dir."""
+    import os
+    import shutil
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _gram_part_scratch,
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "first corpus body " + " ".join(f"a{i}" for i in range(20))),
+         (2, "second corpus body " + " ".join(f"b{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+    more = spark.createDataFrame(
+        [(9, "appended body " + " ".join(f"c{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+
+    def min_view(gp):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    ref = str(tmp_path / f"rref_{crash_point}_{append_after}")
+    build_gram_index(base, ref, range_partitions=2)
+    if append_after:
+        append_to_gram_index(more, ref)
+    expected = min_view(os.path.join(ref, "grams"))
+
+    idx = str(tmp_path / f"ridx_{crash_point}_{append_after}")
+    build_gram_index(base, idx, range_partitions=2)
+    gp = os.path.join(idx, "grams")
+    part = next(d for d in sorted(os.listdir(gp)) if d.startswith("__part="))
+    pdir = os.path.join(gp, part)
+    scratch = _gram_part_scratch(gp, part.split("=", 1)[1])
+    old, tmp = scratch + ".compact-old", scratch + ".compact-tmp"
+    if crash_point == "p0_tmp_written":
+        shutil.copytree(pdir, tmp)
+    elif crash_point == "p1_mid_swap":
+        shutil.copytree(pdir, tmp)
+        os.rename(pdir, old)
+    elif crash_point == "p2_old_stale":
+        shutil.copytree(pdir, tmp)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+    if append_after:
+        append_to_gram_index(more, idx)
+    # recovery runs inside the ranged compactor (and the streaming sink)
+    stats = compact_gram_index(spark, idx)
+    assert stats["layout"] == "ranged"
+    assert min_view(gp) == expected
+    assert not os.path.isdir(old) and not os.path.isdir(tmp)
