@@ -26,9 +26,12 @@ renames.
 from __future__ import annotations
 
 import contextlib
+import itertools
 import json
 import os
+import re
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -860,6 +863,23 @@ _LEASE_WAIT_S = 60.0
 #: so a lock that stays empty has no holder to liveness-check).
 _LEASE_UNREADABLE_GRACE_S = 5.0
 
+#: Seconds a reclaim-by-rename waits before re-reading the lock to
+#: confirm the rename was not itself clobbered by a second reclaimer
+#: (see the reclaim block in :func:`index_lease`).
+_RECLAIM_SETTLE_S = 0.05
+
+#: Per-acquisition sequence — with the thread id, makes every lease
+#: attempt's payload temp file (and payload nonce) unique, so two
+#: threads of one process can never share a temp path (ADVICE r10 #3).
+_LEASE_SEQ = itertools.count()
+
+#: Re-entrancy registry: lease paths held by the CURRENT thread.
+#: ``index_lease`` yields without re-acquiring when the same thread
+#: already holds the path, so a composite operation (streaming batch:
+#: heal -> read/clean -> append) can hold the table's lease across its
+#: whole span while the append inside it takes the lease as usual.
+_LEASE_HELD = threading.local()
+
 
 @contextlib.contextmanager
 def index_lease(path: str, role: str, wait_s: float | None = None):
@@ -883,8 +903,20 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
     the lock must not wedge the table forever). Non-local paths
     (``://``) no-op: the plain-parquet swap layout is local-only, and
     the bucketed-table layout serialises through the metastore instead.
+
+    Re-entrant WITHIN a thread: a composite holder (the streaming
+    batch's heal -> clean -> append span) keeps the lease while the
+    appends inside it take it again as no-ops; two THREADS of one
+    process still exclude each other.
     """
     if "://" in path:
+        yield
+        return
+    held = getattr(_LEASE_HELD, "paths", None)
+    if held is None:
+        held = _LEASE_HELD.paths = set()
+    key = os.path.abspath(path)
+    if key in held:  # re-entrant within one thread (composite ops)
         yield
         return
     if wait_s is None:
@@ -899,10 +931,22 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
     # a visible lock always carries its holder. Pre-existing contentless
     # locks (older layouts, exotic filesystems) are reclaimed after a
     # grace period instead of wedging the table forever.
+    seq = next(_LEASE_SEQ)
     payload = json.dumps(
-        {"pid": os.getpid(), "role": role, "ts": time.time()}
+        {
+            "pid": os.getpid(),
+            "role": role,
+            "ts": time.time(),
+            # thread id + sequence: distinguishes two acquisitions from
+            # the same pid (the settle re-read below compares payloads)
+            "nonce": f"{threading.get_ident()}-{seq}",
+        }
     ).encode()
-    tmpf = f"{lock}.{os.getpid()}.tmp"
+    # temp path unique per ACQUISITION, not per process: two threads of
+    # one process (append + compaction hook racing in a driver) must
+    # never share it — one thread's finally-unlink would remove it
+    # between the other's write and os.link (ADVICE r10 #3)
+    tmpf = f"{lock}.{os.getpid()}.{threading.get_ident()}.{seq}.tmp"
     with open(tmpf, "wb") as fh:
         fh.write(payload)
     unreadable_since: float | None = None
@@ -943,13 +987,20 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                 # STAYS contentless was left by a crash — reclaimable
                 alive = now - unreadable_since < _LEASE_UNREADABLE_GRACE_S
             if not alive:
-                # holder died without releasing — reclaim. Re-read just
-                # before the unlink: another waiter may have reclaimed
-                # and re-acquired in the meantime, and unlinking ITS
-                # live lease would let two writers in (the remaining
-                # read->unlink window is nanoseconds against lease
-                # lifetimes of seconds; full atomicity would need
-                # renameat2, which POSIX doesn't portably give us).
+                # holder died without releasing — reclaim by RENAMING
+                # our payload temp over the stale lock: reclaim and
+                # acquisition are ONE atomic step (ADVICE r10 #2 — the
+                # old read->unlink->link let a second waiter unlink the
+                # first's freshly re-acquired lease). Re-read just
+                # before the rename; a competitor stalled between ITS
+                # dead-holder re-read and ITS rename can still clobber
+                # ours, so after the rename we settle briefly and read
+                # the lock back: only the waiter whose payload survives
+                # holds the lease, a clobbered waiter re-enters the
+                # poll. The residual window is a competitor suspended
+                # longer than the settle between two ADJACENT syscalls
+                # (POSIX offers no compare-and-swap rename to close it
+                # fully).
                 still: dict | None = {}
                 try:
                     with open(lock) as fh:
@@ -961,8 +1012,23 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                 if (still is None and not readable) or (
                     still is not None and still.get("pid") == pid
                 ):
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock)
+                    try:
+                        os.rename(tmpf, lock)
+                    except OSError:
+                        continue
+                    time.sleep(_RECLAIM_SETTLE_S)
+                    try:
+                        with open(lock, "rb") as fh:
+                            mine = fh.read() == payload
+                    except OSError:
+                        mine = False
+                    if mine:
+                        acquired = True
+                        break
+                    # clobbered by a concurrent reclaimer — the rename
+                    # consumed our temp file; recreate it and re-poll
+                    with open(tmpf, "wb") as fh:
+                        fh.write(payload)
                     unreadable_since = None
                 continue
             if time.monotonic() >= deadline:
@@ -974,7 +1040,11 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                     "known dead."
                 ) from None
             time.sleep(0.1)
-        yield
+        held.add(key)
+        try:
+            yield
+        finally:
+            held.discard(key)
     finally:
         with contextlib.suppress(OSError):
             os.unlink(tmpf)
@@ -1236,6 +1306,7 @@ def compact_gram_index(
                 F.min("first_key").alias("first_key")
             ),
             dirty_threshold,
+            "gram_hash",
         )
     with index_lease(gp, "compact"):
         recover_interrupted_compaction(gp)
@@ -1265,6 +1336,77 @@ def compact_gram_index(
         "files_before": files_before,
         "files_after": sum(1 for f in os.listdir(gp) if f.endswith(".parquet")),
     }
+
+
+#: Heal-restored name prefixes (``_merge_dir_files``) — stripped before
+#: tier classification, so a restored base file is still base.
+_RESTORED_RE = re.compile(r"^(restored-(\d+-)?)+")
+
+
+def _file_tier(name: str) -> str:
+    """LSM tier of a data file inside a ranged partition dir, from its
+    name: ``base`` (written by the last full merge), ``run`` (a folded
+    L1 run from a run-scoped compaction), or ``l0`` (a raw append, the
+    unprefixed names Spark's append writes). Misclassification is
+    cost-only, never correctness: readers fold EVERY file on read, so a
+    base file counted as l0 merely gets re-folded earlier."""
+    core = _RESTORED_RE.sub("", name)
+    if core.startswith("base-"):
+        return "base"
+    if core.startswith("run-"):
+        return "run"
+    return "l0"
+
+
+def _part_tiers(pdir: str) -> dict[str, list[tuple[str, int]]]:
+    """{tier: [(file_name, bytes), ...]} for one partition dir (data
+    files only — checksums and ``_`` markers excluded, matching
+    ``_dir_bytes``)."""
+    out: dict[str, list[tuple[str, int]]] = {"l0": [], "run": [], "base": []}
+    try:
+        names = os.listdir(pdir)
+    except OSError:
+        return out
+    for f in names:
+        if f.startswith("_") or f.startswith(".") or f.endswith(".crc"):
+            continue
+        p = os.path.join(pdir, f)
+        if not os.path.isfile(p):
+            continue
+        out[_file_tier(f)].append((f, os.path.getsize(p)))
+    return out
+
+
+def _next_run_seq(tiers: dict) -> int:
+    """1 + the highest existing run sequence in a partition (run files
+    are named ``run-<seq>-<i>-<original>``)."""
+    seq = 0
+    for name, _sz in tiers["run"]:
+        core = _RESTORED_RE.sub("", name)
+        parts = core.split("-", 2)
+        if len(parts) >= 2:
+            with contextlib.suppress(ValueError):
+                seq = max(seq, int(parts[1]))
+    return seq + 1
+
+
+def _rename_with_crc(dirpath: str, src: str, dst: str) -> None:
+    """Rename a data file and its local-fs checksum twin together, so
+    ChecksumFileSystem never sees a data file whose ``.crc`` carries a
+    stale name."""
+    os.rename(os.path.join(dirpath, src), os.path.join(dirpath, dst))
+    crc = os.path.join(dirpath, f".{src}.crc")
+    if os.path.exists(crc):
+        os.rename(crc, os.path.join(dirpath, f".{dst}.crc"))
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link ``src`` to ``dst`` (same local filesystem — free), with
+    a copy fallback for filesystems that refuse links."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
 
 
 def _gram_part_scratch(table_dir: str, k: str) -> str:
@@ -1303,29 +1445,63 @@ def _recover_gram_partitions(table_dir: str) -> None:
     shutil.rmtree(table_dir + ".compact-ranged-tmp", ignore_errors=True)
 
 
-def _compact_ranged(
-    spark: SparkSession, table_dir: str, fold, dirty_threshold: float
-) -> dict:
-    """Partition-scoped compaction of a range-partitioned index table:
-    rewrite only the ``__part=K`` directories whose raw-append fraction
-    exceeds ``dirty_threshold``, folding with ``fold`` (the table's
-    canonical aggregate — min per gram, distinct chunk hashes, summed
-    line counts; partition routing is a pure function of the table's
-    hash key, so per-partition folds equal global folds).
+#: A partition's accumulated L1 runs merge into its base only once
+#: (l0 + run bytes) exceed this fraction of the base — the leveled-merge
+#: trigger that bounds write amplification on uniform-key appends
+#: (VERDICT r10 #1: without tiering, a uniform gram-hash workload
+#: dirties EVERY range partition at once and each triggered pass
+#: rewrote 4.7x its dirty bytes; with it, the common pass folds only
+#: the raw appends and the base rewrite is amortised over
+#: ``1/_BASE_MERGE_FRACTION`` run folds).
+_BASE_MERGE_FRACTION = 0.5
 
-    ONE Spark pass for the whole set (r10): all dirty partitions are
-    read together (``basePath`` keeps the ``__part`` column), folded in
-    one job, and written to one staging root partitioned by ``__part``
-    — the per-partition-serial alternative issues ~3 driver-blocking
-    jobs per dirty partition, which at the recommended
-    hundreds-to-thousands of partitions makes the DRIVER the compactor
-    bottleneck. The swap then happens per partition with the same
-    crash-healable double rename as before (stage the written partition
-    under the canonical scratch name, rename live->old, scratch->live,
-    drop old), so a crash at any point heals partition-locally via
-    :func:`_recover_gram_partitions` and partitions never half-swap.
-    The whole pass holds the table's lease once."""
-    n_compacted = 0
+
+def _compact_ranged(
+    spark: SparkSession,
+    table_dir: str,
+    fold,
+    dirty_threshold: float,
+    key_col: str,
+) -> dict:
+    """Partition-scoped, LSM-tiered compaction of a range-partitioned
+    index table: only ``__part=K`` directories whose RAW-append (L0)
+    fraction exceeds ``dirty_threshold`` are touched, folding with
+    ``fold`` (the table's canonical aggregate — min per gram, distinct
+    chunk hashes, summed line counts; partition routing is a pure
+    function of the table's hash key, so per-partition folds equal
+    global folds, and because every fold is associative the fold of ANY
+    file subset composes with a read-side re-fold into the same view).
+
+    Two tiers per partition, tracked by file-name prefix (``base-`` /
+    ``run-`` / unprefixed = raw L0 append — see :func:`_file_tier`):
+
+    - **run fold** (the common pass): only the L0 files are read and
+      folded into a new ``run-<seq>-`` file set; base and existing run
+      files are carried into the swap untouched (hard links — zero
+      bytes moved). bytes_rewritten == the partition's dirty bytes, so
+      a uniform-append workload that dirties every partition at once
+      (VERDICT r10 #1: 4.7x amplification under whole-partition
+      rewrites) pays ~1x.
+    - **base merge** (leveled): once l0+run bytes exceed
+      ``_BASE_MERGE_FRACTION`` of the base — or no base exists yet
+      (fresh build, pre-tiering layout) — the whole partition folds
+      into a new ``base-`` file set, reclaiming the run tier.
+
+    ONE Spark pass for the whole set (r10): merge partitions contribute
+    their dirs and run-fold partitions ONLY their L0 file paths to a
+    single read (``basePath`` keeps ``__part``), folded in one job and
+    written to one staging root partitioned by ``__part`` — per-
+    partition-serial compaction makes the driver the bottleneck at
+    hundreds of partitions. Output files are salted by
+    ``pmod(xxhash64(key), files_for_that_partition)`` so the computed
+    per-partition file counts are actually realised — repartitioning by
+    ``__part`` alone funnels each partition through ONE task into ONE
+    file regardless of size (ADVICE r10 #4). The swap happens per
+    partition with the same crash-healable double rename as before, so
+    a crash at any point heals partition-locally via
+    :func:`_recover_gram_partitions`. The whole pass holds the table's
+    lease once."""
+    n_merged = n_run_folded = 0
     bytes_total = bytes_dirty = bytes_rewritten = 0
     tmp_root = table_dir + ".compact-ranged-tmp"
     with index_lease(table_dir, "compact"):
@@ -1335,22 +1511,41 @@ def _compact_ranged(
             if d.startswith(_PART_COL + "=")
             and os.path.isdir(os.path.join(table_dir, d))
         )
-        dirty: list[str] = []
+        merges: list[str] = []
+        folds: list[str] = []
+        tiers: dict[str, dict] = {}
         snapshots: dict[str, int] = {}
+        in_bytes: dict[str, int] = {}  # fold-input bytes per partition
         for d in parts:
             pdir = os.path.join(table_dir, d)
-            frac, cur, clean = _part_dirty_fraction(pdir)
-            bytes_total += cur
-            bytes_dirty += max(cur - clean, 0) if clean else cur
-            if cur == 0 or (clean > 0 and frac <= dirty_threshold):
+            state = _part_tiers(pdir)
+            l0 = sum(sz for _f, sz in state["l0"])
+            run = sum(sz for _f, sz in state["run"])
+            base = sum(sz for _f, sz in state["base"])
+            total = l0 + run + base
+            bytes_total += total
+            bytes_dirty += l0
+            if total == 0 or l0 == 0 or (
+                base + run > 0 and l0 / total <= dirty_threshold
+            ):
                 continue
-            dirty.append(d)
-            snapshots[d] = cur
+            snapshots[d] = total
+            tiers[d] = state
+            if base == 0 or l0 + run > _BASE_MERGE_FRACTION * base:
+                merges.append(d)
+                in_bytes[d] = total
+            else:
+                folds.append(d)
+                in_bytes[d] = l0
         rows_before = rows_after = 0
+        dirty = merges + folds
         if dirty:
-            df = spark.read.option("basePath", table_dir).parquet(
-                *[os.path.join(table_dir, d) for d in dirty]
-            )
+            paths = [os.path.join(table_dir, d) for d in merges] + [
+                os.path.join(table_dir, d, f)
+                for d in folds
+                for f, _sz in tiers[d]["l0"]
+            ]
+            df = spark.read.option("basePath", table_dir).parquet(*paths)
             rows_before = df.count()
             agg = fold(df)
             # count the FOLDED frame before the write: sizes the output
@@ -1358,15 +1553,27 @@ def _compact_ranged(
             rows_after = agg.count()
             scale = rows_after / max(rows_before, 1)
             split = _split_bytes(spark)
-            n_out = sum(
-                max(1, int(snapshots[d] * scale) // max(split, 1) + 1)
+            n_files = {
+                int(d.split("=", 1)[1]): max(
+                    1, int(in_bytes[d] * scale) // max(split, 1) + 1
+                )
                 for d in dirty
+            }
+            n_out = max(
+                sum(n_files.values()),
+                min(spark.sparkContext.defaultParallelism, len(dirty)),
             )
-            n_out = max(n_out, min(
-                spark.sparkContext.defaultParallelism, len(dirty)
-            ))
+            # salt so a partition bigger than the split size really does
+            # fan into its computed file count (ADVICE r10 #4)
+            fmap = F.create_map(
+                *[F.lit(x) for kv in n_files.items() for x in kv]
+            )
+            salt = F.pmod(
+                F.xxhash64(F.col(key_col)),
+                F.element_at(fmap, F.col(_PART_COL).cast("int")),
+            )
             shutil.rmtree(tmp_root, ignore_errors=True)
-            agg.repartition(n_out, F.col(_PART_COL)).write.partitionBy(
+            agg.repartition(n_out, F.col(_PART_COL), salt).write.partitionBy(
                 _PART_COL
             ).mode("overwrite").parquet(tmp_root)
             for d in dirty:
@@ -1387,28 +1594,54 @@ def _compact_ranged(
                 old, tmp = scratch + ".compact-old", scratch + ".compact-tmp"
                 if not os.path.isdir(staged):
                     # a dirty partition can legitimately fold to ZERO
-                    # output rows only if it held zero data rows; its
-                    # parquet dir still swaps to an empty staging dir
+                    # output rows only if its fold input held zero data
+                    # rows; the swap still runs (it drops the empty L0)
                     os.makedirs(staged, exist_ok=True)
+                staged_files = sorted(
+                    f for f in os.listdir(staged)
+                    if not f.startswith(("_", ".")) and not f.endswith(".crc")
+                )
+                if d in merges:
+                    # full merge: staged output IS the new base
+                    for f in staged_files:
+                        _rename_with_crc(staged, f, f"base-{f}")
+                else:
+                    # run fold: staged output becomes the next L1 run;
+                    # base + existing runs are carried over as hard
+                    # links (same filesystem — no bytes moved), so the
+                    # swap replaces ONLY the L0 files it folded
+                    seq = _next_run_seq(tiers[d])
+                    for i, f in enumerate(staged_files):
+                        _rename_with_crc(staged, f, f"run-{seq}-{i}-{f}")
+                    for f, _sz in tiers[d]["base"] + tiers[d]["run"]:
+                        _link_or_copy(
+                            os.path.join(pdir, f), os.path.join(staged, f)
+                        )
                 os.rename(staged, tmp)  # canonical scratch name: the
                 # per-partition crash state machine heals from here on
                 os.rename(pdir, old)
                 os.rename(tmp, pdir)
                 shutil.rmtree(old, ignore_errors=True)
                 _write_part_meta(pdir)
-                bytes_rewritten += snapshots[d]
-                n_compacted += 1
+                bytes_rewritten += in_bytes[d]
+                if d in merges:
+                    n_merged += 1
+                else:
+                    n_run_folded += 1
             shutil.rmtree(tmp_root, ignore_errors=True)
     return {
         "layout": "ranged",
         "rows_before": rows_before,
         "rows_after": rows_after,
         "partitions_total": len(parts),
-        "partitions_compacted": n_compacted,
+        "partitions_compacted": n_merged + n_run_folded,
+        "partitions_merged": n_merged,
+        "partitions_run_folded": n_run_folded,
         "bytes_total": bytes_total,
         "bytes_dirty": bytes_dirty,
         "bytes_rewritten": bytes_rewritten,
         "dirty_threshold": dirty_threshold,
+        "base_merge_fraction": _BASE_MERGE_FRACTION,
     }
 
 
@@ -1429,7 +1662,8 @@ def compact_chunk_index(
         # distinct over (chunk_hash, __part) == distinct chunk hashes:
         # __part is derived from the hash
         return _compact_ranged(
-            spark, cp, lambda df: df.distinct(), dirty_threshold
+            spark, cp, lambda df: df.distinct(), dirty_threshold,
+            "chunk_hash",
         )
     with index_lease(cp, "compact"):
         recover_interrupted_compaction(cp)
@@ -1465,6 +1699,7 @@ def compact_line_index(
                 F.sum("n_docs").alias("n_docs")
             ),
             dirty_threshold,
+            "line_hash",
         )
     with index_lease(lp, "compact"):
         recover_interrupted_compaction(lp)
@@ -1534,28 +1769,32 @@ def append_to_gram_index_bucketed(
 ) -> None:
     """Append a batch's per-gram first keys into the bucketed layout
     (``n_buckets`` must match the build — Spark rejects a mismatched
-    spec, so drift fails loudly)."""
+    spec, so drift fails loudly). Takes the table's lease so a
+    concurrent :func:`compact_gram_index_bucketed` cannot DROP this
+    append with the pre-compaction table (VERDICT r10 #5)."""
     from ..sources.lake import write_bucketed
 
     grams = _gram_first_table(
         accepted_docs, id_col, text_col, min_tokens, max_doc_tokens
     )
-    write_bucketed(
-        grams, table, ["gram_hash"], n_buckets=n_buckets,
-        sort_cols=["gram_hash"], mode="append",
-    )
-    row = _meta_row(accepted_docs, id_col, text_col, "append")
     spark = accepted_docs.sparkSession
-    if spark.catalog.tableExists(table + "_meta"):
-        # a metastore append REJECTS extra columns (unlike a parquet dir,
-        # which just unions schemas) — a _meta table built before the
-        # fingerprint/kind columns existed must keep its own schema, and
-        # its rows stay on the lenient range-only carve-out
-        existing = spark.table(table + "_meta").columns
-        # select in the TABLE's column order: v1 saveAsTable append
-        # resolves by position
-        row = row.select(*[c for c in existing if c in row.columns])
-    row.write.mode("append").saveAsTable(table + "_meta")
+    with _table_lease(spark, table, "append"):
+        write_bucketed(
+            grams, table, ["gram_hash"], n_buckets=n_buckets,
+            sort_cols=["gram_hash"], mode="append",
+        )
+        row = _meta_row(accepted_docs, id_col, text_col, "append")
+        if spark.catalog.tableExists(table + "_meta"):
+            # a metastore append REJECTS extra columns (unlike a parquet
+            # dir, which just unions schemas) — a _meta table built before
+            # the fingerprint/kind columns existed must keep its own
+            # schema, and its rows stay on the lenient range-only
+            # carve-out
+            existing = spark.table(table + "_meta").columns
+            # select in the TABLE's column order: v1 saveAsTable append
+            # resolves by position
+            row = row.select(*[c for c in existing if c in row.columns])
+        row.write.mode("append").saveAsTable(table + "_meta")
 
 
 def _validate_gram_ids(
@@ -1707,6 +1946,29 @@ def recover_interrupted_table_compaction(
     return False
 
 
+def _table_lease(spark: SparkSession, table: str, role: str):
+    """The bucketed-table analogue of the dir layout's :func:`index_lease`
+    (VERDICT r10 #5): the metastore swap (DROP + RENAME) is atomic for
+    READERS (plus :func:`recover_interrupted_table_compaction` for the
+    crash window), but an APPEND landing between a compactor's read and
+    its DROP would be silently dropped with the old table — a lost-gram
+    corruption, not an error. On a local warehouse the same lock-file
+    lease serialises them, keyed as a SIBLING of the table's warehouse
+    dir (stable across the swap — the tmp table renames INTO this name).
+    On an object-store warehouse (``://``) the lease no-ops as always:
+    there, writer exclusion must come from the lake's transactional
+    table format (Delta/Iceberg commit protocol), which this plain
+    saveAsTable layout deliberately does not reimplement."""
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    except Exception:
+        wh = "spark-warehouse"
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    # metastore identifiers are case-insensitive; the dir is lowercase
+    return index_lease(os.path.join(wh, table.lower()), role)
+
+
 def _table_data_bytes(spark: SparkSession, table: str) -> int:
     """On-disk bytes of a catalog table's location (0 = unknown; the
     Catalyst estimate is useless — an un-ANALYZEd saveAsTable reports
@@ -1768,37 +2030,41 @@ def _compact_bucketed(
     principle applied at table granularity."""
     from ..sources.lake import write_bucketed
 
-    recover_interrupted_table_compaction(spark, table)
-    if dirty_threshold > 0:
-        cur = _table_data_bytes(spark, table)
-        clean = _table_clean_bytes(spark, table)
-        if cur and clean and (cur - clean) / cur <= dirty_threshold:
-            return {
-                "skipped": True,
-                "bytes_total": cur,
-                "bytes_clean": clean,
-                "dirty_threshold": dirty_threshold,
-            }
-    resolved = n_buckets or _table_n_buckets(spark, table) or 32
-    before = spark.table(table)
-    rows_before = before.count()
-    tmp = table + "_compact_tmp"
-    write_bucketed(
-        agg_fn(before), tmp, [bucket_col], n_buckets=resolved,
-        sort_cols=[bucket_col], mode="overwrite",
-    )
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    new_bytes = _table_data_bytes(spark, table)
-    if new_bytes:
-        spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('spark_graft.clean_bytes'='{new_bytes}')"
+    # the lease spans read -> swap: an append landing between the
+    # compactor's table read and its DROP would otherwise be silently
+    # dropped with the old table (VERDICT r10 #5)
+    with _table_lease(spark, table, "compact"):
+        recover_interrupted_table_compaction(spark, table)
+        if dirty_threshold > 0:
+            cur = _table_data_bytes(spark, table)
+            clean = _table_clean_bytes(spark, table)
+            if cur and clean and (cur - clean) / cur <= dirty_threshold:
+                return {
+                    "skipped": True,
+                    "bytes_total": cur,
+                    "bytes_clean": clean,
+                    "dirty_threshold": dirty_threshold,
+                }
+        resolved = n_buckets or _table_n_buckets(spark, table) or 32
+        before = spark.table(table)
+        rows_before = before.count()
+        tmp = table + "_compact_tmp"
+        write_bucketed(
+            agg_fn(before), tmp, [bucket_col], n_buckets=resolved,
+            sort_cols=[bucket_col], mode="overwrite",
         )
-    return {
-        "rows_before": rows_before,
-        "rows_after": spark.table(table).count(),
-    }
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        new_bytes = _table_data_bytes(spark, table)
+        if new_bytes:
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES "
+                f"('spark_graft.clean_bytes'='{new_bytes}')"
+            )
+        return {
+            "rows_before": rows_before,
+            "rows_after": spark.table(table).count(),
+        }
 
 
 def compact_gram_index_bucketed(
@@ -1969,14 +2235,16 @@ def append_to_chunk_index_bucketed(
 ) -> None:
     """Append accepted docs' distinct chunk hashes into the bucketed
     layout (distinct within the append only — reads distinct again, and
-    :func:`compact_chunk_index_bucketed` makes it durable)."""
+    :func:`compact_chunk_index_bucketed` makes it durable). Leased
+    against a concurrent bucketed compaction (VERDICT r10 #5)."""
     from ..sources.lake import write_bucketed
 
-    write_bucketed(
-        _chunk_table(accepted_docs, id_col, text_col, chunk_tokens),
-        table, ["chunk_hash"],
-        n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="append",
-    )
+    with _table_lease(accepted_docs.sparkSession, table, "append"):
+        write_bucketed(
+            _chunk_table(accepted_docs, id_col, text_col, chunk_tokens),
+            table, ["chunk_hash"],
+            n_buckets=n_buckets, sort_cols=["chunk_hash"], mode="append",
+        )
 
 
 def compact_chunk_index_bucketed(
@@ -2057,16 +2325,18 @@ def append_to_line_index_bucketed(
 ) -> None:
     """Append this batch's per-line distinct-doc counts (doc-disjoint
     batches sum to true corpus counts on read;
-    :func:`compact_line_index_bucketed` makes the sum durable)."""
+    :func:`compact_line_index_bucketed` makes the sum durable). Leased
+    against a concurrent bucketed compaction (VERDICT r10 #5)."""
     from ..sources.lake import write_bucketed
 
-    write_bucketed(
-        _line_count_table(
-            accepted_docs, id_col, text_col, delimiter, min_line_chars
-        ),
-        table, ["line_hash"],
-        n_buckets=n_buckets, sort_cols=["line_hash"], mode="append",
-    )
+    with _table_lease(accepted_docs.sparkSession, table, "append"):
+        write_bucketed(
+            _line_count_table(
+                accepted_docs, id_col, text_col, delimiter, min_line_chars
+            ),
+            table, ["line_hash"],
+            n_buckets=n_buckets, sort_cols=["line_hash"], mode="append",
+        )
 
 
 def compact_line_index_bucketed(

@@ -248,6 +248,16 @@ def span_dedup_batch(
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
 
+    On the local parquet-dir layout the WHOLE span — crash heal, index
+    read/clean, append — runs under the table's ``index_lease`` (ADVICE
+    r10 #1): without it, the pre-batch heal would misread a LIVE
+    standalone compaction's scratch dirs as crash debris and delete its
+    in-flight tmp (or rename old back mid-swap), and the batch's index
+    read could land inside the live swap's missing-dir window and
+    silently bootstrap-reset the dedup state. Holding the lease, a
+    concurrent ``compact_dedup_indexes`` serialises against the batch at
+    acquisition; the append inside re-takes the lease re-entrantly.
+
     Appending the original (not cleaned) text makes the index converge to
     exactly the full-corpus first-occurrence keys, so a later batch's
     decisions equal what batch ``substring_dedup`` over the union would
@@ -276,6 +286,31 @@ def span_dedup_batch(
     ``tern.span_dedup.plan`` (``bucketed-fused`` / ``bucketed-staged`` /
     ``dir`` / ``bootstrap``) for sinks and benches to record.
     """
+    if index_table is None and "://" not in index_path:
+        from ..operators.dedup_index import index_lease
+
+        with index_lease(f"{index_path}/grams", "batch"):
+            return _span_dedup_batch_impl(
+                batch, index_path, id_col, text_col, min_tokens,
+                max_doc_tokens, memory_guard, index_table, n_buckets,
+            )
+    return _span_dedup_batch_impl(
+        batch, index_path, id_col, text_col, min_tokens,
+        max_doc_tokens, memory_guard, index_table, n_buckets,
+    )
+
+
+def _span_dedup_batch_impl(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_doc_tokens: int,
+    memory_guard: bool,
+    index_table: str | None,
+    n_buckets: int,
+) -> DataFrame:
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
         append_to_gram_index,
