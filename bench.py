@@ -110,14 +110,19 @@ def main() -> None:
         except (OSError, ValueError, ZeroDivisionError):
             return None
 
-    def _governor() -> str | None:
+    def _governor() -> str:
+        # record the REASON when unreadable, not a bare null (VERDICT
+        # r10 #6): cross-box comparisons need to know it was checked
+        path = "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor"
         try:
-            with open(
-                "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor"
-            ) as fh:
+            with open(path) as fh:
                 return fh.read().strip()
         except OSError:
-            return None
+            return (
+                "unavailable (no cpufreq sysfs)"
+                if not os.path.exists(path)
+                else "unavailable (cpufreq sysfs unreadable)"
+            )
 
     # WARM-UP LOAD PHASE (VERDICT r9 #5 / README r8 addendum): a long-idle
     # box under-clocks and reads 15-30% slow on EVERY query; the floor only

@@ -1247,3 +1247,179 @@ def test_ffmpeg_cross_decodes_stdlib_wav():
     assert rate_ff == rate_ours == 8000
     assert len(theirs) == len(ours)
     assert float(np.abs(np.asarray(ours) - theirs).max()) <= 1.0 / 32768
+
+
+def test_jpeg_binding_preferred_with_pinned_cross_check(monkeypatch):
+    """VERDICT r10 #2: when a native image binding is importable, JPEG
+    decode routes through it FIRST (the stdlib decoder's ~0.5 Mpx/s is
+    the multimodal ceiling), with the stdlib decoder retained as the
+    pinned verifier via a sampled cross-check; a binding that diverges
+    beyond codec-rounding tolerance fails loudly, and with no binding
+    the stdlib path is bit-for-bit primary as before."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+    from tern_ep_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(jpg)
+
+    # --- binding present and correct: preferred, sampled check passes
+    calls = {"n": 0}
+
+    def fake_binding(content):
+        calls["n"] += 1
+        # a real libjpeg differs from the float IDCT by ~1 count; model it
+        return np.clip(ref.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+
+    monkeypatch.setattr(codec_bindings, "decode_image_pil", fake_binding)
+    # force the sampled cross-check to fire on the FIRST decode
+    monkeypatch.setattr(mm, "_jpeg_xcheck_counter", iter([0]))
+    got = mm.decode_image(bytes(jpg))
+    assert calls["n"] == 1  # the binding, not the stdlib path, decoded
+    assert got.shape == ref.shape
+    assert float(np.abs(got.astype(int) - ref.astype(int)).mean()) <= 1.0
+
+    # --- binding that mis-decodes: the cross-check names the divergence
+    def broken_binding(content):
+        return np.zeros_like(ref)
+
+    monkeypatch.setattr(codec_bindings, "decode_image_pil", broken_binding)
+    monkeypatch.setattr(mm, "_jpeg_xcheck_counter", iter([0]))
+    with pytest.raises(ValueError, match="diverges|shape"):
+        mm.decode_image(bytes(jpg))
+
+    # --- sampling: off-cadence decodes skip the verifier entirely
+    monkeypatch.setattr(mm, "_jpeg_xcheck_counter", iter([1, 2, 3]))
+    assert mm.decode_image(bytes(jpg)).shape == ref.shape  # no raise
+
+    # --- no binding: stdlib primary, bit-for-bit
+    monkeypatch.setattr(
+        codec_bindings, "decode_image_pil", lambda content: None
+    )
+    assert np.array_equal(mm.decode_image(bytes(jpg)), ref)
+
+
+@pytest.mark.parametrize("crash_mode", ["before_index_append", "after_index_append"])
+def test_span_sink_checkpoint_kill_restart_exactly_once(
+    spark, tmp_path, monkeypatch, crash_mode
+):
+    """VERDICT r10 #4: kill the curation stream mid-batch (after >= 1
+    committed batch), restart it from the SAME checkpoint, and the sink
+    must equal a crash-free twin exactly — no duplicated docs, no lost
+    docs, no drifted decisions. Two crash points around the batch's
+    non-atomic effect pair (index append, output write): before the
+    append (whole batch retried) and between append and output write
+    (retry re-appends — idempotent via the per-gram min — then lands
+    the output once). Reference semantics: incremental append
+    exactly-once (code/file_handling/eddypro_concatenator.py:10-17)."""
+    import glob as globmod
+    import os as osmod
+    import time as timemod
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    phrase = " ".join(f"cr{i}" for i in range(10))
+    texts = [
+        (1, f"first holder doc {phrase} original ending content words"),
+        (2, "plain novel doc nothing shared with any other"),
+        (11, f"mid copier piece {phrase} different framing entirely now"),
+        (12, "another plain novel doc all unique tokens again"),
+        (21, f"late copier too {phrase} yet another unique framing here"),
+        (22, "closing plain novel doc distinct vocabulary throughout"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def write_source(src):
+        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
+        docs.where("doc_id >= 10 and doc_id < 20").coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        docs.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/b2")
+        for k, sub in enumerate(("b0", "b1", "b2")):
+            t = timemod.time() - (3 - k) * 10
+            for f in globmod.glob(f"{src}/{sub}/*"):
+                osmod.utime(f, (t, t))
+
+    def start(tag):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / f"src_{tag}") + "/b*")
+        )
+        return (
+            span_deduped_stream_sink(
+                stream,
+                str(tmp_path / f"gidx_{tag}"),
+                str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def collect(tag):
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        }
+
+    # crash-free twin — the oracle
+    write_source(str(tmp_path / "src_twin"))
+    q = start("twin")
+    q.awaitTermination(180)
+    release_staged(spark)
+    expected = collect("twin")
+    assert set(expected) == {t[0] for t in texts}
+
+    # faulted run: batch 0 commits, then the injected crash kills the
+    # query inside batch 1
+    write_source(str(tmp_path / "src_cr"))
+    real_append = di.append_to_gram_index
+    state = {"calls": 0}
+
+    def faulty_append(frame, path, *a, **k):
+        state["calls"] += 1
+        if state["calls"] == 2:  # batch 1 (batch 0 already committed)
+            if crash_mode == "after_index_append":
+                real_append(frame, path, *a, **k)
+            raise RuntimeError("injected mid-batch crash")
+        return real_append(frame, path, *a, **k)
+
+    monkeypatch.setattr(di, "append_to_gram_index", faulty_append)
+    q = start("cr")
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    release_staged(spark)
+    # exactly one batch landed before the kill
+    landed = globmod.glob(str(tmp_path / "out_cr") + "/batch_id=*")
+    assert len(landed) == 1
+
+    # restart from the SAME checkpoint with the fault removed
+    monkeypatch.setattr(di, "append_to_gram_index", real_append)
+    q2 = start("cr")
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    release_staged(spark)
+
+    got = collect("cr")
+    assert got == expected  # no dupes, no loss, identical decisions
+    # the per-doc uniqueness explicitly (a doc written twice would have
+    # collapsed in the dict above)
+    rows = spark.read.parquet(str(tmp_path / "out_cr")).groupBy("doc_id").count()
+    assert rows.where("count > 1").count() == 0
+    # and both cross-batch spans were cut through the restarted index
+    assert got[11][1] == 10 and got[21][1] == 10
