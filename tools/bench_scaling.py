@@ -1,15 +1,24 @@
-"""Scaling-curve bench: the six heaviest queries at self-generated scale
-factors (tools/gen_scaledata.py), answering the question the per-round
-bench at a single sf cannot: does each operator grow ~linearly in input
-size, or is something super-linear hiding below sf0.1?
+"""Scaling-curve bench over self-generated scale factors
+(tools/gen_scaledata.py), answering the question the per-round bench at
+a single sf cannot: does each operator grow ~linearly in input size, or
+is something super-linear hiding below sf0.1?
 
-Per (query, sf): min-of-3 wall clock, staged caches released between
+Two query sets:
+- ``--queries`` (default: the six heaviest kernels) — the deep set.
+- ``--headline`` (VERDICT r10 #3): ALL 17 headline queries from
+  bench.py, the direct per-query evidence for the 100x-scale question.
+
+Per (query, sf): min-of-N wall clock, staged caches released between
 runs (same no-cache methodology as bench.py). Emits one JSON line per
-query with sec-per-sf ratios and a fitted log-log slope
-(slope ~ 1 => linear scaling; > 1.2 flagged).
+query with sec-per-sf ratios, a fitted log-log slope, and the MARGINAL
+exponent between the two largest sfs (the scale-relevant number — small
+sfs are constant-overhead-dominated). Queries whose marginal exponent
+exceeds ``--max-exponent`` (default 1.1) are flagged, and the tool
+EXITS NON-ZERO listing them — a superlinear headline query fails the
+run, it doesn't just get printed.
 
 Usage:
-  python tools/bench_scaling.py [--dirs scaledata/sf0.1 scaledata/sf0.3 scaledata/sf1]
+  python tools/bench_scaling.py [--dirs scaledata/sf0.1 scaledata/sf1 scaledata/sf3] [--headline]
 """
 
 from __future__ import annotations
@@ -111,8 +120,24 @@ def main() -> None:
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="+", default=HEAVY)
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="bench ALL 17 bench.py headline queries (VERDICT r10 #3)",
+    )
+    ap.add_argument(
+        "--max-exponent",
+        type=float,
+        default=1.1,
+        help="fail (exit 1) if any query's marginal exponent between the "
+        "two largest sfs exceeds this",
+    )
     ap.add_argument("--allow-manifest-mismatch", action="store_true")
     args = ap.parse_args()
+    if args.headline:
+        from bench import HEADLINE
+
+        args.queries = list(HEADLINE)
 
     if not args.allow_manifest_mismatch:
         for d in args.dirs:
@@ -123,6 +148,7 @@ def main() -> None:
     ]
     spark = get_spark("bench-scaling")
     out: dict[str, dict] = {}
+    flagged: list[str] = []
     for name in args.queries:
         setup = CUSTOM_SETUP.get(name)
         fn = None if setup else getattr(entrymod, f"q_{name}")
@@ -148,14 +174,30 @@ def main() -> None:
         slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
+        # marginal exponent over the two LARGEST sfs: the global fit is
+        # dragged sub-linear by constant overhead at small sf, so the
+        # last segment is the honest 100x-extrapolation number
+        marginal = math.log(max(secs[-1], 1e-3) / max(secs[-2], 1e-3)) / math.log(
+            sfs[-1] / sfs[-2]
+        )
         out[name] = {
             "sf": sfs,
             "sec": secs,
             "rows": rows,
             "slope": round(slope, 2),
+            "marginal_exponent": round(marginal, 2),
         }
+        if marginal > args.max_exponent:
+            flagged.append(name)
+            out[name]["flagged_superlinear"] = True
         print(json.dumps({"query": name, **out[name]}))
     spark.stop()
+    if flagged:
+        raise SystemExit(
+            f"SUPERLINEAR: marginal exponent > {args.max_exponent} for "
+            f"{flagged} — a 100x scale-up amplifies these queries "
+            "superlinearly; investigate before standing behind the curve"
+        )
 
 
 if __name__ == "__main__":

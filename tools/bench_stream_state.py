@@ -1,4 +1,4 @@
-"""SPILL_r10 evidence tool (VERDICT r9 #3 + #8).
+"""SPILL_r10/r11 evidence tool (VERDICT r9 #3 + #8; r10 #1).
 
 Two measurements backing this round's scale claims:
 
@@ -19,12 +19,16 @@ B. **Partition-scoped compaction cost ∝ dirty bytes** — builds the
    full first compaction (every partition dirty), then appends a small
    batch and re-compacts: the second run must rewrite only the dirtied
    partitions, with bytes_rewritten tracking dirty bytes rather than
-   index bytes.
+   index bytes. r11 (VERDICT r10 #1): with LSM run tiering, a uniform
+   gram-hash workload — which dirties EVERY range partition at once and
+   previously forced whole-partition rewrites at 4.7x its dirty bytes —
+   must now run-fold at write amplification <= 1.5x over the triggered
+   passes of the schedule (the tool ASSERTS this bar).
 
 Usage:
   SPARK_GRAFT_CPUS=8 python tools/bench_stream_state.py \
       --dir scaledata/sf1 --batches 20 --dup-frac 0.5
-Prints one JSON line (goes to SPILL_r10.json).
+Prints one JSON line (goes to SPILL_r11.json).
 """
 
 from __future__ import annotations
@@ -180,6 +184,8 @@ def compaction_dirty_run(spark, sf_dir: str, parts: int) -> dict:
                 {
                     "t_sec": round(time.time() - t0, 3),
                     "partitions_compacted": s["partitions_compacted"],
+                    "partitions_merged": s["partitions_merged"],
+                    "partitions_run_folded": s["partitions_run_folded"],
                     "partitions_total": s["partitions_total"],
                     "bytes_rewritten": s["bytes_rewritten"],
                     "bytes_total": s["bytes_total"],
@@ -190,6 +196,18 @@ def compaction_dirty_run(spark, sf_dir: str, parts: int) -> dict:
         assert skipped, "no sub-threshold pass was skipped"
         assert max(r["t_sec"] for r in skipped) < 0.05 * t_full, (
             "a skipped pass still paid a meaningful fraction of a full rewrite"
+        )
+        # the r11 bar (VERDICT r10 #1): across the schedule's TRIGGERED
+        # passes, bytes rewritten <= 1.5x the dirty bytes they folded —
+        # the LSM run tier absorbs uniform appends without base rewrites
+        triggered = [r for r in runs if r["partitions_compacted"] > 0]
+        assert triggered, "no pass ever triggered — schedule can't measure"
+        amp_num = sum(r["bytes_rewritten"] for r in triggered)
+        amp_den = max(sum(r["bytes_dirty"] for r in triggered), 1)
+        amplification = amp_num / amp_den
+        assert amplification <= 1.5, (
+            f"write amplification {amplification:.2f}x > 1.5x — run tiering "
+            "is not bounding the uniform-key rewrite cost"
         )
         total_rewritten = sum(r["bytes_rewritten"] for r in runs)
         flat_equiv = t_full * len(runs)
@@ -204,6 +222,7 @@ def compaction_dirty_run(spark, sf_dir: str, parts: int) -> dict:
             "schedule_cost_sec": round(sum(r["t_sec"] for r in runs), 3),
             "flat_layout_equivalent_sec": round(flat_equiv, 3),
             "bytes_rewritten_over_schedule": total_rewritten,
+            "write_amplification_triggered": round(amplification, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -219,7 +238,7 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("stream-state-bench")
     out = {
-        "metric": "spill_r10",
+        "metric": "spill_r11",
         "dup_frac": args.dup_frac,
         "stream_state": stream_state_run(
             spark, args.batches, args.rows_per_batch, args.dup_frac
