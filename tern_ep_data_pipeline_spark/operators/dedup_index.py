@@ -1277,12 +1277,12 @@ def compact_gram_index(
     any two batches cannot change a later batch's clean decisions.
 
     On the range-partitioned layout (``build_gram_index(...,
-    range_partitions=P)``) only partitions whose raw-append fraction
-    exceeds ``dirty_threshold`` are rewritten (VERDICT r9 #3): each
-    partition records its byte size at compaction in a
-    ``_compact_meta.json`` marker, and the dirty fraction is
-    (bytes_now - bytes_at_compaction) / bytes_now — per-compaction cost
-    is proportional to DIRTY bytes, not total index bytes. Partition
+    range_partitions=P)``) only partitions whose raw-append (L0)
+    fraction exceeds ``dirty_threshold`` are touched (VERDICT r9 #3),
+    and the rewrite is LSM-tiered (r11, VERDICT r10 #1): the common
+    pass folds ONLY the L0 files into a per-partition L1 run (write
+    cost == dirty bytes), deferring the base rewrite until runs cross
+    ``_BASE_MERGE_FRACTION`` — see :func:`_compact_ranged`. Partition
     routing is a pure function of gram_hash, so per-partition min ==
     global min and decisions are identical to a whole-table compaction.
 
@@ -1502,7 +1502,7 @@ def _compact_ranged(
     :func:`_recover_gram_partitions`. The whole pass holds the table's
     lease once."""
     n_merged = n_run_folded = 0
-    bytes_total = bytes_dirty = bytes_rewritten = 0
+    bytes_total = bytes_dirty = bytes_rewritten = bytes_dirty_compacted = 0
     tmp_root = table_dir + ".compact-ranged-tmp"
     with index_lease(table_dir, "compact"):
         _recover_gram_partitions(table_dir)
@@ -1516,6 +1516,7 @@ def _compact_ranged(
         tiers: dict[str, dict] = {}
         snapshots: dict[str, int] = {}
         in_bytes: dict[str, int] = {}  # fold-input bytes per partition
+        l0_bytes: dict[str, int] = {}  # dirty (L0) bytes per partition
         for d in parts:
             pdir = os.path.join(table_dir, d)
             state = _part_tiers(pdir)
@@ -1531,6 +1532,7 @@ def _compact_ranged(
                 continue
             snapshots[d] = total
             tiers[d] = state
+            l0_bytes[d] = l0
             if base == 0 or l0 + run > _BASE_MERGE_FRACTION * base:
                 merges.append(d)
                 in_bytes[d] = total
@@ -1539,6 +1541,8 @@ def _compact_ranged(
                 in_bytes[d] = l0
         rows_before = rows_after = 0
         dirty = merges + folds
+        merge_set = set(merges)  # the swap loop tests membership per
+        # partition — a list scan is O(P^2) at thousands of partitions
         if dirty:
             paths = [os.path.join(table_dir, d) for d in merges] + [
                 os.path.join(table_dir, d, f)
@@ -1601,7 +1605,7 @@ def _compact_ranged(
                     f for f in os.listdir(staged)
                     if not f.startswith(("_", ".")) and not f.endswith(".crc")
                 )
-                if d in merges:
+                if d in merge_set:
                     # full merge: staged output IS the new base
                     for f in staged_files:
                         _rename_with_crc(staged, f, f"base-{f}")
@@ -1624,7 +1628,8 @@ def _compact_ranged(
                 shutil.rmtree(old, ignore_errors=True)
                 _write_part_meta(pdir)
                 bytes_rewritten += in_bytes[d]
-                if d in merges:
+                bytes_dirty_compacted += l0_bytes[d]
+                if d in merge_set:
                     n_merged += 1
                 else:
                     n_run_folded += 1
@@ -1639,6 +1644,11 @@ def _compact_ranged(
         "partitions_run_folded": n_run_folded,
         "bytes_total": bytes_total,
         "bytes_dirty": bytes_dirty,
+        # dirty bytes of the partitions this pass actually compacted —
+        # the honest write-amplification denominator (a global
+        # bytes_dirty includes sub-threshold partitions' L0, which
+        # re-counts every pass and understates amplification)
+        "bytes_dirty_compacted": bytes_dirty_compacted,
         "bytes_rewritten": bytes_rewritten,
         "dirty_threshold": dirty_threshold,
         "base_merge_fraction": _BASE_MERGE_FRACTION,

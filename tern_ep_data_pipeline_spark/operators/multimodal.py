@@ -245,7 +245,14 @@ _JPEG_XCHECK_MAD = 4.0
 def _cross_check_jpeg(content: bytes, got: np.ndarray) -> None:
     from .jpeg import decode_jpeg
 
-    ref = decode_jpeg(content)
+    try:
+        ref = decode_jpeg(content)
+    except NotImplementedError:
+        # the binding decodes variants the pinned verifier deliberately
+        # does not (arithmetic-coded, 12-bit, CMYK, ...): the binding's
+        # successful decode stands — a verifier GAP must not quarantine
+        # (or kill) an image 1-in-N times depending on sample cadence
+        return
     if ref.shape != got.shape:
         raise ValueError(
             f"native JPEG binding produced shape {got.shape}, the pinned "

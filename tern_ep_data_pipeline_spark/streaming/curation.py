@@ -21,6 +21,7 @@ scheduled tasks use).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame
@@ -248,14 +249,16 @@ def span_dedup_batch(
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
 
-    On the local parquet-dir layout the WHOLE span — crash heal, index
-    read/clean, append — runs under the table's ``index_lease`` (ADVICE
-    r10 #1): without it, the pre-batch heal would misread a LIVE
-    standalone compaction's scratch dirs as crash debris and delete its
-    in-flight tmp (or rename old back mid-swap), and the batch's index
-    read could land inside the live swap's missing-dir window and
-    silently bootstrap-reset the dedup state. Holding the lease, a
-    concurrent ``compact_dedup_indexes`` serialises against the batch at
+    The WHOLE span — crash heal, index read/clean, append — runs under
+    the table's lease (ADVICE r10 #1): without it, the pre-batch heal
+    would misread a LIVE standalone compaction's scratch dirs as crash
+    debris and delete its in-flight tmp (or rename old back mid-swap),
+    and the batch's index read could land inside the live swap's
+    missing-dir window (dir layout: the two renames; bucketed layout:
+    DROP before RENAME) and silently bootstrap-reset the dedup state.
+    Dir layout takes ``index_lease`` on the grams dir; the bucketed
+    layout takes the matching ``_table_lease``. Holding it, a concurrent
+    ``compact_dedup_indexes`` serialises against the batch at
     acquisition; the append inside re-takes the lease re-entrantly.
 
     Appending the original (not cleaned) text makes the index converge to
@@ -286,18 +289,21 @@ def span_dedup_batch(
     ``tern.span_dedup.plan`` (``bucketed-fused`` / ``bucketed-staged`` /
     ``dir`` / ``bootstrap``) for sinks and benches to record.
     """
-    if index_table is None and "://" not in index_path:
+    if index_table is not None:
+        from ..operators.dedup_index import _table_lease
+
+        lease = _table_lease(batch.sparkSession, index_table, "batch")
+    elif "://" not in index_path:
         from ..operators.dedup_index import index_lease
 
-        with index_lease(f"{index_path}/grams", "batch"):
-            return _span_dedup_batch_impl(
-                batch, index_path, id_col, text_col, min_tokens,
-                max_doc_tokens, memory_guard, index_table, n_buckets,
-            )
-    return _span_dedup_batch_impl(
-        batch, index_path, id_col, text_col, min_tokens,
-        max_doc_tokens, memory_guard, index_table, n_buckets,
-    )
+        lease = index_lease(f"{index_path}/grams", "batch")
+    else:
+        lease = contextlib.nullcontext()
+    with lease:
+        return _span_dedup_batch_impl(
+            batch, index_path, id_col, text_col, min_tokens,
+            max_doc_tokens, memory_guard, index_table, n_buckets,
+        )
 
 
 def _span_dedup_batch_impl(

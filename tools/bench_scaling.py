@@ -146,6 +146,15 @@ def main() -> None:
     sfs = [
         float(os.path.basename(d.rstrip("/")).removeprefix("sf")) for d in args.dirs
     ]
+    if len(sfs) < 2:
+        raise SystemExit(
+            "need at least two --dirs to fit a scaling exponent"
+        )
+    # the marginal gate reads the LAST two entries as the two largest
+    # sfs — sort, so an unordered --dirs can't flip the exponent's sign
+    order = sorted(range(len(sfs)), key=lambda i: sfs[i])
+    args.dirs = [args.dirs[i] for i in order]
+    sfs = [sfs[i] for i in order]
     spark = get_spark("bench-scaling")
     out: dict[str, dict] = {}
     flagged: list[str] = []
