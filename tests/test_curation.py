@@ -3744,3 +3744,65 @@ def test_bucketed_append_vs_compact_concurrency(spark, tmp_path):
     assert view(table) == view("gidx_conc_ref")
     for t in (table, table + "_meta", "gidx_conc_ref", "gidx_conc_ref_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_heal_merge_preserves_file_tiers(spark, tmp_path):
+    """A crash-heal that merges a swap survivor into an append-recreated
+    partition renames files with restored- prefixes; tier classification
+    strips them, so a restored base file is still base — the partition
+    does not re-fold its whole history after a heal."""
+    import os
+    import shutil
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _file_tier,
+        _gram_part_scratch,
+        _part_tiers,
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    # unit pins for the classifier itself
+    assert _file_tier("part-00000-x.parquet") == "l0"
+    assert _file_tier("base-part-00000-x.parquet") == "base"
+    assert _file_tier("run-2-0-part-00000-x.parquet") == "run"
+    assert _file_tier("restored-base-part-0.parquet") == "base"
+    assert _file_tier("restored-3-run-1-0-part-0.parquet") == "run"
+    assert _file_tier("restored-restored-base-p.parquet") == "base"
+
+    base = spark.createDataFrame(
+        [(1, "tier corpus body " + " ".join(f"t{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "gidx_tier_heal")
+    build_gram_index(base, idx, range_partitions=2)
+    compact_gram_index(spark, idx, dirty_threshold=0.01)  # all -> base-
+    gp = os.path.join(idx, "grams")
+    part = next(d for d in sorted(os.listdir(gp)) if d.startswith("__part="))
+    pdir = os.path.join(gp, part)
+    assert _part_tiers(pdir)["base"] and not _part_tiers(pdir)["l0"]
+
+    # crash between the swap renames, then an append recreates the dir
+    scratch = _gram_part_scratch(gp, part.split("=", 1)[1])
+    os.rename(pdir, scratch + ".compact-old")
+    shutil.copytree(scratch + ".compact-old", scratch + ".compact-tmp")
+    more = spark.createDataFrame(
+        [(9, "healed append body " + " ".join(f"h{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    append_to_gram_index(more, idx)
+    stats = compact_gram_index(spark, idx, dirty_threshold=0.01)
+    assert stats["partitions_compacted"] >= 1
+    tiers = _part_tiers(pdir)
+    # after heal + compaction: no raw L0 left, and nothing was lost
+    assert not tiers["l0"]
+    grams = spark.read.parquet(gp).select("gram_hash").distinct().count()
+    flat = str(tmp_path / "gidx_tier_flat")
+    build_gram_index(base, flat)
+    append_to_gram_index(more, flat)
+    flat_grams = (
+        spark.read.parquet(os.path.join(flat, "grams"))
+        .select("gram_hash").distinct().count()
+    )
+    assert grams == flat_grams
