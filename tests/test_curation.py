@@ -3806,3 +3806,79 @@ def test_heal_merge_preserves_file_tiers(spark, tmp_path):
         .select("gram_hash").distinct().count()
     )
     assert grams == flat_grams
+
+
+@pytest.mark.parametrize("fail_at", [1, 2, 3, 4, 6])
+def test_run_fold_crash_injection_heals(spark, tmp_path, monkeypatch, fail_at):
+    """REAL crash injection (not simulated dir states): os.rename is made
+    to fail on the Nth swap-machinery call during a tiered compaction —
+    covering the staged-file prefix renames, staged->tmp, live->old and
+    tmp->live across both partitions — and the next compaction must heal
+    and converge to the identical min-per-gram view with no scratch
+    debris."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "crash corpus body " + " ".join(f"c{i}" for i in range(25))),
+         (2, "second crash body " + " ".join(f"d{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / f"gidx_inject_{fail_at}")
+    build_gram_index(base, idx, range_partitions=2)
+    compact_gram_index(spark, idx, dirty_threshold=0.01)  # establish base tier
+    more = spark.createDataFrame(
+        [(9, "appended crash body " + " ".join(f"e{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    append_to_gram_index(more, idx)
+    gp = os.path.join(idx, "grams")
+
+    def min_view():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    expected = min_view()
+
+    real_rename = os.rename
+    hits = {"n": 0}
+
+    def flaky(src, dst):
+        s, d = str(src), str(dst)
+        if ".compact-" in s or ".compact-" in d or "__part=" in s or "__part=" in d:
+            hits["n"] += 1
+            if hits["n"] == fail_at:
+                raise OSError(f"injected crash at swap rename #{fail_at}")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises((OSError, RuntimeError)):
+        compact_gram_index(spark, idx, dirty_threshold=0.01)
+    monkeypatch.setattr(os, "rename", real_rename)
+    if hits["n"] < fail_at:
+        pytest.skip(f"only {hits['n']} swap renames at this layout")
+
+    # heal + complete on the next pass; view identical, debris gone
+    compact_gram_index(spark, idx, dirty_threshold=0.01)
+    assert min_view() == expected
+    parent = os.path.dirname(gp)
+    debris = [
+        d for d in os.listdir(parent)
+        if ".compact-" in d or d.endswith(".compact-ranged-tmp")
+    ]
+    assert not debris, f"scratch debris left after heal: {debris}"
+    # a fresh batch still cleans identically against the healed index
+    s2 = compact_gram_index(spark, idx, dirty_threshold=0.01)
+    assert s2["partitions_compacted"] == 0  # idempotent after heal
