@@ -1455,6 +1455,17 @@ def _recover_gram_partitions(table_dir: str) -> None:
 #: ``1/_BASE_MERGE_FRACTION`` run folds).
 _BASE_MERGE_FRACTION = 0.5
 
+#: A run fold normally writes a NEW L1 run and links the old ones over
+#: untouched, so run count grows by one per fold; once a partition
+#: holds this many runs, the next fold COLLAPSES them (fold input = L0
+#: + all runs, output = one fresh run). Bounds per-partition file count
+#: — and so read amplification between base merges — structurally:
+#: <= base files + _MAX_RUNS_PER_PARTITION runs + in-flight L0,
+#: whatever the dirty threshold and append cadence. Collapse cost is
+#: run bytes (<< base by the merge trigger), reported honestly in
+#: bytes_rewritten.
+_MAX_RUNS_PER_PARTITION = 8
+
 
 def _compact_ranged(
     spark: SparkSession,
@@ -1481,7 +1492,10 @@ def _compact_ranged(
       bytes moved). bytes_rewritten == the partition's dirty bytes, so
       a uniform-append workload that dirties every partition at once
       (VERDICT r10 #1: 4.7x amplification under whole-partition
-      rewrites) pays ~1x.
+      rewrites) pays ~1x. Once a partition holds
+      ``_MAX_RUNS_PER_PARTITION`` runs, the next fold collapses them
+      into the new run (input = L0 + runs) — per-partition file count,
+      and so read amplification between base merges, is bounded.
     - **base merge** (leveled): once l0+run bytes exceed
       ``_BASE_MERGE_FRACTION`` of the base — or no base exists yet
       (fresh build, pre-tiering layout) — the whole partition folds
@@ -1517,6 +1531,8 @@ def _compact_ranged(
         snapshots: dict[str, int] = {}
         in_bytes: dict[str, int] = {}  # fold-input bytes per partition
         l0_bytes: dict[str, int] = {}  # dirty (L0) bytes per partition
+        fold_in: dict[str, list[str]] = {}  # fold-input FILE names
+        carry: dict[str, list[str]] = {}  # names hard-linked over a fold
         for d in parts:
             pdir = os.path.join(table_dir, d)
             state = _part_tiers(pdir)
@@ -1538,7 +1554,17 @@ def _compact_ranged(
                 in_bytes[d] = total
             else:
                 folds.append(d)
-                in_bytes[d] = l0
+                # past the run cap, collapse existing runs into the new
+                # one (fold input = L0 + runs) so per-partition file
+                # count stays bounded between base merges
+                collapse = len(state["run"]) >= _MAX_RUNS_PER_PARTITION
+                extra = state["run"] if collapse else []
+                fold_in[d] = [f for f, _sz in state["l0"] + extra]
+                carry[d] = [
+                    f for f, _sz in
+                    state["base"] + ([] if collapse else state["run"])
+                ]
+                in_bytes[d] = l0 + (run if collapse else 0)
         rows_before = rows_after = 0
         dirty = merges + folds
         merge_set = set(merges)  # the swap loop tests membership per
@@ -1547,7 +1573,7 @@ def _compact_ranged(
             paths = [os.path.join(table_dir, d) for d in merges] + [
                 os.path.join(table_dir, d, f)
                 for d in folds
-                for f, _sz in tiers[d]["l0"]
+                for f in fold_in[d]
             ]
             df = spark.read.option("basePath", table_dir).parquet(*paths)
             rows_before = df.count()
@@ -1611,13 +1637,14 @@ def _compact_ranged(
                         _rename_with_crc(staged, f, f"base-{f}")
                 else:
                     # run fold: staged output becomes the next L1 run;
-                    # base + existing runs are carried over as hard
-                    # links (same filesystem — no bytes moved), so the
-                    # swap replaces ONLY the L0 files it folded
+                    # untouched tiers (base, plus runs unless this fold
+                    # collapsed them) are carried over as hard links
+                    # (same filesystem — no bytes moved), so the swap
+                    # replaces ONLY the files it folded
                     seq = _next_run_seq(tiers[d])
                     for i, f in enumerate(staged_files):
                         _rename_with_crc(staged, f, f"run-{seq}-{i}-{f}")
-                    for f, _sz in tiers[d]["base"] + tiers[d]["run"]:
+                    for f in carry[d]:
                         _link_or_copy(
                             os.path.join(pdir, f), os.path.join(staged, f)
                         )

@@ -3882,3 +3882,70 @@ def test_run_fold_crash_injection_heals(spark, tmp_path, monkeypatch, fail_at):
     # a fresh batch still cleans identically against the healed index
     s2 = compact_gram_index(spark, idx, dirty_threshold=0.01)
     assert s2["partitions_compacted"] == 0  # idempotent after heal
+
+
+def test_run_tier_file_count_bounded(spark, tmp_path, monkeypatch):
+    """The L1 run cap: past _MAX_RUNS_PER_PARTITION runs, the next fold
+    collapses them into one — per-partition file count (read
+    amplification between base merges) is bounded whatever the append
+    cadence, and the view/decision algebra is untouched."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _part_tiers,
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    monkeypatch.setattr(di, "_MAX_RUNS_PER_PARTITION", 2)
+    # keep everything as run folds: base merge effectively unreachable
+    monkeypatch.setattr(di, "_BASE_MERGE_FRACTION", 10_000.0)
+
+    base = spark.createDataFrame(
+        [(i, f"cap base doc {i} " + " ".join(f"b{i}x{j}" for j in range(25)))
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "gidx_runcap")
+    build_gram_index(base, idx, range_partitions=2)
+    compact_gram_index(spark, idx, dirty_threshold=0.01)  # base tier
+    gp = os.path.join(idx, "grams")
+
+    def min_view():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    saw_collapse = False
+    for k in range(6):
+        b = spark.createDataFrame(
+            [(100 + k, f"cap append {k} " + " ".join(f"a{k}y{j}" for j in range(10)))],
+            ["doc_id", "text"],
+        )
+        append_to_gram_index(b, idx)
+        view = min_view()
+        s = compact_gram_index(spark, idx, dirty_threshold=0.01)
+        assert s["partitions_merged"] == 0  # never a base rewrite here
+        assert min_view() == view
+        for d in os.listdir(gp):
+            pdir = os.path.join(gp, d)
+            if not d.startswith("__part=") or not os.path.isdir(pdir):
+                continue
+            tiers = _part_tiers(pdir)
+            n_run_files = len(tiers["run"])
+            # each fold writes one run FILE here (tiny outputs); the cap
+            # collapses before the count can exceed cap + 1
+            assert n_run_files <= 3, (
+                f"round {k}: {d} holds {n_run_files} run files — cap not enforced"
+            )
+            if k >= 3 and n_run_files <= 2:
+                saw_collapse = True
+    assert saw_collapse  # the collapse branch actually executed
