@@ -1423,3 +1423,120 @@ def test_span_sink_checkpoint_kill_restart_exactly_once(
     assert rows.where("count > 1").count() == 0
     # and both cross-batch spans were cut through the restarted index
     assert got[11][1] == 10 and got[21][1] == 10
+
+
+def test_span_sink_checkpoint_kill_restart_bucketed(spark, tmp_path, monkeypatch):
+    """The kill/restart exactly-once contract on the BUCKETED (metastore)
+    layout: crash after the index append but before the output write,
+    restart from the same checkpoint — the foreachBatch retry re-appends
+    the same per-gram minima (absorbed by the min fold; duplicate ROWS
+    are expected, duplicate DECISIONS are not), the meta fingerprint
+    carve-out admits the replay, and the sink equals a crash-free twin."""
+    import glob as globmod
+    import os as osmod
+    import time as timemod
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    for t in ("gidx_kr_bkt", "gidx_kr_bkt_meta", "gidx_kr_twin",
+              "gidx_kr_twin_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    phrase = " ".join(f"kb{i}" for i in range(10))
+    texts = [
+        (1, f"first holder doc {phrase} original ending content words"),
+        (2, "plain novel doc nothing shared with any other"),
+        (11, f"mid copier piece {phrase} different framing entirely now"),
+        (12, "another plain novel doc all unique tokens again"),
+        (21, f"late copier too {phrase} yet another unique framing here"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def write_source(src):
+        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
+        docs.where("doc_id >= 10 and doc_id < 20").coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        docs.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/b2")
+        for k, sub in enumerate(("b0", "b1", "b2")):
+            t = timemod.time() - (3 - k) * 10
+            for f in globmod.glob(f"{src}/{sub}/*"):
+                osmod.utime(f, (t, t))
+
+    def start(tag, table):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / f"src_{tag}") + "/b*")
+        )
+        return (
+            span_deduped_stream_sink(
+                stream,
+                str(tmp_path / f"gidx_{tag}"),
+                str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"),
+                index_table=table,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def collect(tag):
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        }
+
+    write_source(str(tmp_path / "src_ktwin"))
+    q = start("ktwin", "gidx_kr_twin")
+    q.awaitTermination(180)
+    release_staged(spark)
+    expected = collect("ktwin")
+
+    write_source(str(tmp_path / "src_kbkt"))
+    real_append = di.append_to_gram_index_bucketed
+    state = {"calls": 0}
+
+    def faulty(frame, table, *a, **k):
+        state["calls"] += 1
+        if state["calls"] == 2:  # batch 1, after batch 0 committed
+            real_append(frame, table, *a, **k)  # append lands, THEN crash
+            raise RuntimeError("injected bucketed mid-batch crash")
+        return real_append(frame, table, *a, **k)
+
+    monkeypatch.setattr(di, "append_to_gram_index_bucketed", faulty)
+    q = start("kbkt", "gidx_kr_bkt")
+    with pytest.raises(Exception, match="injected bucketed mid-batch crash"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    release_staged(spark)
+
+    monkeypatch.setattr(di, "append_to_gram_index_bucketed", real_append)
+    q2 = start("kbkt", "gidx_kr_bkt")
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    release_staged(spark)
+
+    got = collect("kbkt")
+    assert got == expected
+    assert got[11][1] == 10 and got[21][1] == 10
+    # the retried append duplicated ROWS, never DECISIONS: min-fold view
+    # of the crashed-and-restarted table equals the twin's
+    def view(t):
+        return sorted(
+            map(
+                tuple,
+                spark.table(t).groupBy("gram_hash")
+                .agg(F.min("first_key").alias("fk")).collect(),
+            )
+        )
+
+    assert view("gidx_kr_bkt") == view("gidx_kr_twin")
+    for t in ("gidx_kr_bkt", "gidx_kr_bkt_meta", "gidx_kr_twin",
+              "gidx_kr_twin_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
