@@ -333,18 +333,38 @@ GROUP BY p_brand
 """
 
 
+#: Lineitem rows above which the q17 partkey join hints SHUFFLE_HASH:
+#: below it the per-part aggregate broadcasts (leave the planner alone);
+#: above it broadcast is off the table and the default sort-merge join
+#: SORTS the corpus-sized probe side — measured at sf10 (60M rows,
+#: local[32]/8g): SMJ 27.6s with 8.6 GB memory spill vs shuffle-hash
+#: 12.0s at half the spill, identical results. ~8M lineitem rows is
+#: where the aggregate side (~rows/30 parts) outgrows the 10 MB
+#: broadcast threshold.
+_Q17_SHUFFLE_HASH_ROWS = 8_000_000
+
+
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average — revenue from lineitems
     whose quantity is below half their part's average quantity. The
     correlation is decorrelated into a per-part aggregate joined back on
     partkey; the predicate ``2*qty*cnt < sum`` keeps the comparison in exact
     decimal/integer arithmetic (no float-boundary divergence between
-    engines)."""
+    engines). Past ``_Q17_SHUFFLE_HASH_ROWS`` (plan-time byte estimate,
+    zero jobs) the join hints SHUFFLE_HASH: hash-building the small
+    aggregate side beats sort-merge's spill-prone sort of the
+    corpus-sized probe side."""
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        scan_rows_lower_bound,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         F.sum(_dec("l_quantity")).alias("__sum_qty"),
         F.count(F.lit(1)).alias("__cnt"),
     )
+    if scan_rows_lower_bound(li, 96) > _Q17_SHUFFLE_HASH_ROWS:
+        per_part = per_part.hint("shuffle_hash")
     joined = li.join(per_part, li.l_partkey == F.col("__pk"))
     below = joined.filter(
         _dec("l_quantity") * 2 * F.col("__cnt") < F.col("__sum_qty")
