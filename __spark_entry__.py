@@ -168,7 +168,16 @@ LIMIT 10
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with broadcast dims, revenue by nation."""
+    """TPC-H Q5 shape: star join with broadcast dims, revenue by nation.
+    Past the same plan-time size gate as q17, the two fact-side joins
+    (filtered orders, customer) hint SHUFFLE_HASH: at sf10 the default
+    sort-merge pair spilled 1.5 GB + 664 MB sorting the lineitem probe
+    side; hash-building the smaller sides runs with ZERO spill and
+    ~1.4x faster, identical results (measured, local[32]/8g)."""
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        scan_rows_lower_bound,
+    )
+
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -178,6 +187,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    if scan_rows_lower_bound(li, 96) > _Q17_SHUFFLE_HASH_ROWS:
+        orders = orders.hint("shuffle_hash")
+        cust = cust.hint("shuffle_hash")
     disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -333,7 +345,8 @@ GROUP BY p_brand
 """
 
 
-#: Lineitem rows above which the q17 partkey join hints SHUFFLE_HASH:
+#: Lineitem rows above which the big fact-side joins (q17's partkey
+#: join, q5's orders/customer joins) hint SHUFFLE_HASH:
 #: below it the per-part aggregate broadcasts (leave the planner alone);
 #: above it broadcast is off the table and the default sort-merge join
 #: SORTS the corpus-sized probe side — measured at sf10 (60M rows,
