@@ -35,6 +35,17 @@ import __spark_entry__ as entrymod
 from tern_ep_data_pipeline_spark.operators.dedup import release_staged
 from tern_ep_data_pipeline_spark.session import get_spark
 
+#: Queries that are LINEAR in corpus size by definition — their marginal
+#: exponent hovers around 1.0, so the default 1.1 gate (meant to catch
+#: ACCIDENTAL superlinearity) flakes on measurement noise. Each gets a
+#: wider documented gate instead of an exemption: genuine quadratic
+#: behaviour still fails it.
+LINEAR_BY_DESIGN = {
+    # brute-force cosine top-k is Θ(corpus) per probe — the IVF/LSH
+    # variants are the sub-linear scale path (operators/similarity.py)
+    "ann_cosine_topk": 1.25,
+}
+
 HEAVY = [
     "conditioned_blocks",
     "doc_winnow_fingerprint",
@@ -196,7 +207,7 @@ def main() -> None:
             "slope": round(slope, 2),
             "marginal_exponent": round(marginal, 2),
         }
-        if marginal > args.max_exponent:
+        if marginal > LINEAR_BY_DESIGN.get(name, args.max_exponent):
             flagged.append(name)
             out[name]["flagged_superlinear"] = True
         print(json.dumps({"query": name, **out[name]}))
