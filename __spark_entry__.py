@@ -174,10 +174,6 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge pair spilled 1.5 GB + 664 MB sorting the lineitem probe
     side; hash-building the smaller sides runs with ZERO spill and
     ~1.4x faster, identical results (measured, local[32]/8g)."""
-    from tern_ep_data_pipeline_spark.operators.sampling import (
-        scan_rows_lower_bound,
-    )
-
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -187,7 +183,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    if scan_rows_lower_bound(li, 96) > _Q17_SHUFFLE_HASH_ROWS:
+    if _past_shuffle_hash_gate(li):
         orders = orders.hint("shuffle_hash")
         cust = cust.hint("shuffle_hash")
     disc = F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)
@@ -356,6 +352,25 @@ GROUP BY p_brand
 #: broadcast threshold.
 _Q17_SHUFFLE_HASH_ROWS = 8_000_000
 
+#: Conservative bytes/row for the pruned lineitem scans the gate sizes —
+#: shared by every call site so the plan policy can't silently fork.
+_LINEITEM_ROW_BYTES = 96
+
+
+def _past_shuffle_hash_gate(lineitem: DataFrame) -> bool:
+    """Plan-time (zero jobs) size gate shared by the q17/Q5-shape
+    queries: True once the lineitem scan's optimizer byte estimate
+    clears ``_Q17_SHUFFLE_HASH_ROWS``, the measured point where hinting
+    SHUFFLE_HASH on the smaller join sides beats sort-merge's
+    spill-prone sort of the corpus-sized probe side. Below it the gate
+    stays off, so small-sf (oracle/bench) plans are byte-identical to
+    the unhinted ones."""
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        scan_rows_lower_bound,
+    )
+
+    return scan_rows_lower_bound(lineitem, _LINEITEM_ROW_BYTES) > _Q17_SHUFFLE_HASH_ROWS
+
 
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average — revenue from lineitems
@@ -367,16 +382,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero jobs) the join hints SHUFFLE_HASH: hash-building the small
     aggregate side beats sort-merge's spill-prone sort of the
     corpus-sized probe side."""
-    from tern_ep_data_pipeline_spark.operators.sampling import (
-        scan_rows_lower_bound,
-    )
-
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         F.sum(_dec("l_quantity")).alias("__sum_qty"),
         F.count(F.lit(1)).alias("__cnt"),
     )
-    if scan_rows_lower_bound(li, 96) > _Q17_SHUFFLE_HASH_ROWS:
+    if _past_shuffle_hash_gate(li):
         per_part = per_part.hint("shuffle_hash")
     joined = li.join(per_part, li.l_partkey == F.col("__pk"))
     below = joined.filter(

@@ -1377,6 +1377,27 @@ def _part_tiers(pdir: str) -> dict[str, list[tuple[str, int]]]:
     return out
 
 
+def _run_generations(tiers: dict) -> int:
+    """Number of distinct run GENERATIONS (fold passes) in a partition —
+    run files are named ``run-<seq>-<i>-<original>`` and one fold can
+    emit several ``<i>`` files, so counting files would overstate the
+    run depth by the per-fold fan-out (review r11: a partition whose
+    folds each emit k files would trip the collapse cap after
+    ceil(cap/k) folds, re-reading all run bytes almost every pass). A
+    name whose seq does not parse counts as its own generation —
+    conservative: it only collapses sooner."""
+    seqs: set[int] = set()
+    unparsed = 0
+    for name, _sz in tiers["run"]:
+        core = _RESTORED_RE.sub("", name)
+        parts = core.split("-", 2)
+        try:
+            seqs.add(int(parts[1]))
+        except (IndexError, ValueError):
+            unparsed += 1
+    return len(seqs) + unparsed
+
+
 def _next_run_seq(tiers: dict) -> int:
     """1 + the highest existing run sequence in a partition (run files
     are named ``run-<seq>-<i>-<original>``)."""
@@ -1557,7 +1578,7 @@ def _compact_ranged(
                 # past the run cap, collapse existing runs into the new
                 # one (fold input = L0 + runs) so per-partition file
                 # count stays bounded between base merges
-                collapse = len(state["run"]) >= _MAX_RUNS_PER_PARTITION
+                collapse = _run_generations(state) >= _MAX_RUNS_PER_PARTITION
                 extra = state["run"] if collapse else []
                 fold_in[d] = [f for f, _sz in state["l0"] + extra]
                 carry[d] = [

@@ -3864,11 +3864,20 @@ def test_run_fold_crash_injection_heals(spark, tmp_path, monkeypatch, fail_at):
         return real_rename(src, dst)
 
     monkeypatch.setattr(os, "rename", flaky)
-    with pytest.raises((OSError, RuntimeError)):
+    # not pytest.raises: if a layout change leaves fewer swap renames
+    # than fail_at, the compaction legitimately completes and the case
+    # must SKIP, not hard-fail on DID-NOT-RAISE (review r11)
+    crashed = None
+    try:
         compact_gram_index(spark, idx, dirty_threshold=0.01)
-    monkeypatch.setattr(os, "rename", real_rename)
+    except (OSError, RuntimeError) as exc:
+        crashed = exc
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
     if hits["n"] < fail_at:
+        assert crashed is None
         pytest.skip(f"only {hits['n']} swap renames at this layout")
+    assert crashed is not None, "injected crash did not propagate"
 
     # heal + complete on the next pass; view identical, debris gone
     compact_gram_index(spark, idx, dirty_threshold=0.01)
@@ -3924,6 +3933,14 @@ def test_run_tier_file_count_bounded(spark, tmp_path, monkeypatch):
             )
         )
 
+    def run_gens():
+        out = {}
+        for d in os.listdir(gp):
+            pdir = os.path.join(gp, d)
+            if d.startswith("__part=") and os.path.isdir(pdir):
+                out[d] = di._run_generations(_part_tiers(pdir))
+        return out
+
     saw_collapse = False
     for k in range(6):
         b = spark.createDataFrame(
@@ -3931,21 +3948,25 @@ def test_run_tier_file_count_bounded(spark, tmp_path, monkeypatch):
             ["doc_id", "text"],
         )
         append_to_gram_index(b, idx)
+        pre = run_gens()
         view = min_view()
         s = compact_gram_index(spark, idx, dirty_threshold=0.01)
         assert s["partitions_merged"] == 0  # never a base rewrite here
         assert min_view() == view
-        for d in os.listdir(gp):
-            pdir = os.path.join(gp, d)
-            if not d.startswith("__part=") or not os.path.isdir(pdir):
-                continue
-            tiers = _part_tiers(pdir)
-            n_run_files = len(tiers["run"])
-            # each fold writes one run FILE here (tiny outputs); the cap
-            # collapses before the count can exceed cap + 1
-            assert n_run_files <= 3, (
-                f"round {k}: {d} holds {n_run_files} run files — cap not enforced"
+        post = run_gens()
+        for d, gens in post.items():
+            # the structural bound: never more than cap run generations
+            assert gens <= di._MAX_RUNS_PER_PARTITION, (
+                f"round {k}: {d} holds {gens} run generations — cap not enforced"
             )
-            if k >= 3 and n_run_files <= 2:
+            # a partition AT the cap before a pass that run-folded must
+            # come out with exactly ONE run generation — positive proof
+            # the collapse branch executed, not a threshold-skip that
+            # happened to leave few files (review r11)
+            if (
+                s["partitions_run_folded"]
+                and pre.get(d, 0) >= di._MAX_RUNS_PER_PARTITION
+                and gens == 1
+            ):
                 saw_collapse = True
     assert saw_collapse  # the collapse branch actually executed

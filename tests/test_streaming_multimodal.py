@@ -1307,6 +1307,60 @@ def test_jpeg_binding_preferred_with_pinned_cross_check(monkeypatch):
     assert np.array_equal(mm.decode_image(bytes(jpg)), ref)
 
 
+# --- shared kill/restart harness (both layouts drive the same
+# choreography: 3 staggered source batches -> availableNow stream ->
+# crash mid-batch -> restart from the same checkpoint) ---------------
+
+
+def _kr_write_source(docs, src):
+    """Three one-file source batches with staggered mtimes so
+    maxFilesPerTrigger=1 replays them in doc_id order."""
+    import glob as globmod
+    import os as osmod
+    import time as timemod
+
+    docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
+    docs.where("doc_id >= 10 and doc_id < 20").coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    docs.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/b2")
+    for k, sub in enumerate(("b0", "b1", "b2")):
+        t = timemod.time() - (3 - k) * 10
+        for f in globmod.glob(f"{src}/{sub}/*"):
+            osmod.utime(f, (t, t))
+
+
+def _kr_start(spark, tmp_path, tag, index_table=None):
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_deduped_stream_sink,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / f"src_{tag}") + "/b*")
+    )
+    kwargs = {} if index_table is None else {"index_table": index_table}
+    return (
+        span_deduped_stream_sink(
+            stream,
+            str(tmp_path / f"gidx_{tag}"),
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            **kwargs,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _kr_collect(spark, tmp_path, tag):
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+    }
+
+
 @pytest.mark.parametrize("crash_mode", ["before_index_append", "after_index_append"])
 def test_span_sink_checkpoint_kill_restart_exactly_once(
     spark, tmp_path, monkeypatch, crash_mode
@@ -1321,14 +1375,9 @@ def test_span_sink_checkpoint_kill_restart_exactly_once(
     the output once). Reference semantics: incremental append
     exactly-once (code/file_handling/eddypro_concatenator.py:10-17)."""
     import glob as globmod
-    import os as osmod
-    import time as timemod
 
     from tern_ep_data_pipeline_spark.operators import dedup_index as di
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
-    from tern_ep_data_pipeline_spark.streaming.curation import (
-        span_deduped_stream_sink,
-    )
 
     phrase = " ".join(f"cr{i}" for i in range(10))
     texts = [
@@ -1341,42 +1390,14 @@ def test_span_sink_checkpoint_kill_restart_exactly_once(
     ]
     docs = spark.createDataFrame(texts, ["doc_id", "text"])
 
-    def write_source(src):
-        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
-        docs.where("doc_id >= 10 and doc_id < 20").coalesce(1).write.parquet(
-            f"{src}/b1"
-        )
-        docs.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/b2")
-        for k, sub in enumerate(("b0", "b1", "b2")):
-            t = timemod.time() - (3 - k) * 10
-            for f in globmod.glob(f"{src}/{sub}/*"):
-                osmod.utime(f, (t, t))
-
     def start(tag):
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(str(tmp_path / f"src_{tag}") + "/b*")
-        )
-        return (
-            span_deduped_stream_sink(
-                stream,
-                str(tmp_path / f"gidx_{tag}"),
-                str(tmp_path / f"out_{tag}"),
-                str(tmp_path / f"ckpt_{tag}"),
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
+        return _kr_start(spark, tmp_path, tag)
 
     def collect(tag):
-        return {
-            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
-            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
-        }
+        return _kr_collect(spark, tmp_path, tag)
 
     # crash-free twin — the oracle
-    write_source(str(tmp_path / "src_twin"))
+    _kr_write_source(docs, str(tmp_path / "src_twin"))
     q = start("twin")
     q.awaitTermination(180)
     release_staged(spark)
@@ -1385,7 +1406,7 @@ def test_span_sink_checkpoint_kill_restart_exactly_once(
 
     # faulted run: batch 0 commits, then the injected crash kills the
     # query inside batch 1
-    write_source(str(tmp_path / "src_cr"))
+    _kr_write_source(docs, str(tmp_path / "src_cr"))
     real_append = di.append_to_gram_index
     state = {"calls": 0}
 
@@ -1432,15 +1453,8 @@ def test_span_sink_checkpoint_kill_restart_bucketed(spark, tmp_path, monkeypatch
     the same per-gram minima (absorbed by the min fold; duplicate ROWS
     are expected, duplicate DECISIONS are not), the meta fingerprint
     carve-out admits the replay, and the sink equals a crash-free twin."""
-    import glob as globmod
-    import os as osmod
-    import time as timemod
-
     from tern_ep_data_pipeline_spark.operators import dedup_index as di
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
-    from tern_ep_data_pipeline_spark.streaming.curation import (
-        span_deduped_stream_sink,
-    )
 
     for t in ("gidx_kr_bkt", "gidx_kr_bkt_meta", "gidx_kr_twin",
               "gidx_kr_twin_meta"):
@@ -1456,48 +1470,19 @@ def test_span_sink_checkpoint_kill_restart_bucketed(spark, tmp_path, monkeypatch
     ]
     docs = spark.createDataFrame(texts, ["doc_id", "text"])
 
-    def write_source(src):
-        docs.where("doc_id < 10").coalesce(1).write.parquet(f"{src}/b0")
-        docs.where("doc_id >= 10 and doc_id < 20").coalesce(1).write.parquet(
-            f"{src}/b1"
-        )
-        docs.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/b2")
-        for k, sub in enumerate(("b0", "b1", "b2")):
-            t = timemod.time() - (3 - k) * 10
-            for f in globmod.glob(f"{src}/{sub}/*"):
-                osmod.utime(f, (t, t))
-
     def start(tag, table):
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(str(tmp_path / f"src_{tag}") + "/b*")
-        )
-        return (
-            span_deduped_stream_sink(
-                stream,
-                str(tmp_path / f"gidx_{tag}"),
-                str(tmp_path / f"out_{tag}"),
-                str(tmp_path / f"ckpt_{tag}"),
-                index_table=table,
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
+        return _kr_start(spark, tmp_path, tag, index_table=table)
 
     def collect(tag):
-        return {
-            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
-            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
-        }
+        return _kr_collect(spark, tmp_path, tag)
 
-    write_source(str(tmp_path / "src_ktwin"))
+    _kr_write_source(docs, str(tmp_path / "src_ktwin"))
     q = start("ktwin", "gidx_kr_twin")
     q.awaitTermination(180)
     release_staged(spark)
     expected = collect("ktwin")
 
-    write_source(str(tmp_path / "src_kbkt"))
+    _kr_write_source(docs, str(tmp_path / "src_kbkt"))
     real_append = di.append_to_gram_index_bucketed
     state = {"calls": 0}
 

@@ -207,14 +207,18 @@ def main() -> None:
             "slope": round(slope, 2),
             "marginal_exponent": round(marginal, 2),
         }
-        if marginal > LINEAR_BY_DESIGN.get(name, args.max_exponent):
-            flagged.append(name)
+        # widen (never narrow) the user's gate for Θ(n)-by-design
+        # queries: max() keeps an explicit looser --max-exponent in force
+        gate = max(args.max_exponent, LINEAR_BY_DESIGN.get(name, 0.0))
+        if marginal > gate:
+            out[name]["gate"] = gate
+            flagged.append(f"{name} ({marginal:.2f} > gate {gate})")
             out[name]["flagged_superlinear"] = True
         print(json.dumps({"query": name, **out[name]}))
     spark.stop()
     if flagged:
         raise SystemExit(
-            f"SUPERLINEAR: marginal exponent > {args.max_exponent} for "
+            f"SUPERLINEAR: marginal exponent over its gate for "
             f"{flagged} — a 100x scale-up amplifies these queries "
             "superlinearly; investigate before standing behind the curve"
         )
