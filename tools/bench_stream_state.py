@@ -232,19 +232,34 @@ def compaction_dirty_run(spark, sf_dir: str, parts: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def merge_crossing_run(spark, sf_dir: str, parts: int) -> dict:
+def merge_crossing_run(
+    spark,
+    sf_dir: str,
+    parts: int,
+    base_merge_fraction: float | None = None,
+    appends: int = 16,
+) -> dict:
     """Amortised write amplification across a schedule long enough to
     CROSS a base merge (the triggered-pass 1.0x figure covers run folds
     only; an honest LSM accounting must include the deferred base
     rewrite it amortises). Aggressive threshold + many small appends
     push runs past _BASE_MERGE_FRACTION; reported:
     amortised = total bytes_rewritten / total dirty bytes compacted,
-    merges included."""
+    merges included. ``base_merge_fraction`` overrides the module
+    default for the duration of the run (the --merge-fraction-sweep
+    mode maps the write-amp vs read-amp trade this knob controls); the
+    final tier byte split and max run-generation depth are reported as
+    the read-amplification side of that trade."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
     from tern_ep_data_pipeline_spark.operators.dedup_index import (
         append_to_gram_index,
         build_gram_index,
         compact_gram_index,
     )
+
+    prev_fraction = di._BASE_MERGE_FRACTION
+    if base_merge_fraction is not None:
+        di._BASE_MERGE_FRACTION = base_merge_fraction
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n = docs.count()
@@ -255,10 +270,13 @@ def merge_crossing_run(spark, sf_dir: str, parts: int) -> dict:
         build_gram_index(base, idx, range_partitions=parts)
         compact_gram_index(spark, idx)  # establish the base tier
         lo = int(n * 0.5)
-        step = max(1, int(n * 0.03))
+        # spread the remaining half of the corpus over the schedule so a
+        # longer schedule (sweep mode at high merge fractions) still has
+        # real rows per append
+        step = max(1, (n - lo) // appends)
         rewritten = dirty_compacted = merges = folds = 0
         passes = []
-        for i in range(16):
+        for i in range(appends):
             batch = docs.where(
                 f"doc_id >= {lo + i * step} and doc_id < {lo + (i + 1) * step}"
             )
@@ -279,10 +297,24 @@ def merge_crossing_run(spark, sf_dir: str, parts: int) -> dict:
                     }
                 )
         amortised = rewritten / max(dirty_compacted, 1)
+        # read-amplification side of the trade: how much of the final
+        # table lives OUTSIDE the base tier (readers re-fold it on every
+        # clean), and how deep the run stack got
+        gp = os.path.join(idx, "grams")
+        tier_bytes = {"base": 0, "run": 0, "l0": 0}
+        max_gens = 0
+        for d in os.listdir(gp):
+            pdir = os.path.join(gp, d)
+            if d.startswith("__part=") and os.path.isdir(pdir):
+                t = di._part_tiers(pdir)
+                for k in tier_bytes:
+                    tier_bytes[k] += sum(sz for _f, sz in t[k])
+                max_gens = max(max_gens, di._run_generations(t))
         return {
             "range_partitions": parts,
             "dirty_threshold": 0.05,
-            "appends": 16,
+            "base_merge_fraction": di._BASE_MERGE_FRACTION,
+            "appends": appends,
             "partition_merges": merges,
             "partition_run_folds": folds,
             "triggered_passes": passes,
@@ -293,8 +325,16 @@ def merge_crossing_run(spark, sf_dir: str, parts: int) -> dict:
             # exercised the deferred rewrite — the figure above would
             # then be the run-fold-only number, not the amortised one
             "crossed_base_merge": merges > 0,
+            "final_tier_bytes": tier_bytes,
+            "final_nonbase_fraction": round(
+                (tier_bytes["run"] + tier_bytes["l0"])
+                / max(sum(tier_bytes.values()), 1),
+                3,
+            ),
+            "final_max_run_generations": max_gens,
         }
     finally:
+        di._BASE_MERGE_FRACTION = prev_fraction
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -305,8 +345,35 @@ def main() -> None:
     ap.add_argument("--rows-per-batch", type=int, default=2000)
     ap.add_argument("--dup-frac", type=float, default=0.5)
     ap.add_argument("--range-partitions", type=int, default=16)
+    ap.add_argument(
+        "--merge-fraction-sweep",
+        nargs="*",
+        type=float,
+        default=None,
+        help="instead of the full artifact, run merge_crossing at each "
+        "given _BASE_MERGE_FRACTION (default sweep: 0.5 1.0 2.0) and "
+        "print the write-amp vs read-amp trade curve",
+    )
     args = ap.parse_args()
     spark = get_spark("stream-state-bench")
+    if args.merge_fraction_sweep is not None:
+        fracs = args.merge_fraction_sweep or [0.5, 1.0, 2.0]
+        # scale the schedule so every point actually CROSSES its merge
+        # trigger (runs must accumulate past f x base) — a point that
+        # never merges reports a fold-only number, not the amortised one
+        points = [
+            merge_crossing_run(
+                spark,
+                args.dir,
+                args.range_partitions,
+                base_merge_fraction=f,
+                appends=int(16 * max(1.0, 2.0 * f)),
+            )
+            for f in fracs
+        ]
+        print(json.dumps({"metric": "merge_fraction_sweep", "points": points}))
+        spark.stop()
+        return
     out = {
         "metric": "spill_r11",
         "dup_frac": args.dup_frac,
