@@ -3893,6 +3893,37 @@ def test_run_fold_crash_injection_heals(spark, tmp_path, monkeypatch, fail_at):
     assert s2["partitions_compacted"] == 0  # idempotent after heal
 
 
+def test_run_generations_counts_folds_not_files():
+    """The collapse cap counts fold GENERATIONS: one fold emitting k
+    salted files (run-<seq>-<i>-... for several i) is ONE generation —
+    counting files would trip the cap after ceil(cap/k) folds and
+    re-read all run bytes nearly every pass (review r11). Unparseable
+    run names count as their own generation (collapse sooner, never
+    later)."""
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _run_generations,
+    )
+
+    def tiers(names):
+        return {"l0": [], "base": [], "run": [(n, 1) for n in names]}
+
+    # 2 folds x 4 files each = 2 generations, not 8
+    multi = [f"run-{s}-{i}-part.parquet" for s in (1, 2) for i in range(4)]
+    assert _run_generations(tiers(multi)) == 2
+    # heal-restored prefix stripped before parsing
+    assert _run_generations(tiers(["restored-3-run-5-0-x.parquet"])) == 1
+    # same seq restored + live = one generation
+    assert (
+        _run_generations(
+            tiers(["run-7-0-a.parquet", "restored-1-run-7-1-a.parquet"])
+        )
+        == 1
+    )
+    # unparseable names each count (conservative)
+    assert _run_generations(tiers(["run-x-junk", "run-1-0-y.parquet"])) == 2
+    assert _run_generations(tiers([])) == 0
+
+
 def test_run_tier_file_count_bounded(spark, tmp_path, monkeypatch):
     """The L1 run cap: past _MAX_RUNS_PER_PARTITION runs, the next fold
     collapses them into one — per-partition file count (read
