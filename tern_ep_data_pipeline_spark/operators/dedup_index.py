@@ -865,8 +865,19 @@ _LEASE_UNREADABLE_GRACE_S = 5.0
 
 #: Seconds a reclaim-by-rename waits before re-reading the lock to
 #: confirm the rename was not itself clobbered by a second reclaimer
-#: (see the reclaim block in :func:`index_lease`).
-_RECLAIM_SETTLE_S = 0.05
+#: (see the reclaim block in :func:`index_lease`). Sized well above
+#: plausible driver pause times (GC, CPU oversubscription routinely
+#: stall a thread 50-200ms): a competitor suspended between ITS stale
+#: re-read and ITS rename can only clobber a confirmed waiter if its
+#: stall exceeds this settle. Reclaim is a rare crash-recovery path,
+#: so the latency is cheap (ADVICE r11 #1).
+_RECLAIM_SETTLE_S = 0.75
+
+#: Second, shorter confirmation interval: after the settle read-back
+#: says the lease is ours, wait this long and read ONCE more before
+#: treating the lease as held — a belt-and-braces re-verification
+#: immediately before the caller's first destructive action.
+_RECLAIM_CONFIRM_S = 0.25
 
 #: Per-acquisition sequence — with the thread id, makes every lease
 #: attempt's payload temp file (and payload nonce) unique, so two
@@ -1016,12 +1027,20 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                         os.rename(tmpf, lock)
                     except OSError:
                         continue
-                    time.sleep(_RECLAIM_SETTLE_S)
-                    try:
-                        with open(lock, "rb") as fh:
-                            mine = fh.read() == payload
-                    except OSError:
-                        mine = False
+                    # two-stage confirmation: the long settle outlasts
+                    # plausible competitor pauses, the short second read
+                    # re-verifies the payload immediately before the
+                    # caller's critical section (ADVICE r11 #1)
+                    mine = True
+                    for pause in (_RECLAIM_SETTLE_S, _RECLAIM_CONFIRM_S):
+                        time.sleep(pause)
+                        try:
+                            with open(lock, "rb") as fh:
+                                mine = fh.read() == payload
+                        except OSError:
+                            mine = False
+                        if not mine:
+                            break
                     if mine:
                         acquired = True
                         break
@@ -1265,7 +1284,10 @@ def _compact_partitions(
 
 
 def compact_gram_index(
-    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+    spark: SparkSession,
+    path: str,
+    dirty_threshold: float = 0.2,
+    wait_s: float | None = None,
 ) -> dict:
     """Rewrite the gram-first table keeping ``min(first_key)`` per gram —
     the same min-combine every read already applies, run once and made
@@ -1307,8 +1329,9 @@ def compact_gram_index(
             ),
             dirty_threshold,
             "gram_hash",
+            wait_s=wait_s,
         )
-    with index_lease(gp, "compact"):
+    with index_lease(gp, "compact", wait_s=wait_s):
         recover_interrupted_compaction(gp)
         # snapshot BEFORE the read pins its file listing, so an append
         # landing after the read trips the growth guard (ADVICE r9 #3)
@@ -1494,6 +1517,7 @@ def _compact_ranged(
     fold,
     dirty_threshold: float,
     key_col: str,
+    wait_s: float | None = None,
 ) -> dict:
     """Partition-scoped, LSM-tiered compaction of a range-partitioned
     index table: only ``__part=K`` directories whose RAW-append (L0)
@@ -1539,7 +1563,7 @@ def _compact_ranged(
     n_merged = n_run_folded = 0
     bytes_total = bytes_dirty = bytes_rewritten = bytes_dirty_compacted = 0
     tmp_root = table_dir + ".compact-ranged-tmp"
-    with index_lease(table_dir, "compact"):
+    with index_lease(table_dir, "compact", wait_s=wait_s):
         _recover_gram_partitions(table_dir)
         parts = sorted(
             d for d in os.listdir(table_dir)
@@ -1704,7 +1728,10 @@ def _compact_ranged(
 
 
 def compact_chunk_index(
-    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+    spark: SparkSession,
+    path: str,
+    dirty_threshold: float = 0.2,
+    wait_s: float | None = None,
 ) -> dict:
     """Rewrite the chunk-hash table to distinct hashes (appends are
     distinct within themselves only — `append_to_chunk_index`), bounding
@@ -1721,9 +1748,9 @@ def compact_chunk_index(
         # __part is derived from the hash
         return _compact_ranged(
             spark, cp, lambda df: df.distinct(), dirty_threshold,
-            "chunk_hash",
+            "chunk_hash", wait_s=wait_s,
         )
-    with index_lease(cp, "compact"):
+    with index_lease(cp, "compact", wait_s=wait_s):
         recover_interrupted_compaction(cp)
         snapshot = _dir_bytes(cp)
         before = spark.read.parquet(cp)
@@ -1739,7 +1766,10 @@ def compact_chunk_index(
 
 
 def compact_line_index(
-    spark: SparkSession, path: str, dirty_threshold: float = 0.2
+    spark: SparkSession,
+    path: str,
+    dirty_threshold: float = 0.2,
+    wait_s: float | None = None,
 ) -> dict:
     """Rewrite the line-count table summing ``n_docs`` per hash — the
     same sum ``clean_against_line_index`` applies on read (counts add
@@ -1758,8 +1788,9 @@ def compact_line_index(
             ),
             dirty_threshold,
             "line_hash",
+            wait_s=wait_s,
         )
-    with index_lease(lp, "compact"):
+    with index_lease(lp, "compact", wait_s=wait_s):
         recover_interrupted_compaction(lp)
         snapshot = _dir_bytes(lp)
         before = spark.read.parquet(lp)
@@ -2004,7 +2035,9 @@ def recover_interrupted_table_compaction(
     return False
 
 
-def _table_lease(spark: SparkSession, table: str, role: str):
+def _table_lease(
+    spark: SparkSession, table: str, role: str, wait_s: float | None = None
+):
     """The bucketed-table analogue of the dir layout's :func:`index_lease`
     (VERDICT r10 #5): the metastore swap (DROP + RENAME) is atomic for
     READERS (plus :func:`recover_interrupted_table_compaction` for the
@@ -2016,15 +2049,42 @@ def _table_lease(spark: SparkSession, table: str, role: str):
     On an object-store warehouse (``://``) the lease no-ops as always:
     there, writer exclusion must come from the lake's transactional
     table format (Delta/Iceberg commit protocol), which this plain
-    saveAsTable layout deliberately does not reimplement."""
+    saveAsTable layout deliberately does not reimplement.
+
+    The lock path is derived from the NORMALISED identifier (ADVICE
+    r11 #3): catalog/database qualifiers are resolved so ``grams``,
+    ``default.grams`` and ``spark_catalog.default.grams`` all key the
+    SAME lock, and a non-default database keys ``wh/<db>.db/<tbl>`` —
+    beside the real table dir. Tables with a custom LOCATION are still
+    keyed off the warehouse-derived path: what a lock needs is that
+    every participant computes the SAME key, and the warehouse key is
+    the only one stable across the DROP+RENAME swap window (resolving
+    the live location mid-swap would fail or diverge)."""
+    return index_lease(_table_lock_path(spark, table), role, wait_s=wait_s)
+
+
+def _table_lock_path(spark: SparkSession, table: str) -> str:
+    """Deterministic lock-file key for a (possibly qualified) table
+    identifier — see :func:`_table_lease`. Metastore identifiers are
+    case-insensitive and the warehouse dirs are lowercase."""
     try:
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     except Exception:
         wh = "spark-warehouse"
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
-    # metastore identifiers are case-insensitive; the dir is lowercase
-    return index_lease(os.path.join(wh, table.lower()), role)
+    parts = [p.strip("`").lower() for p in table.strip().split(".") if p]
+    tbl = parts[-1] if parts else table.lower()
+    if len(parts) >= 2:
+        db = parts[-2]  # a 3-part name's head is the catalog — ignored
+    else:
+        try:
+            db = (spark.catalog.currentDatabase() or "default").lower()
+        except Exception:
+            db = "default"
+    if db == "default":
+        return os.path.join(wh, tbl)
+    return os.path.join(wh, db + ".db", tbl)
 
 
 def _table_data_bytes(spark: SparkSession, table: str) -> int:
@@ -2068,6 +2128,7 @@ def _compact_bucketed(
     agg_fn,
     n_buckets: int | None,
     dirty_threshold: float = 0.0,
+    wait_s: float | None = None,
 ) -> dict:
     """Shared bucketed-compaction protocol: heal any interrupted prior
     swap, rewrite ``agg_fn(table)`` into a fresh bucketed tmp table with
@@ -2091,7 +2152,7 @@ def _compact_bucketed(
     # the lease spans read -> swap: an append landing between the
     # compactor's table read and its DROP would otherwise be silently
     # dropped with the old table (VERDICT r10 #5)
-    with _table_lease(spark, table, "compact"):
+    with _table_lease(spark, table, "compact", wait_s=wait_s):
         recover_interrupted_table_compaction(spark, table)
         if dirty_threshold > 0:
             cur = _table_data_bytes(spark, table)
@@ -2130,6 +2191,7 @@ def compact_gram_index_bucketed(
     table: str,
     n_buckets: int | None = None,
     dirty_threshold: float = 0.0,
+    wait_s: float | None = None,
 ) -> dict:
     """Compact the bucketed gram index: min(first_key) per gram rewritten
     into a fresh bucketed table that replaces the old one through the
@@ -2146,6 +2208,7 @@ def compact_gram_index_bucketed(
         ),
         n_buckets,
         dirty_threshold,
+        wait_s=wait_s,
     )
 
 
@@ -2310,13 +2373,14 @@ def compact_chunk_index_bucketed(
     table: str,
     n_buckets: int | None = None,
     dirty_threshold: float = 0.0,
+    wait_s: float | None = None,
 ) -> dict:
     """Distinct-rewrite of the bucketed chunk table via the shared
     metastore-swap protocol (:func:`_compact_bucketed` — catalog-derived
     bucket spec, interrupted-swap recovery)."""
     return _compact_bucketed(
         spark, table, "chunk_hash", lambda df: df.distinct(), n_buckets,
-        dirty_threshold,
+        dirty_threshold, wait_s=wait_s,
     )
 
 
@@ -2402,6 +2466,7 @@ def compact_line_index_bucketed(
     table: str,
     n_buckets: int | None = None,
     dirty_threshold: float = 0.0,
+    wait_s: float | None = None,
 ) -> dict:
     """Sum-rewrite of the bucketed line-count table via the shared
     metastore-swap protocol (:func:`_compact_bucketed`)."""
@@ -2412,4 +2477,5 @@ def compact_line_index_bucketed(
         lambda df: df.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs")),
         n_buckets,
         dirty_threshold,
+        wait_s=wait_s,
     )

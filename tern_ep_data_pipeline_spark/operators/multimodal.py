@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -269,12 +270,38 @@ def _cross_check_jpeg(content: bytes, got: np.ndarray) -> None:
         )
 
 
+def _jpeg_decoder_mode() -> str:
+    """JPEG dispatch policy, from ``$SPARK_GRAFT_JPEG_DECODER`` (ADVICE
+    r11 #2): ``auto`` (default — prefer a native binding, sampled
+    cross-check against the pinned decoder) or ``stdlib`` (force the
+    pinned pure-Python decoder: bit-identical pixels on EVERY
+    environment, for reproducibility-sensitive corpus builds where a
+    binding's codec-rounding drift — or its acceptance of variants the
+    pinned decoder quarantines — must not change corpus contents).
+    Set it on driver AND executors (``spark.executorEnv.*`` on a
+    cluster); unknown values raise loudly rather than silently
+    reverting to the environment-dependent default."""
+    mode = os.environ.get("SPARK_GRAFT_JPEG_DECODER", "auto").lower()
+    if mode not in ("auto", "stdlib"):
+        raise ValueError(
+            f"SPARK_GRAFT_JPEG_DECODER={mode!r}: expected 'auto' or 'stdlib'"
+        )
+    return mode
+
+
 def decode_image(content: bytes) -> np.ndarray:
-    """Image decode: REAL for every format the pipeline claims — BMP, P6
-    PPM, common-shape PNG (zlib + numpy unfilter), and baseline JPEG
-    (``operators.jpeg``: full DQT/DHT/SOF/SOS parse, Huffman entropy
-    decode, dequant + IDCT, 4:4:4/4:2:2/4:2:0). Progressive JPEG and
-    exotic variants raise with the marker named.
+    """Image decode: REAL for every format the pipeline claims — see
+    :func:`decode_image_tagged` (this is its pixels-only form)."""
+    return decode_image_tagged(content)[0]
+
+
+def decode_image_tagged(content: bytes) -> tuple[np.ndarray, str]:
+    """Image decode returning ``(pixels, decoder_identity)``: REAL for
+    every format the pipeline claims — BMP, P6 PPM, common-shape PNG
+    (zlib + numpy unfilter), and baseline JPEG (``operators.jpeg``: full
+    DQT/DHT/SOF/SOS parse, Huffman entropy decode, dequant + IDCT,
+    4:4:4/4:2:2/4:2:0). Progressive JPEG and exotic variants raise with
+    the marker named.
 
     JPEG dispatch order (VERDICT r10 #2): a native binding (Pillow /
     libjpeg) is PREFERRED when importable — the pure-Python decoder's
@@ -284,31 +311,45 @@ def decode_image(content: bytes) -> np.ndarray:
     per-image) re-decodes through the stdlib path and fails loudly if
     the binding diverges beyond codec-rounding tolerance. Without a
     binding, the stdlib decoder remains the primary path, bit-for-bit
-    as before."""
-    if content[:2] == b"BM":
-        return decode_image_bmp(content)
-    if content[:2] == b"P6":
-        return decode_image_ppm(content)
-    if content[:8] == _PNG_SIG:
-        return decode_image_png(content)
-    if content[:2] == b"\xff\xd8":
-        from .codec_bindings import decode_image_pil
+    as before. ``$SPARK_GRAFT_JPEG_DECODER=stdlib`` forces the pinned
+    path even with a binding present (ADVICE r11 #2 — heterogeneous
+    clusters where Pillow presence/version varies would otherwise
+    decode the same JPEG to pixels differing by up to the cross-check
+    tolerance, making downstream similarity features irreproducible).
 
-        img = decode_image_pil(content)
-        if img is not None:
-            if next(_jpeg_xcheck_counter) % _JPEG_XCHECK_EVERY == 0:
-                _cross_check_jpeg(content, img)
-            return img
+    The returned identity (``jpeg-pil`` / ``jpeg-stdlib`` / ``png`` /
+    ``bmp`` / ``ppm`` / ``pil``) is recorded by
+    :func:`extract_features` in every decoded feature row, so an
+    environment-divergent corpus is detectable after the fact."""
+    if content[:2] == b"BM":
+        return decode_image_bmp(content), "bmp"
+    if content[:2] == b"P6":
+        return decode_image_ppm(content), "ppm"
+    if content[:8] == _PNG_SIG:
+        return decode_image_png(content), "png"
+    if content[:2] == b"\xff\xd8":
+        if _jpeg_decoder_mode() == "auto":
+            from .codec_bindings import decode_image_pil
+
+            img = decode_image_pil(content)
+            if img is not None:
+                if next(_jpeg_xcheck_counter) % _JPEG_XCHECK_EVERY == 0:
+                    _cross_check_jpeg(content, img)
+                return img, "jpeg-pil"
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(content)
+        return decode_jpeg(content), "jpeg-stdlib"
     # unknown container (WebP, TIFF, GIF, ...): extend via Pillow when it
-    # is installed; same honest rejection when it is not
+    # is installed; same honest rejection when it is not. NOT gated by
+    # the stdlib-force switch: the pinned decoders cannot read these at
+    # all, so there is no pinned output to diverge from — presence vs
+    # absence of the binding only changes quarantine membership, which
+    # decode_error already records
     from .codec_bindings import decode_image_pil
 
     img = decode_image_pil(content)
     if img is not None:
-        return img
+        return img, "pil"
     raise NotImplementedError(
         "unrecognised image container (install Pillow to extend the dispatch)"
     )
@@ -464,11 +505,20 @@ def extract_features(
     on_error: str = "tag",
 ) -> DataFrame:
     """Arrow-batched feature extraction:
-    (asset_id, feature array<double>, decode_error string).
+    (asset_id, feature array<double>, decode_error string, decoder string).
 
     ``mapInPandas`` keeps whole-file bytes off the driver and vectorises per
     batch; output schema is plan-time fixed. With ``use_fake_encoder=False``
     the real decoders are called.
+
+    ``decoder`` records which decode path produced the feature (ADVICE
+    r11 #2): for images the :func:`decode_image_tagged` identity
+    (``jpeg-pil`` vs ``jpeg-stdlib`` is the reproducibility-relevant
+    split — pixel output can differ by codec rounding between them),
+    ``wav``/``ffmpeg`` for audio, ``mjpeg`` for video, ``fake`` for the
+    deterministic fake encoder; NULL on decode failure. A corpus built
+    across heterogeneous environments can be audited for divergent
+    decode paths after the fact (``GROUP BY decoder``).
 
     ``on_error='tag'`` (default): an asset the codecs cannot decode — a
     arithmetic-coded JPEG beside the DCT decoders, a truncated file, an
@@ -488,25 +538,32 @@ def extract_features(
         for pdf in batches:
             feats: list = []
             errs: list = []
+            decs: list = []
             for content, modality in zip(pdf["content"], pdf["modality"]):
                 raw = bytes(content)
                 try:
                     if use_fake_encoder or modality == "text":
                         feats.append(_fake_feature(raw, dim))
+                        dec = "fake"
                     elif modality == "image":
-                        feats.append(image_feature(decode_image(raw), dim))
+                        img, dec = decode_image_tagged(raw)
+                        feats.append(image_feature(img, dim))
                     elif modality == "audio":
                         feats.append(audio_feature(decode_audio(raw)[0], dim))
+                        dec = "wav" if raw[:4] == b"RIFF" else "ffmpeg"
                     elif modality == "video":
                         feats.append(video_feature(raw, dim))
+                        dec = "mjpeg"
                     else:
                         raise NotImplementedError(f"modality {modality!r}")
                     errs.append(None)
+                    decs.append(dec)
                 except Exception as exc:
                     if on_error == "raise":
                         raise
                     feats.append(None)
                     errs.append(f"{type(exc).__name__}: {exc}")
+                    decs.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -514,11 +571,16 @@ def extract_features(
                         f.tolist() if f is not None else None for f in feats
                     ],
                     "decode_error": errs,
+                    "decoder": decs,
                 }
             )
 
     return assets.select("asset_id", "modality", "content").mapInPandas(
-        run, schema="asset_id BIGINT, feature ARRAY<DOUBLE>, decode_error STRING"
+        run,
+        schema=(
+            "asset_id BIGINT, feature ARRAY<DOUBLE>, "
+            "decode_error STRING, decoder STRING"
+        ),
     )
 
 

@@ -261,6 +261,18 @@ def span_dedup_batch(
     ``compact_dedup_indexes`` serialises against the batch at
     acquisition; the append inside re-takes the lease re-entrantly.
 
+    NOTE the lease is held for the WHOLE batch span — minutes for a
+    large micro-batch — while a standalone compactor's default
+    acquisition wait is only ``dedup_index._LEASE_WAIT_S`` (60s), so a
+    maintenance compaction run against a live stream with the default
+    wait raises ``IndexLockError`` more often than not (ADVICE r11 #4).
+    Compactors targeting a table with a live streaming writer should
+    pass a batch-sized ``wait_s`` (every ``compact_*`` function accepts
+    it; the ``compact_dedup_indexes`` task defaults to 900s via
+    ``$SPARK_GRAFT_COMPACT_WAIT_S``) or schedule compaction through the
+    sink's own ``compact_every`` hook, which runs inside the batch
+    lease.
+
     Appending the original (not cleaned) text makes the index converge to
     exactly the full-corpus first-occurrence keys, so a later batch's
     decisions equal what batch ``substring_dedup`` over the union would

@@ -140,7 +140,15 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
     appends inside ``foreachBatch``. Best-effort in-process guards
     (in-progress ``_temporary`` dirs, pre-read byte snapshots) remain as
     a backstop against writers that bypass the lease — see
-    ``dedup_index._rewrite_parquet_dir``."""
+    ``dedup_index._rewrite_parquet_dir``.
+
+    A live streaming writer holds its table's lease across a WHOLE
+    micro-batch (heal -> clean -> append — minutes for a large batch),
+    so this task's default acquisition wait is sized for that case:
+    ``$SPARK_GRAFT_COMPACT_WAIT_S`` (default 900s, vs the library's
+    per-call 60s) — a maintenance compactor should outwait a batch, not
+    turn concurrent maintenance into the common failure (ADVICE r11
+    #4)."""
     from .operators import dedup_index as di
 
     apply_engine_conf(spark)
@@ -148,6 +156,7 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(_out_dir(), "dedup_index", f"site={site}"),
     )
+    wait_s = float(os.environ.get("SPARK_GRAFT_COMPACT_WAIT_S", "900"))
     out: dict = {"path": root}
     for sub, fn in (
         ("grams", di.compact_gram_index),
@@ -156,5 +165,5 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
     ):
         di.recover_interrupted_compaction(os.path.join(root, sub))
         if os.path.isdir(os.path.join(root, sub)):
-            out[sub] = fn(spark, root)
+            out[sub] = fn(spark, root, wait_s=wait_s)
     return out

@@ -2274,6 +2274,141 @@ def test_index_lease_excludes_compaction_from_live_writer(
     assert not os.path.exists(lock)  # released once, by the real holder
 
 
+def test_two_waiter_stale_reclaim_race(tmp_path, monkeypatch):
+    """VERDICT r11 #5 / ADVICE r11 #1: N threads race to reclaim ONE
+    dead-pid lease. The rename-based reclaim must elect exactly one
+    winner per acquisition (mutual exclusion never violated), losers
+    must recreate their consumed payload temp and re-poll without any
+    FileNotFoundError surfacing, and every waiter eventually acquires
+    serially."""
+    import json
+    import os
+    import threading
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+    # keep the two-stage confirmation logic but compress the waits so
+    # four serial reclaim+hold cycles stay fast
+    monkeypatch.setattr(di, "_RECLAIM_SETTLE_S", 0.2)
+    monkeypatch.setattr(di, "_RECLAIM_CONFIRM_S", 0.1)
+    target = str(tmp_path / "raced_table")
+    lock = target + ".lock"
+    with open(lock, "w") as fh:
+        json.dump({"pid": 2**22 + 54321, "role": "append"}, fh)  # dead pid
+
+    n = 4
+    barrier = threading.Barrier(n)
+    inside = threading.Semaphore(1)
+    acquired: list[int] = []
+    errors: list[BaseException] = []
+
+    def waiter(i: int):
+        try:
+            barrier.wait()
+            with di.index_lease(target, "append", wait_s=30):
+                # mutual exclusion: a second thread inside the critical
+                # section at the same time means the reclaim elected two
+                # winners
+                assert inside.acquire(blocking=False), (
+                    "two lease holders inside the critical section — "
+                    "stale reclaim elected more than one winner"
+                )
+                try:
+                    import time
+
+                    time.sleep(0.05)
+                    acquired.append(i)
+                finally:
+                    inside.release()
+        except BaseException as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=waiter, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads), "waiter threads wedged"
+    assert not errors, f"reclaim race raised: {errors}"
+    assert sorted(acquired) == list(range(n))  # every waiter got through
+    assert not os.path.exists(lock)  # released by the last holder
+
+
+def test_table_lock_path_normalises_identifiers(spark):
+    """ADVICE r11 #3: two spellings of one table must key ONE lock —
+    'grams', 'default.grams' and 'spark_catalog.default.grams' (and
+    backticked/odd-cased forms) all resolve to the same path, and a
+    database-qualified name lands the lock beside the real
+    wh/<db>.db/<tbl> dir rather than at wh/<db>.<tbl>."""
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _table_lock_path,
+    )
+
+    base = _table_lock_path(spark, "grams")
+    assert _table_lock_path(spark, "default.grams") == base
+    assert _table_lock_path(spark, "spark_catalog.default.grams") == base
+    assert _table_lock_path(spark, "`default`.`GRAMS`") == base
+
+    qualified = _table_lock_path(spark, "mydb.grams")
+    assert qualified != base
+    assert qualified.endswith(os.path.join("mydb.db", "grams"))
+    assert _table_lock_path(spark, "spark_catalog.mydb.grams") == qualified
+
+
+def test_compactor_wait_outlasts_batch_lease(spark, tmp_path):
+    """ADVICE r11 #4: a streaming batch holds its index lease for the
+    whole heal->clean->append span, so a maintenance compactor with the
+    default 60s wait raced against a long batch fails as the COMMON
+    case. Every compactor now accepts wait_s: a short wait still fails
+    loudly, a batch-sized wait rides the holder out and compacts."""
+    import os
+    import threading
+    import time
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        IndexLockError,
+        build_gram_index,
+        compact_gram_index,
+        index_lease,
+    )
+
+    path = str(tmp_path / "gidx_waits")
+    docs = spark.createDataFrame(
+        [(1, "wait document body " + " ".join(f"w{i}" for i in range(12)))],
+        ["doc_id", "text"],
+    )
+    build_gram_index(docs, path)
+    gp = os.path.join(path, "grams")
+
+    held = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with index_lease(gp, "batch"):
+            held.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert held.wait(timeout=10)
+        # impatient compactor: fails loudly while the batch holds on
+        with pytest.raises(IndexLockError, match="lease"):
+            compact_gram_index(spark, path, wait_s=0.3)
+        # batch-sized wait: outlasts the holder and compacts
+        timer = threading.Timer(1.0, release.set)
+        timer.start()
+        t0 = time.monotonic()
+        stats = compact_gram_index(spark, path, wait_s=30)
+        assert time.monotonic() - t0 >= 0.5  # it actually waited
+        assert stats["rows_after"] <= stats["rows_before"]
+    finally:
+        release.set()
+        t.join(timeout=10)
+
+
 def test_incremental_span_floor_calibration():
     """The incremental span-dedup floor constants must reproduce the
     SPILL_r07 grid: 2g/32 passed batch 0 (empty index) and heap-OOM'd at
@@ -3744,6 +3879,95 @@ def test_bucketed_append_vs_compact_concurrency(spark, tmp_path):
     assert view(table) == view("gidx_conc_ref")
     for t in (table, table + "_meta", "gidx_conc_ref", "gidx_conc_ref_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_heal_waits_for_live_compactor(spark, tmp_path):
+    """VERDICT r11 #6: the bucketed-layout mirror of the dir-layout
+    heal-vs-compactor exclusion — a streaming batch's pre-batch heal
+    racing a live compactor that is INSIDE the metastore swap window
+    (live table DROPPED, _compact_tmp holds the data) must wait at the
+    table lease rather than misread the swap as crash debris: healing
+    it mid-swap would rename the tmp out from under the compactor's
+    rename (wedging it), and reading on would see no table and
+    silently bootstrap-reset the dedup state."""
+    import threading
+    import time
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _table_lease,
+        build_gram_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        span_dedup_batch,
+    )
+
+    table = "gidx_heal_vs_compact"
+    for t in (table, table + "_meta", table + "_compact_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    body = "shared corpus body " + " ".join(f"w{i}" for i in range(30))
+    seed = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    build_gram_index_bucketed(seed, table, n_buckets=2)
+
+    in_window = threading.Event()
+    errors: list = []
+
+    def compactor():
+        try:
+            from tern_ep_data_pipeline_spark.sources.lake import (
+                write_bucketed,
+            )
+
+            with _table_lease(spark, table, "compact"):
+                # simulate the mid-swap window for real: tmp carries the
+                # data (same bucket spec, as the real compactor writes
+                # it), the live identity is gone
+                write_bucketed(
+                    spark.table(table), table + "_compact_tmp",
+                    ["gram_hash"], n_buckets=2,
+                    sort_cols=["gram_hash"], mode="overwrite",
+                )
+                spark.sql(f"DROP TABLE {table}")
+                in_window.set()
+                time.sleep(3.0)  # the batch must be waiting at the lease
+                spark.sql(
+                    f"ALTER TABLE {table}_compact_tmp RENAME TO {table}"
+                )
+        except Exception as exc:
+            errors.append(exc)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    try:
+        assert in_window.wait(timeout=60)
+        # a later batch repeats the seed doc: against the INTACT index it
+        # cleans to empty; a bootstrap-reset would keep it
+        batch = spark.createDataFrame([(2, body)], ["doc_id", "text"])
+        out = span_dedup_batch(
+            batch,
+            index_path=str(tmp_path / "unused"),
+            index_table=table,
+            min_tokens=8,
+            memory_guard=False,
+            n_buckets=2,
+        )
+        rows = out.collect()
+    finally:
+        t.join(timeout=60)
+    assert not t.is_alive(), "compactor wedged"
+    assert not errors, f"live compactor broken by the racing heal: {errors}"
+    # the batch waited: it cleaned against the full index (plan was NOT
+    # bootstrap) and the swap survived with a single table identity
+    assert spark.sparkContext.getLocalProperty("tern.span_dedup.plan") in (
+        "bucketed-fused",
+        "bucketed-staged",
+    )
+    removed = {r["doc_id"]: r["n_removed_tokens"] for r in rows}
+    assert removed.get(2, 0) > 0  # the seed's grams DID cover the repeat
+    assert spark.catalog.tableExists(table)
+    assert not spark.catalog.tableExists(table + "_compact_tmp")
+    for t2 in (table, table + "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
 
 
 def test_heal_merge_preserves_file_tiers(spark, tmp_path):

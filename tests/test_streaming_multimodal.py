@@ -1307,6 +1307,101 @@ def test_jpeg_binding_preferred_with_pinned_cross_check(monkeypatch):
     assert np.array_equal(mm.decode_image(bytes(jpg)), ref)
 
 
+def test_jpeg_stdlib_force_switch(monkeypatch):
+    """ADVICE r11 #2: binding-preferred JPEG decode made the pixel output
+    environment-dependent (same JPEG, different pixels up to the
+    cross-check tolerance depending on Pillow presence/version).
+    SPARK_GRAFT_JPEG_DECODER=stdlib forces the pinned pure-Python path
+    even with a binding importable — bit-identical on every environment
+    — decode_image_tagged reports which path decoded, and a typo'd
+    switch value raises loudly instead of silently reverting to the
+    environment-dependent default."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import codec_bindings
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+    from tern_ep_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    jpg = bytes(encode_jpeg(img, quality=90))
+    ref = decode_jpeg(jpg)
+
+    calls = {"n": 0}
+
+    def fake_binding(content):
+        calls["n"] += 1
+        return np.clip(ref.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+
+    monkeypatch.setattr(codec_bindings, "decode_image_pil", fake_binding)
+    monkeypatch.setattr(mm, "_jpeg_xcheck_counter", iter([1, 2, 3, 4]))
+
+    # auto (default): the binding decodes, identity says so
+    monkeypatch.delenv("SPARK_GRAFT_JPEG_DECODER", raising=False)
+    got, dec = mm.decode_image_tagged(jpg)
+    assert calls["n"] == 1 and dec == "jpeg-pil"
+
+    # stdlib-forced: the binding is NEVER consulted, pixels are
+    # bit-identical to the pinned decoder, identity records the path
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "stdlib")
+    got, dec = mm.decode_image_tagged(jpg)
+    assert calls["n"] == 1  # unchanged — binding bypassed
+    assert dec == "jpeg-stdlib" and np.array_equal(got, ref)
+
+    # non-JPEG containers the pinned decoders can't read at all still
+    # extend through the binding (presence only changes quarantine
+    # membership, not pixel values of decodable assets)
+    monkeypatch.setattr(
+        codec_bindings,
+        "decode_image_pil",
+        lambda content: np.zeros((2, 2, 3), dtype=np.uint8),
+    )
+    got, dec = mm.decode_image_tagged(b"RIFFxxxxWEBPVP8 ")
+    assert dec == "pil"
+
+    # unknown values fail loudly (a silent fallback to 'auto' is the
+    # exact reproducibility trap the switch exists to close)
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "stdilb")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_JPEG_DECODER"):
+        mm.decode_image_tagged(jpg)
+
+
+def test_extract_features_records_decoder(spark):
+    """ADVICE r11 #2: every decoded feature row carries the decoder
+    identity that produced it (NULL on quarantine), so a corpus built
+    across heterogeneous environments can be audited for divergent
+    decode paths after the fact."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators import multimodal as mm
+    from tern_ep_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(13)
+    jpg = bytes(encode_jpeg(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)))
+    rows = [
+        (1, "image", bytearray(_bmp_bytes(8, 8, (255, 255, 255))), None),
+        (2, "image", bytearray(jpg), None),
+        (3, "audio", bytearray(_wav_bytes(1600)), None),
+        (4, "text", bytearray(b"plain text"), None),
+        (5, "image", bytearray(b"not an image at all"), None),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {
+        r["asset_id"]: r
+        for r in mm.extract_features(assets, use_fake_encoder=False).collect()
+    }
+    assert out[1]["decoder"] == "bmp"
+    # no Pillow in this sandbox -> the pinned path; with a binding the
+    # audit column would read jpeg-pil, which is exactly its point
+    assert out[2]["decoder"] in ("jpeg-stdlib", "jpeg-pil")
+    assert out[3]["decoder"] == "wav"
+    assert out[4]["decoder"] == "fake"  # text routes to the fake encoder
+    assert out[5]["decoder"] is None and out[5]["decode_error"]
+
+
 # --- shared kill/restart harness (both layouts drive the same
 # choreography: 3 staggered source batches -> availableNow stream ->
 # crash mid-batch -> restart from the same checkpoint) ---------------
