@@ -33,27 +33,57 @@ from pyspark.sql import functions as F
 # their terminal action; one-shot processes can ignore it.
 _STAGED: dict[str, list[DataFrame]] = {}
 
+#: Cumulative Catalyst byte estimate of the MEMORY-level staged frames
+#: per app — the running total ``memguard.staged_persist_decision``
+#: sizes the next persist against (VERDICT r11 #3). Reset by
+#: ``release_staged`` (the blocks are freed with it).
+_STAGED_EST_BYTES: dict[str, int] = {}
+
+#: Plan-time persist decisions per app, for artifacts/benches to record
+#: (``stage_decisions``): [{level, reason, est_bytes}].
+_STAGE_DECISIONS: dict[str, list[dict]] = {}
+
 
 def _stage(df: DataFrame) -> DataFrame:
     """Persist a self-join input and register it for later release.
 
-    Under a squeezed heap (memguard) the persist derates to DISK_ONLY:
-    MEMORY_AND_DISK blocks pin the protected storage region and starve the
-    execution pool under concurrent tasks (`UNABLE_TO_ACQUIRE_MEMORY ...
-    got 0` in SPILL_r05's 2 g cells); disk-only staged frames cost re-read
-    IO but leave the whole unified pool to execution.
+    The persist LEVEL is a plan-time memguard decision
+    (``memguard.staged_persist_decision``, VERDICT r11 #3): under a
+    squeezed heap, or once the cumulative staged working set's byte
+    estimate would exceed the staged-storage budget, the persist
+    derates to DISK_ONLY — MEMORY_AND_DISK blocks pin the protected
+    storage region and starve the execution pool under concurrent
+    tasks (`UNABLE_TO_ACQUIRE_MEMORY ... got 0` in SPILL_r05's 2 g
+    cells; 6.9 GB of runtime-discovered spill in SCALING.md r11's
+    sf10/8g suite). Disk-only staged frames cost re-read IO but leave
+    the whole unified pool to execution. Decisions are recorded for
+    :func:`stage_decisions`.
     """
     from pyspark import StorageLevel
 
-    from .memguard import tight_memory
+    from .memguard import staged_persist_decision
 
-    if tight_memory(df.sparkSession):
+    spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    level, reason, est = staged_persist_decision(
+        spark, df, _STAGED_EST_BYTES.get(app_id, 0)
+    )
+    if level == "disk":
         staged = df.persist(StorageLevel.DISK_ONLY)
     else:
         staged = df.persist()
-    app_id = staged.sparkSession.sparkContext.applicationId
+        _STAGED_EST_BYTES[app_id] = _STAGED_EST_BYTES.get(app_id, 0) + est
+    _STAGE_DECISIONS.setdefault(app_id, []).append(
+        {"level": level, "reason": reason, "est_bytes": est}
+    )
     _STAGED.setdefault(app_id, []).append(staged)
     return staged
+
+
+def stage_decisions(spark: SparkSession) -> list[dict]:
+    """The plan-time persist decisions ``_stage`` made for this app so
+    far (artifact/bench hook): [{level, reason, est_bytes}]."""
+    return list(_STAGE_DECISIONS.get(spark.sparkContext.applicationId, []))
 
 
 def release_staged(spark: SparkSession) -> int:
@@ -64,6 +94,7 @@ def release_staged(spark: SparkSession) -> int:
     """
     app_id = spark.sparkContext.applicationId
     frames = _STAGED.pop(app_id, [])
+    _STAGED_EST_BYTES.pop(app_id, None)  # the budgeted blocks are freed
     for key in [k for k in _MEMO if k[0] == app_id]:
         _MEMO.pop(key, None)
     for f in frames:

@@ -47,6 +47,70 @@ def unified_pool_bytes(spark: SparkSession) -> int | None:
     return int(max(0, heap - _JVM_RESERVED) * fraction)
 
 
+#: Fraction of the unified pool the CUMULATIVE staged (persisted)
+#: working set may claim before ``dedup._stage`` derates further
+#: persists to DISK_ONLY at plan time (VERDICT r11 #3). SCALING.md r11
+#: measured llm_curation_suite at sf10/8g spilling 6.9 GB from cached
+#: signature/token tables — the working set exceeded execution memory
+#: and Spark discovered it at runtime; this sizes the same decision
+#: BEFORE the persist. 0.3 mirrors spark.memory.storageFraction's
+#: half-pool default with headroom for the deserialized-object
+#: inflation MEMORY_AND_DISK blocks carry over their plan estimate.
+STAGE_STORAGE_FRACTION = 0.3
+
+
+def staged_persist_decision(
+    spark: SparkSession, df, staged_bytes_so_far: int = 0
+) -> tuple[str, str, int]:
+    """Plan-time persist-level choice for a staged self-join input:
+    ``("memory"|"disk", reason, plan_estimate_bytes)``.
+
+    Two derate triggers, checked in order:
+
+    - the unified pool is tight in the absolute sense
+      (:func:`tight_memory` — SPILL_r05's 2 GiB cells): everything
+      staged goes to disk;
+    - the CUMULATIVE staged estimate (prior stages + this frame's
+      Catalyst byte estimate) would exceed ``STAGE_STORAGE_FRACTION``
+      of the unified pool: this frame goes to disk so cached blocks
+      stop pinning the storage region that execution is about to need
+      (the sf10/8g spill regime, discovered at plan time instead of by
+      the runtime spill counters).
+
+    On a cluster the per-executor pool is unknowable from the driver
+    and the standard sizing invariant applies — no derate. A frame
+    with no usable Catalyst estimate stays in memory (underestimating
+    is the safe direction: MEMORY_AND_DISK evicts under pressure; the
+    derate exists to avoid PINNING the pool with a known-large set)."""
+    import os
+
+    if tight_memory(spark):
+        return "disk", "unified pool under TIGHT_UNIFIED_BYTES", 0
+    pool = unified_pool_bytes(spark)
+    if pool is None:
+        return "memory", "cluster mode: standard sizing invariant applies", 0
+    est = plan_size_estimate(df)
+    if est is None:
+        return "memory", "no usable plan size estimate", 0
+    # ops override for A/B'ing the budget on a specific deployment
+    # (0 forces every staged frame to disk)
+    frac = float(
+        os.environ.get(
+            "SPARK_GRAFT_STAGE_STORAGE_FRACTION", str(STAGE_STORAGE_FRACTION)
+        )
+    )
+    budget = int(pool * frac)
+    if staged_bytes_so_far + est > budget:
+        return (
+            "disk",
+            f"staged working set {(staged_bytes_so_far + est) >> 20} MiB "
+            f"would exceed {frac:.0%} of the "
+            f"{pool >> 20} MiB unified pool",
+            est,
+        )
+    return "memory", "fits staged-storage budget", est
+
+
 def hash_build_fits(
     spark: SparkSession,
     build_bytes: int | None,
@@ -210,9 +274,10 @@ def plan_size_estimate(df) -> int | None:
     """Catalyst's sizeInBytes for a frame (exact for file scans, a guess
     after joins); None when unavailable or absurd."""
     try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps Scala BigInt to a plain int on Spark 4; older
+        # bridges hand back a JavaObject needing toString()
+        est = int(raw) if isinstance(raw, int) else int(raw.toString())
     except Exception:
         return None
     if est <= 0 or est > 1 << 50:

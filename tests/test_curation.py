@@ -1905,6 +1905,59 @@ def test_curation_memory_guard_warns_when_derated(spark, monkeypatch):
         curate_corpus(docs, min_chars=5)
 
 
+def test_staged_persist_derates_at_plan_time(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #3: _stage sizes the persist level BEFORE caching —
+    under a tight pool everything derates; once the CUMULATIVE staged
+    byte estimate crosses the staged-storage budget, later persists
+    derate to DISK_ONLY (the sf10/8g spill regime classified at plan
+    time instead of discovered by the runtime spill counters); the
+    decision trail is recorded for artifacts. A frame with no usable
+    Catalyst estimate (local relation: Long.MaxValue) stays in memory
+    — underestimating is the safe direction."""
+    from pyspark import StorageLevel
+
+    from tern_ep_data_pipeline_spark.operators import dedup, memguard
+    from tern_ep_data_pipeline_spark.sources.tables import load_table
+
+    # parquet-backed, as every production staged frame is: the scan's
+    # sizeInBytes is exact and propagates through projections
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.release_staged(spark)
+
+    # unknown estimate (parallelized local relation -> Long.MaxValue):
+    # stays in memory, classified as undecidable
+    local = spark.createDataFrame([(1, "w")], ["doc_id", "text"])
+    level, reason, est = memguard.staged_persist_decision(spark, local, 0)
+    assert level == "memory" and "no usable" in reason and est == 0
+
+    # pure decision function: a huge prior working set forces disk
+    level, reason, _est = memguard.staged_persist_decision(
+        spark, docs, staged_bytes_so_far=1 << 60
+    )
+    assert level == "disk" and "staged working set" in reason
+
+    # ample budget (the 128 GiB test box): memory, with an estimate
+    level, reason, est = memguard.staged_persist_decision(spark, docs, 0)
+    assert level == "memory" and est > 0
+
+    # integration: squeeze the budget so the FIRST _stage already
+    # exceeds it -> DISK_ONLY persist, logged with the budget reason
+    monkeypatch.setattr(memguard, "STAGE_STORAGE_FRACTION", 1e-12)
+    staged = dedup._stage(docs.select("doc_id", "text"))
+    assert staged.storageLevel == StorageLevel.DISK_ONLY
+    decisions = dedup.stage_decisions(spark)
+    assert decisions and decisions[-1]["level"] == "disk"
+    assert "staged working set" in decisions[-1]["reason"]
+    dedup.release_staged(spark)
+
+    # restored budget: memory-level persist again, and release_staged
+    # reset the cumulative estimate (a fresh pipeline starts at zero)
+    monkeypatch.setattr(memguard, "STAGE_STORAGE_FRACTION", 0.3)
+    staged2 = dedup._stage(docs.select("doc_id", "text"))
+    assert staged2.storageLevel != StorageLevel.DISK_ONLY
+    dedup.release_staged(spark)
+
+
 def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     """A batch id at or below the index watermark mis-orders the packed
     occurrence keys — clean_against_gram_index must refuse loudly
@@ -3968,6 +4021,132 @@ def test_bucketed_heal_waits_for_live_compactor(spark, tmp_path):
     assert not spark.catalog.tableExists(table + "_compact_tmp")
     for t2 in (table, table + "_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+@pytest.mark.parametrize("seed,run_cap,merge_frac", [
+    (7, 2, 0.5),
+    (19, 3, 1.5),
+])
+def test_lsm_read_bounds_hold_under_random_schedules(
+    spark, tmp_path, monkeypatch, seed, run_cap, merge_frac
+):
+    """VERDICT r11 #4: SCALING.md claims the LSM read-side bounds as
+    STRUCTURAL invariants; this pins them as properties over randomised
+    append/compact schedules (not the bench tool's fixed geometry),
+    checked after EVERY operation:
+
+    - fold-depth cap: run generations per partition <= the collapse cap
+      at all times (a fold either adds one generation under the cap or
+      collapses all of them into one);
+    - read-side byte bound: run bytes <= merge_fraction x base bytes
+      (+ parquet per-file encoding slack) wherever runs exist — the
+      merge trigger fires on pre-fold bytes, and folds only shrink them
+      — equivalently the nonbase read fraction right after a full pass
+      is <= f/(1+f);
+    - a threshold-0 pass leaves no L0 behind;
+    - the min-view decision algebra is untouched by every compaction.
+
+    Reference semantics being preserved: incremental append, as in the
+    reference's eddypro_concatenator (code/file_handling/
+    eddypro_concatenator.py:44-97)."""
+    import os
+    import random
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _part_tiers,
+        append_to_gram_index,
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    monkeypatch.setattr(di, "_MAX_RUNS_PER_PARTITION", run_cap)
+    monkeypatch.setattr(di, "_BASE_MERGE_FRACTION", merge_frac)
+    rng = random.Random(seed)
+
+    base = spark.createDataFrame(
+        [(i, f"prop base doc {i} " + " ".join(f"p{i}x{j}" for j in range(20)))
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "gidx_prop")
+    build_gram_index(base, idx, range_partitions=2)
+    gp = os.path.join(idx, "grams")
+    slack_per_file = 8192  # parquet footer/dict overhead on tiny files
+
+    def check_structural(where: str, l0_must_be_empty: bool = False):
+        for d in sorted(os.listdir(gp)):
+            pdir = os.path.join(gp, d)
+            if not (d.startswith("__part=") and os.path.isdir(pdir)):
+                continue
+            t = _part_tiers(pdir)
+            gens = di._run_generations(t)
+            assert gens <= run_cap, (
+                f"fold-depth cap violated after {where}: partition {d} "
+                f"holds {gens} run generations > cap {run_cap}"
+            )
+            run_b = sum(sz for _f, sz in t["run"])
+            base_b = sum(sz for _f, sz in t["base"])
+            if t["run"]:
+                assert base_b > 0, (
+                    f"read bound violated after {where}: partition {d} "
+                    "has run files with no base (folds require a base)"
+                )
+                budget = merge_frac * base_b + slack_per_file * len(t["run"])
+                assert run_b <= budget, (
+                    f"read-side byte bound violated after {where}: "
+                    f"partition {d} run bytes {run_b} > "
+                    f"{merge_frac} x base {base_b} (+slack) — nonbase "
+                    f"read fraction would exceed f/(1+f) at steady state"
+                )
+            if l0_must_be_empty:
+                assert not t["l0"], (
+                    f"threshold-0 pass left L0 behind in {d} after {where}"
+                )
+
+    def min_view():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(gp)
+                .groupBy("gram_hash")
+                .agg(F.min("first_key").alias("first_key"))
+                .collect(),
+            )
+        )
+
+    next_id = 100
+    for step in range(12):
+        if rng.random() < 0.6:
+            n_docs = rng.randint(1, 3)
+            b = spark.createDataFrame(
+                [(next_id + i,
+                  f"prop append {next_id + i} "
+                  + " ".join(f"a{next_id + i}y{j}"
+                             for j in range(rng.randint(6, 18))))
+                 for i in range(n_docs)],
+                ["doc_id", "text"],
+            )
+            next_id += n_docs
+            append_to_gram_index(b, idx)
+            check_structural(f"append step {step}")
+        else:
+            thr = rng.choice([0.0, 0.01, 0.3])
+            view = min_view()
+            compact_gram_index(spark, idx, dirty_threshold=thr)
+            assert min_view() == view, (
+                f"compaction (threshold {thr}) changed the min-view "
+                f"decision algebra at step {step}"
+            )
+            check_structural(
+                f"compact(thr={thr}) step {step}", l0_must_be_empty=(thr == 0.0)
+            )
+
+    # final full pass: the steady-state read shape
+    view = min_view()
+    compact_gram_index(spark, idx, dirty_threshold=0.0)
+    assert min_view() == view
+    check_structural("final full pass", l0_must_be_empty=True)
 
 
 def test_heal_merge_preserves_file_tiers(spark, tmp_path):

@@ -33,7 +33,10 @@ import urllib.request
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import __spark_entry__ as entrymod
-from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+from tern_ep_data_pipeline_spark.operators.dedup import (
+    release_staged,
+    stage_decisions,
+)
 from tern_ep_data_pipeline_spark.session import get_spark
 
 #: The two queries whose shuffles carry the most bytes at sf10 (signature
@@ -94,6 +97,7 @@ def main() -> None:
         rows = 0
         err = None
         m0, d0, s0 = spill_totals_safe(f"{name} pre")
+        dec0 = len(stage_decisions(spark))
         for _ in range(args.runs):
             t0 = time.time()
             # a query that OOMs under the constrained heap is itself a
@@ -132,6 +136,12 @@ def main() -> None:
                     pass
         m1, d1, s1 = spill_totals_safe(f"{name} post")
         have_metrics = None not in (m0, d0, s0, m1, d1, s1)
+        # the plan-time persist-level decisions memguard made for this
+        # query's staged frames (VERDICT r11 #3): how many derated to
+        # DISK_ONLY, and why — the classified twin of the runtime spill
+        # counters above
+        decs = stage_decisions(spark)[dec0:]
+        derated = [d for d in decs if d["level"] == "disk"]
         out[name] = {
             "sec": min(runs) if runs else None,
             "sec_runs": runs,
@@ -140,6 +150,9 @@ def main() -> None:
             "memory_spilled_mb": round((m1 - m0) / 2**20, 1) if have_metrics else None,
             "disk_spilled_mb": round((d1 - d0) / 2**20, 1) if have_metrics else None,
             "shuffle_write_mb": round((s1 - s0) / 2**20, 1) if have_metrics else None,
+            "staged_persists": len(decs),
+            "staged_derated_to_disk": len(derated),
+            "derate_reason": derated[0]["reason"] if derated else None,
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)
 

@@ -9,6 +9,11 @@ diff against PLANS.txt, and tests/test_plan_gate.py fails CI on it.
 Usage:
     python tools/plan_audit.py [sf_dir] [query ...]   # print audit
     python tools/plan_audit.py --write [sf_dir]       # regenerate PLANS.txt
+    # the hinted-plan twin (VERDICT r11 #2): audit the SHUFFLE_HASH
+    # size gate's ON state over the self-generated sf10 grid data —
+    # the gated queries must show SHJ>0 / SMJ=0 there
+    python tools/plan_audit.py --write --out PLANS_sf10.txt \
+        scaledata/sf10 pricing_summary region_revenue small_quantity_revenue
 """
 
 from __future__ import annotations
@@ -36,6 +41,10 @@ def audit(df) -> dict:
         "broadcasts": plan.count("BroadcastExchange"),
         "smj": plan.count("SortMergeJoin"),
         "bhj": plan.count("BroadcastHashJoin"),
+        # ShuffledHashJoin: the size-gated hint's ON-state signature
+        # (VERDICT r11 #2) — audited so the gate firing (or silently
+        # NOT firing) at a big sf is a recorded plan fact, not a timing
+        "shj": plan.count("ShuffledHashJoin"),
         "pushed": "PushedFilters: []" not in plan and "PushedFilters" in plan,
     }
 
@@ -43,7 +52,7 @@ def audit(df) -> dict:
 #: Bench-only queries (outside the 50-entry registry) whose plan shape
 #: still deserves the CI regression gate — add here to bring a q_* under
 #: PLANS.txt protection without spending a registry slot.
-EXTRA_AUDITED = ["substring_dedup"]
+EXTRA_AUDITED = ["substring_dedup", "small_quantity_revenue"]
 
 
 def audit_all(spark, sf_dir: str, only=None) -> dict[str, dict | str]:
@@ -70,7 +79,7 @@ def audit_all(spark, sf_dir: str, only=None) -> dict[str, dict | str]:
 def format_line(name: str, a: dict) -> str:
     return (
         f"{name:26s} exch={a['exchanges']:2d} bcast={a['broadcasts']} "
-        f"SMJ={a['smj']} BHJ={a['bhj']} "
+        f"SMJ={a['smj']} BHJ={a['bhj']} SHJ={a['shj']} "
         f"pushdown={'y' if a['pushed'] else '-'}"
     )
 
@@ -81,7 +90,8 @@ def parse_baseline(path: str = PLANS_PATH) -> dict[str, dict]:
 
     out = {}
     pat = re.compile(
-        r"^(\S+)\s+exch=\s*(-?\d+) bcast=(\d+) SMJ=(\d+) BHJ=(\d+) pushdown=(y|-)$"
+        r"^(\S+)\s+exch=\s*(-?\d+) bcast=(\d+) SMJ=(\d+) BHJ=(\d+) "
+        r"SHJ=(\d+) pushdown=(y|-)$"
     )
     with open(path) as fh:
         for line in fh:
@@ -92,7 +102,8 @@ def parse_baseline(path: str = PLANS_PATH) -> dict[str, dict]:
                     "broadcasts": int(m.group(3)),
                     "smj": int(m.group(4)),
                     "bhj": int(m.group(5)),
-                    "pushed": m.group(6) == "y",
+                    "shj": int(m.group(6)),
+                    "pushed": m.group(7) == "y",
                 }
     return out
 
@@ -103,6 +114,11 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     write = "--write" in args
     args = [a for a in args if a != "--write"]
+    out_path = PLANS_PATH
+    if "--out" in args:  # e.g. PLANS_sf10.txt: the hinted-plan twin
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("plan-audit", shuffle_partitions=8)
@@ -113,9 +129,9 @@ def main() -> None:
     ]
     print("\n".join(lines))
     if write:
-        with open(PLANS_PATH, "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write("\n".join(lines) + "\n")
-        print(f"\nwrote {PLANS_PATH}")
+        print(f"\nwrote {out_path}")
     spark.stop()
 
 
