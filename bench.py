@@ -86,6 +86,11 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+    # parse the quiet gate BEFORE the many-minute run: a malformed value
+    # must fail in under a second, not after the artifact is computed
+    # but before it prints (review r12)
+    quiet_gate_env = os.environ.get("SPARK_GRAFT_BENCH_QUIET_GATE")
+    quiet_gate = float(quiet_gate_env) if quiet_gate_env else None
     spark = get_spark("bench")
 
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
@@ -183,8 +188,6 @@ def main() -> None:
     # threads on top of the plateau): set it ~2x the self-load plateau
     # (16 on this box). Foreign STEADY load is already screened by the
     # loadavg_start < 1 precondition, sampled before the warm-up burn.
-    quiet_gate_env = os.environ.get("SPARK_GRAFT_BENCH_QUIET_GATE")
-    quiet_gate = float(quiet_gate_env) if quiet_gate_env else None
     during_max = round(max(load_samples), 2)
     quiet_gate_passed = (
         None if quiet_gate is None else during_max <= quiet_gate

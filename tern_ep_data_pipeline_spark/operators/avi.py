@@ -113,26 +113,39 @@ def _walk_chunks(buf: bytes, start: int, end: int):
 
 
 def decode_video(content: bytes) -> tuple[list[np.ndarray], float]:
-    """Decode a video to (frames, fps). Frames are HxWx3 uint8 RGB.
+    """Decode a video to (frames, fps) — see :func:`decode_video_tagged`
+    (this is its frames-only form)."""
+    frames, fps, _dec = decode_video_tagged(content)
+    return frames, fps
 
-    MJPEG AVI decodes with the in-repo codec (pinned deterministic).
-    Anything else — inter-frame codecs (H.264/VP9/...) or non-AVI
-    containers (MP4/WebM/...) — dispatches to the ffmpeg executable when
-    one is installed, and otherwise raises ``NotImplementedError`` naming
-    the fourcc (``ValueError`` for a non-AVI container)."""
+
+def decode_video_tagged(
+    content: bytes,
+) -> tuple[list[np.ndarray], float, str]:
+    """Decode a video to (frames, fps, decoder_identity). Frames are
+    HxWx3 uint8 RGB.
+
+    MJPEG AVI decodes with the in-repo codec (pinned deterministic,
+    identity ``mjpeg``). Anything else — inter-frame codecs
+    (H.264/VP9/...) or non-AVI containers (MP4/WebM/...) — dispatches to
+    the ffmpeg executable when one is installed (identity ``ffmpeg`` —
+    environment-dependent pixels, which is why callers record it), and
+    otherwise raises ``NotImplementedError`` naming the fourcc
+    (``ValueError`` for a non-AVI container)."""
     from .codec_bindings import decode_video_ffmpeg
 
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         decoded = decode_video_ffmpeg(content)
         if decoded is not None:
-            return decoded
+            return decoded[0], decoded[1], "ffmpeg"
         raise ValueError("not an AVI payload (missing RIFF/AVI signature)")
     try:
-        return _decode_video_mjpeg_avi(content)
+        frames, fps = _decode_video_mjpeg_avi(content)
+        return frames, fps, "mjpeg"
     except NotImplementedError:
         decoded = decode_video_ffmpeg(content)
         if decoded is not None:
-            return decoded
+            return decoded[0], decoded[1], "ffmpeg"
         raise
 
 

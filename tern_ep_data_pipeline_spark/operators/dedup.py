@@ -20,6 +20,7 @@ under retries and across cluster sizes.
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -40,8 +41,14 @@ _STAGED: dict[str, list[DataFrame]] = {}
 _STAGED_EST_BYTES: dict[str, int] = {}
 
 #: Plan-time persist decisions per app, for artifacts/benches to record
-#: (``stage_decisions``): [{level, reason, est_bytes}].
+#: (``stage_decisions``): [{seq, level, reason, est_bytes}]. Bounded —
+#: a long-lived streaming driver stages frames every micro-batch and
+#: must not leak a dict per call forever (review r12): past the cap the
+#: oldest half is dropped; ``seq`` is monotone so windowed readers
+#: (``stage_decisions(after_seq=...)``) are unaffected by trimming.
 _STAGE_DECISIONS: dict[str, list[dict]] = {}
+_STAGE_DECISIONS_CAP = 4096
+_STAGE_SEQ = itertools.count(1)
 
 
 def _stage(df: DataFrame) -> DataFrame:
@@ -73,17 +80,28 @@ def _stage(df: DataFrame) -> DataFrame:
     else:
         staged = df.persist()
         _STAGED_EST_BYTES[app_id] = _STAGED_EST_BYTES.get(app_id, 0) + est
-    _STAGE_DECISIONS.setdefault(app_id, []).append(
-        {"level": level, "reason": reason, "est_bytes": est}
+    log = _STAGE_DECISIONS.setdefault(app_id, [])
+    log.append(
+        {
+            "seq": next(_STAGE_SEQ),
+            "level": level,
+            "reason": reason,
+            "est_bytes": est,
+        }
     )
+    if len(log) > _STAGE_DECISIONS_CAP:
+        del log[: len(log) // 2]
     _STAGED.setdefault(app_id, []).append(staged)
     return staged
 
 
-def stage_decisions(spark: SparkSession) -> list[dict]:
-    """The plan-time persist decisions ``_stage`` made for this app so
-    far (artifact/bench hook): [{level, reason, est_bytes}]."""
-    return list(_STAGE_DECISIONS.get(spark.sparkContext.applicationId, []))
+def stage_decisions(spark: SparkSession, after_seq: int = 0) -> list[dict]:
+    """The plan-time persist decisions ``_stage`` made for this app
+    (artifact/bench hook): [{seq, level, reason, est_bytes}], optionally
+    only those with ``seq > after_seq`` (window reads survive the
+    bounded log's trimming, unlike index slicing)."""
+    log = _STAGE_DECISIONS.get(spark.sparkContext.applicationId, [])
+    return [d for d in log if d["seq"] > after_seq]
 
 
 def release_staged(spark: SparkSession) -> int:

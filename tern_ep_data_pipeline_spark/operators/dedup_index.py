@@ -2059,21 +2059,71 @@ def _table_lease(
     keyed off the warehouse-derived path: what a lock needs is that
     every participant computes the SAME key, and the warehouse key is
     the only one stable across the DROP+RENAME swap window (resolving
-    the live location mid-swap would fail or diverge)."""
-    return index_lease(_table_lock_path(spark, table), role, wait_s=wait_s)
+    the live location mid-swap would fail or diverge).
+
+    Rolling-upgrade coexistence (review r12): pre-r12 code keyed the
+    lock on the RAW spelling (``wh/<identifier>``), so a qualified name
+    locks a different path there. When the legacy key differs from the
+    normalised one, BOTH are acquired (normalised first — one fixed
+    order, so mixed new-code writers cannot deadlock), and a live
+    old-version writer still excludes through the legacy lock."""
+    new_path = _table_lock_path(spark, table)
+    legacy = _table_lock_path_legacy(spark, table)
+    if legacy == new_path:
+        return index_lease(new_path, role, wait_s=wait_s)
+
+    @contextlib.contextmanager
+    def _both():
+        with index_lease(new_path, role, wait_s=wait_s):
+            with index_lease(legacy, role, wait_s=wait_s):
+                yield
+
+    return _both()
 
 
-def _table_lock_path(spark: SparkSession, table: str) -> str:
-    """Deterministic lock-file key for a (possibly qualified) table
-    identifier — see :func:`_table_lease`. Metastore identifiers are
-    case-insensitive and the warehouse dirs are lowercase."""
+def _split_identifier(table: str) -> list[str]:
+    """Split a (possibly qualified) identifier on dots that are OUTSIDE
+    backtick quoting — ``` `my.table` ``` is ONE part named
+    ``my.table``, not a db/table pair (review r12). A doubled backtick
+    inside quotes is the SQL escape for a literal one."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quoted = False
+    i, n = 0, len(table)
+    while i < n:
+        c = table[i]
+        if c == "`":
+            if quoted and i + 1 < n and table[i + 1] == "`":
+                buf.append("`")
+                i += 2
+                continue
+            quoted = not quoted
+        elif c == "." and not quoted:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip().lower() for p in parts if p.strip()]
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
     try:
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     except Exception:
         wh = "spark-warehouse"
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
-    parts = [p.strip("`").lower() for p in table.strip().split(".") if p]
+    return wh
+
+
+def _table_lock_path(spark: SparkSession, table: str) -> str:
+    """Deterministic lock-file key for a (possibly qualified) table
+    identifier — see :func:`_table_lease`. Metastore identifiers are
+    case-insensitive and the warehouse dirs are lowercase."""
+    wh = _warehouse_dir(spark)
+    parts = _split_identifier(table)
     tbl = parts[-1] if parts else table.lower()
     if len(parts) >= 2:
         db = parts[-2]  # a 3-part name's head is the catalog — ignored
@@ -2085,6 +2135,14 @@ def _table_lock_path(spark: SparkSession, table: str) -> str:
     if db == "default":
         return os.path.join(wh, tbl)
     return os.path.join(wh, db + ".db", tbl)
+
+
+def _table_lock_path_legacy(spark: SparkSession, table: str) -> str:
+    """The pre-r12 lock key (raw lowercased spelling under the
+    warehouse dir) — still acquired alongside the normalised key when
+    they differ, so a rolling upgrade keeps mutual exclusion with
+    old-version writers (see :func:`_table_lease`)."""
+    return os.path.join(_warehouse_dir(spark), table.lower())
 
 
 def _table_data_bytes(spark: SparkSession, table: str) -> int:

@@ -406,11 +406,28 @@ def _wav_chunks(content: bytes) -> dict[bytes, bytes]:
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Audio decode: REAL for WAV holding PCM (stdlib ``wave``), IEEE
-    float, or G.711 A-law/mu-law (the telephony-corpus layouts, decoded by
-    the vectorised companding tables above). Returns (samples float64 in
-    [-1, 1], sample_rate); multi-channel is averaged to mono. Perceptual
-    codecs (MP3/AAC/Opus) raise until a codec library exists."""
+    """Audio decode — see :func:`decode_audio_tagged` (samples-only form)."""
+    samples, rate, _dec = decode_audio_tagged(content)
+    return samples, rate
+
+
+def decode_audio_tagged(content: bytes) -> tuple[np.ndarray, int, str]:
+    """Audio decode returning (samples, rate, decoder_identity): REAL
+    for WAV holding PCM (stdlib ``wave``), IEEE float, or G.711
+    A-law/mu-law (the telephony-corpus layouts, decoded by the
+    vectorised companding tables above) — identity ``wav``, pinned on
+    every environment. Samples are float64 in [-1, 1]; multi-channel is
+    averaged to mono. Anything else — perceptual codecs (MP3/AAC/Opus)
+    or a RIFF container that is not WAVE — decodes via the ffmpeg
+    executable when present (identity ``ffmpeg``,
+    environment-dependent, which is why callers record it) and raises
+    otherwise."""
+    samples, rate = _decode_audio_impl(content)
+    wav = content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+    return samples, rate, "wav" if wav else "ffmpeg"
+
+
+def _decode_audio_impl(content: bytes) -> tuple[np.ndarray, int]:
     import io
     import wave
 
@@ -511,14 +528,17 @@ def extract_features(
     batch; output schema is plan-time fixed. With ``use_fake_encoder=False``
     the real decoders are called.
 
-    ``decoder`` records which decode path produced the feature (ADVICE
-    r11 #2): for images the :func:`decode_image_tagged` identity
-    (``jpeg-pil`` vs ``jpeg-stdlib`` is the reproducibility-relevant
-    split — pixel output can differ by codec rounding between them),
-    ``wav``/``ffmpeg`` for audio, ``mjpeg`` for video, ``fake`` for the
-    deterministic fake encoder; NULL on decode failure. A corpus built
-    across heterogeneous environments can be audited for divergent
-    decode paths after the fact (``GROUP BY decoder``).
+    ``decoder`` records which decode path ACTUALLY produced the feature
+    (ADVICE r11 #2) — each modality's tagged decoder reports its own
+    path, never an inference from the payload header: for images the
+    :func:`decode_image_tagged` identity (``jpeg-pil`` vs
+    ``jpeg-stdlib`` is the reproducibility-relevant split — pixel
+    output can differ by codec rounding between them),
+    ``wav``/``ffmpeg`` from :func:`decode_audio_tagged`,
+    ``mjpeg``/``ffmpeg`` from :func:`video_feature_tagged`, ``fake``
+    for the deterministic fake encoder; NULL on decode failure. A
+    corpus built across heterogeneous environments can be audited for
+    divergent decode paths after the fact (``GROUP BY decoder``).
 
     ``on_error='tag'`` (default): an asset the codecs cannot decode — a
     arithmetic-coded JPEG beside the DCT decoders, a truncated file, an
@@ -533,6 +553,12 @@ def extract_features(
     """
     if on_error not in ("tag", "raise"):
         raise ValueError(f"on_error must be 'tag' or 'raise', got {on_error!r}")
+    # validate the JPEG-decoder switch EAGERLY at plan time: inside the
+    # per-row loop a typo'd value would be swallowed by on_error='tag'
+    # into 100% JPEG quarantine with exit 0 (review r12) — here it
+    # fails in under a second. (Executors re-validate per decode; a
+    # driver/executor env mismatch still surfaces, just later.)
+    _jpeg_decoder_mode()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -549,11 +575,11 @@ def extract_features(
                         img, dec = decode_image_tagged(raw)
                         feats.append(image_feature(img, dim))
                     elif modality == "audio":
-                        feats.append(audio_feature(decode_audio(raw)[0], dim))
-                        dec = "wav" if raw[:4] == b"RIFF" else "ffmpeg"
+                        samples, _rate, dec = decode_audio_tagged(raw)
+                        feats.append(audio_feature(samples, dim))
                     elif modality == "video":
-                        feats.append(video_feature(raw, dim))
-                        dec = "mjpeg"
+                        feat, dec = video_feature_tagged(raw, dim)
+                        feats.append(feat)
                     else:
                         raise NotImplementedError(f"modality {modality!r}")
                     errs.append(None)
@@ -585,16 +611,27 @@ def extract_features(
 
 
 def video_feature(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real video feature: mean of per-frame image features over the whole
-    MJPEG stream, re-unit-normalised. Deterministic pixel DSP, no model."""
-    from .avi import decode_video
+    """Real video feature — see :func:`video_feature_tagged`."""
+    return video_feature_tagged(content, dim)[0]
 
-    frames, _ = decode_video(content)
+
+def video_feature_tagged(
+    content: bytes, dim: int = FEATURE_DIM
+) -> tuple[np.ndarray, str]:
+    """Real video feature plus the decoder identity that produced the
+    frames (``mjpeg`` = the pinned in-repo codec, ``ffmpeg`` = the
+    environment-dependent executable fallback for inter-frame codecs
+    and non-AVI containers): mean of per-frame image features over the
+    whole stream, re-unit-normalised. Deterministic pixel DSP, no
+    model."""
+    from .avi import decode_video_tagged
+
+    frames, _fps, dec = decode_video_tagged(content)
     if not frames:
         raise ValueError("video stream holds no frames")
     mean = np.mean([image_feature(f, dim) for f in frames], axis=0)
     n = np.linalg.norm(mean)
-    return mean / n if n else mean
+    return (mean / n if n else mean), dec
 
 
 def frame_sample_plan(

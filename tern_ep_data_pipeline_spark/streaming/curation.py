@@ -83,7 +83,14 @@ def asset_feature_stream(
     State is bounded exactly like ``curated_document_stream``: a content
     hash lives in the dedup store only until the watermark passes its
     arrival time. Near-dup/embedding dedup stays a batch pass over the
-    bronze lake (no bounded-state streaming form)."""
+    bronze lake (no bounded-state streaming form).
+
+    SCHEMA NOTE (r12): the output gained a 4th column ``decoder``
+    (ADVICE r11 #2 — the per-row decode-path audit). A stream resumed
+    against a sink/table created with the old 3-column schema needs a
+    one-time sink migration (ALTER TABLE ADD COLUMN / parquet readers
+    with mergeSchema) or an explicit ``.select`` of the legacy columns
+    before the sink."""
     from ..operators.multimodal import extract_features
 
     s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(

@@ -2409,6 +2409,28 @@ def test_table_lock_path_normalises_identifiers(spark):
     assert qualified.endswith(os.path.join("mydb.db", "grams"))
     assert _table_lock_path(spark, "spark_catalog.mydb.grams") == qualified
 
+    # a backticked identifier CONTAINING a dot is one name, not a
+    # db/table pair (review r12) — both spellings key the same lock
+    dotted = _table_lock_path(spark, "`my.table`")
+    assert dotted.endswith(os.path.join("my.table"))
+    assert "my.db" not in dotted
+
+    # rolling-upgrade coexistence: when the legacy (raw-spelling) key
+    # differs, _table_lease acquires BOTH, so an old-version writer
+    # still excludes through its lock
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _table_lease,
+        _table_lock_path_legacy,
+    )
+
+    legacy = _table_lock_path_legacy(spark, "default.grams")
+    assert legacy != base
+    with _table_lease(spark, "default.grams", "append"):
+        assert os.path.exists(base + ".lock")
+        assert os.path.exists(legacy + ".lock")
+    assert not os.path.exists(base + ".lock")
+    assert not os.path.exists(legacy + ".lock")
+
 
 def test_compactor_wait_outlasts_batch_lease(spark, tmp_path):
     """ADVICE r11 #4: a streaming batch holds its index lease for the

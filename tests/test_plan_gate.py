@@ -67,6 +67,7 @@ SF10_HINT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 PLANS_SF10 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_sf10.txt")
 
 
+@pytest.mark.skipif(not os.path.isdir(SF_PLAN), reason="sf0.01 testdata absent")
 def test_shuffle_hash_gate_on_state_plan_shape(spark, monkeypatch):
     """VERDICT r11 #2: the size gate's ON state was evidenced only by
     sf10 timings — this pins its PLAN shape. With the row threshold

@@ -1369,11 +1369,14 @@ def test_jpeg_stdlib_force_switch(monkeypatch):
         mm.decode_image_tagged(jpg)
 
 
-def test_extract_features_records_decoder(spark):
+def test_extract_features_records_decoder(spark, monkeypatch):
     """ADVICE r11 #2: every decoded feature row carries the decoder
-    identity that produced it (NULL on quarantine), so a corpus built
-    across heterogeneous environments can be audited for divergent
-    decode paths after the fact."""
+    identity that ACTUALLY produced it (NULL on quarantine), so a
+    corpus built across heterogeneous environments can be audited for
+    divergent decode paths after the fact. The JPEG switch is validated
+    EAGERLY at plan time — a typo'd value must fail the job, not
+    silently quarantine the whole JPEG corpus through on_error='tag'
+    (review r12)."""
     import numpy as np
 
     from tern_ep_data_pipeline_spark.operators import multimodal as mm
@@ -1400,6 +1403,26 @@ def test_extract_features_records_decoder(spark):
     assert out[3]["decoder"] == "wav"
     assert out[4]["decoder"] == "fake"  # text routes to the fake encoder
     assert out[5]["decoder"] is None and out[5]["decode_error"]
+
+    # the tagged decoders report the ACTUAL path, not a header sniff:
+    # an MJPEG AVI through the video modality reports mjpeg
+    frames = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (0, 255)]
+    from tern_ep_data_pipeline_spark.operators.avi import (
+        encode_video_mjpeg,
+    )
+
+    vid = spark.createDataFrame(
+        [(9, "video", bytearray(encode_video_mjpeg(frames, fps=4)), None)],
+        mm.ASSET_SCHEMA,
+    )
+    row = mm.extract_features(vid, use_fake_encoder=False).first()
+    assert row["decoder"] == "mjpeg" and row["decode_error"] is None
+
+    # plan-time validation: a typo'd switch fails the CALL, before any
+    # job runs and before tag-mode can swallow it per row
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "stdilb")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_JPEG_DECODER"):
+        mm.extract_features(vid, use_fake_encoder=False)
 
 
 # --- shared kill/restart harness (both layouts drive the same

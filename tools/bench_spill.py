@@ -97,7 +97,8 @@ def main() -> None:
         rows = 0
         err = None
         m0, d0, s0 = spill_totals_safe(f"{name} pre")
-        dec0 = len(stage_decisions(spark))
+        all_so_far = stage_decisions(spark)
+        dec0 = all_so_far[-1]["seq"] if all_so_far else 0
         for _ in range(args.runs):
             t0 = time.time()
             # a query that OOMs under the constrained heap is itself a
@@ -140,7 +141,7 @@ def main() -> None:
         # query's staged frames (VERDICT r11 #3): how many derated to
         # DISK_ONLY, and why — the classified twin of the runtime spill
         # counters above
-        decs = stage_decisions(spark)[dec0:]
+        decs = stage_decisions(spark, after_seq=dec0)
         derated = [d for d in decs if d["level"] == "disk"]
         out[name] = {
             "sec": min(runs) if runs else None,

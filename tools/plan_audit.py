@@ -117,6 +117,8 @@ def main() -> None:
     out_path = PLANS_PATH
     if "--out" in args:  # e.g. PLANS_sf10.txt: the hinted-plan twin
         i = args.index("--out")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            raise SystemExit("--out requires a file path argument")
         out_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
