@@ -1,0 +1,216 @@
+"""Batch-keyed Bloom prefilters for the incremental dedup indexes.
+
+The incremental match/clean operators (`operators.dedup_index`) join a
+small ingest batch against a corpus-sized index.  The join itself is
+O(batch) rows OUT, but the index side still feeds *every* index row
+into the pre-join aggregation (``groupBy gram_hash`` / ``distinct`` /
+``groupBy line_hash``) — an O(index) shuffle per batch on the
+parquet-dir layout, and an O(index) probe even on the bucketed layout.
+At corpus scale (the 100 TB target) that per-batch index pass is the
+dominant cost.
+
+A Bloom filter built over the BATCH's join keys and broadcast to the
+index scan removes it: index rows whose key cannot appear in the batch
+are dropped at the scan, so everything downstream of the scan —
+aggregation, shuffle, join probe — handles ~O(batch · (1 + fpp·index/batch))
+rows instead of O(index).
+
+**Decision preservation.** A Bloom filter has no false negatives, and
+membership is a pure function of the key, so for any key ALL of its
+index rows survive or none do.  Every consumer aggregates per key
+(``min(first_key)``, ``sum(n_docs)``, ``distinct``) before a join that
+keeps batch keys only; surviving keys therefore aggregate over their
+complete row set (exact values), false-positive keys are dropped by
+the join exactly as they would have been, and absent keys could never
+have joined.  The classification is bit-identical with or without the
+prefilter — pinned by tests/test_curation.py's equality tests.
+
+**Engine shape.** Spark's own runtime bloom join
+(``bloom_filter_agg`` / ``might_contain``) is internal-only in this
+build, so the filter is an Arrow kernel in the style of the package's
+other fast kernels (Rabin-Karp grams, simhash):  keys are folded to
+int64 JVM-side with ``xxhash64`` (so build and probe hash identical
+values), and the bitmap probe is vectorised numpy (splitmix64 double
+hashing) over Arrow batches.  Build is two narrow jobs over the batch
+keys: per-partition partial bitmaps, then a single-task OR-fold — the
+driver receives one bitmap of ``num_bits/8`` bytes, which rides to the
+probe as a SparkContext broadcast.
+
+Trade-off: the probe moves the index scan's (narrow) key columns
+through Arrow once.  Worth it when batch ≪ index — the regime every
+incremental consumer documents; callers opt in per call via
+``bloom_fpp``.
+
+Reference parity: the incremental-ingest contract this accelerates is
+the reference's append-only concatenation model
+(code/file_handling/eddypro_concatenator.py:44-97); the reference has
+no index structure at all — this is the Spark-native scale path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "BloomSpec",
+    "build_key_bloom",
+    "prune_by_bloom",
+    "bloom_key",
+]
+
+#: Bitmap size ceiling (bits).  2^28 bits = 32 MiB broadcast — past the
+#: point where a bigger batch should use fewer hashes / accept a higher
+#: fpp rather than a bigger broadcast.
+_MAX_BITS = 1 << 28
+_MIN_BITS = 64
+_MAX_HASHES = 16
+
+_KEY_COL = "__bk"
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    """An immutable built filter: the bitmap plus its geometry."""
+
+    bitmap: bytes
+    num_bits: int
+    num_hashes: int
+    n_keys: int
+
+
+def bloom_key(*cols) -> Column:
+    """The ONE key-folding definition shared by build and probe sides:
+    any join-key tuple folds to one int64 with ``xxhash64``.  Build and
+    probe MUST use the same expression over the same logical columns —
+    this helper is how callers guarantee that."""
+    return F.xxhash64(*cols)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorised splitmix64 finaliser (public-domain constant set)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _positions(keys_u64: np.ndarray, num_bits: int, hash_i: int) -> np.ndarray:
+    """Bit positions of hash ``hash_i`` for each key.  Double hashing via
+    splitmix64 of (key + i·odd-constant): independent-enough per-i
+    streams without materialising k full hash passes of state."""
+    seeded = keys_u64 + np.uint64((hash_i * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF)
+    return _splitmix64(seeded) % np.uint64(num_bits)
+
+
+def _geometry(expected: int, fpp: float) -> tuple[int, int]:
+    n = max(1, expected)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(_MIN_BITS, min(_MAX_BITS, (m + 63) // 64 * 64))
+    k = max(1, min(_MAX_HASHES, round(m / n * math.log(2))))
+    return m, k
+
+
+def _set_bits(bitmap: np.ndarray, keys_u64: np.ndarray, num_bits: int, k: int) -> None:
+    for i in range(k):
+        pos = _positions(keys_u64, num_bits, i)
+        np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bitmap: np.ndarray, keys_u64: np.ndarray, num_bits: int, k: int) -> np.ndarray:
+    mask = np.ones(len(keys_u64), dtype=bool)
+    for i in range(k):
+        pos = _positions(keys_u64, num_bits, i)
+        byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+        mask &= (byte & bit) != 0
+        if not mask.any():
+            break
+    return mask
+
+
+def _as_u64(series) -> np.ndarray:
+    return series.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+
+
+def build_key_bloom(
+    keys: DataFrame,
+    fpp: float = 0.01,
+    expected: int | None = None,
+    key_col: str = _KEY_COL,
+) -> BloomSpec:
+    """Build a Bloom filter over a one-int64-column key frame.
+
+    ``expected`` sizes the bitmap; when None the frame is counted first
+    (one extra job over the SMALL side — the batch).  Geometry is the
+    textbook optimum capped at 32 MiB / 16 hashes.  The build is two
+    Arrow stages: per-partition partial bitmaps (map-side, no key
+    shuffle), then a one-task OR-fold whose single output row is the
+    only thing the driver collects.
+    """
+    if expected is None:
+        expected = keys.count()
+    num_bits, num_hashes = _geometry(expected, fpp)
+    nbytes = num_bits // 8
+
+    def _partials(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                _set_bits(bm, _as_u64(pdf[key_col]), num_bits, num_hashes)
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def _fold(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for raw in pdf["bm"]:
+                seen = True
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = keys.select(F.col(key_col).cast("long").alias(key_col)).mapInPandas(
+        _partials, "bm binary"
+    )
+    rows = partials.repartition(1).mapInPandas(_fold, "bm binary").collect()
+    bitmap = rows[0]["bm"] if rows else b"\x00" * nbytes
+    return BloomSpec(bitmap=bitmap, num_bits=num_bits,
+                     num_hashes=num_hashes, n_keys=expected)
+
+
+def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:
+    """Keep only rows whose ``key`` might be in ``spec`` (plus false
+    positives at ~``fpp``; never drops a true member).  The key column
+    is computed JVM-side (same ``bloom_key`` fold as the build side);
+    the bitmap rides as a SparkContext broadcast and the probe is
+    vectorised numpy over Arrow batches."""
+    sc = df.sparkSession.sparkContext
+    b_bitmap = sc.broadcast(spec.bitmap)
+    num_bits, num_hashes = spec.num_bits, spec.num_hashes
+
+    with_key = df.withColumn(_KEY_COL, key.cast("long"))
+    schema = with_key.schema
+
+    def _probe(batches: Iterator) -> Iterator:
+        bm = np.frombuffer(b_bitmap.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = _test_bits(bm, _as_u64(pdf[_KEY_COL]), num_bits, num_hashes)
+            if mask.any():
+                yield pdf[mask]
+
+    return with_key.mapInPandas(_probe, schema).drop(_KEY_COL)

@@ -37,6 +37,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import bloom as bloom_ops
 from . import dedup as dedup_ops
 
 
@@ -44,6 +45,33 @@ def _exact_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.md5(dedup_ops.normalise_text(F.col(text_col))).alias("content_hash"),
         F.col(id_col).alias("doc_id"),
+    )
+
+
+def _bloom_pruned(
+    index_frame: DataFrame,
+    key_cols: list[str],
+    batch_keys: DataFrame,
+    fpp: float,
+) -> DataFrame:
+    """Drop index rows whose join key cannot appear in the batch: build a
+    Bloom filter over the batch's distinct keys and probe the index scan
+    with it (``operators.bloom``).  No false negatives + per-key
+    all-or-none row survival ⇒ every downstream per-key aggregate is
+    exact for keys the join can keep — the classification is pinned
+    bit-identical to the unpruned path in test_curation.  Worth it when
+    batch ≪ index (the incremental-ingest contract): the O(index)
+    pre-join aggregation shrinks to ~O(batch) at the cost of one extra
+    O(batch) key pass and one Arrow pass over the index scan's narrow
+    key columns."""
+    spec = bloom_ops.build_key_bloom(
+        batch_keys.select(
+            bloom_ops.bloom_key(*key_cols).alias("__bk")
+        ).distinct(),
+        fpp=fpp,
+    )
+    return bloom_ops.prune_by_bloom(
+        index_frame, bloom_ops.bloom_key(*key_cols), spec
     )
 
 
@@ -112,6 +140,7 @@ def match_against_index(
     min_est_jaccard: float | None = 0.5,
     max_bucket: int | None = 100_000,
     cap_stats: dict | None = None,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Classify a new batch against the index AND against itself.
 
@@ -131,13 +160,18 @@ def match_against_index(
     estimated similarity below ``min_est_jaccard`` are rejected without
     any text access (pass ``None`` to accept every band collision).
     ``match_id`` is the lowest-id surviving match.
+
+    ``bloom_fpp`` (e.g. ``0.01``) turns on the batch-keyed Bloom
+    prefilter on BOTH index scans (see :func:`_bloom_pruned`) —
+    classification is bit-identical, but only index rows whose
+    content-hash / band key might appear in the batch reach the joins.
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
     return _match_frames(
         new_docs, ex_idx, band_idx, id_col, text_col, n, num_hashes,
         bands, hash_mode, min_band_matches, min_est_jaccard, max_bucket,
-        cap_stats,
+        cap_stats, bloom_fpp,
     )
 
 
@@ -155,11 +189,20 @@ def _match_frames(
     min_est_jaccard: float | None,
     max_bucket: int | None,
     cap_stats: dict | None = None,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Layout-independent core of :func:`match_against_index`: the index
     arrives as two frames (parquet-dir scan or bucketed-table scan — the
-    latter joins with zero index-side Exchange)."""
+    latter joins with zero index-side Exchange).  With ``bloom_fpp``
+    set, both index frames are Bloom-pruned by the batch's keys first
+    (and the batch-side frames are staged, since the bloom build adds a
+    consumer); the default path's plan is untouched."""
     new_exact = _exact_table(new_docs, id_col, text_col)
+    if bloom_fpp is not None:
+        new_exact = dedup_ops._stage(new_exact)
+        ex_idx = _bloom_pruned(
+            ex_idx, ["content_hash"], new_exact, bloom_fpp
+        )
     exact_hits = (
         new_exact.join(
             ex_idx.select("content_hash", F.col("doc_id").alias("match_id")),
@@ -184,6 +227,12 @@ def _match_frames(
     new_bands = _band_table(
         canon_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     )
+    if bloom_fpp is not None:
+        # staging also spares the third signature computation the bloom
+        # build would otherwise add (new_bands already feeds the index
+        # join AND the intra-batch self-join)
+        new_bands = dedup_ops._stage(new_bands)
+        band_idx = _bloom_pruned(band_idx, ["band", "bh"], new_bands, bloom_fpp)
     cand = (
         new_bands.join(
             band_idx.select(
@@ -359,6 +408,7 @@ def chunk_stats_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 10,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Incremental sub-document dedup: per new document, how much of it is
     chunks the corpus has already accepted (or that an earlier document in
@@ -381,9 +431,18 @@ def chunk_stats_against_index(
     # docs below the gate still carry already-indexed chunks); a plain left
     # join would multiply each matching occurrence row per index copy,
     # inflating n_chunks / n_dup_chunks — the exact value callers gate on.
+    raw = spark.read.parquet(os.path.join(path, "chunks")).select(
+        F.col("chunk_hash").alias("__h")
+    )
+    if bloom_fpp is not None:
+        # the core Bloom-prunes ``raw`` by the batch's chunk hashes BEFORE
+        # the distinct — that distinct is the O(index) shuffle the
+        # prefilter exists to remove (``bloom_fpp`` doc: match_against_index)
+        return _chunk_stats_core(
+            new_docs, raw, id_col, text_col, chunk_tokens, bloom_fpp
+        )
     indexed = (
-        spark.read.parquet(os.path.join(path, "chunks"))
-        .select(F.col("chunk_hash").alias("__h"))
+        raw
         .distinct()
         .withColumn("__indexed", F.lit(True))
         .hint("shuffle_hash")
@@ -397,11 +456,16 @@ def _chunk_stats_core(
     id_col: str,
     text_col: str,
     chunk_tokens: int,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Layout-independent core of the incremental chunk stats: ``indexed``
     is a distinct (__h, __indexed=True) membership frame from either the
     parquet-dir scan (shuffle-hash hinted) or the bucketed-table scan
-    (joins on its own bucket distribution)."""
+    (joins on its own bucket distribution).  With ``bloom_fpp`` set,
+    ``indexed`` arrives RAW (one __h column, not yet distinct) and is
+    Bloom-pruned by the batch's occurrence hashes before the distinct —
+    which then shuffles ~O(batch) candidate hashes instead of the whole
+    index."""
     occ = (
         dedup_ops.chunk_frame(new_docs, id_col, text_col, chunk_tokens)
         .select(
@@ -414,6 +478,12 @@ def _chunk_stats_core(
         )
     )
     occ = dedup_ops._stage(occ)
+    if bloom_fpp is not None:
+        indexed = (
+            _bloom_pruned(indexed, ["__h"], occ, bloom_fpp)
+            .distinct()
+            .withColumn("__indexed", F.lit(True))
+        )
     batch_first = occ.groupBy("__h").agg(F.min("__occ").alias("__first"))
     joined = occ.join(batch_first, on="__h").join(indexed, on="__h", how="left")
     dup = F.coalesce(F.col("__indexed"), F.lit(False)) | (
@@ -509,6 +579,7 @@ def clean_against_line_index(
     min_docs: int = 2,
     min_line_chars: int = 1,
     delimiter: str = "\n",
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Incremental CCNet line dedup: boilerplate = lines whose distinct-doc
     count ACROSS the established corpus plus this batch clears
@@ -521,9 +592,23 @@ def clean_against_line_index(
     (shuffle-hash: corpus-sized index, read once, text never read); the
     per-append counts sum because ingest batches hold disjoint doc sets
     (the same contract the exact/band/chunk tables rely on).
+
+    ``bloom_fpp`` Bloom-prunes the index scan by the batch's line hashes
+    before the count sum (one extra O(batch) line pass; bit-identical
+    output — ``bloom_fpp`` doc: :func:`match_against_index`).
     """
+    scan = spark.read.parquet(os.path.join(path, "lines"))
+    if bloom_fpp is not None:
+        scan = _bloom_pruned(
+            scan,
+            ["line_hash"],
+            _line_count_table(
+                new_docs, id_col, text_col, delimiter, min_line_chars
+            ),
+            bloom_fpp,
+        )
     idx = (
-        spark.read.parquet(os.path.join(path, "lines"))
+        scan
         .groupBy("line_hash")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
@@ -730,6 +815,7 @@ def clean_against_gram_index(
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
     validate_ids: bool = True,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Incremental ExactSubstr span removal: a batch span whose gram
     already occurs in the established corpus (or earlier in the combined
@@ -782,8 +868,21 @@ def clean_against_gram_index(
         # append range carrying DIFFERENT documents is id reuse, not a
         # retry — both rejected like any other overlap.
         _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
+    scan = spark.read.parquet(os.path.join(path, "grams"))
+    if bloom_fpp is not None:
+        # one extra O(batch) gram pass builds the filter; the index-side
+        # min-combine then shuffles ~O(batch) candidate grams instead of
+        # the whole corpus (``bloom_fpp`` doc: match_against_index)
+        scan = _bloom_pruned(
+            scan,
+            ["gram_hash"],
+            _gram_first_table(
+                new_docs, id_col, text_col, min_tokens, max_doc_tokens
+            ),
+            bloom_fpp,
+        )
     idx = (
-        spark.read.parquet(os.path.join(path, "grams"))
+        scan
         .groupBy("gram_hash")
         .agg(F.min("first_key").alias("first_key"))
     )
@@ -1938,6 +2037,7 @@ def clean_against_gram_index_bucketed(
     max_doc_tokens: int = 1 << 24,
     validate_ids: bool = True,
     staged: bool = False,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Bucketed-table twin of :func:`clean_against_gram_index` — same
     output, same contract, but the index-side min-combine and first-key
@@ -1978,6 +2078,18 @@ def clean_against_gram_index_bucketed(
             meta = []
         _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
     scan = spark.table(table)
+    if bloom_fpp is not None:
+        # the Arrow probe drops the bucketed scan's output partitioning,
+        # so the min-combine re-shuffles — but only the ~O(batch)
+        # surviving rows, which is the cheaper trade once corpus ≫ batch
+        scan = _bloom_pruned(
+            scan,
+            ["gram_hash"],
+            _gram_first_table(
+                new_docs, id_col, text_col, min_tokens, max_doc_tokens
+            ),
+            bloom_fpp,
+        )
     if staged:
         # explicit partition count, chosen != the table's bucket count:
         # a count-less repartition("gram_hash") is elided by AQE's
@@ -2320,16 +2432,19 @@ def match_against_index_bucketed(
     min_est_jaccard: float | None = 0.5,
     max_bucket: int | None = 100_000,
     cap_stats: dict | None = None,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Bucketed-table twin of :func:`match_against_index` — identical
     classification, but both batch-vs-index joins consume the bucketed
-    scans' hash distribution instead of shuffling the index per batch."""
+    scans' hash distribution instead of shuffling the index per batch
+    (``bloom_fpp``: see :func:`match_against_index`)."""
     return _match_frames(
         new_docs,
         spark.table(table_prefix + "_exact"),
         spark.table(table_prefix + "_bands"),
         id_col, text_col, n, num_hashes, bands, hash_mode,
         min_band_matches, min_est_jaccard, max_bucket, cap_stats,
+        bloom_fpp,
     )
 
 
@@ -2390,17 +2505,20 @@ def chunk_stats_against_index_bucketed(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 10,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Bucketed twin of :func:`chunk_stats_against_index` — identical
     output; the distinct + left join consume the bucketed scan's hash
-    distribution instead of shuffling the index per batch."""
+    distribution instead of shuffling the index per batch.  With
+    ``bloom_fpp`` the core Bloom-prunes the raw scan first (the pruned
+    distinct re-shuffles, but only ~O(batch) surviving hashes)."""
     recover_interrupted_table_compaction(spark, table)
-    indexed = (
-        spark.table(table)
-        .select(F.col("chunk_hash").alias("__h"))
-        .distinct()
-        .withColumn("__indexed", F.lit(True))
-    )
+    raw = spark.table(table).select(F.col("chunk_hash").alias("__h"))
+    if bloom_fpp is not None:
+        return _chunk_stats_core(
+            new_docs, raw, id_col, text_col, chunk_tokens, bloom_fpp
+        )
+    indexed = raw.distinct().withColumn("__indexed", F.lit(True))
     return _chunk_stats_core(new_docs, indexed, id_col, text_col, chunk_tokens)
 
 
@@ -2473,13 +2591,25 @@ def clean_against_line_index_bucketed(
     min_docs: int = 2,
     min_line_chars: int = 1,
     delimiter: str = "\n",
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Bucketed twin of :func:`clean_against_line_index` — identical
     output; the per-hash count sum runs on the bucketed scan's own
-    distribution."""
+    distribution (Bloom-pruned first when ``bloom_fpp`` is set — the
+    pruned sum re-shuffles, but only ~O(batch) surviving hashes)."""
     recover_interrupted_table_compaction(spark, table)
+    scan = spark.table(table)
+    if bloom_fpp is not None:
+        scan = _bloom_pruned(
+            scan,
+            ["line_hash"],
+            _line_count_table(
+                new_docs, id_col, text_col, delimiter, min_line_chars
+            ),
+            bloom_fpp,
+        )
     idx = (
-        spark.table(table)
+        scan
         .groupBy("line_hash")
         .agg(F.sum("n_docs").alias("n_docs"))
     )

@@ -1,0 +1,203 @@
+"""Batch-keyed Bloom prefilter (operators.bloom + dedup_index bloom_fpp).
+
+The contract under test: ``bloom_fpp`` changes the PLAN (index rows that
+cannot join are dropped at the scan), never the RESULT — every consumer
+is pinned bit-identical against its unpruned twin, and the kernel itself
+is pinned for the property the equality proofs rest on: no false
+negatives, under any partitioning of the build side.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import bloom
+from tern_ep_data_pipeline_spark.operators import dedup_index as di
+
+
+# ------------------------------------------------------------- kernel
+
+def test_bloom_no_false_negatives_any_partitioning(spark):
+    """Every inserted key tests positive, and the bitmap is identical no
+    matter how the build side is partitioned (partial bitmaps OR-fold to
+    the same bits) — the invariant the decision-preservation argument
+    needs."""
+    rng = random.Random(42)
+    keys = [rng.randrange(-(1 << 62), 1 << 62) for _ in range(5_000)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    specs = [
+        bloom.build_key_bloom(
+            kdf.repartition(p).select(bloom.bloom_key(F.col("k")).alias("__bk")),
+            fpp=0.01,
+        )
+        for p in (1, 3, 11)
+    ]
+    assert specs[0].bitmap == specs[1].bitmap == specs[2].bitmap, (
+        "partial-bitmap OR-fold must be partitioning-independent"
+    )
+    kept = bloom.prune_by_bloom(kdf, bloom.bloom_key(F.col("k")), specs[0])
+    assert kept.count() == kdf.count(), "no false negatives, ever"
+
+
+def test_bloom_fpp_and_empty_batch(spark):
+    """Non-members survive at ~fpp (here: well under 5x the asked 1%),
+    and an EMPTY batch's filter prunes the whole index — vacuously
+    decision-preserving since an empty batch joins nothing."""
+    members = spark.range(2_000)
+    spec = bloom.build_key_bloom(
+        members.select(bloom.bloom_key(F.col("id")).alias("__bk")), fpp=0.01
+    )
+    others = spark.range(2_000, 52_000)
+    fp = bloom.prune_by_bloom(others, bloom.bloom_key(F.col("id")), spec).count()
+    assert fp / 50_000 < 0.05
+
+    empty = bloom.build_key_bloom(
+        spark.range(0).select(bloom.bloom_key(F.col("id")).alias("__bk"))
+    )
+    assert (
+        bloom.prune_by_bloom(others, bloom.bloom_key(F.col("id")), empty).count()
+        == 0
+    )
+
+
+# ------------------------------------------- consumer equality pins
+
+def _corpus(spark, n=40, seed=7):
+    rng = random.Random(seed)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark, corpus_rows, start_id=1000):
+    """A batch with an exact dup, a near dup, and fresh docs — ids above
+    the corpus range (gram-index monotonicity contract)."""
+    dup = corpus_rows[0][1]
+    near = dup.rsplit(" ", 1)[0] + " omega"
+    rows = [
+        (start_id, dup),
+        (start_id + 1, near),
+        (start_id + 2, "totally fresh content about bloom filters and scans"),
+        (start_id + 3, "another fresh one\nshared line\nunique tail"),
+        (start_id + 4, "yet another\nshared line\ndifferent tail"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_match_against_index_bloom_identical(spark, tmp_path):
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    path = str(tmp_path / "idx")
+    di.build_dedup_index(corpus, path, num_hashes=16, bands=8)
+    batch = _batch(spark, rows)
+    plain = di.match_against_index(spark, batch, path, num_hashes=16, bands=8)
+    pruned = di.match_against_index(
+        spark, batch, path, num_hashes=16, bands=8, bloom_fpp=0.01
+    )
+    assert _sorted_rows(plain) == _sorted_rows(pruned)
+
+
+def test_gram_index_bloom_identical(spark, tmp_path):
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    path = str(tmp_path / "gidx")
+    di.build_gram_index(corpus, path, min_tokens=8)
+    batch = _batch(spark, rows)
+    plain = di.clean_against_gram_index(spark, batch, path, min_tokens=8)
+    pruned = di.clean_against_gram_index(
+        spark, batch, path, min_tokens=8, bloom_fpp=0.01
+    )
+    assert _sorted_rows(plain) == _sorted_rows(pruned)
+
+
+def test_chunk_index_bloom_identical(spark, tmp_path):
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    path = str(tmp_path / "cidx")
+    di.build_chunk_index(corpus, path, chunk_tokens=10)
+    batch = _batch(spark, rows)
+    plain = di.chunk_stats_against_index(spark, batch, path, chunk_tokens=10)
+    pruned = di.chunk_stats_against_index(
+        spark, batch, path, chunk_tokens=10, bloom_fpp=0.01
+    )
+    assert _sorted_rows(plain) == _sorted_rows(pruned)
+
+
+def test_line_index_bloom_identical(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (1, "shared line\nunique a\nboiler"),
+            (2, "shared line\nunique b\nboiler"),
+            (3, "unique c only"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lidx")
+    di.build_line_index(corpus, path, min_line_chars=3)
+    batch = spark.createDataFrame(
+        [
+            (100, "shared line\nnew body here"),
+            (101, "boiler\nfresh per-doc text"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = di.clean_against_line_index(
+        spark, batch, path, min_docs=2, min_line_chars=3
+    )
+    pruned = di.clean_against_line_index(
+        spark, batch, path, min_docs=2, min_line_chars=3, bloom_fpp=0.01
+    )
+    assert _sorted_rows(plain) == _sorted_rows(pruned)
+
+
+def test_bucketed_twins_bloom_identical(spark, tmp_path):
+    """The bucketed layouts accept the same flag and stay bit-identical
+    (the probe drops bucket distribution, so the pruned side re-shuffles
+    — correctness must not care)."""
+    corpus = _corpus(spark, n=25, seed=11)
+    rows = corpus.collect()
+    batch = _batch(spark, rows)
+
+    di.build_dedup_index_bucketed(corpus, "blm_m", n_buckets=4, num_hashes=16, bands=8)
+    plain = di.match_against_index_bucketed(
+        spark, batch, "blm_m", num_hashes=16, bands=8
+    )
+    pruned = di.match_against_index_bucketed(
+        spark, batch, "blm_m", num_hashes=16, bands=8, bloom_fpp=0.01
+    )
+    assert _sorted_rows(plain) == _sorted_rows(pruned)
+
+    di.build_gram_index_bucketed(corpus, "blm_g", n_buckets=4, min_tokens=8)
+    gplain = di.clean_against_gram_index_bucketed(
+        spark, batch, "blm_g", min_tokens=8
+    )
+    gpruned = di.clean_against_gram_index_bucketed(
+        spark, batch, "blm_g", min_tokens=8, bloom_fpp=0.01
+    )
+    assert _sorted_rows(gplain) == _sorted_rows(gpruned)
+
+
+def test_bloom_prune_actually_prunes(spark, tmp_path):
+    """The point of the filter: with a batch far smaller than the corpus,
+    the surviving index fraction is near batch-share, not 1.0."""
+    corpus = _corpus(spark, n=400, seed=3)
+    path = str(tmp_path / "gidx")
+    di.build_gram_index(corpus, path, min_tokens=8)
+    scan = spark.read.parquet(path + "/grams")
+    total = scan.count()
+    batch = spark.createDataFrame(
+        [(5000, "one tiny fresh document that shares no grams at all")],
+        "doc_id long, text string",
+    )
+    keys = di._gram_first_table(batch, "doc_id", "text", 8, 1 << 24)
+    kept = di._bloom_pruned(scan, ["gram_hash"], keys, 0.01).count()
+    assert kept < 0.1 * total, (kept, total)
