@@ -3406,7 +3406,12 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``seqs``: the materialised packed sequences — md5 of each
       sequence's concatenated text (byte-level parity) + its weight;
     - ``split``: leak-free train/val/test assignment keyed on the
-      near-dup cluster canonical (shares the staged cc table).
+      near-dup cluster canonical (shares the staged cc table);
+    - ``dsir``: DSIR importance resampling (Xie et al. 2023) — 100 docs
+      Gumbel-top-k selected so the pool's hashed unigram+bigram
+      distribution importance-matches the ``lang='en'`` target slice;
+      value = exact integer micro-log weight and selection key (the
+      only float steps are the precedent ln->round(1e12) quantisations).
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -3562,9 +3567,20 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_weight").cast("double").alias("val_d"),
     )
 
+    dsir = sampling.importance_resample(
+        docs, docs.where(F.col("lang") == "en"), 100, buckets=10_000
+    ).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat_ws(
+            ":", F.col("logweight_micro"), F.col("key_micro")
+        ).alias("val_s"),
+        nd.alias("val_d"),
+    )
+
     out = cc
     for branch in (
-        split, sample, pii, budget, tfidf, rep, decon, mix, pack, seqs,
+        split, sample, pii, budget, tfidf, rep, decon, mix, pack, seqs, dsir,
     ):
         out = out.unionByName(branch)
     return out
@@ -3753,7 +3769,43 @@ packed AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) - n_chars AS st
   FROM documents
-)
+),
+dsir_g AS (
+  SELECT doc_id, ('0x'||substr(md5('dsir:'||g),1,15))::BIGINT % 10000 AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+    )) AS g FROM rep_t
+  )
+),
+dsir_docb AS (SELECT doc_id, bucket, count(*) AS c FROM dsir_g GROUP BY 1, 2),
+dsir_rawb AS (SELECT bucket, sum(c) AS cr FROM dsir_docb GROUP BY 1),
+dsir_tgtb AS (
+  SELECT bucket, count(*) AS ct FROM dsir_g JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY 1
+),
+dsir_tot AS (
+  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM dsir_rawb) AS tr,
+         (SELECT CAST(sum(ct) AS DOUBLE) FROM dsir_tgtb) AS tt
+),
+dsir_lr AS (
+  SELECT bucket,
+    CAST(round((ln((COALESCE(ct, 0) + 1.0) / (tt + 10000.0))
+              - ln((cr + 1.0) / (tr + 10000.0))) * 1e12) AS BIGINT) AS lr_pico
+  FROM dsir_rawb LEFT JOIN dsir_tgtb USING (bucket), dsir_tot
+),
+dsir_scored AS (
+  SELECT doc_id, CAST(sum(CAST(c AS HUGEINT) * lr_pico) AS HUGEINT) AS s
+  FROM dsir_docb JOIN dsir_lr USING (bucket) GROUP BY 1
+),
+dsir_keyed AS (
+  SELECT doc_id, s,
+    s + CAST(round(-ln(-ln(
+      ((('0x'||substr(md5('dsir-g:'||doc_id),1,15))::BIGINT) + 0.5)
+      / 1152921504606846976.0)) * 1e12) AS BIGINT) AS kk
+  FROM dsir_scored
+),
+dsir_sel AS (SELECT * FROM dsir_keyed ORDER BY kk DESC, doc_id LIMIT 100)
 SELECT 'cc' AS part, CAST(node AS VARCHAR) AS key,
   CAST(component AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
 FROM cc
@@ -3798,6 +3850,15 @@ SELECT 'seqs', p.source||'#'||CAST(floor(p.st / 4096.0) AS BIGINT),
   CAST(sum(d.n_chars) AS DOUBLE)
 FROM packed p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY p.source, floor(p.st / 4096.0)
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS VARCHAR),
+  CAST(CAST(CASE WHEN s >= 0 THEN (2*s + 1000000) // 2000000
+       ELSE -((2*(-s) + 1000000) // 2000000) END AS BIGINT) AS VARCHAR)
+  || ':' ||
+  CAST(CAST(CASE WHEN kk >= 0 THEN (2*kk + 1000000) // 2000000
+       ELSE -((2*(-kk) + 1000000) // 2000000) END AS BIGINT) AS VARCHAR),
+  CAST(NULL AS DOUBLE)
+FROM dsir_sel
 """
 
 

@@ -393,3 +393,181 @@ def leak_free_split(
     for name, cut in reversed(cuts):
         expr = F.when(b < cut, F.lit(name)).otherwise(expr)
     return joined.select(F.col(id_col), expr.alias("split"))
+
+
+# ------------------------------------------------ DSIR importance resampling
+
+def _dsir_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __g) — one row per unigram AND bigram occurrence, the hashed
+    feature space of DSIR (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): unigrams carry topic mass,
+    bigrams carry style/fluency mass. Tokenisation is the package-wide
+    whitespace split (``dedup.tokens``)."""
+    from .dedup import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    bigrams = F.transform(
+        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("__t"), i + F.lit(2))),
+    )
+    return toks.select(
+        F.col(id_col), F.explode(F.concat(F.col("__t"), bigrams)).alias("__g")
+    )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-feature-bucket importance log-ratio table — the DSIR model:
+    hashed n-gram counts under the TARGET distribution vs the RAW pool,
+    add-``smoothing`` estimated, ``lr(b) = ln p_target(b) - ln p_raw(b)``.
+
+    Output: (bucket, lr_pico) — the ratio quantised to integer picolog
+    units (round(lr * 1e12) as BIGINT, the package's order-independent
+    log-sum currency; see ``text.unigram_logprob``). Only buckets present
+    in the raw pool appear: a raw document can only ever reference those.
+
+    Scale shape: two map-side-combinable gram->bucket count aggregations
+    (one per corpus), joined on the bucket key — the table is at most
+    ``buckets`` rows, so every downstream use broadcasts it. Totals ride
+    in as broadcast one-row frames; no collect.
+    """
+    from .sketch import portable_hash
+
+    bcol = (portable_hash(F.col("__g"), salt) % buckets).alias("bucket")
+    raw_b = (
+        _dsir_grams(raw, id_col, text_col)
+        .select(bcol)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    tgt_b = (
+        _dsir_grams(target, id_col, text_col)
+        .select(bcol)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    return _dsir_logratio_from_counts(raw_b, tgt_b, buckets, smoothing)
+
+
+def _dsir_logratio_from_counts(
+    raw_b: DataFrame, tgt_b: DataFrame, buckets: int, smoothing: float
+) -> DataFrame:
+    """(bucket, lr_pico) from pre-aggregated (bucket, __cr) / (bucket,
+    __ct) marginals — shared by :func:`dsir_logratio` and the staged
+    single-expansion path inside :func:`importance_resample`.
+
+    The corpus totals ride as single-partition window sums over the
+    full-outer bucket join (bounded: <= 2·buckets rows) instead of two
+    separate aggregate-and-broadcast jobs — same exact integer sums,
+    fewer scheduler round-trips.  Full outer, then filter to raw
+    buckets: a target-only bucket contributes to the TARGET total even
+    though no raw document can reference it."""
+    from pyspark.sql import Window
+
+    a = float(smoothing)
+    w = Window.partitionBy()
+    # full outer cannot broadcast; hint shuffle-hash so the <= buckets-row
+    # join never falls to sort-merge (the plan gate pins 0 SMJ repo-wide)
+    joined = raw_b.join(tgt_b.hint("shuffle_hash"), on="bucket", how="full").select(
+        "bucket",
+        "__cr",
+        "__ct",
+        F.sum("__cr").over(w).cast("double").alias("__Tr"),
+        F.sum("__ct").over(w).cast("double").alias("__Tt"),
+    ).where(F.col("__cr").isNotNull())
+    denom = F.lit(a) * F.lit(float(buckets))
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
+        / (F.col("__Tt") + denom)
+    ) - F.log((F.col("__cr") + F.lit(a)) / (F.col("__Tr") + denom))
+    return joined.select(
+        "bucket", F.round(lr * F.lit(1.0e12)).cast("long").alias("lr_pico")
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection (Xie et al. 2023): pick ``k`` documents from the
+    ``raw`` pool whose hashed-n-gram distribution importance-matches the
+    ``target`` corpus — Gumbel-top-k over the per-document importance
+    log-weights, so the selection is a true sample from the importance
+    distribution, not a deterministic head that would collapse onto
+    near-duplicates of the single most target-like document.
+
+    Every step is engine-portable and layout-deterministic: the
+    importance weight is an exact integer sum of picolog bucket ratios
+    (decimal(38,0) — associative, partition-order-free), the Gumbel
+    noise is derived from the document id's portable hash (rerun-stable,
+    u = (h + 0.5) / 2^60 strictly inside (0,1)), and the only float
+    steps are the same ln->round(1e12) quantisations the unigram-LM
+    scorer uses. Output: (doc_id, logweight_micro, key_micro), the
+    selected ``k`` — ties broken by id.
+
+    Scale shape: gram->bucket counting is map-side combinable; the
+    per-document scoring join BROADCASTS the <= ``buckets``-row ratio
+    table; selection is ``ORDER BY ... LIMIT k`` = TakeOrdered (per-
+    partition top-k + driver merge of k-row heads, never a global sort).
+    """
+    from .dedup import _stage
+    from .sketch import portable_hash
+    from .text import half_away_div
+
+    bcol = (portable_hash(F.col("__g"), salt) % buckets).alias("bucket")
+    # staged: the raw pool's (id, bucket, c) counts feed BOTH the ratio
+    # table's raw marginal and the per-document scoring — one gram
+    # expansion over the big side, not two
+    doc_b = _stage(
+        _dsir_grams(raw, id_col, text_col)
+        .select(F.col(id_col), bcol)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    raw_b = doc_b.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
+    tgt_b = (
+        _dsir_grams(target, id_col, text_col)
+        .select(bcol)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    lr = _dsir_logratio_from_counts(raw_b, tgt_b, buckets, smoothing)
+    scored = (
+        doc_b.join(F.broadcast(lr), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("__c") * F.col("lr_pico")).cast("decimal(38,0)")
+            ).alias("__s")
+        )
+    )
+    u = (portable_hash(F.col(id_col), f"{salt}-g") + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    g_pico = F.round(-F.log(-F.log(u)) * F.lit(1.0e12)).cast("long")
+    keyed = scored.withColumn(
+        "__key", (F.col("__s") + g_pico.cast("decimal(38,0)")).cast("decimal(38,0)")
+    )
+    mega = F.lit(1_000_000).cast("decimal(38,0)")
+    return (
+        keyed.orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            half_away_div(F.col("__s"), mega).alias("logweight_micro"),
+            half_away_div(F.col("__key"), mega).alias("key_micro"),
+        )
+    )

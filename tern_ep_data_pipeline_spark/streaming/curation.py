@@ -252,6 +252,7 @@ def span_dedup_batch(
     memory_guard: bool = True,
     index_table: str | None = None,
     n_buckets: int = 32,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
@@ -322,6 +323,7 @@ def span_dedup_batch(
         return _span_dedup_batch_impl(
             batch, index_path, id_col, text_col, min_tokens,
             max_doc_tokens, memory_guard, index_table, n_buckets,
+            bloom_fpp,
         )
 
 
@@ -335,6 +337,7 @@ def _span_dedup_batch_impl(
     memory_guard: bool,
     index_table: str | None,
     n_buckets: int,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
@@ -426,7 +429,7 @@ def _span_dedup_batch_impl(
         cleaned = clean_against_gram_index_bucketed(
             spark, batch, index_table, id_col, text_col,
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
-            staged=staged,
+            staged=staged, bloom_fpp=bloom_fpp,
         )
     elif have_index:
         cleaned = clean_against_gram_index(
@@ -437,6 +440,7 @@ def _span_dedup_batch_impl(
             text_col,
             min_tokens=min_tokens,
             max_doc_tokens=max_doc_tokens,
+            bloom_fpp=bloom_fpp,
         )
     else:  # first batch: no index yet == the plain batch operator
         cleaned = substring_dedup(
@@ -478,6 +482,7 @@ def span_deduped_stream_sink(
     memory_guard: bool = True,
     index_table: str | None = None,
     n_buckets: int = 32,
+    bloom_fpp: float | None = None,
 ):
     """Streaming ExactSubstr span dedup via ``foreachBatch``: each
     micro-batch is cleaned against the gram index, lands as parquet, and
@@ -510,6 +515,15 @@ def span_deduped_stream_sink(
     the layout a 100 TB ingest should run (SPILL_r08 measures both).
     The first micro-batch creates the table; every meta row is
     append-tagged so batch-0 retries validate.
+
+    ``bloom_fpp`` turns on the batch-keyed Bloom prefilter on the
+    per-batch index scan (``dedup_index.clean_against_gram_index``
+    docs): decisions are bit-identical, the index-side pre-join
+    aggregation shrinks to ~O(batch). The right setting once the corpus
+    dwarfs a micro-batch; leave ``None`` while the index is young — the
+    filter costs one extra O(batch) gram pass plus an Arrow pass over
+    the index scan, which only pays once the index aggregation
+    dominates.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -518,6 +532,7 @@ def span_deduped_stream_sink(
             min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
             memory_guard=memory_guard,
             index_table=index_table, n_buckets=n_buckets,
+            bloom_fpp=bloom_fpp,
         ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         if compact_every and (batch_id + 1) % compact_every == 0:
             if index_table is not None:

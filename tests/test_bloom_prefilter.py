@@ -201,3 +201,35 @@ def test_bloom_prune_actually_prunes(spark, tmp_path):
     keys = di._gram_first_table(batch, "doc_id", "text", 8, 1 << 24)
     kept = di._bloom_pruned(scan, ["gram_hash"], keys, 0.01).count()
     assert kept < 0.1 * total, (kept, total)
+
+
+def test_streaming_span_dedup_bloom_identical(spark, tmp_path):
+    """The streaming sink's passthrough: two sequential micro-batches
+    through ``span_dedup_batch`` with and without ``bloom_fpp`` produce
+    identical cleaned output AND leave equivalent index decisions for the
+    later batch (batch 2's cleaning sees batch 1's appended grams either
+    way)."""
+    from tern_ep_data_pipeline_spark.streaming.curation import span_dedup_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again extra tail"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "fully distinct first-batch content with enough tokens here")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        # doc 10 pastes batch-1's doc-1 text — its span must be cut
+        [(10, base + " plus a novel suffix of its very own"),
+         (11, "second batch brand new document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    outs = {}
+    for tag, fpp in (("plain", None), ("bloom", 0.01)):
+        idx = str(tmp_path / f"idx_{tag}")
+        r1 = span_dedup_batch(
+            b1, idx, "doc_id", "text", memory_guard=False, bloom_fpp=fpp
+        ).collect()
+        r2 = span_dedup_batch(
+            b2, idx, "doc_id", "text", memory_guard=False, bloom_fpp=fpp
+        ).collect()
+        outs[tag] = (sorted(map(tuple, r1)), sorted(map(tuple, r2)))
+    assert outs["plain"] == outs["bloom"]

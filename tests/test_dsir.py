@@ -1,0 +1,101 @@
+"""DSIR importance resampling (sampling.dsir_logratio / importance_resample).
+
+Reference method: Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling" — hashed unigram+bigram features, target/raw
+importance log-ratio, Gumbel-top-k selection.  The engine contract under
+test: layout determinism (exact integer weight sums), target enrichment
+(the selection actually moves toward the target distribution), and the
+Gumbel key's sampling (not head-taking) semantics.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tern_ep_data_pipeline_spark.operators import sampling
+
+
+def _two_topic_corpus(spark, n_per=60):
+    """Two disjoint-vocabulary topics; ids interleave so id order carries
+    no topic signal."""
+    rows = []
+    for i in range(n_per):
+        rows.append((2 * i, "alpha beta gamma delta " * 8, "sci"))
+        rows.append((2 * i + 1, "omega psi chi phi " * 8, "web"))
+    return spark.createDataFrame(rows, "doc_id long, text string, topic string")
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """With a pure-topic target, the selected pool docs are overwhelmingly
+    that topic — the importance weights separate the two disjoint
+    vocabularies by a huge margin, so even with Gumbel noise the
+    selection should be one-sided."""
+    docs = _two_topic_corpus(spark)
+    target = docs.where("topic = 'sci'").select("doc_id", "text")
+    pool = docs.select("doc_id", "text")
+    picked = sampling.importance_resample(pool, target, 30)
+    got = picked.join(docs.select("doc_id", "topic"), on="doc_id")
+    counts = dict(
+        (r["topic"], r["n"])
+        for r in got.groupBy("topic").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts.get("sci", 0) >= 28, counts
+
+
+def test_dsir_layout_deterministic(spark):
+    """Exact integer weight sums + hash-derived Gumbel noise: the same
+    inputs select the same rows with the same micro values under any
+    partitioning."""
+    docs = _two_topic_corpus(spark).select("doc_id", "text")
+    target = docs.where("doc_id % 2 = 0")
+    a = sorted(tuple(r) for r in sampling.importance_resample(docs, target, 20).collect())
+    b = sorted(
+        tuple(r)
+        for r in sampling.importance_resample(
+            docs.repartition(7), target.repartition(3), 20
+        ).collect()
+    )
+    assert a == b
+
+
+def test_dsir_k_exceeds_pool(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e"), (3, "e f g")], "doc_id long, text string"
+    )
+    out = sampling.importance_resample(docs, docs.where("doc_id = 1"), 50)
+    assert out.count() == 3
+
+
+def test_dsir_logratio_shape_and_sign(spark):
+    """The ratio table is bounded by ``buckets`` rows and covers exactly
+    the raw pool's buckets; buckets that only target-heavy grams hash to
+    score positive, raw-only buckets negative."""
+    docs = _two_topic_corpus(spark)
+    target = docs.where("topic = 'sci'").select("doc_id", "text")
+    pool = docs.select("doc_id", "text")
+    lr = sampling.dsir_logratio(pool, target, buckets=512)
+    rows = lr.collect()
+    assert 0 < len(rows) <= 512
+    # the sci vocabulary dominates its buckets in the target; web grams
+    # never appear there — their buckets must score below the sci ones
+    from tern_ep_data_pipeline_spark.operators.sketch import portable_hash
+
+    probe = spark.createDataFrame(
+        [("alpha beta",), ("omega psi",)], "g string"
+    ).select(
+        "g", (portable_hash(F.col("g"), "dsir") % 512).alias("bucket")
+    )
+    scored = {r["g"]: r["lr_pico"] for r in probe.join(lr, on="bucket").collect()}
+    assert scored["alpha beta"] > 0 > scored["omega psi"], scored
+
+
+def test_dsir_gumbel_is_sampling_not_head(spark):
+    """Different salts draw different Gumbel noise — the selection is a
+    sample from the importance distribution, so two salts must not pick
+    identical sets when weights are near-uniform (all docs share one
+    vocabulary)."""
+    rows = [(i, "common words shared by every single document here") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.where("doc_id < 50")
+    s1 = {r["doc_id"] for r in sampling.importance_resample(docs, tgt, 20, salt="dsir").collect()}
+    s2 = {r["doc_id"] for r in sampling.importance_resample(docs, tgt, 20, salt="other").collect()}
+    assert s1 != s2
