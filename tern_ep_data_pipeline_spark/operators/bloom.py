@@ -23,7 +23,7 @@ keeps batch keys only; surviving keys therefore aggregate over their
 complete row set (exact values), false-positive keys are dropped by
 the join exactly as they would have been, and absent keys could never
 have joined.  The classification is bit-identical with or without the
-prefilter — pinned by tests/test_curation.py's equality tests.
+prefilter — pinned by tests/test_bloom_prefilter.py's equality tests.
 
 **Engine shape.** Spark's own runtime bloom join
 (``bloom_filter_agg`` / ``might_contain``) is internal-only in this
@@ -80,7 +80,7 @@ class BloomSpec:
     bitmap: bytes
     num_bits: int
     num_hashes: int
-    n_keys: int
+    n_keys: int  #: -1 = unknown (fixed default geometry)
 
 
 def bloom_key(*cols) -> Column:
@@ -107,7 +107,20 @@ def _positions(keys_u64: np.ndarray, num_bits: int, hash_i: int) -> np.ndarray:
     return _splitmix64(seeded) % np.uint64(num_bits)
 
 
-def _geometry(expected: int, fpp: float) -> tuple[int, int]:
+#: Fixed fallback geometry when the caller does not know the key count:
+#: 2^23 bits (1 MiB broadcast), 4 hashes — fpp ~0.1% at 100k keys, ~2%
+#: at 1M, degrading gracefully; callers above that scale pass
+#: ``expected`` and get the textbook-optimal sizing instead.  The point
+#: of the fixed default: sizing from an exact count would re-evaluate
+#: the whole batch-key subplan once more (a shuffle per consumer call)
+#: just to pick a bitmap size.
+_DEFAULT_BITS = 1 << 23
+_DEFAULT_HASHES = 4
+
+
+def _geometry(expected: int | None, fpp: float) -> tuple[int, int]:
+    if expected is None:
+        return _DEFAULT_BITS, _DEFAULT_HASHES
     n = max(1, expected)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = max(_MIN_BITS, min(_MAX_BITS, (m + 63) // 64 * 64))
@@ -146,15 +159,15 @@ def build_key_bloom(
 ) -> BloomSpec:
     """Build a Bloom filter over a one-int64-column key frame.
 
-    ``expected`` sizes the bitmap; when None the frame is counted first
-    (one extra job over the SMALL side — the batch).  Geometry is the
-    textbook optimum capped at 32 MiB / 16 hashes.  The build is two
-    Arrow stages: per-partition partial bitmaps (map-side, no key
-    shuffle), then a one-task OR-fold whose single output row is the
-    only thing the driver collects.
+    ``expected`` sizes the bitmap (textbook optimum for ``fpp``, capped
+    at 32 MiB / 16 hashes); when None, the fixed 1 MiB / 4-hash default
+    geometry is used instead — counting the frame to size optimally
+    would re-evaluate the whole batch-key subplan for one scalar.
+    Duplicate keys are harmless (same bits).  The build is two Arrow
+    stages: per-partition partial bitmaps (map-side, no key shuffle),
+    then a one-task OR-fold whose single output row is the only thing
+    the driver collects.
     """
-    if expected is None:
-        expected = keys.count()
     num_bits, num_hashes = _geometry(expected, fpp)
     nbytes = num_bits // 8
 
@@ -188,7 +201,8 @@ def build_key_bloom(
     rows = partials.repartition(1).mapInPandas(_fold, "bm binary").collect()
     bitmap = rows[0]["bm"] if rows else b"\x00" * nbytes
     return BloomSpec(bitmap=bitmap, num_bits=num_bits,
-                     num_hashes=num_hashes, n_keys=expected)
+                     num_hashes=num_hashes,
+                     n_keys=-1 if expected is None else expected)
 
 
 def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:

@@ -55,19 +55,20 @@ def _bloom_pruned(
     fpp: float,
 ) -> DataFrame:
     """Drop index rows whose join key cannot appear in the batch: build a
-    Bloom filter over the batch's distinct keys and probe the index scan
-    with it (``operators.bloom``).  No false negatives + per-key
-    all-or-none row survival ⇒ every downstream per-key aggregate is
-    exact for keys the join can keep — the classification is pinned
-    bit-identical to the unpruned path in test_curation.  Worth it when
+    Bloom filter over the batch's keys and probe the index scan with it
+    (``operators.bloom``).  No false negatives + per-key all-or-none
+    row survival ⇒ every downstream per-key aggregate is exact for keys
+    the join can keep — the classification is pinned bit-identical to
+    the unpruned path in test_bloom_prefilter.  Worth it when
     batch ≪ index (the incremental-ingest contract): the O(index)
     pre-join aggregation shrinks to ~O(batch) at the cost of one extra
     O(batch) key pass and one Arrow pass over the index scan's narrow
     key columns."""
+    # no distinct, no count: duplicate keys set the same bits, and the
+    # fixed default geometry avoids re-evaluating the batch-key subplan
+    # just to size the bitmap (operators.bloom.build_key_bloom)
     spec = bloom_ops.build_key_bloom(
-        batch_keys.select(
-            bloom_ops.bloom_key(*key_cols).alias("__bk")
-        ).distinct(),
+        batch_keys.select(bloom_ops.bloom_key(*key_cols).alias("__bk")),
         fpp=fpp,
     )
     return bloom_ops.prune_by_bloom(

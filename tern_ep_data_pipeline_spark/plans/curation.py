@@ -161,6 +161,9 @@ def curate_corpus(
     quality_threshold: float = 0.5,
     domain_alpha: float | None = None,
     domain_total: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
     line_dedup_min_docs: int | None = None,
     line_delimiter: str = "\n",
     substring_min_tokens: int | None = None,
@@ -175,10 +178,19 @@ def curate_corpus(
     (id, stage) where stage names the stage that dropped the document
     ('exact_dup', 'near_dup', 'contained', 'chunk_boilerplate',
     'contaminated', 'quality_chars', 'quality_model', 'mix_sampled_out',
-    'over_budget') or 'kept' — the "where did my document go" question a
+    'dsir_sampled_out', 'over_budget') or 'kept' — the "where did my document go" question a
     100 TB pipeline debug session actually asks. Stages partition the
     input ids exactly; computed from the run's own intermediates (one
     extra id anti-join per stage), so it cannot drift from the plan.
+
+    ``dsir_target`` + ``dsir_k`` replaces stage 6's domain mixing with
+    DSIR importance resampling (``sampling.importance_resample``): keep
+    the ``dsir_k`` surviving documents whose hashed n-gram distribution
+    importance-matches the target corpus — the published recipe for
+    "select pretraining data that looks like my high-quality set"
+    (Xie et al. 2023), deterministic and rerun-stable like every other
+    stage. Mutually exclusive with ``domain_fractions``/``domain_alpha``
+    (one selection policy per run).
 
     With ``bpe_merges`` + ``token_budget``, each domain keeps documents in
     (quality, id) order until the budget — measured in REAL tokens under
@@ -369,8 +381,25 @@ def curate_corpus(
     if scrub:
         kept = kept.withColumn(text_col, text.scrub_pii(F.col(text_col)))
 
-    # 6. deterministic domain mixing — fixed fractions, or temperature-
-    # derived cuts when alpha/total are given instead.
+    # 6. deterministic domain mixing — fixed fractions, temperature-
+    # derived cuts, or DSIR target-matching selection.
+    if dsir_target is not None and (
+        domain_fractions or domain_alpha is not None
+    ):
+        raise ValueError(
+            "dsir_target is mutually exclusive with "
+            "domain_fractions/domain_alpha — one selection policy per run"
+        )
+    if dsir_target is not None and dsir_k is not None:
+        picked = sampling.importance_resample(
+            kept, dsir_target, dsir_k, id_col, text_col,
+            buckets=dsir_buckets, salt=f"{sample_salt}-dsir",
+        )
+        # semi join on the k winners: AQE broadcasts the small side
+        kept = step(
+            kept.join(picked.select(id_col), on=id_col, how="left_semi"),
+            "dsir_sampled_out",
+        )
     if domain_col and domain_fractions:
         kept = step(
             sampling.stratified_hash_sample(

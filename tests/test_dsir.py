@@ -99,3 +99,54 @@ def test_dsir_gumbel_is_sampling_not_head(spark):
     s1 = {r["doc_id"] for r in sampling.importance_resample(docs, tgt, 20, salt="dsir").collect()}
     s2 = {r["doc_id"] for r in sampling.importance_resample(docs, tgt, 20, salt="other").collect()}
     assert s1 != s2
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """curate_corpus(dsir_target=, dsir_k=): the pipeline's stage-6
+    selection keeps exactly k target-like survivors, audit mode
+    attributes the dropped docs to 'dsir_sampled_out', and combining
+    DSIR with domain mixing is rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    # per-doc UNIQUE texts (the pipeline's exact/near-dup stages run
+    # before DSIR — identical topic texts would collapse to one doc each)
+    rng = random.Random(5)
+    sci = "atom quark lepton boson photon gluon meson hadron spin flux".split()
+    web = "click banner cookie popup tracker advert widget layout theme font".split()
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, " ".join(rng.choice(sci) for _ in range(40)), "sci"))
+        rows.append((2 * i + 1, " ".join(rng.choice(web) for _ in range(40)), "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, topic string")
+    target = docs.where("topic = 'sci'").select("doc_id", "text")
+    out = curate_corpus(
+        docs.select("doc_id", "text"),
+        dsir_target=target,
+        dsir_k=10,
+        memory_guard=False,
+    )
+    assert out.count() == 10
+
+    audit = curate_corpus(
+        docs.select("doc_id", "text"),
+        dsir_target=target,
+        dsir_k=10,
+        audit=True,
+        memory_guard=False,
+    )
+    stages = {r["stage"] for r in audit.select("stage").distinct().collect()}
+    assert "dsir_sampled_out" in stages and "kept" in stages
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(
+            docs.select("doc_id", "text"),
+            dsir_target=target,
+            dsir_k=10,
+            domain_col="source",
+            domain_fractions={"a": 1.0},
+            memory_guard=False,
+        )

@@ -70,7 +70,9 @@ def _materialise(df) -> int:
 
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(F.struct(*df.columns))).alias("dig"),
+        # bit_xor, not sum: a long SUM of hashes overflows, which ANSI
+        # mode (Spark 4 default) turns into an ArithmeticException
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("dig"),
     ).collect()[0]
     return row["n"]
 
@@ -95,6 +97,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1000)
     ap.add_argument("--fpp", type=float, default=0.01)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--ops", nargs="+", default=None,
+                    help="subset of gram_clean chunk_stats line_clean match")
     ap.add_argument("--scratch", default=None)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -153,6 +157,8 @@ def main() -> None:
         "kept_rows": di._bloom_pruned(line_scan, ["line_hash"], lk, args.fpp).count(),
     }
 
+    if args.ops:
+        ops = {k: v for k, v in ops.items() if k in args.ops}
     cells = {}
     for name, fn in ops.items():
         offs, ons = [], []
