@@ -48,25 +48,63 @@ def _exact_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Plan-time batch-key size (Catalyst estimate) below which the prune
+#: runs as an EXACT broadcast left-semi join instead of the Arrow Bloom
+#: probe: the semi path is JVM-only (no Python pipe over the index
+#: scan), has no false positives at all, and a <=32 MiB build side is a
+#: trivial broadcast on any executor.  Past it — or when the estimate
+#: is unavailable — the Bloom bitmap (bounded 1 MiB broadcast) takes
+#: over; an over-threshold broadcast would not.
+_SEMI_PRUNE_MAX_BYTES = 32 << 20
+
+
 def _bloom_pruned(
     index_frame: DataFrame,
     key_cols: list[str],
     batch_keys: DataFrame,
     fpp: float,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Drop index rows whose join key cannot appear in the batch: build a
-    Bloom filter over the batch's keys and probe the index scan with it
-    (``operators.bloom``).  No false negatives + per-key all-or-none
-    row survival ⇒ every downstream per-key aggregate is exact for keys
-    the join can keep — the classification is pinned bit-identical to
-    the unpruned path in test_bloom_prefilter.  Worth it when
-    batch ≪ index (the incremental-ingest contract): the O(index)
-    pre-join aggregation shrinks to ~O(batch) at the cost of one extra
-    O(batch) key pass and one Arrow pass over the index scan's narrow
-    key columns."""
+    """Drop index rows whose join key cannot appear in the batch.  Two
+    decision-preserving strategies behind one switch:
+
+    - **semi** (small batches): broadcast the batch's key tuples and
+      LEFT SEMI join the index scan — exact (zero false positives),
+      whole-stage-codegen JVM, no Arrow pipe.  Chosen automatically
+      when the key frame's plan-time estimate fits
+      ``_SEMI_PRUNE_MAX_BYTES``.
+    - **bloom** (large batches / unknown size): build a Bloom filter
+      over the keys and probe the scan with an Arrow kernel
+      (``operators.bloom``) — the bitmap broadcast stays ~1 MiB no
+      matter how many keys the batch carries.
+
+    Either way: no false negatives + per-key all-or-none row survival
+    ⇒ every downstream per-key aggregate is exact for keys the join can
+    keep — the classification is pinned bit-identical to the unpruned
+    path (and across both strategies) in test_bloom_prefilter.  Worth
+    it when batch ≪ index (the incremental-ingest contract): the
+    O(index) pre-join aggregation shrinks to ~O(batch)."""
+    from .memguard import plan_size_estimate
+
+    keys = batch_keys.select(*key_cols)
+    if strategy == "auto":
+        est = plan_size_estimate(keys)
+        strategy = (
+            "semi"
+            if est is not None and est <= _SEMI_PRUNE_MAX_BYTES
+            else "bloom"
+        )
+    if strategy == "semi":
+        return index_frame.join(
+            F.broadcast(keys), on=key_cols, how="left_semi"
+        )
     # no distinct, no count: duplicate keys set the same bits, and the
     # fixed default geometry avoids re-evaluating the batch-key subplan
-    # just to size the bitmap (operators.bloom.build_key_bloom)
+    # just to size the bitmap (operators.bloom.build_key_bloom). Under
+    # that fixed 1 MiB / 4-hash geometry the realised fpp is BELOW the
+    # requested value for batches up to ~600k distinct keys and degrades
+    # gracefully past it (~4% at 2M) — still decision-preserving at any
+    # fpp; a false positive only forfeits part of the pruning win
     spec = bloom_ops.build_key_bloom(
         batch_keys.select(bloom_ops.bloom_key(*key_cols).alias("__bk")),
         fpp=fpp,
@@ -166,6 +204,12 @@ def match_against_index(
     prefilter on BOTH index scans (see :func:`_bloom_pruned`) —
     classification is bit-identical, but only index rows whose
     content-hash / band key might appear in the batch reach the joins.
+    Caveat for THIS operator: the bands table carries the full minhash
+    signature per row, so the Arrow probe is byte-heavy — measured
+    wall-negative at sandbox scale (tools/bench_bloom.py) even though
+    shuffle bytes drop; the prefilter's clear wins are the hash-only
+    index tables (gram/chunk/line), where rows are narrow and the
+    avoided aggregation shuffle dominates.
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))

@@ -390,6 +390,11 @@ def curate_corpus(
             "dsir_target is mutually exclusive with "
             "domain_fractions/domain_alpha — one selection policy per run"
         )
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError(
+            "dsir_target and dsir_k must be given together — a half-"
+            "specified DSIR stage would silently select nothing"
+        )
     if dsir_target is not None and dsir_k is not None:
         picked = sampling.importance_resample(
             kept, dsir_target, dsir_k, id_col, text_col,

@@ -233,3 +233,42 @@ def test_streaming_span_dedup_bloom_identical(spark, tmp_path):
         ).collect()
         outs[tag] = (sorted(map(tuple, r1)), sorted(map(tuple, r2)))
     assert outs["plain"] == outs["bloom"]
+
+
+def test_prune_strategies_agree(spark, tmp_path):
+    """The two prune strategies (exact broadcast semi, Arrow bloom) and
+    the unpruned path produce identical downstream decisions; semi keeps
+    exactly the true members, bloom a superset."""
+    corpus = _corpus(spark, n=120, seed=9)
+    path = str(tmp_path / "gidx")
+    di.build_gram_index(corpus, path, min_tokens=8)
+    scan = spark.read.parquet(path + "/grams")
+    batch = _batch(spark, corpus.collect(), start_id=9000)
+    keys = di._gram_first_table(batch, "doc_id", "text", 8, 1 << 24)
+
+    semi = di._bloom_pruned(scan, ["gram_hash"], keys, 0.01, strategy="semi")
+    blm = di._bloom_pruned(scan, ["gram_hash"], keys, 0.01, strategy="bloom")
+    semi_keys = {r["gram_hash"] for r in semi.select("gram_hash").distinct().collect()}
+    bloom_keys = {r["gram_hash"] for r in blm.select("gram_hash").distinct().collect()}
+    assert semi_keys <= bloom_keys, "bloom must be a superset (no false negatives)"
+
+    # end-to-end decisions equal under either forced strategy
+    import tern_ep_data_pipeline_spark.operators.dedup_index as dimod
+
+    plain = _sorted_rows(di.clean_against_gram_index(spark, batch, path, min_tokens=8))
+    for strat in ("semi", "bloom"):
+        orig = dimod._bloom_pruned
+
+        def forced(idx, kc, bk, fpp, strategy="auto", _s=strat, _o=orig):
+            return _o(idx, kc, bk, fpp, strategy=_s)
+
+        dimod._bloom_pruned = forced
+        try:
+            got = _sorted_rows(
+                di.clean_against_gram_index(
+                    spark, batch, path, min_tokens=8, bloom_fpp=0.01
+                )
+            )
+        finally:
+            dimod._bloom_pruned = orig
+        assert got == plain, strat

@@ -150,3 +150,18 @@ def test_curate_corpus_dsir_stage(spark):
             domain_fractions={"a": 1.0},
             memory_guard=False,
         )
+
+
+def test_curate_corpus_dsir_half_specified_rejected(spark):
+    from tern_ep_data_pipeline_spark.plans.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "other text there")],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_k=5, memory_guard=False)
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_target=docs, memory_guard=False)

@@ -326,3 +326,45 @@ def test_line_dedup_reassembly_identity(spark, texts):
     for i, t in rows:
         assert out[i]["clean_text"] == t
         assert out[i]["n_removed_lines"] == 0
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=400,
+    ),
+    others=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0, max_size=400,
+    ),
+    log_bits=st.integers(min_value=6, max_value=20),
+    k=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_kernel_no_false_negatives_property(keys, others, log_bits, k):
+    """The invariant every bloom_fpp equality pin rests on, over arbitrary
+    int64 keys (full range incl. extremes) and any geometry: a key that
+    was set ALWAYS tests positive — pure-numpy kernel, no Spark."""
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators.bloom import (
+        _set_bits,
+        _test_bits,
+    )
+
+    num_bits = 1 << log_bits
+    bm = np.zeros(num_bits // 8, dtype=np.uint8)
+    arr = np.array(keys, dtype=np.int64).view(np.uint64)
+    _set_bits(bm, arr, num_bits, k)
+    assert _test_bits(bm, arr, num_bits, k).all(), (
+        "bloom false negative: decision preservation broken"
+    )
+    # sanity on the other direction: non-members are ALLOWED to pass
+    # (false positives), but with a near-empty tiny filter most must not
+    if others:
+        others_arr = np.array(
+            [o for o in others if o not in set(keys)], dtype=np.int64
+        ).view(np.uint64)
+        if len(others_arr) and num_bits >= (1 << 16) and len(keys) <= 50:
+            fp = _test_bits(bm, others_arr, num_bits, k).sum()
+            assert fp <= max(2, len(others_arr) // 4)

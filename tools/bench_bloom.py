@@ -119,12 +119,17 @@ def main() -> None:
     batch = docs.where(f"doc_id >= {cut}")
     n_corpus, n_batch = corpus.count(), batch.count()
 
+    wanted = set(args.ops or ("gram_clean", "chunk_stats", "line_clean", "match"))
     paths = {k: os.path.join(scratch, k) for k in ("gram", "chunk", "line", "match")}
     t0 = time.monotonic()
-    di.build_gram_index(corpus, paths["gram"], min_tokens=8)
-    di.build_chunk_index(corpus, paths["chunk"], chunk_tokens=10)
-    di.build_line_index(corpus, paths["line"], min_line_chars=3)
-    di.build_dedup_index(corpus, paths["match"], num_hashes=16, bands=8)
+    if "gram_clean" in wanted:
+        di.build_gram_index(corpus, paths["gram"], min_tokens=8)
+    if "chunk_stats" in wanted:
+        di.build_chunk_index(corpus, paths["chunk"], chunk_tokens=10)
+    if "line_clean" in wanted:
+        di.build_line_index(corpus, paths["line"], min_line_chars=3)
+    if "match" in wanted:
+        di.build_dedup_index(corpus, paths["match"], num_hashes=16, bands=8)
     build_s = time.monotonic() - t0
 
     ops = {
@@ -144,18 +149,24 @@ def main() -> None:
 
     # surviving index fraction per key table (one-off, outside the timing)
     survive = {}
-    gram_scan = spark.read.parquet(os.path.join(paths["gram"], "grams"))
-    gk = di._gram_first_table(batch, "doc_id", "text", 8, 1 << 24)
-    survive["gram"] = {
-        "index_rows": gram_scan.count(),
-        "kept_rows": di._bloom_pruned(gram_scan, ["gram_hash"], gk, args.fpp).count(),
-    }
-    line_scan = spark.read.parquet(os.path.join(paths["line"], "lines"))
-    lk = di._line_count_table(batch, "doc_id", "text", "\n", 3)
-    survive["line"] = {
-        "index_rows": line_scan.count(),
-        "kept_rows": di._bloom_pruned(line_scan, ["line_hash"], lk, args.fpp).count(),
-    }
+    if "gram_clean" in wanted:
+        gram_scan = spark.read.parquet(os.path.join(paths["gram"], "grams"))
+        gk = di._gram_first_table(batch, "doc_id", "text", 8, 1 << 24)
+        survive["gram"] = {
+            "index_rows": gram_scan.count(),
+            "kept_rows": di._bloom_pruned(
+                gram_scan, ["gram_hash"], gk, args.fpp
+            ).count(),
+        }
+    if "line_clean" in wanted:
+        line_scan = spark.read.parquet(os.path.join(paths["line"], "lines"))
+        lk = di._line_count_table(batch, "doc_id", "text", "\n", 3)
+        survive["line"] = {
+            "index_rows": line_scan.count(),
+            "kept_rows": di._bloom_pruned(
+                line_scan, ["line_hash"], lk, args.fpp
+            ).count(),
+        }
 
     if args.ops:
         ops = {k: v for k, v in ops.items() if k in args.ops}
