@@ -60,6 +60,7 @@ __all__ = [
     "BloomSpec",
     "build_key_bloom",
     "prune_by_bloom",
+    "prune_index_by_keys",
     "bloom_key",
 ]
 
@@ -240,3 +241,53 @@ def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:
                 yield rb.filter(pa.array(mask))
 
     return with_key.mapInArrow(_probe, schema).drop(_KEY_COL)
+
+
+#: Plan-time batch-key size below which the prune runs as an EXACT
+#: broadcast left-semi join instead of the Bloom probe (see
+#: :func:`prune_index_by_keys`).
+SEMI_PRUNE_MAX_BYTES = 32 << 20
+
+
+def prune_index_by_keys(
+    index_frame: DataFrame,
+    key_cols: list[str],
+    keys_frame: DataFrame,
+    fpp: float = 0.01,
+    size_hint: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Drop index rows whose join key cannot appear in ``keys_frame``.
+    Two decision-preserving strategies behind one switch:
+
+    - **semi** (small key sets): broadcast the key tuples and LEFT SEMI
+      join the index scan — exact (zero false positives), whole-stage-
+      codegen JVM, no Arrow pipe.  Chosen automatically when the key
+      frame's plan-time size (``size_hint`` if given, else Catalyst's
+      estimate) fits ``SEMI_PRUNE_MAX_BYTES``.
+    - **bloom** (large / unknown-size key sets): build a Bloom filter
+      over the keys and probe the scan with the Arrow kernel — the
+      bitmap broadcast stays ~1 MiB no matter how many keys there are.
+
+    Either way: no false negatives + per-key all-or-none row survival ⇒
+    every downstream per-key aggregate is exact for keys a later join
+    can keep.  ``keys_frame`` must expose ``key_cols``; duplicates are
+    harmless on both paths.
+    """
+    keys = keys_frame.select(*key_cols)
+    if strategy == "auto":
+        est = size_hint
+        if est is None:
+            from .memguard import plan_size_estimate
+
+            est = plan_size_estimate(keys)
+        strategy = (
+            "semi" if est is not None and est <= SEMI_PRUNE_MAX_BYTES
+            else "bloom"
+        )
+    if strategy == "semi":
+        return index_frame.join(F.broadcast(keys), on=key_cols, how="left_semi")
+    spec = build_key_bloom(
+        keys_frame.select(bloom_key(*key_cols).alias(_KEY_COL)), fpp=fpp
+    )
+    return prune_by_bloom(index_frame, bloom_key(*key_cols), spec)

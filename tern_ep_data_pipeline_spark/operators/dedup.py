@@ -1116,6 +1116,8 @@ def substring_dedup(
     mode: str = "portable",
     max_doc_tokens: int = 1 << 24,
     index_firsts: DataFrame | None = None,
+    index_raw: DataFrame | None = None,
+    index_prune_fpp: float = 0.01,
 ) -> DataFrame:
     """Exact duplicated-substring removal — the relational rendition of
     ExactSubstr dedup (Lee et al. 2022, *Deduplicating Training Data Makes
@@ -1153,6 +1155,17 @@ def substring_dedup(
     frame of per-gram first-occurrence keys from an established corpus
     (portable md5 keys); the first-occurrence decision then spans corpus +
     batch combined.
+
+    ``index_raw`` (alternative to ``index_firsts``): the UN-aggregated
+    (gram_hash, first_key) index scan.  The operator then prunes it by
+    its OWN staged batch gram-firsts frame before the min-combine
+    (``bloom.prune_index_by_keys`` — exact broadcast semi for small
+    batches, Arrow Bloom past that), so the per-batch index aggregation
+    handles ~O(batch) candidate grams instead of O(index), with NO
+    second pass over the batch text to derive the prune keys.
+    Decisions are bit-identical (no false negatives; per-gram
+    all-or-none survival keeps the min exact) — pinned in
+    test_bloom_prefilter.
     """
     from pyspark.sql import Window
 
@@ -1169,12 +1182,14 @@ def substring_dedup(
             f"substring_dedup needs a numeric id column (got {id_col}: "
             f"{id_type}) — the first-occurrence key is id*max_doc_tokens+pos"
         )
-    if mode == "fast" and index_firsts is not None:
+    if mode == "fast" and (index_firsts is not None or index_raw is not None):
         raise ValueError(
             "index_firsts holds portable md5 gram keys, which can never "
             "match fast-mode Rabin-Karp keys — use mode='portable' with an "
             "index (dedup_index.clean_against_gram_index does)"
         )
+    if index_firsts is not None and index_raw is not None:
+        raise ValueError("pass index_firsts OR index_raw, not both")
 
     toks = _stage(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
@@ -1189,6 +1204,33 @@ def substring_dedup(
     ).alias("__k")
     occs = grams.select(id_col, "__pos", "__g", occ_key)
     firsts = occs.groupBy("__g").agg(F.min("__k").alias("__first"))
+    if index_raw is not None:
+        from . import bloom as bloom_ops
+        from .memguard import plan_size_estimate
+
+        # semi-vs-bloom gate: size the UNSTAGED firsts aggregate (its
+        # Catalyst estimate is the honest per-distinct-gram signal — a
+        # staged InMemoryRelation reports garbage before materialising,
+        # and the raw batch scan's filter pass-through over-estimates)
+        est = plan_size_estimate(firsts)
+        if est is None:
+            df_est = plan_size_estimate(df)
+            # key bytes ~6x text bytes: one 32-hex hash per ~5-byte token
+            est = None if df_est is None else 6 * df_est
+        # the batch firsts frame doubles as the prune-key source — stage
+        # it so the prune's broadcast/bitmap build and the span join
+        # below share ONE materialisation (no second gram pass)
+        firsts = _stage(firsts)
+        pruned = bloom_ops.prune_index_by_keys(
+            index_raw,
+            ["gram_hash"],
+            firsts.select(F.col("__g").alias("gram_hash")),
+            fpp=index_prune_fpp,
+            size_hint=est,
+        )
+        index_firsts = pruned.groupBy("gram_hash").agg(
+            F.min("first_key").alias("first_key")
+        )
     if index_firsts is not None:
         # incremental path (dedup_index.clean_against_gram_index): the
         # established corpus's per-gram first-occurrence keys combine via

@@ -48,16 +48,6 @@ def _exact_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-#: Plan-time batch-key size (Catalyst estimate) below which the prune
-#: runs as an EXACT broadcast left-semi join instead of the Arrow Bloom
-#: probe: the semi path is JVM-only (no Python pipe over the index
-#: scan), has no false positives at all, and a <=32 MiB build side is a
-#: trivial broadcast on any executor.  Past it — or when the estimate
-#: is unavailable — the Bloom bitmap (bounded 1 MiB broadcast) takes
-#: over; an over-threshold broadcast would not.
-_SEMI_PRUNE_MAX_BYTES = 32 << 20
-
-
 def _bloom_pruned(
     index_frame: DataFrame,
     key_cols: list[str],
@@ -65,52 +55,15 @@ def _bloom_pruned(
     fpp: float,
     strategy: str = "auto",
 ) -> DataFrame:
-    """Drop index rows whose join key cannot appear in the batch.  Two
-    decision-preserving strategies behind one switch:
-
-    - **semi** (small batches): broadcast the batch's key tuples and
-      LEFT SEMI join the index scan — exact (zero false positives),
-      whole-stage-codegen JVM, no Arrow pipe.  Chosen automatically
-      when the key frame's plan-time estimate fits
-      ``_SEMI_PRUNE_MAX_BYTES``.
-    - **bloom** (large batches / unknown size): build a Bloom filter
-      over the keys and probe the scan with an Arrow kernel
-      (``operators.bloom``) — the bitmap broadcast stays ~1 MiB no
-      matter how many keys the batch carries.
-
-    Either way: no false negatives + per-key all-or-none row survival
-    ⇒ every downstream per-key aggregate is exact for keys the join can
-    keep — the classification is pinned bit-identical to the unpruned
-    path (and across both strategies) in test_bloom_prefilter.  Worth
-    it when batch ≪ index (the incremental-ingest contract): the
-    O(index) pre-join aggregation shrinks to ~O(batch)."""
-    from .memguard import plan_size_estimate
-
-    keys = batch_keys.select(*key_cols)
-    if strategy == "auto":
-        est = plan_size_estimate(keys)
-        strategy = (
-            "semi"
-            if est is not None and est <= _SEMI_PRUNE_MAX_BYTES
-            else "bloom"
-        )
-    if strategy == "semi":
-        return index_frame.join(
-            F.broadcast(keys), on=key_cols, how="left_semi"
-        )
-    # no distinct, no count: duplicate keys set the same bits, and the
-    # fixed default geometry avoids re-evaluating the batch-key subplan
-    # just to size the bitmap (operators.bloom.build_key_bloom). Under
-    # that fixed 1 MiB / 4-hash geometry the realised fpp is BELOW the
-    # requested value for batches up to ~600k distinct keys and degrades
-    # gracefully past it (~4% at 2M) — still decision-preserving at any
-    # fpp; a false positive only forfeits part of the pruning win
-    spec = bloom_ops.build_key_bloom(
-        batch_keys.select(bloom_ops.bloom_key(*key_cols).alias("__bk")),
-        fpp=fpp,
-    )
-    return bloom_ops.prune_by_bloom(
-        index_frame, bloom_ops.bloom_key(*key_cols), spec
+    """Batch-key index-scan prune — thin wrapper over
+    :func:`bloom.prune_index_by_keys` (exact broadcast semi join for
+    small key sets, Arrow Bloom probe past that; both decision-
+    preserving, pinned bit-identical to the unpruned path and to each
+    other in test_bloom_prefilter).  Worth it when batch ≪ index (the
+    incremental-ingest contract): the O(index) pre-join aggregation
+    shrinks to ~O(batch)."""
+    return bloom_ops.prune_index_by_keys(
+        index_frame, key_cols, batch_keys, fpp=fpp, strategy=strategy
     )
 
 
@@ -915,16 +868,18 @@ def clean_against_gram_index(
         _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
     scan = spark.read.parquet(os.path.join(path, "grams"))
     if bloom_fpp is not None:
-        # one extra O(batch) gram pass builds the filter; the index-side
-        # min-combine then shuffles ~O(batch) candidate grams instead of
-        # the whole corpus (``bloom_fpp`` doc: match_against_index)
-        scan = _bloom_pruned(
-            scan,
-            ["gram_hash"],
-            _gram_first_table(
-                new_docs, id_col, text_col, min_tokens, max_doc_tokens
-            ),
-            bloom_fpp,
+        # hand the RAW scan to the operator: it prunes by its own staged
+        # batch gram-firsts frame (no second gram pass) and min-combines
+        # only the ~O(batch) survivors (``bloom_fpp`` doc:
+        # match_against_index; mechanics: dedup.substring_dedup)
+        return dedup_ops.substring_dedup(
+            new_docs,
+            id_col,
+            text_col,
+            min_tokens=min_tokens,
+            max_doc_tokens=max_doc_tokens,
+            index_raw=scan,
+            index_prune_fpp=bloom_fpp,
         )
     idx = (
         scan
@@ -2124,16 +2079,19 @@ def clean_against_gram_index_bucketed(
         _validate_gram_ids(spark, new_docs, id_col, text_col, meta)
     scan = spark.table(table)
     if bloom_fpp is not None:
-        # the Arrow probe drops the bucketed scan's output partitioning,
-        # so the min-combine re-shuffles — but only the ~O(batch)
-        # surviving rows, which is the cheaper trade once corpus ≫ batch
-        scan = _bloom_pruned(
-            scan,
-            ["gram_hash"],
-            _gram_first_table(
-                new_docs, id_col, text_col, min_tokens, max_doc_tokens
-            ),
-            bloom_fpp,
+        # the prune drops the bucketed scan's output partitioning (semi
+        # join output keeps it, the Arrow probe does not), so the
+        # min-combine may re-shuffle — but only the ~O(batch) surviving
+        # rows, the cheaper trade once corpus ≫ batch. ``staged`` is
+        # moot on the pruned frame (nothing left worth un-fusing).
+        return dedup_ops.substring_dedup(
+            new_docs,
+            id_col,
+            text_col,
+            min_tokens=min_tokens,
+            max_doc_tokens=max_doc_tokens,
+            index_raw=scan,
+            index_prune_fpp=bloom_fpp,
         )
     if staged:
         # explicit partition count, chosen != the table's bucket count:

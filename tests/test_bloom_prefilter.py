@@ -252,17 +252,23 @@ def test_prune_strategies_agree(spark, tmp_path):
     bloom_keys = {r["gram_hash"] for r in blm.select("gram_hash").distinct().collect()}
     assert semi_keys <= bloom_keys, "bloom must be a superset (no false negatives)"
 
-    # end-to-end decisions equal under either forced strategy
-    import tern_ep_data_pipeline_spark.operators.dedup_index as dimod
-
+    # end-to-end decisions equal under either forced strategy — force at
+    # the ONE shared chokepoint (bloom.prune_index_by_keys), which every
+    # consumer path routes through (dedup_index._bloom_pruned AND
+    # substring_dedup's index_raw prune)
     plain = _sorted_rows(di.clean_against_gram_index(spark, batch, path, min_tokens=8))
+    orig = bloom.prune_index_by_keys
     for strat in ("semi", "bloom"):
-        orig = dimod._bloom_pruned
+        calls = []
 
-        def forced(idx, kc, bk, fpp, strategy="auto", _s=strat, _o=orig):
-            return _o(idx, kc, bk, fpp, strategy=_s)
+        def forced(idx, kc, kf, fpp=0.01, size_hint=None, strategy="auto",
+                   _s=strat, _o=orig, _c=calls):
+            _c.append(1)
+            return _o(idx, kc, kf, fpp=fpp, strategy=_s)
 
-        dimod._bloom_pruned = forced
+        # consumers resolve the attribute on the bloom module object at
+        # call time, so patching the module attribute reaches them all
+        bloom.prune_index_by_keys = forced
         try:
             got = _sorted_rows(
                 di.clean_against_gram_index(
@@ -270,5 +276,6 @@ def test_prune_strategies_agree(spark, tmp_path):
                 )
             )
         finally:
-            dimod._bloom_pruned = orig
+            bloom.prune_index_by_keys = orig
+        assert calls, f"prune chokepoint not exercised under {strat}"
         assert got == plain, strat

@@ -102,6 +102,7 @@ def main() -> None:
     ap.add_argument("--scratch", default=None)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+    load_at_start = list(os.getloadavg())
 
     docs_dir = _docs_dir(root, args.docs_sf)
     scratch = args.scratch or os.path.join(root, "bloom_scratch")
@@ -201,7 +202,8 @@ def main() -> None:
         "index_build_s": round(build_s, 1),
         "survive": survive,
         "cells": cells,
-        "loadavg_start": list(os.getloadavg()),
+        "loadavg_start": load_at_start,
+        "loadavg_end": list(os.getloadavg()),
     }
     line = json.dumps(out)
     if args.json_out:
