@@ -54,6 +54,7 @@ def _bloom_pruned(
     batch_keys: DataFrame,
     fpp: float,
     strategy: str = "auto",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Batch-key index-scan prune — thin wrapper over
     :func:`bloom.prune_index_by_keys` (exact broadcast semi join for
@@ -63,7 +64,8 @@ def _bloom_pruned(
     incremental-ingest contract): the O(index) pre-join aggregation
     shrinks to ~O(batch)."""
     return bloom_ops.prune_index_by_keys(
-        index_frame, key_cols, batch_keys, fpp=fpp, strategy=strategy
+        index_frame, key_cols, batch_keys, fpp=fpp, strategy=strategy,
+        size_hint=size_hint,
     )
 
 
@@ -197,9 +199,19 @@ def _match_frames(
     consumer); the default path's plan is untouched."""
     new_exact = _exact_table(new_docs, id_col, text_col)
     if bloom_fpp is not None:
+        from .memguard import plan_size_estimate
+
+        # size the semi-vs-bloom gate from the batch SCAN: the staged key
+        # frames report garbage estimates before materialising, and both
+        # key sets are bounded by the batch's own bytes (one 32-hex hash
+        # per doc / one 20-byte band key per doc-band vs the doc's text).
+        # Routing typical batches to the semi join keeps the bands
+        # table's signatures inside the JVM (no Arrow pipe).
+        batch_est = plan_size_estimate(new_docs)
         new_exact = dedup_ops._stage(new_exact)
         ex_idx = _bloom_pruned(
-            ex_idx, ["content_hash"], new_exact, bloom_fpp
+            ex_idx, ["content_hash"], new_exact, bloom_fpp,
+            size_hint=batch_est,
         )
     exact_hits = (
         new_exact.join(
@@ -230,7 +242,10 @@ def _match_frames(
         # build would otherwise add (new_bands already feeds the index
         # join AND the intra-batch self-join)
         new_bands = dedup_ops._stage(new_bands)
-        band_idx = _bloom_pruned(band_idx, ["band", "bh"], new_bands, bloom_fpp)
+        band_idx = _bloom_pruned(
+            band_idx, ["band", "bh"], new_bands, bloom_fpp,
+            size_hint=batch_est,
+        )
     cand = (
         new_bands.join(
             band_idx.select(
@@ -477,8 +492,16 @@ def _chunk_stats_core(
     )
     occ = dedup_ops._stage(occ)
     if bloom_fpp is not None:
+        from .memguard import plan_size_estimate
+
+        # staged occ reports a garbage estimate pre-materialisation; the
+        # batch scan's bytes are a safe over-estimate of the chunk-hash
+        # key set (one 32-hex hash per ~10 tokens of text)
         indexed = (
-            _bloom_pruned(indexed, ["__h"], occ, bloom_fpp)
+            _bloom_pruned(
+                indexed, ["__h"], occ, bloom_fpp,
+                size_hint=plan_size_estimate(new_docs),
+            )
             .distinct()
             .withColumn("__indexed", F.lit(True))
         )
