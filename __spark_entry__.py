@@ -3568,7 +3568,8 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dsir = sampling.importance_resample(
-        docs, docs.where(F.col("lang") == "en"), 100, buckets=10_000
+        docs, docs.where(F.col("lang") == "en"), 100, buckets=10_000,
+        target_subset_of_raw=True,
     ).select(
         F.lit("dsir").alias("part"),
         F.col("doc_id").cast("string").alias("key"),

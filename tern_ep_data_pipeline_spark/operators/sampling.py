@@ -501,6 +501,7 @@ def importance_resample(
     buckets: int = 10_000,
     smoothing: float = 1.0,
     salt: str = "dsir",
+    target_subset_of_raw: bool = False,
 ) -> DataFrame:
     """DSIR selection (Xie et al. 2023): pick ``k`` documents from the
     ``raw`` pool whose hashed-n-gram distribution importance-matches the
@@ -522,37 +523,55 @@ def importance_resample(
     per-document scoring join BROADCASTS the <= ``buckets``-row ratio
     table; selection is ``ORDER BY ... LIMIT k`` = TakeOrdered (per-
     partition top-k + driver merge of k-row heads, never a global sort).
+
+    ``target_subset_of_raw=True`` declares that every target row is also
+    a pool row under the same id and text (the common "target = the
+    high-quality slice of my pool" call).  The target's bucket counts
+    are then derived from the pool's already-staged per-document counts
+    via an id semi-join — the SECOND corpus text pass (tokenise + gram
+    + hash over the target) disappears, with identical counts by
+    construction.  Do NOT set it for an external target corpus.
     """
     from .dedup import _stage
     from .sketch import portable_hash
     from .text import half_away_div
 
     bcol = (portable_hash(F.col("__g"), salt) % buckets).alias("bucket")
-    # staged: the raw pool's (id, bucket, c) counts feed BOTH the ratio
-    # table's raw marginal and the per-document scoring — one gram
-    # expansion over the big side, not two
-    doc_b = _stage(
-        _dsir_grams(raw, id_col, text_col)
-        .select(F.col(id_col), bcol)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # staged: ONE gram-bucket occurrence frame feeds the ratio table's
+    # raw marginal, the subset target marginal, and the per-document
+    # scoring.  Deliberately NOT pre-aggregated to (id, bucket, c): with
+    # grams-per-doc ≪ buckets that groupBy barely collapses (37M groups
+    # from 54M rows at sf10-docs, measured — a full-width shuffle),
+    # while every consumer below groups to a LOW-cardinality key (10k
+    # buckets / one row per doc) where map-side partial aggregation
+    # actually combines.  Σ_b c_b·lr_b == Σ_occurrences lr_bucket(occ),
+    # so summing per occurrence is the same exact integer.
+    gb = _stage(
+        _dsir_grams(raw, id_col, text_col).select(F.col(id_col), bcol)
     )
-    raw_b = doc_b.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
-    tgt_b = (
-        _dsir_grams(target, id_col, text_col)
-        .select(bcol)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("__ct"))
-    )
+    raw_b = gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    if target_subset_of_raw:
+        tgt_b = (
+            gb.join(
+                target.select(F.col(id_col)).distinct(),
+                on=id_col,
+                how="left_semi",
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
+    else:
+        tgt_b = (
+            _dsir_grams(target, id_col, text_col)
+            .select(bcol)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
     lr = _dsir_logratio_from_counts(raw_b, tgt_b, buckets, smoothing)
     scored = (
-        doc_b.join(F.broadcast(lr), on="bucket")
+        gb.join(F.broadcast(lr), on="bucket")
         .groupBy(id_col)
-        .agg(
-            F.sum(
-                (F.col("__c") * F.col("lr_pico")).cast("decimal(38,0)")
-            ).alias("__s")
-        )
+        .agg(F.sum(F.col("lr_pico").cast("decimal(38,0)")).alias("__s"))
     )
     u = (portable_hash(F.col(id_col), f"{salt}-g") + F.lit(0.5)) / F.lit(
         float(1 << 60)

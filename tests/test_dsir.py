@@ -165,3 +165,21 @@ def test_curate_corpus_dsir_half_specified_rejected(spark):
         curate_corpus(docs, dsir_k=5, memory_guard=False)
     with _pytest.raises(ValueError, match="together"):
         curate_corpus(docs, dsir_target=docs, memory_guard=False)
+
+
+def test_dsir_subset_fast_path_identical(spark):
+    """target_subset_of_raw=True derives the target marginals from the
+    pool's staged per-doc counts (no second text pass) — bit-identical
+    output whenever the target really is a pool subset."""
+    docs = _two_topic_corpus(spark).select("doc_id", "text")
+    target = docs.where("doc_id % 3 = 0")
+    slow = sorted(
+        tuple(r) for r in sampling.importance_resample(docs, target, 25).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in sampling.importance_resample(
+            docs, target, 25, target_subset_of_raw=True
+        ).collect()
+    )
+    assert slow == fast
