@@ -527,9 +527,9 @@ def importance_resample(
     ``target_subset_of_raw=True`` declares that every target row is also
     a pool row under the same id and text (the common "target = the
     high-quality slice of my pool" call).  The target's bucket counts
-    are then derived from the pool's already-staged per-document counts
-    via an id semi-join — the SECOND corpus text pass (tokenise + gram
-    + hash over the target) disappears, with identical counts by
+    are then derived from the pool's staged gram-bucket occurrence
+    frame via an id semi-join — the SECOND corpus text pass (tokenise +
+    gram + hash over the target) disappears, with identical counts by
     construction.  Do NOT set it for an external target corpus.
     """
     from .dedup import _stage
