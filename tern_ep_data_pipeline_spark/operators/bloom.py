@@ -25,20 +25,24 @@ the join exactly as they would have been, and absent keys could never
 have joined.  The classification is bit-identical with or without the
 prefilter — pinned by tests/test_bloom_prefilter.py's equality tests.
 
-**Engine shape.** Spark's own runtime bloom join
+**Engine shape.** Two strategies behind one switch
+(:func:`prune_index_by_keys`): when the batch keys fit a 32 MiB
+broadcast, the prune is an EXACT left-semi join — all-JVM whole-stage
+codegen, zero false positives, what a typical micro-batch gets.  Past
+that, the Bloom bitmap takes over: Spark's own runtime bloom join
 (``bloom_filter_agg`` / ``might_contain``) is internal-only in this
 build, so the filter is an Arrow kernel in the style of the package's
-other fast kernels (Rabin-Karp grams, simhash):  keys are folded to
-int64 JVM-side with ``xxhash64`` (so build and probe hash identical
-values), and the bitmap probe is vectorised numpy (splitmix64 double
-hashing) over Arrow batches.  Build is two narrow jobs over the batch
-keys: per-partition partial bitmaps, then a single-task OR-fold — the
-driver receives one bitmap of ``num_bits/8`` bytes, which rides to the
-probe as a SparkContext broadcast.
+other fast kernels (Rabin-Karp grams, simhash) — keys fold to int64
+JVM-side with ``xxhash64`` (build and probe hash identical values),
+the bitmap probe is vectorised numpy (splitmix64 double hashing) over
+``mapInArrow`` record batches (payload columns stay Arrow buffers,
+never Python objects), and the build is two narrow jobs (per-partition
+partial bitmaps, one-task OR-fold) whose ~1 MiB bitmap rides as a
+SparkContext broadcast no matter how many keys the batch carries.
 
-Trade-off: the probe moves the index scan's (narrow) key columns
-through Arrow once.  Worth it when batch ≪ index — the regime every
-incremental consumer documents; callers opt in per call via
+Trade-off: the bitmap probe moves the index scan through Arrow once
+(the semi path does not).  Worth it when batch ≪ index — the regime
+every incremental consumer documents; callers opt in per call via
 ``bloom_fpp``.
 
 Reference parity: the incremental-ingest contract this accelerates is
