@@ -2199,24 +2199,14 @@ def _table_lease(
     the only one stable across the DROP+RENAME swap window (resolving
     the live location mid-swap would fail or diverge).
 
-    Rolling-upgrade coexistence (review r12): pre-r12 code keyed the
-    lock on the RAW spelling (``wh/<identifier>``), so a qualified name
-    locks a different path there. When the legacy key differs from the
-    normalised one, BOTH are acquired (normalised first — one fixed
-    order, so mixed new-code writers cannot deadlock), and a live
-    old-version writer still excludes through the legacy lock."""
-    new_path = _table_lock_path(spark, table)
-    legacy = _table_lock_path_legacy(spark, table)
-    if legacy == new_path:
-        return index_lease(new_path, role, wait_s=wait_s)
-
-    @contextlib.contextmanager
-    def _both():
-        with index_lease(new_path, role, wait_s=wait_s):
-            with index_lease(legacy, role, wait_s=wait_s):
-                yield
-
-    return _both()
+    Upgrade note (r13): pre-r12 code keyed the lock on the RAW
+    spelling (``wh/<identifier>``), and r12 co-acquired that legacy key
+    alongside the normalised one for one release of rolling-upgrade
+    coexistence. Every writer now keys the normalised path only — if a
+    fleet still runs pre-r12 writers, upgrade them first (or drain
+    writes during the switch); mixed old/new writers using QUALIFIED
+    identifiers would otherwise not exclude each other."""
+    return index_lease(_table_lock_path(spark, table), role, wait_s=wait_s)
 
 
 def _split_identifier(table: str) -> list[str]:
@@ -2273,14 +2263,6 @@ def _table_lock_path(spark: SparkSession, table: str) -> str:
     if db == "default":
         return os.path.join(wh, tbl)
     return os.path.join(wh, db + ".db", tbl)
-
-
-def _table_lock_path_legacy(spark: SparkSession, table: str) -> str:
-    """The pre-r12 lock key (raw lowercased spelling under the
-    warehouse dir) — still acquired alongside the normalised key when
-    they differ, so a rolling upgrade keeps mutual exclusion with
-    old-version writers (see :func:`_table_lease`)."""
-    return os.path.join(_warehouse_dir(spark), table.lower())
 
 
 def _table_data_bytes(spark: SparkSession, table: str) -> int:

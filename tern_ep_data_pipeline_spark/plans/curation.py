@@ -198,6 +198,23 @@ def curate_corpus(
     specified in tokens; a character proxy misallocates across domains
     with different token densities (code vs prose).
     """
+    # DSIR argument validation FIRST (ADVICE r12 #3): stages 0-5 can do
+    # eager work (quality-model driver fit, memory-guard probes), so a
+    # mis-paired dsir_target/dsir_k must fail before any of it runs,
+    # like every other parameter check — not at stage 6.
+    if dsir_target is not None and (
+        domain_fractions or domain_alpha is not None
+    ):
+        raise ValueError(
+            "dsir_target is mutually exclusive with "
+            "domain_fractions/domain_alpha — one selection policy per run"
+        )
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError(
+            "dsir_target and dsir_k must be given together — a half-"
+            "specified DSIR stage would silently select nothing"
+        )
+
     # plan-time executor-sizing guard: fail fast with the invariant named
     # instead of a raw heap OOM mid-checkpoint (SCALING.md §spill). When
     # the session is already derating to disk-backed state (memguard
@@ -382,19 +399,8 @@ def curate_corpus(
         kept = kept.withColumn(text_col, text.scrub_pii(F.col(text_col)))
 
     # 6. deterministic domain mixing — fixed fractions, temperature-
-    # derived cuts, or DSIR target-matching selection.
-    if dsir_target is not None and (
-        domain_fractions or domain_alpha is not None
-    ):
-        raise ValueError(
-            "dsir_target is mutually exclusive with "
-            "domain_fractions/domain_alpha — one selection policy per run"
-        )
-    if (dsir_target is None) != (dsir_k is None):
-        raise ValueError(
-            "dsir_target and dsir_k must be given together — a half-"
-            "specified DSIR stage would silently select nothing"
-        )
+    # derived cuts, or DSIR target-matching selection (arguments
+    # validated at the top of the function, before any eager work).
     if dsir_target is not None and dsir_k is not None:
         picked = sampling.importance_resample(
             kept, dsir_target, dsir_k, id_col, text_col,

@@ -2415,21 +2415,21 @@ def test_table_lock_path_normalises_identifiers(spark):
     assert dotted.endswith(os.path.join("my.table"))
     assert "my.db" not in dotted
 
-    # rolling-upgrade coexistence: when the legacy (raw-spelling) key
-    # differs, _table_lease acquires BOTH, so an old-version writer
-    # still excludes through its lock
+    # r13: the r12 rolling-upgrade co-acquire of the legacy
+    # raw-spelling key is retired — a qualified identifier takes
+    # EXACTLY ONE lock, the normalised one (the old raw-spelling path
+    # stays untouched, so lock traffic is back to one file per table)
     from tern_ep_data_pipeline_spark.operators.dedup_index import (
         _table_lease,
-        _table_lock_path_legacy,
+        _warehouse_dir,
     )
 
-    legacy = _table_lock_path_legacy(spark, "default.grams")
+    legacy = os.path.join(_warehouse_dir(spark), "default.grams")
     assert legacy != base
     with _table_lease(spark, "default.grams", "append"):
         assert os.path.exists(base + ".lock")
-        assert os.path.exists(legacy + ".lock")
+        assert not os.path.exists(legacy + ".lock")
     assert not os.path.exists(base + ".lock")
-    assert not os.path.exists(legacy + ".lock")
 
 
 def test_compactor_wait_outlasts_batch_lease(spark, tmp_path):

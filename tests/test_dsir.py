@@ -166,6 +166,15 @@ def test_curate_corpus_dsir_half_specified_rejected(spark):
     with _pytest.raises(ValueError, match="together"):
         curate_corpus(docs, dsir_target=docs, memory_guard=False)
 
+    # ADVICE r12 #3: the validation is hoisted to the TOP of
+    # curate_corpus — a mis-paired call fails before stages 0-5 do any
+    # work. The bogus quality_model below would raise at stage 5 if
+    # execution got that far; the ValueError proves it never does.
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(
+            docs, dsir_k=5, quality_model=object(), memory_guard=False
+        )
+
 
 def test_dsir_subset_fast_path_identical(spark):
     """target_subset_of_raw=True derives the target marginals from the
