@@ -43,7 +43,14 @@ SparkContext broadcast no matter how many keys the batch carries.
 Trade-off: the bitmap probe moves the index scan through Arrow once
 (the semi path does not).  Worth it when batch ≪ index — the regime
 every incremental consumer documents; callers opt in per call via
-``bloom_fpp``.
+``bloom_fpp``.  Three r13 refinements close the scale extremes: the
+bitmap is sized from a plan-time key-count estimate so the requested
+``fpp`` is honoured (and LOUDLY degraded past the 32 MiB cap);
+byte-heavy index rows are probed through a key-only projection with a
+JVM semi-join back, so payload bytes never cross the Arrow boundary;
+and a consumer whose index scan feeds a JOIN with no pre-aggregation
+(``match_against_index`` — the join probe already drops non-matching
+rows for free) records an auto-decline instead of pruning at a loss.
 
 Reference parity: the incremental-ingest contract this accelerates is
 the reference's append-only concatenation model
@@ -66,6 +73,7 @@ __all__ = [
     "prune_by_bloom",
     "prune_index_by_keys",
     "bloom_key",
+    "predicted_fpp",
 ]
 
 #: Bitmap size ceiling (bits).  2^28 bits = 32 MiB broadcast — past the
@@ -131,6 +139,50 @@ def _geometry(expected: int | None, fpp: float) -> tuple[int, int]:
     m = max(_MIN_BITS, min(_MAX_BITS, (m + 63) // 64 * 64))
     k = max(1, min(_MAX_HASHES, round(m / n * math.log(2))))
     return m, k
+
+
+def predicted_fpp(num_bits: int, num_hashes: int, n_keys: int) -> float:
+    """Textbook Bloom false-positive rate at ``n_keys`` inserted keys:
+    ``(1 - e^(-k·n/m))^k``.  Used to warn when a capped bitmap can no
+    longer honour the requested rate (r12 verdict #1a: past the 32 MiB
+    bitmap cap the prune must degrade LOUDLY, not silently)."""
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-num_hashes * n_keys / num_bits)) ** num_hashes
+
+
+#: Catalyst-style per-column byte estimates for a key/row width guess.
+#: Collections are sized pessimistically (arrays assume ~16 elements):
+#: the estimate feeds two conservative decisions — "how many keys fit
+#: in ``est`` bytes" (underestimating width OVERSTATES the key count,
+#: which only makes the bitmap bigger/safer) and "is this row too wide
+#: for the Arrow pipe" (overstating width routes to the JVM-side
+#: two-phase probe, the safe direction for byte-heavy rows).
+def _est_row_bytes(schema) -> int:
+    from pyspark.sql import types as T
+
+    def field(dt) -> int:
+        if isinstance(dt, (T.ByteType, T.BooleanType)):
+            return 1
+        if isinstance(dt, T.ShortType):
+            return 2
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.BinaryType):
+            return 100
+        if isinstance(dt, T.DecimalType):
+            return 16
+        if isinstance(dt, T.ArrayType):
+            return 16 * field(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 16 * (field(dt.keyType) + field(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(field(f.dataType) for f in dt.fields)
+        return 8  # long/double/timestamp and anything exotic
+
+    return sum(field(f.dataType) for f in schema.fields)
 
 
 def _set_bits(bitmap: np.ndarray, keys_u64: np.ndarray, num_bits: int, k: int) -> None:
@@ -226,9 +278,16 @@ def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:
     b_bitmap = sc.broadcast(spec.bitmap)
     num_bits, num_hashes = spec.num_bits, spec.num_hashes
 
-    with_key = df.withColumn(_KEY_COL, key.cast("long"))
+    # collision-free temp name (ADVICE r12 #2): withColumn on an
+    # EXISTING name replaces in place — the probe would read the
+    # caller's payload column and the drop would destroy it. Extend
+    # until free, then locate by NAME, never by position.
+    key_name = _KEY_COL
+    while key_name in df.columns:
+        key_name += "_"
+    with_key = df.withColumn(key_name, key.cast("long"))
     schema = with_key.schema
-    key_idx = len(schema) - 1  # _KEY_COL was appended last
+    key_idx = with_key.columns.index(key_name)
 
     def _probe(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -244,13 +303,30 @@ def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:
             if mask.any():
                 yield rb.filter(pa.array(mask))
 
-    return with_key.mapInArrow(_probe, schema).drop(_KEY_COL)
+    return with_key.mapInArrow(_probe, schema).drop(key_name)
 
 
 #: Plan-time batch-key size below which the prune runs as an EXACT
 #: broadcast left-semi join instead of the Bloom probe (see
 #: :func:`prune_index_by_keys`).
 SEMI_PRUNE_MAX_BYTES = 32 << 20
+
+#: Estimated NON-KEY row width (bytes) past which the Bloom path
+#: probes a key-only projection and semi-joins survivors back instead
+#: of piping full rows through Arrow (see :func:`prune_index_by_keys`).
+#: 64 bytes ~ the point where Arrow (de)serialisation of the payload
+#: costs more than a second JVM-side scan of the index: the minhash
+#: bands table (32-lane array<long> signatures, ~300 B/row) measured
+#: wall-NEGATIVE on the direct probe (BLOOM_r12 match cell) while the
+#: hash-only gram/chunk/line tables (<= 40 B/row) measured 2-3x wins.
+WIDE_PAYLOAD_BYTES = 64
+
+#: Warn when the capped bitmap's predicted fpp exceeds this multiple
+#: of the requested rate — the prune still returns exact-superset rows
+#: (false positives only re-admit index rows a later join drops), but
+#: past this point it has effectively stopped pruning and the caller
+#: should know rather than silently pay the full index scan.
+_FPP_WARN_FACTOR = 8.0
 
 
 def prune_index_by_keys(
@@ -270,8 +346,26 @@ def prune_index_by_keys(
       frame's plan-time size (``size_hint`` if given, else Catalyst's
       estimate) fits ``SEMI_PRUNE_MAX_BYTES``.
     - **bloom** (large / unknown-size key sets): build a Bloom filter
-      over the keys and probe the scan with the Arrow kernel — the
-      bitmap broadcast stays ~1 MiB no matter how many keys there are.
+      over the keys and probe the scan with the Arrow kernel.  The
+      bitmap is sized from the requested ``fpp`` and an ``expected``
+      key count derived at PLAN time (the same byte estimate the auto
+      gate already computed, divided by the key schema's estimated row
+      width — an over-count, which only means a bigger/safer bitmap),
+      capped at 32 MiB; when the cap forces the predicted rate past
+      8x the request, a RuntimeWarning names the degradation instead
+      of letting the prune silently stop pruning (r12 verdict #1a).
+      With no usable estimate the fixed 1 MiB/4-hash default applies
+      and ``fpp`` is only approximate — that case is now confined to
+      ``strategy='bloom'`` forced by hand on an unestimatable frame.
+
+    Wide index rows (estimated non-key payload above
+    ``WIDE_PAYLOAD_BYTES``, e.g. the bands table's signature arrays)
+    flip the bloom probe to TWO-PHASE: the Arrow kernel probes a
+    key-only projection of the index, the surviving (small, ~batch-
+    sized) distinct keys broadcast back, and a JVM left-semi join
+    filters the full-width scan — payload bytes never cross the Arrow
+    boundary (r12 verdict #1b).  Same surviving-row set by
+    construction: bitmap membership is a pure function of the key.
 
     Either way: no false negatives + per-key all-or-none row survival ⇒
     every downstream per-key aggregate is exact for keys a later join
@@ -279,19 +373,53 @@ def prune_index_by_keys(
     harmless on both paths.
     """
     keys = keys_frame.select(*key_cols)
-    if strategy == "auto":
-        est = size_hint
-        if est is None:
-            from .memguard import plan_size_estimate
+    est = size_hint
+    if est is None:
+        from .memguard import plan_size_estimate
 
-            est = plan_size_estimate(keys)
+        est = plan_size_estimate(keys)
+    if strategy == "auto":
         strategy = (
             "semi" if est is not None and est <= SEMI_PRUNE_MAX_BYTES
             else "bloom"
         )
     if strategy == "semi":
         return index_frame.join(F.broadcast(keys), on=key_cols, how="left_semi")
+
+    expected = None
+    if est is not None:
+        expected = max(1, est // max(1, _est_row_bytes(keys.schema)))
     spec = build_key_bloom(
-        keys_frame.select(bloom_key(*key_cols).alias(_KEY_COL)), fpp=fpp
+        keys_frame.select(bloom_key(*key_cols).alias(_KEY_COL)),
+        fpp=fpp,
+        expected=expected,
     )
+    if expected is not None:
+        achieved = predicted_fpp(spec.num_bits, spec.num_hashes, expected)
+        if achieved > _FPP_WARN_FACTOR * fpp:
+            import warnings
+
+            warnings.warn(
+                f"bloom prune bitmap capped at {spec.num_bits // 8 >> 20} MiB: "
+                f"predicted fpp ~{achieved:.3f} at ~{expected} keys exceeds "
+                f"{_FPP_WARN_FACTOR:.0f}x the requested {fpp} — the prune "
+                "keeps correctness (superset) but has largely stopped "
+                "pruning; consider splitting the batch",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    payload = _est_row_bytes(index_frame.schema) - _est_row_bytes(
+        index_frame.select(*key_cols).schema
+    )
+    if payload > WIDE_PAYLOAD_BYTES:
+        survivors = (
+            prune_by_bloom(
+                index_frame.select(*key_cols), bloom_key(*key_cols), spec
+            )
+            .dropDuplicates(key_cols)
+        )
+        return index_frame.join(
+            F.broadcast(survivors), on=key_cols, how="left_semi"
+        )
     return prune_by_bloom(index_frame, bloom_key(*key_cols), spec)

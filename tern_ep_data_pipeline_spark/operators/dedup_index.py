@@ -155,16 +155,18 @@ def match_against_index(
     any text access (pass ``None`` to accept every band collision).
     ``match_id`` is the lowest-id surviving match.
 
-    ``bloom_fpp`` (e.g. ``0.01``) turns on the batch-keyed Bloom
-    prefilter on BOTH index scans (see :func:`_bloom_pruned`) —
-    classification is bit-identical, but only index rows whose
-    content-hash / band key might appear in the batch reach the joins.
-    Caveat for THIS operator: the bands table carries the full minhash
-    signature per row, so the Arrow probe is byte-heavy — measured
-    wall-negative at sandbox scale (tools/bench_bloom.py) even though
-    shuffle bytes drop; the prefilter's clear wins are the hash-only
-    index tables (gram/chunk/line), where rows are narrow and the
-    avoided aggregation shuffle dominates.
+    ``bloom_fpp`` is accepted for interface parity with the other
+    incremental consumers but AUTO-DECLINES (r13): this operator has no
+    index-side pre-join aggregation for a prefilter to save — both
+    index scans stream straight into batch-keyed joins, which already
+    drop non-matching index rows during the probe at zero extra cost,
+    and the r12 measurement showed the prune paying staging plus a
+    second index evaluation for nothing (BLOOM_r12 match cell: wall
+    6.0→8.5 s, shuffle UP 3.2→12.6 MB). The decline is recorded on
+    SparkContext local property ``tern.bloom_prune.match``; output and
+    plan equal the default path exactly. Wide-payload indexes that DO
+    pre-aggregate get the key-only two-phase probe instead
+    (``bloom.WIDE_PAYLOAD_BYTES``).
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
@@ -193,26 +195,23 @@ def _match_frames(
 ) -> DataFrame:
     """Layout-independent core of :func:`match_against_index`: the index
     arrives as two frames (parquet-dir scan or bucketed-table scan — the
-    latter joins with zero index-side Exchange).  With ``bloom_fpp``
-    set, both index frames are Bloom-pruned by the batch's keys first
-    (and the batch-side frames are staged, since the bloom build adds a
-    consumer); the default path's plan is untouched."""
-    new_exact = _exact_table(new_docs, id_col, text_col)
+    latter joins with zero index-side Exchange).  ``bloom_fpp`` is a
+    RECORDED AUTO-DECLINE here (r13, closing the r12 wall-negative):
+    unlike the gram/chunk/line consumers, this operator has no
+    index-side pre-join aggregation for a prefilter to save — both
+    index frames stream straight into batch-keyed joins, which already
+    drop non-matching index rows during the probe at zero extra cost,
+    so a prune pays staging plus a second index evaluation for nothing
+    (BLOOM_r12 match cell: 6.0→8.5 s wall, shuffle UP 3.2→12.6 MB).
+    The decline is published as SparkContext local property
+    ``tern.bloom_prune.match`` for sinks and benches to record, and the
+    plan is EXACTLY the default path's."""
     if bloom_fpp is not None:
-        from .memguard import plan_size_estimate
-
-        # size the semi-vs-bloom gate from the batch SCAN: the staged key
-        # frames report garbage estimates before materialising, and both
-        # key sets are bounded by the batch's own bytes (one 32-hex hash
-        # per doc / one 20-byte band key per doc-band vs the doc's text).
-        # Routing typical batches to the semi join keeps the bands
-        # table's signatures inside the JVM (no Arrow pipe).
-        batch_est = plan_size_estimate(new_docs)
-        new_exact = dedup_ops._stage(new_exact)
-        ex_idx = _bloom_pruned(
-            ex_idx, ["content_hash"], new_exact, bloom_fpp,
-            size_hint=batch_est,
+        new_docs.sparkSession.sparkContext.setLocalProperty(
+            "tern.bloom_prune.match", "declined-no-index-preagg"
         )
+        bloom_fpp = None
+    new_exact = _exact_table(new_docs, id_col, text_col)
     exact_hits = (
         new_exact.join(
             ex_idx.select("content_hash", F.col("doc_id").alias("match_id")),
@@ -237,15 +236,6 @@ def _match_frames(
     new_bands = _band_table(
         canon_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     )
-    if bloom_fpp is not None:
-        # staging also spares the third signature computation the bloom
-        # build would otherwise add (new_bands already feeds the index
-        # join AND the intra-batch self-join)
-        new_bands = dedup_ops._stage(new_bands)
-        band_idx = _bloom_pruned(
-            band_idx, ["band", "bh"], new_bands, bloom_fpp,
-            size_hint=batch_est,
-        )
     cand = (
         new_bands.join(
             band_idx.select(
@@ -790,6 +780,8 @@ def build_gram_index(
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
     range_partitions: int | None = None,
+    memory_guard: bool = True,
+    passes: int | None = None,
 ) -> int:
     """Materialise the corpus gram-first index (ExactSubstr span dedup,
     incremental form) next to the exact/band/chunk/line tables; returns
@@ -815,7 +807,57 @@ def build_gram_index(
     id would compare equal-or-earlier and silently win/keep spans the
     corpus already contains. Build/append record ``max(id)`` in a
     ``grams_meta`` side table and ``clean_against_gram_index`` enforces
-    the contract loudly (``validate_ids``)."""
+    the contract loudly (``validate_ids``).
+
+    ``memory_guard`` (default on, r12 verdict #2 — this build was the
+    one remaining hard-OOM path): sizes the build at PLAN time against
+    the executor heap (``memguard.gram_build_passes``, calibrated on
+    the 2 GiB sf10-docs cell). Over the single-pass budget, the build
+    DEGRADES to sequential id-range slices — slice 0 bootstraps, later
+    slices run :func:`append_to_gram_index` — which the read side's
+    per-gram ``min`` combine makes bit-identical to the one-shot build
+    (the exact convergence contract appends already rely on); past the
+    64-pass bound, or when the per-core overhead alone exceeds the
+    heap, it raises ``CurationMemoryError`` naming the invariant
+    instead of letting the JVM die mid-write. ``passes`` forces the
+    slice count (testing/benches); slicing needs a numeric ``id_col``
+    (quantile cuts) — non-numeric ids fall back to single-pass with a
+    RuntimeWarning."""
+    spark = docs.sparkSession
+    if passes is None:
+        passes = 1
+        from .memguard import incremental_span_floor_decidable
+
+        if memory_guard and incremental_span_floor_decidable(spark):
+            from .memguard import gram_build_passes
+
+            text_bytes = docs.agg(
+                F.sum(F.octet_length(F.col(text_col)))
+            ).collect()[0][0]
+            passes, floor_msg = gram_build_passes(spark, text_bytes)
+            if floor_msg is not None:
+                from ..plans.curation import CurationMemoryError
+
+                raise CurationMemoryError(floor_msg)
+    if passes > 1:
+        numeric = dict(docs.dtypes).get(id_col) in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        )
+        if not numeric:
+            import warnings
+
+            warnings.warn(
+                f"gram-index build wants {passes} id-range passes but "
+                f"{id_col!r} is not numeric — falling back to the "
+                "single-pass build (expect heap pressure)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            return _build_gram_index_chunked(
+                docs, path, id_col, text_col, min_tokens, max_doc_tokens,
+                range_partitions, passes,
+            )
     gp = os.path.join(path, "grams")
     _write_ranged(
         _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens),
@@ -824,7 +866,69 @@ def build_gram_index(
     _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").parquet(
         os.path.join(path, "grams_meta")
     )
-    return docs.sparkSession.read.parquet(gp).count()
+    return spark.read.parquet(gp).count()
+
+
+def _build_gram_index_chunked(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_doc_tokens: int,
+    range_partitions: int | None,
+    passes: int,
+) -> int:
+    """Memory-derated corpus build: ``passes`` sequential id-range
+    slices (approx-quantile cuts, strictly increasing, so the appends
+    honour the id-monotonicity contract by construction). Slice 0 is a
+    plain bootstrap build; each later slice appends — and since the
+    gram read path ``min``-combines across appended files, the final
+    index DECIDES identically to a one-shot build (the same convergence
+    contract streaming appends rely on; equality pinned in
+    tests/test_curation.py). Returns the distinct-gram count (appends
+    may duplicate a gram across files, so a bare row count would
+    over-report vs the one-shot build)."""
+    qs = [i / passes for i in range(1, passes)]
+    cuts = sorted({
+        int(c) for c in docs.stat.approxQuantile(id_col, qs, 0.001)
+    })
+    bounds = [None, *cuts, None]
+    first = True
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        cond = []
+        if lo is not None:
+            cond.append(F.col(id_col) >= F.lit(lo))
+        if hi is not None:
+            cond.append(F.col(id_col) < F.lit(hi))
+        part = docs
+        for c in cond:
+            part = part.where(c)
+        if part.limit(1).count() == 0:
+            continue  # approx cuts can produce an empty edge slice
+        if first:
+            gp = os.path.join(path, "grams")
+            _write_ranged(
+                _gram_first_table(
+                    part, id_col, text_col, min_tokens, max_doc_tokens
+                ),
+                gp, "gram_hash", range_partitions, "overwrite",
+            )
+            _meta_row(part, id_col, text_col, "build").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "grams_meta"))
+            first = False
+        else:
+            append_to_gram_index(
+                part, path, id_col, text_col,
+                min_tokens=min_tokens, max_doc_tokens=max_doc_tokens,
+            )
+    return (
+        docs.sparkSession.read.parquet(os.path.join(path, "grams"))
+        .select("gram_hash")
+        .distinct()
+        .count()
+    )
 
 
 def clean_against_gram_index(

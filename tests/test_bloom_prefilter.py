@@ -94,6 +94,10 @@ def _sorted_rows(df):
 
 
 def test_match_against_index_bloom_identical(spark, tmp_path):
+    """r13: bloom_fpp on match_against_index is a RECORDED AUTO-DECLINE
+    (no index-side pre-aggregation to save) — identical output AND an
+    identical optimized plan, with the decline published as a local
+    property."""
     corpus = _corpus(spark)
     rows = corpus.collect()
     path = str(tmp_path / "idx")
@@ -104,6 +108,17 @@ def test_match_against_index_bloom_identical(spark, tmp_path):
         spark, batch, path, num_hashes=16, bands=8, bloom_fpp=0.01
     )
     assert _sorted_rows(plain) == _sorted_rows(pruned)
+    assert (
+        spark.sparkContext.getLocalProperty("tern.bloom_prune.match")
+        == "declined-no-index-preagg"
+    )
+    p1 = plain._jdf.queryExecution().optimizedPlan().toString()
+    p2 = pruned._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    # normalise expr ids (#123L) and lambda-var counters (x_10)
+    strip = lambda s: _re.sub(r"#\d+L?|_\d+", "#", s)
+    assert strip(p1) == strip(p2), "declined plan must equal the default"
 
 
 def test_gram_index_bloom_identical(spark, tmp_path):
@@ -279,3 +294,128 @@ def test_prune_strategies_agree(spark, tmp_path):
             bloom.prune_index_by_keys = orig
         assert calls, f"prune chokepoint not exercised under {strat}"
         assert got == plain, strat
+
+
+# ------------------------------------------------- r13 scale closers
+
+def test_geometry_honors_fpp_at_10m_keys():
+    """r12 verdict #1a: with an ``expected`` estimate the bitmap is
+    sized for the requested rate — MEASURED fpp at 10M inserted keys
+    stays within 2x the requested 1% (pure numpy kernel; no Spark)."""
+    import numpy as np
+
+    n = 10_000_000
+    num_bits, num_hashes = bloom._geometry(n, 0.01)
+    assert num_bits < bloom._MAX_BITS, "10M keys must not hit the cap"
+    rng = np.random.default_rng(1234)
+    members = rng.integers(0, 1 << 62, size=n, dtype=np.int64).view(np.uint64)
+    bitmap = np.zeros(num_bits // 8, dtype=np.uint8)
+    bloom._set_bits(bitmap, members, num_bits, num_hashes)
+    # probe a disjoint stream (different high bit ⇒ no overlap)
+    probes = (
+        rng.integers(0, 1 << 62, size=1_000_000, dtype=np.int64)
+        + (np.int64(1) << np.int64(62))
+    ).view(np.uint64)
+    hits = bloom._test_bits(bitmap, probes, num_bits, num_hashes).sum()
+    measured = hits / 1_000_000
+    assert measured <= 0.02, f"measured fpp {measured:.4f} > 2x requested 1%"
+
+
+def test_prune_threads_expected_from_size_hint(spark, monkeypatch):
+    """ADVICE r12 #1: the auto path derives ``expected`` from the byte
+    estimate it already has, so ``fpp`` is honoured on the bloom
+    strategy instead of silently using the fixed default geometry."""
+    captured = {}
+    orig = bloom.build_key_bloom
+
+    def spy(keys, fpp=0.01, expected=None, key_col="__bk"):
+        captured["expected"] = expected
+        captured["fpp"] = fpp
+        return orig(keys, fpp=fpp, expected=expected, key_col=key_col)
+
+    monkeypatch.setattr(bloom, "build_key_bloom", spy)
+    idx = spark.range(100).select(F.col("id").alias("k"))
+    keys = spark.range(50).select(F.col("id").alias("k"))
+    hint = 64 << 20  # past the semi gate ⇒ bloom strategy
+    bloom.prune_index_by_keys(idx, ["k"], keys, fpp=0.005, size_hint=hint).count()
+    assert captured["fpp"] == 0.005
+    row_bytes = bloom._est_row_bytes(keys.schema)
+    assert captured["expected"] == hint // row_bytes
+    # and the geometry actually differs from the fixed default
+    bits, hashes = bloom._geometry(captured["expected"], 0.005)
+    assert (bits, hashes) != (bloom._DEFAULT_BITS, bloom._DEFAULT_HASHES)
+
+
+def test_prune_warns_when_bitmap_cap_saturates(spark):
+    """Past the 32 MiB cap the prune degrades LOUDLY: a RuntimeWarning
+    names the predicted fpp instead of letting the filter silently stop
+    pruning (still correct — superset — just no longer useful)."""
+    import warnings as _warnings
+
+    idx = spark.range(100).select(F.col("id").alias("k"))
+    keys = spark.range(50).select(F.col("id").alias("k"))
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        bloom.prune_index_by_keys(
+            idx, ["k"], keys, fpp=0.01, size_hint=1 << 40
+        ).count()
+    msgs = [str(w.message) for w in rec if w.category is RuntimeWarning]
+    assert any("largely stopped pruning" in m for m in msgs), msgs
+
+
+def test_prune_by_bloom_key_column_collision(spark):
+    """ADVICE r12 #2: a caller frame that already owns a ``__bk``
+    column keeps it — the probe uses a generated collision-free temp
+    name instead of silently overwriting the payload."""
+    df = spark.createDataFrame(
+        [(1, "payload-a"), (2, "payload-b"), (3, "payload-c")],
+        "k long, __bk string",
+    )
+    spec = bloom.build_key_bloom(
+        spark.createDataFrame([(1,), (3,)], "k long").select(
+            bloom.bloom_key(F.col("k")).alias("__bk")
+        ),
+        fpp=0.01,
+    )
+    out = bloom.prune_by_bloom(df, bloom.bloom_key(F.col("k")), spec)
+    rows = {(r["k"], r["__bk"]) for r in out.collect()}
+    assert (1, "payload-a") in rows and (3, "payload-c") in rows
+    assert out.columns == ["k", "__bk"], "payload __bk column must survive"
+
+
+def test_wide_payload_routes_two_phase(spark, monkeypatch):
+    """r12 verdict #1b: rows with byte-heavy payload (signature arrays)
+    are probed through a KEY-ONLY projection — the Arrow kernel never
+    sees the wide columns — and the surviving row set is identical to
+    the direct probe's."""
+    wide = spark.range(200).selectExpr(
+        "id as k",
+        "array_repeat(id, 32) as sig",  # 32 longs ≈ 256 B payload
+        "cast(id as string) as doc",
+    )
+    assert (
+        bloom._est_row_bytes(wide.schema)
+        - bloom._est_row_bytes(wide.select("k").schema)
+        > bloom.WIDE_PAYLOAD_BYTES
+    )
+    keys = spark.range(0, 200, 7).select(F.col("id").alias("k"))
+
+    probed_cols = []
+    orig = bloom.prune_by_bloom
+
+    def spy(df, key, spec):
+        probed_cols.append(list(df.columns))
+        return orig(df, key, spec)
+
+    monkeypatch.setattr(bloom, "prune_by_bloom", spy)
+    got = bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom")
+    got_rows = {r["k"] for r in got.select("k").collect()}
+    assert probed_cols == [["k"]], "Arrow probe must see the key column only"
+    # no false negatives: every true member row survives with payload
+    assert {r["id"] for r in keys.withColumnRenamed("k", "id").collect()} <= got_rows
+    assert set(got.columns) == {"k", "sig", "doc"}
+
+    # and the direct (narrow-path) probe keeps exactly the same rows
+    monkeypatch.setattr(bloom, "WIDE_PAYLOAD_BYTES", 1 << 30)
+    direct = bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom")
+    assert {r["k"] for r in direct.select("k").collect()} == got_rows

@@ -98,7 +98,9 @@ def main() -> None:
     ap.add_argument("--fpp", type=float, default=0.01)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--ops", nargs="+", default=None,
-                    help="subset of gram_clean chunk_stats line_clean match")
+                    help="subset of gram_clean chunk_stats line_clean match "
+                         "streaming")
+    ap.add_argument("--stream-batches", type=int, default=3)
     ap.add_argument("--scratch", default=None)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -120,10 +122,12 @@ def main() -> None:
     batch = docs.where(f"doc_id >= {cut}")
     n_corpus, n_batch = corpus.count(), batch.count()
 
-    wanted = set(args.ops or ("gram_clean", "chunk_stats", "line_clean", "match"))
+    wanted = set(args.ops or (
+        "gram_clean", "chunk_stats", "line_clean", "match", "streaming"
+    ))
     paths = {k: os.path.join(scratch, k) for k in ("gram", "chunk", "line", "match")}
     t0 = time.monotonic()
-    if "gram_clean" in wanted:
+    if wanted & {"gram_clean", "streaming"}:
         di.build_gram_index(corpus, paths["gram"], min_tokens=8)
     if "chunk_stats" in wanted:
         di.build_chunk_index(corpus, paths["chunk"], chunk_tokens=10)
@@ -169,6 +173,63 @@ def main() -> None:
             ).count(),
         }
 
+    # streaming sink consumer (r12 verdict #5): span_dedup_batch IS the
+    # foreachBatch body of span_deduped_stream_sink — K sequential
+    # micro-batches against a corpus-seeded gram index, off vs on, each
+    # mode on its OWN COPY of the index (batches append to it). The
+    # headline number is shuffle bytes per micro-batch, the quantity the
+    # prune's O(index)->O(batch) claim is about.
+    stream_cell = None
+    if "streaming" in wanted:
+        from tern_ep_data_pipeline_spark.streaming.curation import (
+            span_dedup_batch,
+        )
+
+        k = args.stream_batches
+        # contiguous id ranges, not modulo: the gram index's occurrence
+        # keys require batch ids monotonically above the indexed ids
+        span = (args.batch + k - 1) // k
+        micro = [
+            batch.where(
+                f"doc_id >= {cut + i * span} and doc_id < {cut + (i + 1) * span}"
+            )
+            for i in range(k)
+        ]
+        modes = {}
+        for tag, fpp in (("off", None), ("on", args.fpp)):
+            idir = os.path.join(scratch, f"stream_{tag}")
+            shutil.copytree(paths["gram"], idir)
+            walls, shuffles, digests = [], [], []
+            for mb in micro:
+                _drain_listeners(spark)
+                m0, d0, s0 = stage_spill_totals(spark)
+                t0 = time.monotonic()
+                out = span_dedup_batch(
+                    mb, idir, memory_guard=False, bloom_fpp=fpp
+                )
+                n = _materialise(out)
+                walls.append(round(time.monotonic() - t0, 3))
+                _drain_listeners(spark)
+                m1, d1, s1 = stage_spill_totals(spark)
+                shuffles.append(round((s1 - s0) / 1e6, 1))
+                digests.append(n)
+                release_staged(spark)
+            modes[tag] = {
+                "batch_wall_s": walls,
+                "batch_shuffle_mb": shuffles,
+                "rows": digests,
+            }
+            print(f"# streaming/{tag}: walls {walls} shuffle_mb {shuffles}",
+                  file=sys.stderr)
+        assert modes["off"]["rows"] == modes["on"]["rows"], modes
+        stream_cell = {
+            "n_micro_batches": k,
+            "batch_docs": [m.count() for m in micro],
+            **{f"{t}_{key}": v for t, cell in modes.items()
+               for key, v in cell.items() if key != "rows"},
+            "rows_per_batch": modes["on"]["rows"],
+        }
+
     if args.ops:
         ops = {k: v for k, v in ops.items() if k in args.ops}
     cells = {}
@@ -183,6 +244,11 @@ def main() -> None:
         cells[name] = {
             "off_s": round(best_off[0], 3),
             "on_s": round(best_on[0], 3),
+            **(
+                {"declined": spark.sparkContext.getLocalProperty(
+                    "tern.bloom_prune.match")}
+                if name == "match" else {}
+            ),
             "off_shuffle_mb": round(best_off[1] / 1e6, 1),
             "on_shuffle_mb": round(best_on[1] / 1e6, 1),
             "off_spill_mb": round(best_off[2] / 1e6, 1),
@@ -202,6 +268,7 @@ def main() -> None:
         "index_build_s": round(build_s, 1),
         "survive": survive,
         "cells": cells,
+        "streaming": stream_cell,
         "loadavg_start": load_at_start,
         "loadavg_end": list(os.getloadavg()),
     }
