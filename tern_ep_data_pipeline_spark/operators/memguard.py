@@ -184,6 +184,88 @@ SPAN_RESIDENT_PER_CORE = 16 << 20
 SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 3.25
 
 
+#: Gram-index BUILD resident model (r12 verdict #2 — the one remaining
+#: hard-OOM path). A corpus-wide ``build_gram_index`` explodes every
+#: text into ~0.16 md5-gram rows per text byte and funnels them through
+#: a hash aggregate straight into concurrent parquet writers; the
+#: resident pressure is ~proportional to the corpus TEXT bytes in
+#: flight. Calibrated on the r13 repro cells: the 141.9 MB-text
+#: sf10-docs build pushes a 2 GiB/32 heap to 95% allocation (parquet
+#: writers force-scale their row groups; the same build inside a
+#: multi-index session heap-OOMs, BLOOM_r12 memory note), i.e. the
+#: cliff sits at ~(1740-512)/142 ≈ 8.6 bytes of resident state per
+#: text byte — 10.0 adds margin; the 42.6 MB sf3 build completes with
+#: zero spill at the same heap and must stay single-pass.
+GRAM_BUILD_RESIDENT_PER_TEXT_BYTE = 10.0
+
+#: Upper bound on build passes — past this, the corpus:executor-memory
+#: ratio is a sizing error, not something to paper over with thousands
+#: of sequential appends.
+GRAM_BUILD_MAX_PASSES = 64
+
+
+def gram_build_passes(
+    spark: SparkSession, text_bytes: int | None
+) -> tuple[int, str | None]:
+    """Plan-time pass count for a corpus gram-index build:
+    ``(passes, floor_msg)``. ``passes`` = how many sequential id-range
+    slices the build needs so each slice's resident working set
+    (:data:`GRAM_BUILD_RESIDENT_PER_TEXT_BYTE` x slice text bytes plus
+    the per-core overhead) fits the executor heap — 1 means the plain
+    single-pass build is safe. ``floor_msg`` names the invariant when
+    no slicing can fit (per-core overhead alone exceeds the heap, or
+    the pass count tops :data:`GRAM_BUILD_MAX_PASSES`); the caller
+    raises ``CurationMemoryError`` with it at PLAN time instead of
+    letting the JVM die mid-write. Unknown sizes / cluster mode without
+    executor confs return ``(1, None)`` — the standard sizing invariant
+    applies there."""
+    if text_bytes is None or text_bytes <= 0:
+        return 1, None
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+        cores = spark.sparkContext.defaultParallelism
+    else:
+        exec_mem = spark.conf.get("spark.executor.memory", None)
+        exec_cores = spark.conf.get("spark.executor.cores", None)
+        if not (exec_mem and exec_cores):
+            return 1, None
+        from ..plans.curation import _parse_executor_memory
+
+        heap = _parse_executor_memory(exec_mem)
+        cores = int(exec_cores)
+    budget = max(0, heap - _JVM_RESERVED) - SPAN_RESIDENT_PER_CORE * cores
+    if budget <= 0:
+        return 0, (
+            "gram-index build sizing invariant violated: the fixed "
+            f"per-core overhead ({SPAN_RESIDENT_PER_CORE >> 20} MiB x "
+            f"{cores} cores) alone exceeds the usable heap of a "
+            f"{heap / 2**30:.1f} GiB executor — no slicing can fit. "
+            "Raise executor memory or lower concurrency."
+        )
+    import math
+
+    passes = max(
+        1,
+        math.ceil(GRAM_BUILD_RESIDENT_PER_TEXT_BYTE * text_bytes / budget),
+    )
+    if passes > GRAM_BUILD_MAX_PASSES:
+        return passes, (
+            "gram-index build sizing invariant violated: "
+            f"{text_bytes / 2**20:.0f} MiB of corpus text needs ~"
+            f"{passes} sequential build passes to fit a "
+            f"{heap / 2**30:.1f} GiB executor (budget "
+            f"{budget / 2**20:.0f} MiB/pass at "
+            f"{GRAM_BUILD_RESIDENT_PER_TEXT_BYTE:g} resident bytes per "
+            f"text byte) — past the {GRAM_BUILD_MAX_PASSES}-pass bound "
+            "this is an executor sizing error. Raise executor memory "
+            "or build from a pre-partitioned corpus."
+        )
+    return passes, None
+
+
 def incremental_span_floor_decidable(spark: SparkSession) -> bool:
     """True when :func:`incremental_span_floor_message` could possibly
     fire — local mode (the driver IS the executor) or a cluster session

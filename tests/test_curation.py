@@ -2041,6 +2041,85 @@ def test_gram_index_id_monotonicity_enforced(spark, tmp_path):
     assert n == 1
 
 
+def test_gram_build_chunked_identical(spark, tmp_path):
+    """r12 verdict #2: the memory-derated multi-pass build (sequential
+    id-range slices; slice 0 bootstraps, later slices append) must be
+    decision-identical to the one-shot build — same distinct-gram
+    count, same clean decisions on a later batch — because the read
+    side min-combines across appended files."""
+    import random
+
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index,
+        clean_against_gram_index,
+    )
+
+    rng = random.Random(21)
+    words = "red green blue cyan teal plum gold jade rust sage".split()
+    phrase = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(25))
+            + (f" {phrase} tail" if i % 7 == 0 else ""))
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    flat, chunked = str(tmp_path / "flat"), str(tmp_path / "chunk")
+    n_flat = build_gram_index(corpus, flat)
+    n_chunk = build_gram_index(corpus, chunked, passes=3)
+    assert n_flat == n_chunk
+
+    # meta: one build row + >=1 append rows, watermark = corpus max id
+    meta = spark.read.parquet(chunked + "/grams_meta").collect()
+    kinds = sorted(r["kind"] for r in meta)
+    assert kinds[0] == "append" and kinds[-1] == "build" and len(meta) == 3
+    assert max(r["max_doc_id"] for r in meta) == 59
+
+    batch = spark.createDataFrame(
+        [(100, f"fresh framing {phrase} and trailing body words"),
+         (101, "entirely novel unrelated document with private words")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, clean_against_gram_index(spark, batch, flat).collect()))
+    dedup.release_staged(spark)
+    b = sorted(map(tuple, clean_against_gram_index(spark, batch, chunked).collect()))
+    dedup.release_staged(spark)
+    assert a == b
+    assert a[0][2] > 0  # the indexed phrase was actually cut
+
+
+def test_gram_build_guard_plan_time(spark, tmp_path, monkeypatch):
+    """The build guard classifies at PLAN time: an impossible sizing
+    raises CurationMemoryError BEFORE any file is written, and the
+    pass model's edges behave (unknown bytes -> single pass; absurd
+    corpus -> named floor message, never a silent huge pass count)."""
+    import os as _os
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.operators import memguard
+    from tern_ep_data_pipeline_spark.plans.curation import CurationMemoryError
+
+    assert memguard.gram_build_passes(spark, None) == (1, None)
+    assert memguard.gram_build_passes(spark, 0) == (1, None)
+    p, msg = memguard.gram_build_passes(spark, 1 << 45)
+    assert msg is not None and "sizing invariant" in msg
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(12))),
+         (2, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        memguard, "gram_build_passes", lambda s, b: (99, "sizing invariant violated: test")
+    )
+    path = str(tmp_path / "guarded")
+    with pytest.raises(CurationMemoryError, match="test"):
+        di.build_gram_index(docs, path)
+    assert not _os.path.exists(path)
+    # opt-out builds anyway
+    assert di.build_gram_index(docs, path, memory_guard=False) > 0
+
+
 def test_hash_build_fits_gates_on_size(spark):
     """The SHJ hint on the incremental gram-index join is size-gated:
     small estimates hash-join, corpus-scale or unknown estimates take the
