@@ -3412,6 +3412,11 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       distribution importance-matches the ``lang='en'`` target slice;
       value = exact integer micro-log weight and selection key (the
       only float steps are the precedent ln->round(1e12) quantisations).
+    - ``dsir_ext`` (r13): the EXTERNAL-target DSIR path — pool = even
+      doc_ids, target = the odd English docs, disjoint by construction,
+      so the ratio estimation runs the genuine two-corpus form (a
+      second tokenise+gram+hash pass over the target, no id semi-join
+      shortcut); same exact-integer output contract as ``dsir``.
     """
     from tern_ep_data_pipeline_spark.operators import sampling
     from tern_ep_data_pipeline_spark.operators.graph import dedup_clusters
@@ -3579,9 +3584,24 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("val_d"),
     )
 
+    dsir_ext = sampling.importance_resample(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where((F.col("doc_id") % 2 == 1) & (F.col("lang") == "en")),
+        100,
+        buckets=10_000,
+    ).select(
+        F.lit("dsir_ext").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat_ws(
+            ":", F.col("logweight_micro"), F.col("key_micro")
+        ).alias("val_s"),
+        nd.alias("val_d"),
+    )
+
     out = cc
     for branch in (
         split, sample, pii, budget, tfidf, rep, decon, mix, pack, seqs, dsir,
+        dsir_ext,
     ):
         out = out.unionByName(branch)
     return out
@@ -3806,7 +3826,38 @@ dsir_keyed AS (
       / 1152921504606846976.0)) * 1e12) AS BIGINT) AS kk
   FROM dsir_scored
 ),
-dsir_sel AS (SELECT * FROM dsir_keyed ORDER BY kk DESC, doc_id LIMIT 100)
+dsir_sel AS (SELECT * FROM dsir_keyed ORDER BY kk DESC, doc_id LIMIT 100),
+dsx_docb AS (
+  SELECT doc_id, bucket, count(*) AS c FROM dsir_g
+  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+dsx_rawb AS (SELECT bucket, sum(c) AS cr FROM dsx_docb GROUP BY 1),
+dsx_tgtb AS (
+  SELECT bucket, count(*) AS ct FROM dsir_g JOIN documents USING (doc_id)
+  WHERE doc_id % 2 = 1 AND lang = 'en' GROUP BY 1
+),
+dsx_tot AS (
+  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM dsx_rawb) AS tr,
+         (SELECT CAST(sum(ct) AS DOUBLE) FROM dsx_tgtb) AS tt
+),
+dsx_lr AS (
+  SELECT bucket,
+    CAST(round((ln((COALESCE(ct, 0) + 1.0) / (tt + 10000.0))
+              - ln((cr + 1.0) / (tr + 10000.0))) * 1e12) AS BIGINT) AS lr_pico
+  FROM dsx_rawb LEFT JOIN dsx_tgtb USING (bucket), dsx_tot
+),
+dsx_scored AS (
+  SELECT doc_id, CAST(sum(CAST(c AS HUGEINT) * lr_pico) AS HUGEINT) AS s
+  FROM dsx_docb JOIN dsx_lr USING (bucket) GROUP BY 1
+),
+dsx_keyed AS (
+  SELECT doc_id, s,
+    s + CAST(round(-ln(-ln(
+      ((('0x'||substr(md5('dsir-g:'||doc_id),1,15))::BIGINT) + 0.5)
+      / 1152921504606846976.0)) * 1e12) AS BIGINT) AS kk
+  FROM dsx_scored
+),
+dsx_sel AS (SELECT * FROM dsx_keyed ORDER BY kk DESC, doc_id LIMIT 100)
 SELECT 'cc' AS part, CAST(node AS VARCHAR) AS key,
   CAST(component AS VARCHAR) AS val_s, CAST(NULL AS DOUBLE) AS val_d
 FROM cc
@@ -3860,6 +3911,15 @@ SELECT 'dsir', CAST(doc_id AS VARCHAR),
        ELSE -((2*(-kk) + 1000000) // 2000000) END AS BIGINT) AS VARCHAR),
   CAST(NULL AS DOUBLE)
 FROM dsir_sel
+UNION ALL
+SELECT 'dsir_ext', CAST(doc_id AS VARCHAR),
+  CAST(CAST(CASE WHEN s >= 0 THEN (2*s + 1000000) // 2000000
+       ELSE -((2*(-s) + 1000000) // 2000000) END AS BIGINT) AS VARCHAR)
+  || ':' ||
+  CAST(CAST(CASE WHEN kk >= 0 THEN (2*kk + 1000000) // 2000000
+       ELSE -((2*(-kk) + 1000000) // 2000000) END AS BIGINT) AS VARCHAR),
+  CAST(NULL AS DOUBLE)
+FROM dsx_sel
 """
 
 
