@@ -43,15 +43,30 @@ def curated_document_stream(
     salt: str = "smp",
     scrub: bool = False,
     watermark: str = "1 hour",
+    dsir_ratio_path: str | None = None,
+    dsir_min_logweight_micro: int | None = None,
 ) -> DataFrame:
     """Quality gate -> deterministic hash sample -> PII scrub (optional)
-    -> exact content dedup, over a streaming document source.
+    -> exact content dedup -> DSIR importance scoring (optional), over
+    a streaming document source.
 
     Keeps the FIRST arrival of each distinct normalised content within
     the watermark horizon; later duplicates are dropped while their
     hash is still in state. Decisions are reproducible across restarts:
     the sample is md5-keyed (same salt -> same documents), and the
     content hash is a pure function of the text.
+
+    ``dsir_ratio_path`` (r12 verdict #4) scores every surviving
+    document against a FROZEN DSIR ratio artifact
+    (:func:`write_dsir_ratio_artifact` — built offline from raw+target,
+    refreshed on a cadence via atomic swap) and adds
+    ``logweight_micro``; ``dsir_min_logweight_micro`` additionally
+    drops documents below the cut — the streaming form of the batch
+    ``curate_corpus(dsir_target=...)`` stage, with selection-by-
+    threshold replacing Gumbel-top-k (an unbounded stream has no
+    bounded-state top-k; run the batch resampler over the scored lake
+    for exact parity). Stateless, so it composes after the
+    watermark-scoped dedup unchanged.
     """
     s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
         ts_col, watermark
@@ -64,7 +79,13 @@ def curated_document_stream(
     if scrub:
         s = s.withColumn(text_col, scrub_pii(F.col(text_col)))
     s = s.withColumn("content_hash", F.md5(normalise_text(F.col(text_col))))
-    return s.dropDuplicatesWithinWatermark(["content_hash"])
+    s = s.dropDuplicatesWithinWatermark(["content_hash"])
+    if dsir_ratio_path is not None:
+        s = dsir_scored_stream(
+            s, dsir_ratio_path, id_col, text_col,
+            min_logweight_micro=dsir_min_logweight_micro,
+        )
+    return s
 
 
 def asset_feature_stream(
@@ -199,6 +220,226 @@ def decontaminated_stream(
             yield pdf[~doc_hit]
 
     return stream.mapInPandas(keep_clean, schema=schema)
+
+
+# --------------------------------------------------------------- DSIR
+
+def write_dsir_ratio_artifact(
+    raw: DataFrame,
+    target: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+) -> dict:
+    """Materialise the DSIR importance log-ratio table as a FROZEN,
+    atomically-swappable artifact (r12 verdict #4): at 100 TB the ratio
+    model is built once from raw+target (or refreshed on a lake
+    cadence), and every streaming micro-batch scores against the
+    persisted table — the same frozen-model pattern as
+    ``quality_model`` (train offline, apply as a pure predicate).
+
+    Layout: ``{path}/ratio`` parquet (bucket, lr_pico — at most
+    ``buckets`` rows) + ``{path}/meta.json`` pinning (buckets,
+    smoothing, salt), so a scorer can refuse an artifact whose feature
+    space doesn't match its configuration. The refresh is a local-fs
+    directory swap (write tmp → rename), the compactors' pattern: a
+    live stream reads either the old table or the new one, never a
+    partial write. Object-store paths are refused like the dir-layout
+    compactors — there, write to a NEW path and repoint the stream (or
+    keep the artifact in a transactional table format).
+    """
+    from ..operators.sampling import dsir_logratio
+
+    if "://" in path:
+        raise NotImplementedError(
+            "write_dsir_ratio_artifact swaps directories with local-fs "
+            f"renames; {path!r} is not a local path. Write each refresh "
+            "to a new path and repoint the consumer, or store the ratio "
+            "table in a transactional table format."
+        )
+    lr = dsir_logratio(
+        raw, target, id_col, text_col,
+        buckets=buckets, smoothing=smoothing, salt=salt,
+    )
+    tmp = path + ".swap-new"
+    old = path + ".swap-old"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+    lr.write.mode("overwrite").parquet(os.path.join(tmp, "ratio"))
+    n = raw.sparkSession.read.parquet(os.path.join(tmp, "ratio")).count()
+    meta = {
+        "buckets": int(buckets),
+        "smoothing": float(smoothing),
+        "salt": salt,
+        "n_ratio_rows": int(n),
+    }
+    import json as _json
+
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    _sh.rmtree(old, ignore_errors=True)
+    return meta
+
+
+def load_dsir_ratio(spark, path: str) -> tuple[dict, dict]:
+    """(bucket -> lr_pico dict, meta) from a ratio artifact — the
+    driver-side frozen model a stateless scorer closes over (≤ the
+    configured bucket count of (int, int) pairs, the same size class
+    ``decontaminated_stream`` collects)."""
+    import json as _json
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    rows = spark.read.parquet(os.path.join(path, "ratio")).collect()
+    table = {int(r["bucket"]): int(r["lr_pico"]) for r in rows}
+    if len(table) != meta.get("n_ratio_rows", len(table)):
+        raise ValueError(
+            f"DSIR ratio artifact {path!r} is inconsistent: meta pins "
+            f"{meta.get('n_ratio_rows')} rows, table has {len(table)} — "
+            "refusing a torn read (the artifact swap is atomic; this "
+            "indicates a hand-edited or half-copied directory)"
+        )
+    return table, meta
+
+
+def dsir_scored_stream(
+    stream: DataFrame,
+    ratio_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_logweight_micro: int | None = None,
+) -> DataFrame:
+    """Score each streaming document against a frozen DSIR ratio
+    artifact: adds ``logweight_micro`` (exact integer micro-log units,
+    the batch scorer's currency) and optionally filters below
+    ``min_logweight_micro``.
+
+    Stateless per row — the ratio table is loaded ONCE at stream
+    construction and closed over by an Arrow kernel (no watermark, no
+    streaming state; a restart from checkpoint re-reads the artifact,
+    so decisions stay reproducible as long as refreshes are the atomic
+    swap ``write_dsir_ratio_artifact`` performs). The kernel mirrors
+    the batch pipeline exactly: ``py_tokens`` (the pinned ASCII-``\\s``
+    twin of ``dedup.tokens``), unigram+bigram grams, the portable
+    60-bit md5 bucket hash, integer pico-log sum over buckets PRESENT
+    in the table (absent buckets contribute nothing — the batch
+    scorer's inner join drops them identically), and the same
+    half-away-from-zero integer division to micro units. Parity with
+    the batch scorer is pinned in tests/test_dsir.py.
+
+    Documents whose grams all miss the table score 0 — same weight the
+    batch scorer's sum-of-nothing would produce for selection purposes.
+    """
+    import hashlib
+
+    from ..operators.dedup import py_tokens
+
+    from pyspark.sql import types as T
+
+    table, meta = load_dsir_ratio(stream.sparkSession, ratio_path)
+    buckets, salt = int(meta["buckets"]), meta["salt"]
+    # a fresh StructType, NOT stream.schema.add(...): DataFrame.schema is
+    # cached and .add mutates it in place, silently corrupting the
+    # source frame's resolved schema
+    schema_out = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField("logweight_micro", T.LongType())]
+    )
+    prefix = f"{salt}:".encode()
+
+    def score_batches(batches):
+        memo: dict[str, int] = {}
+
+        def bucket_of(g: str) -> int:
+            b = memo.get(g)
+            if b is None:
+                h = hashlib.md5(prefix + g.encode()).hexdigest()[:15]
+                b = int(h, 16) % buckets
+                memo[g] = b
+            return b
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for raw_text in pdf[text_col]:
+                toks = py_tokens(raw_text)
+                s = 0
+                prev = None
+                for t in toks:
+                    lr = table.get(bucket_of(t))
+                    if lr is not None:
+                        s += lr
+                    if prev is not None:
+                        lr2 = table.get(bucket_of(prev + " " + t))
+                        if lr2 is not None:
+                            s += lr2
+                    prev = t
+                # half-away-from-zero integer division to micro units —
+                # the Python twin of text.half_away_div(s, 1e6)
+                den = 1_000_000
+                micro = (
+                    (2 * s + den) // (2 * den)
+                    if s >= 0
+                    else -((2 * (-s) + den) // (2 * den))
+                )
+                out.append(micro)
+            pdf = pdf.copy()
+            pdf["logweight_micro"] = out
+            yield pdf
+
+    scored = stream.mapInPandas(score_batches, schema=schema_out)
+    if min_logweight_micro is not None:
+        scored = scored.where(
+            F.col("logweight_micro") >= F.lit(int(min_logweight_micro))
+        )
+    return scored
+
+
+def dsir_scored_stream_sink(
+    stream: DataFrame,
+    ratio_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_logweight_micro: int | None = None,
+):
+    """Streaming DSIR scoring via ``foreachBatch``: each micro-batch is
+    scored against the frozen ratio artifact and lands in its own
+    ``batch_id=N`` parquet partition with overwrite — foreachBatch is
+    at-least-once, so a retried batch replaces its own output instead
+    of appending a duplicate copy (the span sink's effectively-once
+    pattern). Scoring is stateless against a frozen model, so a
+    restart re-scores a re-delivered batch IDENTICALLY as long as
+    artifact refreshes use :func:`write_dsir_ratio_artifact`'s atomic
+    swap; kill/restart exactly-once is pinned in tests/test_dsir.py."""
+    scored = dsir_scored_stream(
+        stream, ratio_path, id_col, text_col,
+        min_logweight_micro=min_logweight_micro,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _dsir_write_batch(batch, batch_id, out_path)
+
+    return (
+        scored.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def _dsir_write_batch(batch: DataFrame, batch_id: int, out_path: str) -> None:
+    """One idempotent sink write (module-level so crash-injection tests
+    can fault exactly one batch, like the span sink's append seam)."""
+    batch.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
 
 def _dir_exists(spark, path: str) -> bool:

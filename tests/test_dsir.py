@@ -192,3 +192,250 @@ def test_dsir_subset_fast_path_identical(spark):
         ).collect()
     )
     assert slow == fast
+
+
+# ------------------------------------------------- streaming DSIR (r13)
+
+def _varied_corpus(spark, n=40, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    sci = "quantum neutrino boson lepton quark hadron meson photon".split()
+    web = "click buy sale deal offer free shop cart".split()
+    rows = []
+    for i in range(n):
+        words = sci if i % 2 == 0 else web
+        rows.append((i, " ".join(rng.choice(words) for _ in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_ratio_artifact_roundtrip_and_swap(spark, tmp_path):
+    """The frozen ratio artifact: rows equal dsir_logratio exactly, meta
+    pins the feature space, a refresh is an atomic swap, and
+    object-store paths are refused with the alternative named."""
+    import pytest as _pytest
+
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        load_dsir_ratio,
+        write_dsir_ratio_artifact,
+    )
+
+    docs = _varied_corpus(spark)
+    t1 = docs.where("doc_id % 2 = 0")
+    t2 = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "ratio_art")
+    meta = write_dsir_ratio_artifact(docs, t1, path, buckets=512)
+    assert meta["buckets"] == 512 and meta["n_ratio_rows"] > 0
+
+    table, meta2 = load_dsir_ratio(spark, path)
+    assert meta2 == meta
+    expect = {
+        int(r["bucket"]): int(r["lr_pico"])
+        for r in sampling.dsir_logratio(docs, t1, buckets=512).collect()
+    }
+    assert table == expect
+
+    # refresh = atomic swap; the new model must differ and fully replace
+    write_dsir_ratio_artifact(docs, t2, path, buckets=512)
+    table2, _ = load_dsir_ratio(spark, path)
+    assert table2 == {
+        int(r["bucket"]): int(r["lr_pico"])
+        for r in sampling.dsir_logratio(docs, t2, buckets=512).collect()
+    }
+    assert table2 != table
+    import os as _os
+
+    assert not _os.path.exists(path + ".swap-new")
+    assert not _os.path.exists(path + ".swap-old")
+
+    with _pytest.raises(NotImplementedError, match="local-fs"):
+        write_dsir_ratio_artifact(docs, t1, "s3a://bucket/ratio")
+
+
+def test_dsir_stream_scoring_matches_batch(spark, tmp_path):
+    """Parity pin: the stateless Arrow scorer reproduces the batch
+    scorer's exact integer micro-log weights (same tokens, same grams,
+    same portable bucket hash, same inner-join drop of absent buckets,
+    same half-away division) for every document the batch scorer
+    emits; gram-less documents score 0."""
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.operators.sampling import (
+        _dsir_grams,
+        dsir_logratio,
+    )
+    from tern_ep_data_pipeline_spark.operators.sketch import portable_hash
+    from tern_ep_data_pipeline_spark.operators.text import half_away_div
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        dsir_scored_stream,
+        write_dsir_ratio_artifact,
+    )
+
+    docs = _varied_corpus(spark, n=30)
+    target = docs.where("doc_id % 2 = 0")
+    path = str(tmp_path / "ratio_par")
+    write_dsir_ratio_artifact(docs, target, path, buckets=256)
+
+    lr = dsir_logratio(docs, target, buckets=256)
+    gb = _dsir_grams(docs, "doc_id", "text").select(
+        "doc_id", (portable_hash(F.col("__g"), "dsir") % 256).alias("bucket")
+    )
+    batch = {
+        r["doc_id"]: r["m"]
+        for r in gb.join(F.broadcast(lr), on="bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("lr_pico").cast("decimal(38,0)")).alias("s"))
+        .select(
+            "doc_id",
+            half_away_div(
+                F.col("s"), F.lit(1_000_000).cast("decimal(38,0)")
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert batch, "batch scorer must emit rows"
+
+    streamed = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in dsir_scored_stream(docs, path).collect()
+    }
+    for doc_id, m in batch.items():
+        assert streamed[doc_id] == m, (doc_id, streamed[doc_id], m)
+    # all docs present; any batch-absent doc scores exactly 0
+    assert set(streamed) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for doc_id in set(streamed) - set(batch):
+        assert streamed[doc_id] == 0
+
+    # threshold filter drops strictly-below-cut documents
+    cut = sorted(streamed.values())[len(streamed) // 2]
+    kept = dsir_scored_stream(docs, path, min_logweight_micro=cut)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        d for d, m in streamed.items() if m >= cut
+    }
+
+
+def test_dsir_sink_kill_restart_exactly_once(spark, tmp_path, monkeypatch):
+    """r12 verdict #4's contract: kill the scoring stream mid-run (one
+    committed batch), restart from the SAME checkpoint, and the output
+    equals a crash-free twin — every doc scored once, identical
+    weights, a retried batch replaces its own partition. Scores come
+    from the frozen artifact both before and after the restart."""
+    import glob as globmod
+
+    import pytest as _pytest
+
+    from tern_ep_data_pipeline_spark.streaming import curation as sc
+
+    docs = _varied_corpus(spark, n=12)
+    target = docs.where("doc_id % 2 = 0")
+    ratio = str(tmp_path / "ratio_kr")
+    sc.write_dsir_ratio_artifact(docs, target, ratio, buckets=256)
+
+    rows = docs.collect()
+    for b, chunk in enumerate((rows[:6], rows[6:])):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            str(tmp_path / "src" / f"b{b}")
+        )
+
+    def start(tag):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "src") + "/b*")
+        )
+        return (
+            sc.dsir_scored_stream_sink(
+                stream, ratio,
+                str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def collect(tag):
+        return {
+            r["doc_id"]: r["logweight_micro"]
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        }
+
+    q = start("twin")
+    q.awaitTermination(180)
+    expected = collect("twin")
+    assert set(expected) == {r["doc_id"] for r in rows}
+
+    real_write = sc._dsir_write_batch
+    state = {"n": 0}
+
+    def faulty(batch, batch_id, out_path):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("injected mid-batch crash")
+        return real_write(batch, batch_id, out_path)
+
+    monkeypatch.setattr(sc, "_dsir_write_batch", faulty)
+    q = start("cr")
+    with _pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    landed = globmod.glob(str(tmp_path / "out_cr") + "/batch_id=*")
+    assert len(landed) == 1
+
+    monkeypatch.setattr(sc, "_dsir_write_batch", real_write)
+    q2 = start("cr")
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    assert collect("cr") == expected
+    dupes = (
+        spark.read.parquet(str(tmp_path / "out_cr"))
+        .groupBy("doc_id").count().where("count > 1").count()
+    )
+    assert dupes == 0
+
+
+def test_curated_stream_dsir_option(spark, tmp_path):
+    """The curated-stream pipeline's dsir_ratio_path option: surviving
+    docs come out scored (and cut at dsir_min_logweight_micro), wired
+    after the watermark-scoped dedup."""
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        curated_document_stream,
+        dsir_scored_stream,
+        write_dsir_ratio_artifact,
+    )
+
+    docs = _varied_corpus(spark, n=20)
+    target = docs.where("doc_id % 2 = 0")
+    ratio = str(tmp_path / "ratio_opt")
+    write_dsir_ratio_artifact(docs, target, ratio, buckets=256)
+
+    src = docs.withColumn("ingest_ts", F.lit("2026-01-01 00:00:00"))
+    src.write.parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts string"
+    ).parquet(str(tmp_path / "src"))
+
+    scores = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in dsir_scored_stream(docs, ratio).collect()
+    }
+    cut = sorted(scores.values())[len(scores) // 2]
+
+    out = curated_document_stream(
+        stream, min_chars=1,
+        dsir_ratio_path=ratio, dsir_min_logweight_micro=cut,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {d: m for d, m in scores.items() if m >= cut}
