@@ -58,17 +58,23 @@ def _empirical_text_model() -> dict:
     import duckdb
 
     con = duckdb.connect()
+    # ORDER BY everywhere (r12 verdict #6): rng.choice draws by INDEX
+    # into these lists, so the model's row order is part of the seed
+    # contract — and DuckDB's parallel hash aggregate returns groups in
+    # a genuinely nondeterministic order (measured: two in-process runs
+    # differ), which silently broke seed->bytes reproducibility of
+    # every generated corpus before this pin.
     tok = con.sql(
         f"""
         SELECT lang, u AS token, count(*) AS c
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS u
               FROM '{DRIVER_SF01}/documents.parquet')
-        WHERE u != '' GROUP BY 1, 2
+        WHERE u != '' GROUP BY 1, 2 ORDER BY 1, 2
         """
     ).fetchall()
     lens = con.sql(
-        f"SELECT lang, len(string_split(text, ' ')) FROM "
-        f"'{DRIVER_SF01}/documents.parquet'"
+        f"SELECT lang, len(string_split(text, ' ')) AS n FROM "
+        f"'{DRIVER_SF01}/documents.parquet' ORDER BY 1, 2"
     ).fetchall()
     langs = con.sql(
         f"SELECT lang, count(*) FROM '{DRIVER_SF01}/documents.parquet' GROUP BY 1 ORDER BY 1"
