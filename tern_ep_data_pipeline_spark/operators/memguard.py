@@ -189,14 +189,18 @@ SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 3.25
 #: text into ~0.16 md5-gram rows per text byte and funnels them through
 #: a hash aggregate straight into concurrent parquet writers; the
 #: resident pressure is ~proportional to the corpus TEXT bytes in
-#: flight. Calibrated on the r13 repro cells: the 141.9 MB-text
-#: sf10-docs build pushes a 2 GiB/32 heap to 95% allocation (parquet
-#: writers force-scale their row groups; the same build inside a
-#: multi-index session heap-OOMs, BLOOM_r12 memory note), i.e. the
-#: cliff sits at ~(1740-512)/142 ≈ 8.6 bytes of resident state per
-#: text byte — 10.0 adds margin; the 42.6 MB sf3 build completes with
-#: zero spill at the same heap and must stay single-pass.
-GRAM_BUILD_RESIDENT_PER_TEXT_BYTE = 10.0
+#: flight. Calibrated on the r13 2 GiB/32 grid (SPILL_r13): the 142 MB
+#: single-pass build runs at 95% heap allocation and OOMs under session
+#: variation (BLOOM_r12 memory note), and a 2-pass split (71 MB
+#: text/pass — exactly at a 1228 MB budget under the earlier 10.0
+#: coefficient) STILL heap-OOM'd once in the aggregate's spill-read
+#: path (GCLocker retry, r13 cell 2), so the stochastic cells classify
+#: as failing: the coefficient must put 71 MB/pass OVER a 1228 MB
+#: budget (c > 17.3). 20.0 does, with margin — it derates the sf10
+#: build to 3 passes (~47 MB text/pass, modeled ~945 MB, measured
+#: completing), keeps the 42.6 MB sf3 build single-pass (completes
+#: with zero spill), and leaves any 8 GiB build single-pass.
+GRAM_BUILD_RESIDENT_PER_TEXT_BYTE = 20.0
 
 #: Upper bound on build passes — past this, the corpus:executor-memory
 #: ratio is a sizing error, not something to paper over with thousands
