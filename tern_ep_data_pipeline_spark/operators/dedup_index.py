@@ -610,6 +610,13 @@ def clean_against_line_index(
     """
     scan = spark.read.parquet(os.path.join(path, "lines"))
     if bloom_fpp is not None:
+        from .memguard import plan_size_estimate
+
+        # hint with the batch scan's bytes (like the chunk consumer):
+        # the key frame is an aggregate whose Catalyst estimate is
+        # unreliable, and docs bytes safely over-estimate the line-hash
+        # key set — which also lets the bloom path size its bitmap for
+        # the requested fpp instead of the fixed default geometry
         scan = _bloom_pruned(
             scan,
             ["line_hash"],
@@ -617,6 +624,7 @@ def clean_against_line_index(
                 new_docs, id_col, text_col, delimiter, min_line_chars
             ),
             bloom_fpp,
+            size_hint=plan_size_estimate(new_docs),
         )
     idx = (
         scan
@@ -2712,6 +2720,9 @@ def clean_against_line_index_bucketed(
     recover_interrupted_table_compaction(spark, table)
     scan = spark.table(table)
     if bloom_fpp is not None:
+        from .memguard import plan_size_estimate
+
+        # batch-scan byte hint, same rationale as the dir-layout twin
         scan = _bloom_pruned(
             scan,
             ["line_hash"],
@@ -2719,6 +2730,7 @@ def clean_against_line_index_bucketed(
                 new_docs, id_col, text_col, delimiter, min_line_chars
             ),
             bloom_fpp,
+            size_hint=plan_size_estimate(new_docs),
         )
     idx = (
         scan

@@ -167,3 +167,33 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
         if os.path.isdir(os.path.join(root, sub)):
             out[sub] = fn(spark, root, wait_s=wait_s)
     return out
+
+
+@register("refresh_dsir_ratio")
+def refresh_dsir_ratio(spark: SparkSession, site: str) -> dict:
+    """Scheduled rebuild of the streaming DSIR ratio artifact (r13) —
+    the cadence leg of the frozen-model pattern: the streaming scorer
+    (``streaming.curation.dsir_scored_stream``) reads a persisted
+    (bucket, lr_pico) table; this task rebuilds it from the current
+    raw documents pool and the target slice and swaps it atomically
+    (``write_dsir_ratio_artifact``), so a live stream keeps scoring
+    against either the old or the new model, never a torn one.
+
+    Env knobs: ``$SPARK_GRAFT_DSIR_RATIO_DIR`` (default
+    ``<out>/dsir_ratio/site=<site>``), ``$SPARK_GRAFT_DSIR_TARGET_LANG``
+    (default ``en`` — target = the documents with that lang),
+    ``$SPARK_GRAFT_DSIR_BUCKETS`` (default 10000)."""
+    from .streaming.curation import write_dsir_ratio_artifact
+
+    apply_engine_conf(spark)
+    raw = load_table(spark, _sf_dir(), "documents")
+    lang = os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en")
+    buckets = int(os.environ.get("SPARK_GRAFT_DSIR_BUCKETS", "10000"))
+    path = os.environ.get(
+        "SPARK_GRAFT_DSIR_RATIO_DIR",
+        os.path.join(_out_dir(), "dsir_ratio", f"site={site}"),
+    )
+    meta = write_dsir_ratio_artifact(
+        raw, raw.where(F.col("lang") == lang), path, buckets=buckets
+    )
+    return {"path": path, "target_lang": lang, **meta}

@@ -143,3 +143,34 @@ def test_compact_dedup_indexes_task(spark, tmp_path, monkeypatch):
 
     release_staged(spark)
     assert got["n_removed_tokens"] == got["n_tokens"]
+
+
+def test_refresh_dsir_ratio_task(spark, tmp_path, monkeypatch):
+    """r13: the scheduled ratio-artifact refresh — builds the frozen
+    (bucket, lr_pico) model from the documents table's lang slice,
+    swaps atomically, and the streaming scorer loads it."""
+    import importlib
+
+    import tern_ep_data_pipeline_spark.tasks_builtin as builtin_mod
+    from tern_ep_data_pipeline_spark import tasks as task_mod
+    from tern_ep_data_pipeline_spark.streaming.curation import load_dsir_ratio
+
+    importlib.reload(builtin_mod)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    ratio = str(tmp_path / "dsir_ratio")
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_RATIO_DIR", ratio)
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_BUCKETS", "512")
+
+    matrix = task_mod.SiteTaskMatrix({"TestSite": {"refresh_dsir_ratio": True}})
+    results = task_mod.run_task(spark, "refresh_dsir_ratio", matrix)
+    assert len(results) == 1 and results[0].ok, results[0].error
+    out = results[0].result
+    assert out["buckets"] == 512 and out["target_lang"] == "en"
+    table, meta = load_dsir_ratio(spark, ratio)
+    assert len(table) == meta["n_ratio_rows"] > 0
+
+    # a second run is a clean refresh (atomic swap replaces in place)
+    results = task_mod.run_task(spark, "refresh_dsir_ratio", matrix)
+    assert results[0].ok, results[0].error
+    table2, _ = load_dsir_ratio(spark, ratio)
+    assert table2 == table  # same inputs -> same frozen model
