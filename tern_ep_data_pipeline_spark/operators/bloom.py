@@ -185,6 +185,29 @@ def _est_row_bytes(schema) -> int:
     return sum(field(f.dataType) for f in schema.fields)
 
 
+#: Variable-width (string/binary) byte estimate only — the part of a
+#: row whose Arrow conversion costs per-byte copies (offsets + data).
+#: Fixed-width columns (numerics, timestamps, arrays of numerics) move
+#: through Arrow as flat buffers and contribute 0 here.
+def _est_varwidth_bytes(schema) -> int:
+    from pyspark.sql import types as T
+
+    def field(dt) -> int:
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.BinaryType):
+            return 100
+        if isinstance(dt, T.ArrayType):
+            return 16 * field(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 16 * (field(dt.keyType) + field(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(field(f.dataType) for f in dt.fields)
+        return 0
+
+    return sum(field(f.dataType) for f in schema.fields)
+
+
 def _set_bits(bitmap: np.ndarray, keys_u64: np.ndarray, num_bits: int, k: int) -> None:
     for i in range(k):
         pos = _positions(keys_u64, num_bits, i)
@@ -311,14 +334,25 @@ def prune_by_bloom(df: DataFrame, key: Column, spec: BloomSpec) -> DataFrame:
 #: :func:`prune_index_by_keys`).
 SEMI_PRUNE_MAX_BYTES = 32 << 20
 
-#: Estimated NON-KEY row width (bytes) past which the Bloom path
-#: probes a key-only projection and semi-joins survivors back instead
-#: of piping full rows through Arrow (see :func:`prune_index_by_keys`).
-#: 64 bytes ~ the point where Arrow (de)serialisation of the payload
-#: costs more than a second JVM-side scan of the index: the minhash
-#: bands table (32-lane array<long> signatures, ~300 B/row) measured
-#: wall-NEGATIVE on the direct probe (BLOOM_r12 match cell) while the
-#: hash-only gram/chunk/line tables (<= 40 B/row) measured 2-3x wins.
+#: Estimated VARIABLE-WIDTH non-key payload bytes (strings/binary —
+#: including inside collections) past which the Bloom path probes a
+#: key-only projection and semi-joins survivors back instead of piping
+#: full rows through Arrow (see :func:`prune_index_by_keys`). The cost
+#: the two-phase path avoids is Arrow (de)serialisation of the
+#: payload, and that cost is shape-dependent, measured on 5M-row
+#: synthetics (BLOOM_r13 microbench): a ~290 B STRING payload runs
+#: 1.7x FASTER two-phase (1.96 vs 3.41 s — offset+data copies per
+#: row), while a 32-lane array<long> payload (~260 B but fixed-width
+#: Arrow buffers) runs 1.3x faster on the DIRECT probe (2.27 vs
+#: 3.04 s — zero-copy-ish, and two-phase pays a second scan). So only
+#: variable-width bytes count toward the gate; fixed-width payloads of
+#: any size stay on the direct probe.  The gate is a SCHEMA estimate
+#: (Catalyst default sizes: string 20, binary 100, collections x16) —
+#: it trips on binary columns, several strings, or collections of
+#: strings, but a single string column whose ACTUAL values are huge
+#: stays direct (schema width is all a plan-time decision can see;
+#: such shapes are join-payload smells anyway — project the key + a
+#: row id and fetch the blob after the join).
 WIDE_PAYLOAD_BYTES = 64
 
 #: Warn when the capped bitmap's predicted fpp exceeds this multiple
@@ -358,14 +392,16 @@ def prune_index_by_keys(
       and ``fpp`` is only approximate — that case is now confined to
       ``strategy='bloom'`` forced by hand on an unestimatable frame.
 
-    Wide index rows (estimated non-key payload above
-    ``WIDE_PAYLOAD_BYTES``, e.g. the bands table's signature arrays)
-    flip the bloom probe to TWO-PHASE: the Arrow kernel probes a
-    key-only projection of the index, the surviving (small, ~batch-
-    sized) distinct keys broadcast back, and a JVM left-semi join
-    filters the full-width scan — payload bytes never cross the Arrow
-    boundary (r12 verdict #1b).  Same surviving-row set by
-    construction: bitmap membership is a pure function of the key.
+    String/binary-heavy index rows (estimated VARIABLE-WIDTH non-key
+    payload above ``WIDE_PAYLOAD_BYTES``) flip the bloom probe to
+    TWO-PHASE: the Arrow kernel probes a key-only projection of the
+    index, the surviving (small, ~batch-sized) distinct keys broadcast
+    back, and a JVM left-semi join filters the full-width scan —
+    payload bytes never cross the Arrow boundary (r12 verdict #1b;
+    measured 1.7x on a 290 B string payload, while fixed-width
+    payloads stay direct — see ``WIDE_PAYLOAD_BYTES``).  Same
+    surviving-row set by construction: bitmap membership is a pure
+    function of the key.
 
     Either way: no false negatives + per-key all-or-none row survival ⇒
     every downstream per-key aggregate is exact for keys a later join
@@ -409,7 +445,7 @@ def prune_index_by_keys(
                 stacklevel=2,
             )
 
-    payload = _est_row_bytes(index_frame.schema) - _est_row_bytes(
+    payload = _est_varwidth_bytes(index_frame.schema) - _est_varwidth_bytes(
         index_frame.select(*key_cols).schema
     )
     if payload > WIDE_PAYLOAD_BYTES:

@@ -384,19 +384,30 @@ def test_prune_by_bloom_key_column_collision(spark):
 
 
 def test_wide_payload_routes_two_phase(spark, monkeypatch):
-    """r12 verdict #1b: rows with byte-heavy payload (signature arrays)
-    are probed through a KEY-ONLY projection — the Arrow kernel never
-    sees the wide columns — and the surviving row set is identical to
-    the direct probe's."""
+    """r12 verdict #1b (refined by the r13 microbench): rows with a
+    VARIABLE-WIDTH-heavy payload (strings/binary — per-byte Arrow
+    copies) are probed through a KEY-ONLY projection, while fixed-width
+    payloads of any size (numeric arrays — flat Arrow buffers, measured
+    faster direct) stay on the direct probe; the surviving row set is
+    identical either way."""
     wide = spark.range(200).selectExpr(
         "id as k",
-        "array_repeat(id, 32) as sig",  # 32 longs ≈ 256 B payload
-        "cast(id as string) as doc",
+        # binary payload: schema-estimated var-width heavy (the gate is
+        # a plan-time schema estimate — Catalyst default sizes)
+        "cast(repeat(cast(id as string), 40) as binary) as payload",
+        "array_repeat(id, 32) as sig",
     )
     assert (
-        bloom._est_row_bytes(wide.schema)
-        - bloom._est_row_bytes(wide.select("k").schema)
+        bloom._est_varwidth_bytes(wide.schema)
+        - bloom._est_varwidth_bytes(wide.select("k").schema)
         > bloom.WIDE_PAYLOAD_BYTES
+    )
+    # fixed-width-only payload must NOT trip the gate, however big
+    fixed = spark.range(10).selectExpr("id as k", "array_repeat(id, 64) as sig")
+    assert (
+        bloom._est_varwidth_bytes(fixed.schema)
+        - bloom._est_varwidth_bytes(fixed.select("k").schema)
+        == 0
     )
     keys = spark.range(0, 200, 7).select(F.col("id").alias("k"))
 
@@ -413,9 +424,14 @@ def test_wide_payload_routes_two_phase(spark, monkeypatch):
     assert probed_cols == [["k"]], "Arrow probe must see the key column only"
     # no false negatives: every true member row survives with payload
     assert {r["id"] for r in keys.withColumnRenamed("k", "id").collect()} <= got_rows
-    assert set(got.columns) == {"k", "sig", "doc"}
+    assert set(got.columns) == {"k", "payload", "sig"}
 
-    # and the direct (narrow-path) probe keeps exactly the same rows
+    # the fixed-width frame routes DIRECT (probe sees all columns)
+    probed_cols.clear()
+    bloom.prune_index_by_keys(fixed, ["k"], keys, strategy="bloom").count()
+    assert probed_cols == [["k", "sig"]], "fixed-width payload stays direct"
+
+    # and the direct probe keeps exactly the same rows as two-phase
     monkeypatch.setattr(bloom, "WIDE_PAYLOAD_BYTES", 1 << 30)
     direct = bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom")
     assert {r["k"] for r in direct.select("k").collect()} == got_rows
