@@ -43,12 +43,15 @@ def curated_document_stream(
     salt: str = "smp",
     scrub: bool = False,
     watermark: str = "1 hour",
+    quality_model_path: str | None = None,
+    quality_min_prob: float | None = None,
     dsir_ratio_path: str | None = None,
     dsir_min_logweight_micro: int | None = None,
 ) -> DataFrame:
     """Quality gate -> deterministic hash sample -> PII scrub (optional)
-    -> exact content dedup -> DSIR importance scoring (optional), over
-    a streaming document source.
+    -> frozen-model quality scoring (optional) -> exact content dedup
+    -> DSIR importance scoring (optional), over a streaming document
+    source.
 
     Keeps the FIRST arrival of each distinct normalised content within
     the watermark horizon; later duplicates are dropped while their
@@ -78,6 +81,12 @@ def curated_document_stream(
         s = s.where(hash_bucket(F.col(id_col), salt) < cut)
     if scrub:
         s = s.withColumn(text_col, scrub_pii(F.col(text_col)))
+    if quality_model_path is not None:
+        # before the dedup so cut documents never consume dedup state;
+        # pure whole-stage-codegen expression (quality_scored_stream)
+        s = quality_scored_stream(
+            s, quality_model_path, text_col, min_prob=quality_min_prob
+        )
     s = s.withColumn("content_hash", F.md5(normalise_text(F.col(text_col))))
     s = s.dropDuplicatesWithinWatermark(["content_hash"])
     if dsir_ratio_path is not None:
@@ -220,6 +229,65 @@ def decontaminated_stream(
             yield pdf[~doc_hit]
 
     return stream.mapInPandas(keep_clean, schema=schema)
+
+
+# ------------------------------------------------- frozen quality model
+
+def write_quality_model_artifact(weights: dict, path: str) -> dict:
+    """Persist sampled-trainer quality weights
+    (``quality_model.train_quality_weights_sampled``) as a frozen JSON
+    artifact for streaming scorers — the second leg of the
+    frozen-model pattern next to the DSIR ratio table (r13). The write
+    is a tmp-file ``os.replace`` (atomic on POSIX), so a stream
+    construction never reads a torn model. Validates the feature-set
+    contract eagerly: ``quality_prob_expr``'s inline zip is positional,
+    so mismatched columns must fail at WRITE time, not when a stream
+    restarts at 3am."""
+    import json as _json
+
+    from ..operators.quality_model import HEURISTIC_FEATURES
+
+    if list(weights.get("cols", ())) != list(HEURISTIC_FEATURES):
+        raise ValueError(
+            "weights were fitted on a different feature set/order than "
+            f"HEURISTIC_FEATURES: {weights.get('cols')!r}"
+        )
+    payload = {k: weights[k] for k in ("cols", "mean", "std", "w", "b")}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+    os.replace(tmp, path)
+    return payload
+
+
+def load_quality_model(path: str) -> dict:
+    import json as _json
+
+    with open(path) as fh:
+        return _json.load(fh)
+
+
+def quality_scored_stream(
+    stream: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    min_prob: float | None = None,
+) -> DataFrame:
+    """Score each streaming document with a frozen quality model: adds
+    ``quality_prob`` and optionally cuts below ``min_prob``. The model
+    folds into ONE whole-stage-codegen column expression
+    (``quality_model.quality_prob_expr``) — no Python, no join, no
+    state; identical scores to the batch filter by construction (same
+    expression over the same row)."""
+    from ..operators.quality_model import quality_prob_expr
+
+    weights = load_quality_model(model_path)
+    s = stream.withColumn(
+        "quality_prob", quality_prob_expr(weights, text_col)
+    )
+    if min_prob is not None:
+        s = s.where(F.col("quality_prob") >= F.lit(float(min_prob)))
+    return s
 
 
 # --------------------------------------------------------------- DSIR

@@ -293,3 +293,102 @@ def test_fit_logistic_sample_matches_scalar_reference():
     assert min(p for p, lab in zip(probs, y) if lab == 1.0) > max(
         p for p, lab in zip(probs, y) if lab == 0.0
     )
+
+
+def test_quality_model_artifact_and_stream_scoring(spark, labelled, tmp_path):
+    """r13: the frozen-model streaming leg — sampled weights persist as
+    an atomically-replaced JSON artifact, the stream scorer adds
+    quality_prob via the SAME codegen expression the batch filter uses
+    (scores equal by construction, asserted), min_prob cuts, and a
+    wrong-feature-set artifact is refused at WRITE time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.operators import quality_model as qm
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        load_quality_model,
+        quality_scored_stream,
+        write_quality_model_artifact,
+    )
+
+    w = qm.train_quality_weights_sampled(labelled, "doc_id", "text")
+    path = str(tmp_path / "qmodel.json")
+    meta = write_quality_model_artifact(w, path)
+    assert load_quality_model(path) == meta
+
+    docs = labelled.select("doc_id", "text")
+    batch = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", qm.quality_prob_expr(w, "text").alias("p")
+        ).collect()
+    }
+    streamed = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_scored_stream(docs, path).collect()
+    }
+    assert streamed == batch
+
+    cut = sorted(batch.values())[len(batch) // 2]
+    kept = quality_scored_stream(docs, path, min_prob=cut)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        d for d, p in batch.items() if p >= cut
+    }
+
+    bad = dict(w, cols=["nonsense"])
+    with _pytest.raises(ValueError, match="feature set"):
+        write_quality_model_artifact(bad, str(tmp_path / "bad.json"))
+
+
+def test_curated_stream_quality_model_option(spark, labelled, tmp_path):
+    """curated_document_stream(quality_model_path=, quality_min_prob=):
+    the stream pipeline scores and cuts with the frozen model before
+    the stateful dedup."""
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.operators import quality_model as qm
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        curated_document_stream,
+        quality_scored_stream,
+        write_quality_model_artifact,
+    )
+
+    w = qm.train_quality_weights_sampled(labelled, "doc_id", "text")
+    path = str(tmp_path / "qmodel.json")
+    write_quality_model_artifact(w, path)
+
+    docs = labelled.select("doc_id", "text")
+    scores = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_scored_stream(docs, path).collect()
+    }
+    cut = sorted(scores.values())[len(scores) // 2]
+
+    src = docs.withColumn("ingest_ts", F.lit("2026-01-01 00:00:00"))
+    src.write.parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts string"
+    ).parquet(str(tmp_path / "src"))
+    out = curated_document_stream(
+        stream, min_chars=1,
+        quality_model_path=path, quality_min_prob=cut,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # every surviving doc passed the cut with its batch-equal score;
+    # the dedup stage may additionally drop exact-content duplicates
+    expected = {d: p for d, p in scores.items() if p >= cut}
+    assert set(got) <= set(expected)
+    assert all(got[d] == expected[d] for d in got)
+    assert got, "cut must not drop everything"
