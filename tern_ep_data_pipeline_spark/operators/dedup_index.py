@@ -2062,12 +2062,85 @@ def build_gram_index_bucketed(
     min_tokens: int = 8,
     max_doc_tokens: int = 1 << 24,
     n_buckets: int = 32,
+    memory_guard: bool = True,
+    passes: int | None = None,
 ) -> int:
     """Bucketed-table twin of :func:`build_gram_index`. Same
     id-monotonicity contract; the watermark log lives in ``<table>_meta``
     (tiny, unbucketed). ``n_buckets`` sizes the fixed bucket count —
     pick it for the TARGET corpus (buckets are the index's permanent
-    unit of join parallelism; at 100 TB use thousands)."""
+    unit of join parallelism; at 100 TB use thousands).
+
+    ``memory_guard``/``passes`` (r13): the same plan-time sizing and
+    id-range-slice degrade as the dir-layout build — the gram
+    explosion+aggregate+write shape is identical (the bucketed write's
+    sort-within-bucket adds pressure, not relief), and the read-side
+    ``min`` combine across appends makes the sliced build
+    decision-identical here too."""
+    spark = docs.sparkSession
+    if passes is None:
+        passes = 1
+        from .memguard import incremental_span_floor_decidable
+
+        if memory_guard and incremental_span_floor_decidable(spark):
+            from .memguard import gram_build_passes
+
+            text_bytes = docs.agg(
+                F.sum(F.octet_length(F.col(text_col)))
+            ).collect()[0][0]
+            passes, floor_msg = gram_build_passes(spark, text_bytes)
+            if floor_msg is not None:
+                from ..plans.curation import CurationMemoryError
+
+                raise CurationMemoryError(floor_msg)
+    if passes > 1:
+        numeric = dict(docs.dtypes).get(id_col) in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        )
+        if not numeric:
+            import warnings
+
+            warnings.warn(
+                f"bucketed gram-index build wants {passes} id-range "
+                f"passes but {id_col!r} is not numeric — falling back "
+                "to the single-pass build (expect heap pressure)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            qs = [i / passes for i in range(1, passes)]
+            cuts = sorted({
+                int(c) for c in docs.stat.approxQuantile(id_col, qs, 0.001)
+            })
+            bounds = [None, *cuts, None]
+            first = True
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                part = docs
+                if lo is not None:
+                    part = part.where(F.col(id_col) >= F.lit(lo))
+                if hi is not None:
+                    part = part.where(F.col(id_col) < F.lit(hi))
+                if part.limit(1).count() == 0:
+                    continue
+                if first:
+                    build_gram_index_bucketed(
+                        part, table, id_col, text_col, min_tokens,
+                        max_doc_tokens, n_buckets, passes=1,
+                    )
+                    first = False
+                else:
+                    append_to_gram_index_bucketed(
+                        part, table, id_col, text_col,
+                        min_tokens=min_tokens,
+                        max_doc_tokens=max_doc_tokens,
+                        n_buckets=n_buckets,
+                    )
+            return (
+                spark.table(table)
+                .select("gram_hash")
+                .distinct()
+                .count()
+            )
     from ..sources.lake import write_bucketed
 
     grams = _gram_first_table(docs, id_col, text_col, min_tokens, max_doc_tokens)
@@ -2078,7 +2151,7 @@ def build_gram_index_bucketed(
     _meta_row(docs, id_col, text_col, "build").write.mode("overwrite").saveAsTable(
         table + "_meta"
     )
-    return docs.sparkSession.table(table).count()
+    return spark.table(table).count()
 
 
 def append_to_gram_index_bucketed(

@@ -2088,6 +2088,50 @@ def test_gram_build_chunked_identical(spark, tmp_path):
     assert a[0][2] > 0  # the indexed phrase was actually cut
 
 
+def test_gram_build_chunked_identical_bucketed(spark, tmp_path):
+    """The bucketed twin of the memory-derated build: sequential
+    id-range slices into the bucketed table (slice 0 creates, later
+    slices append) decide identically to the one-shot bucketed build."""
+    import random
+
+    from tern_ep_data_pipeline_spark.operators import dedup
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_gram_index_bucketed,
+        clean_against_gram_index_bucketed,
+    )
+
+    rng = random.Random(22)
+    words = "ash oak elm fir yew birch cedar maple pine lime".split()
+    phrase = " ".join(f"bq{i}" for i in range(10))
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(25))
+            + (f" {phrase} tail" if i % 6 == 0 else ""))
+        for i in range(48)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    n_flat = build_gram_index_bucketed(corpus, "gb_flat", n_buckets=4)
+    n_chunk = build_gram_index_bucketed(
+        corpus, "gb_chunk", n_buckets=4, passes=3
+    )
+    assert n_flat == n_chunk
+    meta = spark.table("gb_chunk_meta").collect()
+    assert sorted(r["kind"] for r in meta) == ["append", "append", "build"]
+
+    batch = spark.createDataFrame(
+        [(100, f"fresh framing {phrase} and trailing body words"),
+         (101, "entirely novel unrelated document with private words")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, clean_against_gram_index_bucketed(
+        spark, batch, "gb_flat").collect()))
+    dedup.release_staged(spark)
+    b = sorted(map(tuple, clean_against_gram_index_bucketed(
+        spark, batch, "gb_chunk").collect()))
+    dedup.release_staged(spark)
+    assert a == b
+    assert a[0][2] > 0
+
+
 def test_gram_build_guard_plan_time(spark, tmp_path, monkeypatch):
     """The build guard classifies at PLAN time: an impossible sizing
     raises CurationMemoryError BEFORE any file is written, and the
