@@ -231,6 +231,136 @@ def decontaminated_stream(
     return stream.mapInPandas(keep_clean, schema=schema)
 
 
+# ------------------------------------------- incremental match dedup
+
+def match_dedup_batch(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    min_band_matches: int = 1,
+    min_est_jaccard: float | None = 0.5,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """One micro-batch of incremental exact+near (MinHash) dedup against
+    the persistent match index (r13) — the bounded-state streaming form
+    the module docstring says corpus-wide LSH cannot have: per batch,
+    the joins touch the batch and the index only (O(batch) work against
+    O(1)-per-key index lookups), and the index accumulates so later
+    batches see every earlier accepted document. Output: one row per
+    batch doc — (doc_id, status, match_id) with ``exact``/``near``/
+    ``fresh`` exactly like ``dedup_index.match_against_index`` (which
+    does the classifying, including the intra-batch self pass).
+
+    Effectively-once under foreachBatch's at-least-once delivery, by
+    two rules rather than external state:
+
+    - **self-replay reclassification**: a RETRIED batch finds its own
+      first-attempt appends in the index, so each previously-fresh doc
+      matches itself (``match_id == doc_id`` — ids are unique and
+      monotonic per the index contract, so only the doc itself can
+      produce that). Such matches re-classify ``fresh``; matches
+      against batch-mates are already consistent because the first
+      attempt's intra-batch pass made the same decision.
+    - **idempotent append**: only fresh docs whose id is NOT already in
+      the exact table append (one O(batch) anti-join), so a retry adds
+      zero rows — band-collision counts can never inflate across
+      retries.
+
+    The whole span runs under the index lease (keyed on the exact
+    table's dir), serialising against maintenance like the span sink.
+    """
+    from ..operators.dedup_index import (
+        append_to_index,
+        build_dedup_index,
+        index_lease,
+        match_against_index,
+    )
+
+    spark = batch.sparkSession
+    if "://" not in index_path:
+        lease = index_lease(f"{index_path}/exact", "batch")
+    else:
+        lease = contextlib.nullcontext()
+    with lease:
+        if not _dir_exists(spark, f"{index_path}/exact"):
+            # bootstrap: an EMPTY index makes batch 0 a pure intra-batch
+            # classification through the same code path
+            build_dedup_index(
+                batch.limit(0).select(id_col, text_col),
+                index_path, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+            )
+        matches = match_against_index(
+            spark, batch, index_path, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+            min_band_matches=min_band_matches,
+            min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
+        )
+        self_hit = (F.col("status") != "fresh") & (
+            F.col("match_id") == F.col("doc_id")
+        )
+        matches = matches.select(
+            "doc_id",
+            F.when(self_hit, F.lit("fresh")).otherwise(F.col("status")).alias(
+                "status"
+            ),
+            F.when(
+                self_hit, F.lit(None).cast(dict(batch.dtypes)[id_col])
+            ).otherwise(F.col("match_id")).alias("match_id"),
+        )
+        out = matches.localCheckpoint()  # decide BEFORE the index moves
+        fresh = batch.join(
+            out.where(F.col("status") == "fresh").select(
+                F.col("doc_id").alias(id_col)
+            ),
+            on=id_col,
+            how="left_semi",
+        )
+        ex_idx = spark.read.parquet(f"{index_path}/exact")
+        new_fresh = fresh.join(
+            ex_idx.select(F.col("doc_id").alias(id_col)),
+            on=id_col,
+            how="left_anti",
+        )
+        append_to_index(
+            new_fresh, index_path, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+        )
+        return out
+
+
+def match_deduped_stream_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **match_kwargs,
+):
+    """Streaming exact+near dedup via ``foreachBatch``: each micro-batch
+    classifies against (and extends) the persistent match index
+    (:func:`match_dedup_batch`), and its (doc_id, status, match_id)
+    decisions land in an own ``batch_id=N`` parquet partition with
+    overwrite — the span sink's effectively-once output pattern on top
+    of the batch operator's replay-safe index rules."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        match_dedup_batch(
+            batch, index_path, id_col, text_col, **match_kwargs
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 # ------------------------------------------------- frozen quality model
 
 def write_quality_model_artifact(weights: dict, path: str) -> dict:

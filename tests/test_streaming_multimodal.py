@@ -1643,3 +1643,138 @@ def test_span_sink_checkpoint_kill_restart_bucketed(spark, tmp_path, monkeypatch
     for t in ("gidx_kr_bkt", "gidx_kr_bkt_meta", "gidx_kr_twin",
               "gidx_kr_twin_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ------------------------------------------- incremental match dedup (r13)
+
+def test_match_dedup_batch_incremental(spark, tmp_path):
+    """Sequential micro-batches against the persistent match index:
+    batch-2 copies/near-copies of batch-1 docs classify exact/near,
+    fresh docs accumulate, and the intra-batch pass dedups batch 0
+    against itself (bootstrap = empty index)."""
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_dedup_batch,
+    )
+
+    base = " ".join(f"mm{i}" for i in range(30))
+    idx = str(tmp_path / "midx")
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, "wholly distinct first-batch content with its own words"),
+         (3, base)],  # intra-batch exact dup of doc 1
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: (r["status"], r["match_id"])
+            for r in match_dedup_batch(b1, idx).collect()}
+    assert out1[1][0] == "fresh" and out1[2][0] == "fresh"
+    assert out1[3] == ("exact", 1)
+
+    near = base.rsplit(" ", 2)[0] + " zz98 zz99"
+    b2 = spark.createDataFrame(
+        [(10, base),                     # exact copy of indexed doc 1
+         (11, near),                     # near-dup of indexed doc 1
+         (12, "second batch totally novel document body here")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: (r["status"], r["match_id"])
+            for r in match_dedup_batch(b2, idx).collect()}
+    assert out2[10] == ("exact", 1)
+    assert out2[11][0] == "near" and out2[11][1] == 1
+    assert out2[12][0] == "fresh"
+
+    # index holds exactly the fresh docs (1, 2, 12) — dups never enter
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(idx + "/exact").collect()}
+    assert ids == {1, 2, 12}
+
+
+@pytest.mark.parametrize("crash_mode", ["before_append", "after_append"])
+def test_match_sink_kill_restart_exactly_once(
+    spark, tmp_path, monkeypatch, crash_mode
+):
+    """Kill the match-dedup stream mid-batch (one committed batch),
+    restart from the SAME checkpoint, and the decisions equal a
+    crash-free twin — the after-append retry exercises BOTH replay
+    rules (self-replay reclassification + anti-join append no-op)."""
+    import glob as globmod
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_deduped_stream_sink,
+    )
+
+    base = " ".join(f"kr{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, "plain novel doc nothing shared with others"),
+        (11, base),                                    # exact of doc 1
+        (12, base.rsplit(" ", 2)[0] + " qq98 qq99"),   # near of doc 1
+        (13, "late wholly novel closing document body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for b, chunk in enumerate((rows[:2], rows[2:])):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            str(tmp_path / "src" / f"b{b}")
+        )
+
+    def start(tag):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "src") + "/b*")
+        )
+        return (
+            match_deduped_stream_sink(
+                stream,
+                str(tmp_path / f"midx_{tag}"),
+                str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def collect(tag):
+        return {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        }
+
+    q = start("twin")
+    q.awaitTermination(180)
+    expected = collect("twin")
+    assert expected[11] == ("exact", 1) and expected[12] == ("near", 1)
+    assert expected[13][0] == "fresh"
+
+    real_append = di.append_to_index
+    state = {"n": 0}
+
+    def faulty(frame, path, *a, **k):
+        state["n"] += 1
+        if state["n"] == 2:  # batch 1 (batch 0 committed)
+            if crash_mode == "after_append":
+                real_append(frame, path, *a, **k)
+            raise RuntimeError("injected mid-batch crash")
+        return real_append(frame, path, *a, **k)
+
+    monkeypatch.setattr(di, "append_to_index", faulty)
+    q = start("cr")
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    assert len(globmod.glob(str(tmp_path / "out_cr") + "/batch_id=*")) == 1
+
+    monkeypatch.setattr(di, "append_to_index", real_append)
+    q2 = start("cr")
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    assert collect("cr") == expected
+    # no doc decided twice, and the index holds each fresh doc once
+    dupes = (
+        spark.read.parquet(str(tmp_path / "out_cr"))
+        .groupBy("doc_id").count().where("count > 1").count()
+    )
+    assert dupes == 0
+    ex = spark.read.parquet(str(tmp_path / "midx_cr") + "/exact")
+    assert ex.groupBy("doc_id").count().where("count > 1").count() == 0
