@@ -245,6 +245,8 @@ def match_dedup_batch(
     min_band_matches: int = 1,
     min_est_jaccard: float | None = 0.5,
     max_bucket: int | None = 100_000,
+    index_table: str | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """One micro-batch of incremental exact+near (MinHash) dedup against
     the persistent match index (r13) — the bounded-state streaming form
@@ -271,36 +273,59 @@ def match_dedup_batch(
       zero rows — band-collision counts can never inflate across
       retries.
 
-    The whole span runs under the index lease (keyed on the exact
-    table's dir), serialising against maintenance like the span sink.
+    The whole span runs under the index lease — the exact table's dir
+    (dir layout) or the prefix's ``_table_lease`` (bucketed layout,
+    selected by ``index_table`` = the table prefix, like the span
+    sink's option) — serialising against maintenance either way.
     """
     from ..operators.dedup_index import (
+        _table_lease,
         append_to_index,
+        append_to_index_bucketed,
         build_dedup_index,
+        build_dedup_index_bucketed,
         index_lease,
         match_against_index,
+        match_against_index_bucketed,
     )
 
     spark = batch.sparkSession
-    if "://" not in index_path:
+    if index_table is not None:
+        lease = _table_lease(spark, f"{index_table}_exact", "batch")
+    elif "://" not in index_path:
         lease = index_lease(f"{index_path}/exact", "batch")
     else:
         lease = contextlib.nullcontext()
     with lease:
-        if not _dir_exists(spark, f"{index_path}/exact"):
-            # bootstrap: an EMPTY index makes batch 0 a pure intra-batch
-            # classification through the same code path
-            build_dedup_index(
-                batch.limit(0).select(id_col, text_col),
-                index_path, id_col, text_col,
-                n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+        bootstrap = batch.limit(0).select(id_col, text_col)
+        if index_table is not None:
+            if not spark.catalog.tableExists(f"{index_table}_exact"):
+                build_dedup_index_bucketed(
+                    bootstrap, index_table, id_col, text_col,
+                    n=n, num_hashes=num_hashes, bands=bands,
+                    hash_mode=hash_mode, n_buckets=n_buckets,
+                )
+            matches = match_against_index_bucketed(
+                spark, batch, index_table, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                hash_mode=hash_mode, min_band_matches=min_band_matches,
+                min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
             )
-        matches = match_against_index(
-            spark, batch, index_path, id_col, text_col,
-            n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
-            min_band_matches=min_band_matches,
-            min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
-        )
+        else:
+            if not _dir_exists(spark, f"{index_path}/exact"):
+                # bootstrap: an EMPTY index makes batch 0 a pure
+                # intra-batch classification through the same code path
+                build_dedup_index(
+                    bootstrap, index_path, id_col, text_col,
+                    n=n, num_hashes=num_hashes, bands=bands,
+                    hash_mode=hash_mode,
+                )
+            matches = match_against_index(
+                spark, batch, index_path, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                hash_mode=hash_mode, min_band_matches=min_band_matches,
+                min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
+            )
         self_hit = (F.col("status") != "fresh") & (
             F.col("match_id") == F.col("doc_id")
         )
@@ -321,16 +346,34 @@ def match_dedup_batch(
             on=id_col,
             how="left_semi",
         )
-        ex_idx = spark.read.parquet(f"{index_path}/exact")
+        ex_idx = (
+            spark.table(f"{index_table}_exact")
+            if index_table is not None
+            else spark.read.parquet(f"{index_path}/exact")
+        )
+        # materialise BEFORE the append: new_fresh's anti-join reads the
+        # exact table, and the append writes exact FIRST — a lazy frame
+        # would re-evaluate during the bands write against its own fresh
+        # appends and silently append ZERO band rows (table scans
+        # re-resolve at action time; the parquet-dir read only dodges
+        # this because spark.read.parquet pins its file listing eagerly)
         new_fresh = fresh.join(
             ex_idx.select(F.col("doc_id").alias(id_col)),
             on=id_col,
             how="left_anti",
-        )
-        append_to_index(
-            new_fresh, index_path, id_col, text_col,
-            n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
-        )
+        ).localCheckpoint()
+        if index_table is not None:
+            append_to_index_bucketed(
+                new_fresh, index_table, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                hash_mode=hash_mode, n_buckets=n_buckets,
+            )
+        else:
+            append_to_index(
+                new_fresh, index_path, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                hash_mode=hash_mode,
+            )
         return out
 
 

@@ -1778,3 +1778,37 @@ def test_match_sink_kill_restart_exactly_once(
     assert dupes == 0
     ex = spark.read.parquet(str(tmp_path / "midx_cr") + "/exact")
     assert ex.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_match_dedup_batch_bucketed_twin(spark, tmp_path):
+    """index_table= selects the bucketed match layout (like the span
+    sink's option): identical decisions to the dir layout across two
+    sequential batches, including the bootstrap-from-empty case."""
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_dedup_batch,
+    )
+
+    base = " ".join(f"bt{i}" for i in range(30))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "unique first content body"), (3, base)],
+        ["doc_id", "text"],
+    )
+    near = base.rsplit(" ", 2)[0] + " vv98 vv99"
+    b2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, "second batch fresh body words")],
+        ["doc_id", "text"],
+    )
+    outs = {}
+    for tag in ("dir", "bkt"):
+        kw = (
+            {"index_table": "mdx_twin", "n_buckets": 4}
+            if tag == "bkt"
+            else {}
+        )
+        idx = str(tmp_path / f"midx_{tag}")
+        r1 = sorted(map(tuple, match_dedup_batch(b1, idx, **kw).collect()))
+        r2 = sorted(map(tuple, match_dedup_batch(b2, idx, **kw).collect()))
+        outs[tag] = (r1, r2)
+    assert outs["dir"] == outs["bkt"]
+    ids = {r["doc_id"] for r in spark.table("mdx_twin_exact").collect()}
+    assert ids == {1, 2, 12}
