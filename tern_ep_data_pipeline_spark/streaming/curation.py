@@ -12,11 +12,16 @@ state. Everything stateful here is watermark-scoped:
   until the watermark passes its arrival time, so the store is bounded
   by (arrival rate x horizon), not corpus size.
 
-Near-dup (MinHash) dedup is deliberately NOT offered as a streaming
-operator: LSH banding needs a self-join across the whole corpus, which
-has no bounded-state streaming form — run the batch pass over the
-bronze lake on a schedule instead (the lambda shape the reference's
-scheduled tasks use).
+Corpus-wide LSH banding (a self-join across the whole corpus) has no
+bounded-state streaming form — but INCREMENTAL near-dup dedup does
+(r13): :func:`match_dedup_batch` / :func:`match_deduped_stream_sink`
+classify each micro-batch against the persistent match index
+(``dedup_index.match_against_index``) and append the fresh docs, so
+per-batch work is O(batch) against index lookups while the index
+carries the corpus history. The retrospective full-corpus pass over
+the bronze lake remains the right tool for re-deduplicating history
+(the lambda shape the reference's scheduled tasks use); the sink is
+the arrival-time leg.
 """
 
 from __future__ import annotations
