@@ -2072,11 +2072,13 @@ def build_gram_index_bucketed(
     unit of join parallelism; at 100 TB use thousands).
 
     ``memory_guard``/``passes`` (r13): the same plan-time sizing and
-    id-range-slice degrade as the dir-layout build — the gram
-    explosion+aggregate+write shape is identical (the bucketed write's
-    sort-within-bucket adds pressure, not relief), and the read-side
-    ``min`` combine across appends makes the sliced build
-    decision-identical here too."""
+    id-range-slice degrade as the dir-layout build, under the BUCKETED
+    coefficient (``memguard.GRAM_BUILD_RESIDENT_PER_TEXT_BYTE_BUCKETED``
+    — the sort-within-bucket write stacks sorter state on the
+    aggregate+writer buffers, measured needing 4 passes where the dir
+    layout needs 3 at 2 GiB/sf10, SPILL_r13); the read-side ``min``
+    combine across appends makes the sliced build decision-identical
+    here too."""
     spark = docs.sparkSession
     if passes is None:
         passes = 1
@@ -2088,7 +2090,9 @@ def build_gram_index_bucketed(
             text_bytes = docs.agg(
                 F.sum(F.octet_length(F.col(text_col)))
             ).collect()[0][0]
-            passes, floor_msg = gram_build_passes(spark, text_bytes)
+            passes, floor_msg = gram_build_passes(
+                spark, text_bytes, bucketed=True
+            )
             if floor_msg is not None:
                 from ..plans.curation import CurationMemoryError
 

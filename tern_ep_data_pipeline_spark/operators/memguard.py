@@ -202,6 +202,18 @@ SPAN_RESIDENT_PER_INDEX_BYTE_BUCKETED = 3.25
 #: with zero spill), and leaves any 8 GiB build single-pass.
 GRAM_BUILD_RESIDENT_PER_TEXT_BYTE = 20.0
 
+#: Bucketed-layout build coefficient — higher than the dir layout's
+#: for the same reason the span model's bucketed index coefficient is
+#: (3.25x vs 1.0x): the bucketed write sorts within buckets, stacking
+#: sorter state on top of the aggregate and writer buffers in ONE
+#: stage. r13 2 GiB/32 calibration cells: the dir-sized 3-pass split
+#: (47 MB text/pass) killed the SparkContext mid-build, the 4-pass
+#: split (35 MB/pass) completed in 97.4 s with the distinct-gram count
+#: byte-equal to every other build — so the coefficient must classify
+#: 47 MB/pass as over a 1228 MB budget (c > 26) and 35 MB/pass as
+#: under (c < 34.6); 28 also keeps the 42.6 MB sf3 corpus single-pass.
+GRAM_BUILD_RESIDENT_PER_TEXT_BYTE_BUCKETED = 28.0
+
 #: Upper bound on build passes — past this, the corpus:executor-memory
 #: ratio is a sizing error, not something to paper over with thousands
 #: of sequential appends.
@@ -209,7 +221,7 @@ GRAM_BUILD_MAX_PASSES = 64
 
 
 def gram_build_passes(
-    spark: SparkSession, text_bytes: int | None
+    spark: SparkSession, text_bytes: int | None, bucketed: bool = False
 ) -> tuple[int, str | None]:
     """Plan-time pass count for a corpus gram-index build:
     ``(passes, floor_msg)``. ``passes`` = how many sequential id-range
@@ -251,10 +263,12 @@ def gram_build_passes(
         )
     import math
 
-    passes = max(
-        1,
-        math.ceil(GRAM_BUILD_RESIDENT_PER_TEXT_BYTE * text_bytes / budget),
+    coef = (
+        GRAM_BUILD_RESIDENT_PER_TEXT_BYTE_BUCKETED
+        if bucketed
+        else GRAM_BUILD_RESIDENT_PER_TEXT_BYTE
     )
+    passes = max(1, math.ceil(coef * text_bytes / budget))
     if passes > GRAM_BUILD_MAX_PASSES:
         return passes, (
             "gram-index build sizing invariant violated: "
@@ -262,7 +276,7 @@ def gram_build_passes(
             f"{passes} sequential build passes to fit a "
             f"{heap / 2**30:.1f} GiB executor (budget "
             f"{budget / 2**20:.0f} MiB/pass at "
-            f"{GRAM_BUILD_RESIDENT_PER_TEXT_BYTE:g} resident bytes per "
+            f"{coef:g} resident bytes per "
             f"text byte) — past the {GRAM_BUILD_MAX_PASSES}-pass bound "
             "this is an executor sizing error. Raise executor memory "
             "or build from a pre-partitioned corpus."

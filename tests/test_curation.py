@@ -2147,6 +2147,18 @@ def test_gram_build_guard_plan_time(spark, tmp_path, monkeypatch):
     assert memguard.gram_build_passes(spark, 0) == (1, None)
     p, msg = memguard.gram_build_passes(spark, 1 << 45)
     assert msg is not None and "sizing invariant" in msg
+    # the bucketed coefficient is strictly heavier (sort-within-bucket
+    # stacks sorter state per pass), so at a byte count big enough to
+    # slice, bucketed needs at least as many passes — and more at the
+    # calibrated 2 GiB/sf10 point (28 vs 20 resident bytes/text byte)
+    some = 200 << 20
+    p_dir, _ = memguard.gram_build_passes(spark, some)
+    p_bkt, _ = memguard.gram_build_passes(spark, some, bucketed=True)
+    assert p_bkt >= p_dir
+    assert (
+        memguard.GRAM_BUILD_RESIDENT_PER_TEXT_BYTE_BUCKETED
+        > memguard.GRAM_BUILD_RESIDENT_PER_TEXT_BYTE
+    )
 
     docs = spark.createDataFrame(
         [(1, " ".join(f"a{i}" for i in range(12))),
