@@ -350,6 +350,38 @@ def _match_frames(
     return classified.unionByName(fresh)
 
 
+def append_exact_to_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The exact-table leg of :func:`append_to_index`, separable so a
+    retrying caller can make EACH leg independently idempotent (ADVICE
+    r13: the two legs are two separate write jobs — a crash between
+    them must be healable per leg, not skipped whole)."""
+    _exact_table(accepted_docs, id_col, text_col).write.mode("append").parquet(
+        os.path.join(path, "exact")
+    )
+
+
+def append_bands_to_index(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+) -> None:
+    """The bands-table leg of :func:`append_to_index` (see
+    :func:`append_exact_to_index` for why the legs are separable)."""
+    _band_table(
+        accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+    ).write.mode("append").parquet(os.path.join(path, "bands"))
+
+
 def append_to_index(
     accepted_docs: DataFrame,
     path: str,
@@ -361,12 +393,10 @@ def append_to_index(
     hash_mode: str = "fast",
 ) -> None:
     """Append accepted (fresh) docs' rows so later batches see them."""
-    _exact_table(accepted_docs, id_col, text_col).write.mode("append").parquet(
-        os.path.join(path, "exact")
+    append_exact_to_index(accepted_docs, path, id_col, text_col)
+    append_bands_to_index(
+        accepted_docs, path, id_col, text_col, n, num_hashes, bands, hash_mode
     )
-    _band_table(
-        accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
-    ).write.mode("append").parquet(os.path.join(path, "bands"))
 
 
 # ------------------------------------------------ chunk-level (sub-document)
@@ -2645,6 +2675,47 @@ def match_against_index_bucketed(
     )
 
 
+def append_exact_to_index_bucketed(
+    accepted_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Exact-table leg of :func:`append_to_index_bucketed` — separable
+    for per-leg idempotent retries (see :func:`append_exact_to_index`)."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _exact_table(accepted_docs, id_col, text_col),
+        table_prefix + "_exact", ["content_hash"],
+        n_buckets=n_buckets, sort_cols=["content_hash"], mode="append",
+    )
+
+
+def append_bands_to_index_bucketed(
+    accepted_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+    n_buckets: int = 32,
+) -> None:
+    """Bands-table leg of :func:`append_to_index_bucketed`."""
+    from ..sources.lake import write_bucketed
+
+    write_bucketed(
+        _band_table(
+            accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
+        ),
+        table_prefix + "_bands", ["band", "bh"],
+        n_buckets=n_buckets, sort_cols=["band", "bh"], mode="append",
+    )
+
+
 def append_to_index_bucketed(
     accepted_docs: DataFrame,
     table_prefix: str,
@@ -2658,19 +2729,13 @@ def append_to_index_bucketed(
 ) -> None:
     """Append accepted docs' rows into the bucketed layout (spec must
     match the build — Spark rejects drift loudly)."""
-    from ..sources.lake import write_bucketed
-
-    write_bucketed(
-        _exact_table(accepted_docs, id_col, text_col),
-        table_prefix + "_exact", ["content_hash"],
-        n_buckets=n_buckets, sort_cols=["content_hash"], mode="append",
+    append_exact_to_index_bucketed(
+        accepted_docs, table_prefix, id_col, text_col, n_buckets=n_buckets
     )
-    write_bucketed(
-        _band_table(
-            accepted_docs, id_col, text_col, n, num_hashes, bands, hash_mode
-        ),
-        table_prefix + "_bands", ["band", "bh"],
-        n_buckets=n_buckets, sort_cols=["band", "bh"], mode="append",
+    append_bands_to_index_bucketed(
+        accepted_docs, table_prefix, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+        n_buckets=n_buckets,
     )
 
 

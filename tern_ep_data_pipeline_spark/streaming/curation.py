@@ -273,10 +273,19 @@ def match_dedup_batch(
       produce that). Such matches re-classify ``fresh``; matches
       against batch-mates are already consistent because the first
       attempt's intra-batch pass made the same decision.
-    - **idempotent append**: only fresh docs whose id is NOT already in
-      the exact table append (one O(batch) anti-join), so a retry adds
-      zero rows — band-collision counts can never inflate across
-      retries.
+    - **per-leg idempotent append** (ADVICE r13): the exact and band
+      rows are TWO separate write jobs, so each leg anti-joins its OWN
+      table — exact rows against the exact table's doc ids, band rows
+      against the bands table's doc ids. A retry therefore adds zero
+      rows to a leg that committed AND re-appends exactly the rows of
+      a leg that didn't: a crash landing BETWEEN the two writes (a
+      real window under foreachBatch at-least-once) heals on replay
+      instead of skipping the doc's band rows forever. A single
+      anti-join against exact alone would do exactly that skip — the
+      doc's future near-duplicates would silently classify fresh. The
+      bands anti-join costs one extra doc_id-column scan of the bands
+      table per batch, the same O(index-scan) class as the (band, bh)
+      probe the classifier already pays.
 
     The whole span runs under the index lease — the exact table's dir
     (dir layout) or the prefix's ``_table_lease`` (bucketed layout,
@@ -285,8 +294,10 @@ def match_dedup_batch(
     """
     from ..operators.dedup_index import (
         _table_lease,
-        append_to_index,
-        append_to_index_bucketed,
+        append_bands_to_index,
+        append_bands_to_index_bucketed,
+        append_exact_to_index,
+        append_exact_to_index_bucketed,
         build_dedup_index,
         build_dedup_index_bucketed,
         index_lease,
@@ -351,31 +362,43 @@ def match_dedup_batch(
             on=id_col,
             how="left_semi",
         )
-        ex_idx = (
-            spark.table(f"{index_table}_exact")
-            if index_table is not None
-            else spark.read.parquet(f"{index_path}/exact")
-        )
-        # materialise BEFORE the append: new_fresh's anti-join reads the
-        # exact table, and the append writes exact FIRST — a lazy frame
-        # would re-evaluate during the bands write against its own fresh
-        # appends and silently append ZERO band rows (table scans
-        # re-resolve at action time; the parquet-dir read only dodges
-        # this because spark.read.parquet pins its file listing eagerly)
-        new_fresh = fresh.join(
+        if index_table is not None:
+            ex_idx = spark.table(f"{index_table}_exact")
+            bd_idx = spark.table(f"{index_table}_bands")
+        else:
+            ex_idx = spark.read.parquet(f"{index_path}/exact")
+            bd_idx = spark.read.parquet(f"{index_path}/bands")
+        # Per-leg idempotent appends (docstring rule 2): EACH leg
+        # anti-joins its OWN table, and BOTH frames materialise before
+        # either write — a lazy frame would re-evaluate mid-append
+        # against its own fresh rows and silently append zero rows
+        # (table scans re-resolve at action time; the parquet-dir read
+        # only dodges this because spark.read.parquet pins its file
+        # listing eagerly).
+        new_exact = fresh.join(
             ex_idx.select(F.col("doc_id").alias(id_col)),
             on=id_col,
             how="left_anti",
         ).localCheckpoint()
+        new_bands = fresh.join(
+            bd_idx.select(F.col("doc_id").alias(id_col)),
+            on=id_col,
+            how="left_anti",
+        ).localCheckpoint()
         if index_table is not None:
-            append_to_index_bucketed(
-                new_fresh, index_table, id_col, text_col,
+            append_exact_to_index_bucketed(
+                new_exact, index_table, id_col, text_col,
+                n_buckets=n_buckets,
+            )
+            append_bands_to_index_bucketed(
+                new_bands, index_table, id_col, text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
                 hash_mode=hash_mode, n_buckets=n_buckets,
             )
         else:
-            append_to_index(
-                new_fresh, index_path, id_col, text_col,
+            append_exact_to_index(new_exact, index_path, id_col, text_col)
+            append_bands_to_index(
+                new_bands, index_path, id_col, text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
                 hash_mode=hash_mode,
             )

@@ -1688,14 +1688,19 @@ def test_match_dedup_batch_incremental(spark, tmp_path):
     assert ids == {1, 2, 12}
 
 
-@pytest.mark.parametrize("crash_mode", ["before_append", "after_append"])
+@pytest.mark.parametrize(
+    "crash_mode", ["before_append", "between_legs", "after_append"]
+)
 def test_match_sink_kill_restart_exactly_once(
     spark, tmp_path, monkeypatch, crash_mode
 ):
     """Kill the match-dedup stream mid-batch (one committed batch),
     restart from the SAME checkpoint, and the decisions equal a
     crash-free twin — the after-append retry exercises BOTH replay
-    rules (self-replay reclassification + anti-join append no-op)."""
+    rules (self-replay reclassification + per-leg anti-join no-op),
+    and ``between_legs`` faults the window ADVICE r13 flagged: exact
+    leg committed, bands leg not — the retry must re-append exactly
+    the missing band rows, or future near-dups classify fresh."""
     import glob as globmod
 
     from tern_ep_data_pipeline_spark.operators import dedup_index as di
@@ -1746,18 +1751,29 @@ def test_match_sink_kill_restart_exactly_once(
     assert expected[11] == ("exact", 1) and expected[12] == ("near", 1)
     assert expected[13][0] == "fresh"
 
-    real_append = di.append_to_index
+    real_exact = di.append_exact_to_index
+    real_bands = di.append_bands_to_index
     state = {"n": 0}
 
-    def faulty(frame, path, *a, **k):
+    # exact leg writes first; count batches on it. before_append: crash
+    # with NOTHING written; between_legs: exact committed, bands not;
+    # after_append: both committed, sink write never happens.
+    def faulty_exact(frame, path, *a, **k):
         state["n"] += 1
-        if state["n"] == 2:  # batch 1 (batch 0 committed)
-            if crash_mode == "after_append":
-                real_append(frame, path, *a, **k)
+        if state["n"] == 2 and crash_mode == "before_append":
             raise RuntimeError("injected mid-batch crash")
-        return real_append(frame, path, *a, **k)
+        return real_exact(frame, path, *a, **k)
 
-    monkeypatch.setattr(di, "append_to_index", faulty)
+    def faulty_bands(frame, path, *a, **k):
+        if state["n"] == 2:
+            if crash_mode == "between_legs":
+                raise RuntimeError("injected mid-batch crash")
+            real_bands(frame, path, *a, **k)
+            raise RuntimeError("injected mid-batch crash")
+        return real_bands(frame, path, *a, **k)
+
+    monkeypatch.setattr(di, "append_exact_to_index", faulty_exact)
+    monkeypatch.setattr(di, "append_bands_to_index", faulty_bands)
     q = start("cr")
     with pytest.raises(Exception, match="injected mid-batch crash"):
         q.awaitTermination(180)
@@ -1765,12 +1781,14 @@ def test_match_sink_kill_restart_exactly_once(
             raise q.exception()
     assert len(globmod.glob(str(tmp_path / "out_cr") + "/batch_id=*")) == 1
 
-    monkeypatch.setattr(di, "append_to_index", real_append)
+    monkeypatch.setattr(di, "append_exact_to_index", real_exact)
+    monkeypatch.setattr(di, "append_bands_to_index", real_bands)
     q2 = start("cr")
     q2.awaitTermination(180)
     assert q2.exception() is None
     assert collect("cr") == expected
-    # no doc decided twice, and the index holds each fresh doc once
+    # no doc decided twice, and the index holds each fresh doc once —
+    # in BOTH legs (a torn bands leg is exactly what between_legs makes)
     dupes = (
         spark.read.parquet(str(tmp_path / "out_cr"))
         .groupBy("doc_id").count().where("count > 1").count()
@@ -1778,6 +1796,10 @@ def test_match_sink_kill_restart_exactly_once(
     assert dupes == 0
     ex = spark.read.parquet(str(tmp_path / "midx_cr") + "/exact")
     assert ex.groupBy("doc_id").count().where("count > 1").count() == 0
+    bd = spark.read.parquet(str(tmp_path / "midx_cr") + "/bands")
+    assert {r["doc_id"] for r in bd.select("doc_id").distinct().collect()} == {
+        r["doc_id"] for r in ex.select("doc_id").collect()
+    }
 
 
 def test_match_dedup_batch_bucketed_twin(spark, tmp_path):
@@ -1812,3 +1834,70 @@ def test_match_dedup_batch_bucketed_twin(spark, tmp_path):
     assert outs["dir"] == outs["bkt"]
     ids = {r["doc_id"] for r in spark.table("mdx_twin_exact").collect()}
     assert ids == {1, 2, 12}
+
+
+@pytest.mark.parametrize("layout", ["dir", "bucketed"])
+def test_match_dedup_batch_heals_torn_append(
+    spark, tmp_path, monkeypatch, layout
+):
+    """The ADVICE r13 failure scenario, end to end: attempt 1 of a batch
+    crashes BETWEEN the exact and bands writes, the foreachBatch retry
+    must re-append the missing band rows (per-leg anti-join), and a
+    LATER batch carrying a near-duplicate of the torn doc classifies
+    ``near`` — under the pre-fix single exact anti-join it would have
+    classified ``fresh`` and entered the corpus."""
+    from tern_ep_data_pipeline_spark.operators import dedup_index as di
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_dedup_batch,
+    )
+
+    base = " ".join(f"tw{i}" for i in range(30))
+    kw = (
+        {"index_table": f"mdx_torn_{layout}", "n_buckets": 4}
+        if layout == "bucketed"
+        else {}
+    )
+    idx = str(tmp_path / "midx")
+    b1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+
+    def boom(*a, **k):
+        raise RuntimeError("injected between-legs crash")
+
+    patched = (
+        "append_bands_to_index_bucketed"
+        if layout == "bucketed"
+        else "append_bands_to_index"
+    )
+    real = getattr(di, patched)
+    monkeypatch.setattr(di, patched, boom)
+    with pytest.raises(RuntimeError, match="between-legs"):
+        match_dedup_batch(b1, idx, **kw)
+
+    def tables():  # re-read: spark.read.parquet pins file listings
+        if layout == "bucketed":
+            return (
+                spark.table(f"mdx_torn_{layout}_exact"),
+                spark.table(f"mdx_torn_{layout}_bands"),
+            )
+        return (
+            spark.read.parquet(idx + "/exact"),
+            spark.read.parquet(idx + "/bands"),
+        )
+
+    # torn state: doc 1 exact-indexed, zero band rows
+    ex, bd = tables()
+    assert ex.count() == 1 and bd.count() == 0
+
+    monkeypatch.setattr(di, patched, real)
+    out_retry = {r["doc_id"]: r["status"]
+                 for r in match_dedup_batch(b1, idx, **kw).collect()}
+    assert out_retry == {1: "fresh"}  # self-replay reclassification
+    ex, bd = tables()
+    assert bd.where("doc_id = 1").count() > 0  # bands leg healed
+    assert ex.count() == 1  # exact leg did NOT double-append
+
+    near = base.rsplit(" ", 2)[0] + " hz98 hz99"
+    b2 = spark.createDataFrame([(20, near)], ["doc_id", "text"])
+    out2 = {r["doc_id"]: (r["status"], r["match_id"])
+            for r in match_dedup_batch(b2, idx, **kw).collect()}
+    assert out2[20] == ("near", 1)
