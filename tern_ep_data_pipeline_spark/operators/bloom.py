@@ -395,11 +395,16 @@ def prune_index_by_keys(
     String/binary-heavy index rows (estimated VARIABLE-WIDTH non-key
     payload above ``WIDE_PAYLOAD_BYTES``) flip the bloom probe to
     TWO-PHASE: the Arrow kernel probes a key-only projection of the
-    index, the surviving (small, ~batch-sized) distinct keys broadcast
-    back, and a JVM left-semi join filters the full-width scan —
-    payload bytes never cross the Arrow boundary (r12 verdict #1b;
-    measured 1.7x on a 290 B string payload, while fixed-width
-    payloads stay direct — see ``WIDE_PAYLOAD_BYTES``).  Same
+    index, the surviving distinct keys broadcast back, and a JVM
+    left-semi join filters the full-width scan — payload bytes never
+    cross the Arrow boundary (r12 verdict #1b; measured 1.7x on a
+    290 B string payload, while fixed-width payloads stay direct — see
+    ``WIDE_PAYLOAD_BYTES``).  Survivors are batch keys PLUS fpp x
+    index-keys false positives, so the broadcast is gated on an
+    estimated survivor size (ADVICE r13): past ``SEMI_PRUNE_MAX_BYTES``
+    — or with no usable estimate — the probe stays DIRECT instead of
+    risking a driver-aborting broadcast; the route lands on the
+    SparkContext local property ``tern.bloom_prune.two_phase``.  Same
     surviving-row set by construction: bitmap membership is a pure
     function of the key.
 
@@ -449,13 +454,40 @@ def prune_index_by_keys(
         index_frame.select(*key_cols).schema
     )
     if payload > WIDE_PAYLOAD_BYTES:
-        survivors = (
-            prune_by_bloom(
-                index_frame.select(*key_cols), bloom_key(*key_cols), spec
+        # Survivor cardinality is NOT "~batch-sized" (ADVICE r13): every
+        # true batch key survives PLUS predicted_fpp x the index's
+        # distinct keys of false positives — at the corpus scales that
+        # select the bloom strategy in the first place (keys past the
+        # 32 MiB semi gate, capped bitmaps degrading fpp toward 1), an
+        # unconditional broadcast of that set can abort the job. Gate
+        # the two-phase route on an estimated survivor size; past the
+        # broadcast budget (or with no usable estimates) fall back to
+        # the DIRECT probe: payload bytes cross Arrow (the measured
+        # 1.7x on wide strings) but memory stays bounded and no shuffle
+        # of the wide rows is introduced. Decision-identical either way.
+        proj = index_frame.select(*key_cols)
+        key_bytes = _est_row_bytes(proj.schema)
+        from .memguard import plan_size_estimate
+
+        idx_est = plan_size_estimate(proj)
+        surv_bytes = None
+        if expected is not None and idx_est is not None:
+            fpp_pred = predicted_fpp(spec.num_bits, spec.num_hashes, expected)
+            n_idx = idx_est // max(1, key_bytes)
+            surv_bytes = (expected + int(fpp_pred * n_idx)) * key_bytes
+        sc = index_frame.sparkSession.sparkContext
+        if surv_bytes is not None and surv_bytes <= SEMI_PRUNE_MAX_BYTES:
+            sc.setLocalProperty("tern.bloom_prune.two_phase", "broadcast")
+            survivors = (
+                prune_by_bloom(proj, bloom_key(*key_cols), spec)
+                .dropDuplicates(key_cols)
             )
-            .dropDuplicates(key_cols)
-        )
-        return index_frame.join(
-            F.broadcast(survivors), on=key_cols, how="left_semi"
+            return index_frame.join(
+                F.broadcast(survivors), on=key_cols, how="left_semi"
+            )
+        sc.setLocalProperty(
+            "tern.bloom_prune.two_phase",
+            "declined-survivor-estimate"
+            + (f":{surv_bytes}B" if surv_bytes is not None else ":unknown"),
         )
     return prune_by_bloom(index_frame, bloom_key(*key_cols), spec)

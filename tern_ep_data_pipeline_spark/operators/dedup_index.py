@@ -210,6 +210,21 @@ def _match_frames(
         new_docs.sparkSession.sparkContext.setLocalProperty(
             "tern.bloom_prune.match", "declined-no-index-preagg"
         )
+        import warnings
+
+        # visible, not just a local property (ADVICE r13): the kwarg is
+        # accepted for interface parity but INERT here — callers whose
+        # bottleneck is index-scan I/O (not shuffle) should know their
+        # opt-in did nothing rather than discover it in a trace
+        warnings.warn(
+            "match_against_index declines bloom_fpp: it has no index-side "
+            "pre-join aggregation for a prefilter to save (the batch-keyed "
+            "joins already drop non-matching index rows during the probe; "
+            "measured r12: the prune paid staging + a second index "
+            "evaluation for nothing). The default plan runs unchanged.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         bloom_fpp = None
     new_exact = _exact_table(new_docs, id_col, text_col)
     exact_hits = (
@@ -2421,11 +2436,60 @@ def _table_lease(
     Upgrade note (r13): pre-r12 code keyed the lock on the RAW
     spelling (``wh/<identifier>``), and r12 co-acquired that legacy key
     alongside the normalised one for one release of rolling-upgrade
-    coexistence. Every writer now keys the normalised path only — if a
-    fleet still runs pre-r12 writers, upgrade them first (or drain
-    writes during the switch); mixed old/new writers using QUALIFIED
-    identifiers would otherwise not exclude each other."""
-    return index_lease(_table_lock_path(spark, table), role, wait_s=wait_s)
+    coexistence. Every writer now keys the normalised path only — but a
+    mixed-version window is DETECTED, not just documented (ADVICE r13):
+    when the raw-spelling lock file exists with a LIVE holder pid, the
+    acquire raises RuntimeError (a pre-r12 writer is mid-write on this
+    table right now and the normalised lock cannot exclude it — carrying
+    on risks concurrent append/compact corruption); a dead-holder legacy
+    lock only warns (stale crash debris from the old fleet)."""
+    lock_path = _table_lock_path(spark, table)
+    legacy = os.path.join(_warehouse_dir(spark), table)
+    if os.path.abspath(legacy) != os.path.abspath(lock_path):
+        holder = _lock_holder(legacy + ".lock")
+        if holder is not None:
+            pid, alive = holder
+            if alive:
+                raise RuntimeError(
+                    f"legacy (pre-r12) lock {legacy + '.lock'!r} is HELD by "
+                    f"live pid {pid}: an old writer keyed on the raw table "
+                    f"spelling is active on {table!r} and the normalised "
+                    "lock cannot exclude it — upgrade or stop that writer "
+                    "before touching this table"
+                )
+            import warnings
+
+            warnings.warn(
+                f"stale legacy (pre-r12) lock {legacy + '.lock'!r} found "
+                f"(holder pid {pid} is dead): this table was written by an "
+                "old fleet — remove the file once no pre-r12 writers remain",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    return index_lease(lock_path, role, wait_s=wait_s)
+
+
+def _lock_holder(lock_file: str) -> tuple[int | None, bool] | None:
+    """(holder pid, alive?) for an existing lock file, None when the
+    file is absent. An unreadable/contentless lock reports (None,
+    False) — old layouts wrote the payload non-atomically."""
+    try:
+        with open(lock_file) as fh:
+            payload = json.load(fh)
+        pid = int(payload.get("pid"))
+    except FileNotFoundError:
+        return None
+    except Exception:
+        return (None, False)
+    try:
+        os.kill(pid, 0)
+        return (pid, True)
+    except ProcessLookupError:
+        return (pid, False)
+    except PermissionError:
+        return (pid, True)
+    except Exception:
+        return (pid, False)
 
 
 def _split_identifier(table: str) -> list[str]:

@@ -104,9 +104,10 @@ def test_match_against_index_bloom_identical(spark, tmp_path):
     di.build_dedup_index(corpus, path, num_hashes=16, bands=8)
     batch = _batch(spark, rows)
     plain = di.match_against_index(spark, batch, path, num_hashes=16, bands=8)
-    pruned = di.match_against_index(
-        spark, batch, path, num_hashes=16, bands=8, bloom_fpp=0.01
-    )
+    with pytest.warns(RuntimeWarning, match="declines bloom_fpp"):
+        pruned = di.match_against_index(
+            spark, batch, path, num_hashes=16, bands=8, bloom_fpp=0.01
+        )
     assert _sorted_rows(plain) == _sorted_rows(pruned)
     assert (
         spark.sparkContext.getLocalProperty("tern.bloom_prune.match")
@@ -435,3 +436,50 @@ def test_wide_payload_routes_two_phase(spark, monkeypatch):
     monkeypatch.setattr(bloom, "WIDE_PAYLOAD_BYTES", 1 << 30)
     direct = bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom")
     assert {r["k"] for r in direct.select("k").collect()} == got_rows
+
+
+def test_two_phase_declines_oversized_broadcast(spark, monkeypatch):
+    """ADVICE r13 (medium): the two-phase broadcast is gated on an
+    ESTIMATED survivor size — batch keys plus fpp x index keys — not
+    the docstring's old '~batch-sized' assumption. A key-set estimate
+    past the broadcast budget routes back to the DIRECT probe (bounded
+    memory, identical surviving rows) and records the decline."""
+    wide = spark.range(500).selectExpr(
+        "id as k",
+        "cast(repeat(cast(id as string), 40) as binary) as payload",
+    )
+    keys = spark.range(0, 500, 9).select(F.col("id").alias("k"))
+
+    probed_cols = []
+    orig = bloom.prune_by_bloom
+
+    def spy(df, key, spec):
+        probed_cols.append(list(df.columns))
+        return orig(df, key, spec)
+
+    monkeypatch.setattr(bloom, "prune_by_bloom", spy)
+    sc = spark.sparkContext
+
+    # a size_hint claiming ~100M batch keys makes the survivor estimate
+    # blow the 32 MiB broadcast budget -> direct probe (all columns)
+    got = bloom.prune_index_by_keys(
+        wide, ["k"], keys, strategy="bloom", size_hint=1 << 31
+    )
+    rows = {r["k"] for r in got.select("k").collect()}
+    assert probed_cols == [["k", "payload"]], "oversized survivors => direct"
+    assert sc.getLocalProperty("tern.bloom_prune.two_phase").startswith(
+        "declined-survivor-estimate:"
+    )
+    assert {r["k"] for r in keys.collect()} <= rows
+
+    # small, estimable key set: broadcast two-phase as before (row sets
+    # are compared against true members only — the two runs size their
+    # bitmaps from different expected-key counts, so their false-
+    # positive sets legitimately differ)
+    probed_cols.clear()
+    small = bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom")
+    assert probed_cols == [["k"]]
+    assert sc.getLocalProperty("tern.bloom_prune.two_phase") == "broadcast"
+    assert {r["k"] for r in keys.collect()} <= {
+        r["k"] for r in small.select("k").collect()
+    }

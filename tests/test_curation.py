@@ -2567,6 +2567,46 @@ def test_table_lock_path_normalises_identifiers(spark):
     assert not os.path.exists(base + ".lock")
 
 
+def test_table_lease_detects_legacy_lock(spark, tmp_path):
+    """ADVICE r13: a mixed-version fleet window is detected at acquire
+    time, not just documented — a legacy raw-spelling lock HELD by a
+    live pid raises (the normalised lock cannot exclude that writer);
+    a dead-holder legacy lock warns and proceeds."""
+    import json as _json
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        _table_lease,
+        _warehouse_dir,
+    )
+
+    legacy = os.path.join(_warehouse_dir(spark), "default.lgcy") + ".lock"
+    os.makedirs(os.path.dirname(os.path.abspath(legacy)), exist_ok=True)
+    try:
+        # live holder (this very process) -> hard failure
+        with open(legacy, "w") as fh:
+            _json.dump({"pid": os.getpid(), "role": "append"}, fh)
+        with pytest.raises(RuntimeError, match="legacy .* HELD by live pid"):
+            with _table_lease(spark, "default.lgcy", "append"):
+                pass
+
+        # dead holder -> loud warning, lease proceeds on the new key
+        with open(legacy, "w") as fh:
+            _json.dump({"pid": 2 ** 22 + 1, "role": "append"}, fh)
+        with pytest.warns(RuntimeWarning, match="stale legacy"):
+            with _table_lease(spark, "default.lgcy", "append"):
+                pass
+
+        # unqualified spelling in the default db keys the SAME path as
+        # the legacy one — no probe, no false alarm
+        os.remove(legacy)
+        with _table_lease(spark, "lgcy", "append"):
+            pass
+    finally:
+        if os.path.exists(legacy):
+            os.remove(legacy)
+
+
 def test_compactor_wait_outlasts_batch_lease(spark, tmp_path):
     """ADVICE r11 #4: a streaming batch holds its index lease for the
     whole heal->clean->append span, so a maintenance compactor with the
