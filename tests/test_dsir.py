@@ -301,6 +301,13 @@ def test_dsir_stream_scoring_matches_batch(spark, tmp_path):
     }
     for doc_id, m in batch.items():
         assert streamed[doc_id] == m, (doc_id, streamed[doc_id], m)
+    # r14: the default is the VECTORISED kernel — pin the per-token
+    # portable twin integer-equal to it (and hence to the batch scorer)
+    portable = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in dsir_scored_stream(docs, path, hash_mode="portable").collect()
+    }
+    assert portable == streamed
     # all docs present; any batch-absent doc scores exactly 0
     assert set(streamed) == {r["doc_id"] for r in docs.select("doc_id").collect()}
     for doc_id in set(streamed) - set(batch):
@@ -439,3 +446,178 @@ def test_curated_stream_dsir_option(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {d: m for d, m in scores.items() if m >= cut}
+
+
+def test_md5np_bit_equal_to_hashlib():
+    """The vectorised MD5 kernel behind hash_mode='fast' is BYTE-EQUAL
+    to hashlib for every input — the property that makes fast and
+    portable scoring incapable of diverging (unlike the Rabin-Karp
+    fast family, which pins decision equality over different values).
+    Random strings straddle the single-block/55-byte fallback boundary;
+    the salted-gram shapes are the scorer's exact inputs."""
+    import hashlib
+    import random
+    import string
+
+    import numpy as np
+
+    from tern_ep_data_pipeline_spark.operators.md5np import (
+        MAX_FAST_LEN,
+        md5_hex60,
+    )
+
+    rng = random.Random(11)
+    msgs = [b"", b"a", b"dsir:", b"x" * MAX_FAST_LEN, b"x" * (MAX_FAST_LEN + 1)]
+    msgs += [
+        ("dsir:" + w1 + " " + w2).encode()
+        for w1 in ("quantum", "click", "")
+        for w2 in ("neutrino", "buy", "")
+    ]
+    for _ in range(3000):
+        k = rng.randint(0, 80)
+        msgs.append(
+            "".join(rng.choices(string.printable + "é漢 ", k=k)).encode()
+        )
+    got = md5_hex60(msgs)
+    exp = np.array(
+        [int(hashlib.md5(m).hexdigest()[:15], 16) for m in msgs],
+        dtype=np.int64,
+    )
+    assert (got == exp).all()
+    assert got.dtype == np.int64 and (got >= 0).all()
+
+
+def test_dsir_stream_scoring_whitespace_edge_classes(spark, tmp_path):
+    """fast == portable on the token edge classes the vectorised kernel
+    must not simplify away: empty docs (py_tokens('') == ['']), tab/NL
+    leading tokens (trim strips spaces only), NBSP non-splits, and
+    single-token docs (no bigram)."""
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        dsir_scored_stream,
+        write_dsir_ratio_artifact,
+    )
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "\tlead tab"),
+        (3, "nbsp joined stays"),
+        (4, "single"),
+        (5, "a b a b a"),
+        (6, "trail space "),
+        (7, "quantum neutrino boson quantum neutrino"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "ratio_ws")
+    write_dsir_ratio_artifact(
+        docs, docs.where("doc_id >= 4"), path, buckets=64
+    )
+    fast = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in dsir_scored_stream(docs, path).collect()
+    }
+    portable = {
+        r["doc_id"]: r["logweight_micro"]
+        for r in dsir_scored_stream(docs, path, hash_mode="portable").collect()
+    }
+    assert fast == portable
+    assert set(fast) == {r[0] for r in rows}
+
+
+def test_dsir_scorer_refuses_mismatched_artifact(spark, tmp_path):
+    """The artifact pins its bucket hash; a scorer whose kernel computes
+    a different family must refuse at stream construction, and an
+    unknown hash_mode fails before any plan is built."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        dsir_scored_stream,
+        write_dsir_ratio_artifact,
+    )
+
+    docs = _varied_corpus(spark, n=8)
+    path = str(tmp_path / "ratio_hm")
+    meta = write_dsir_ratio_artifact(docs, docs, path, buckets=64)
+    assert meta["hash"] == "md5-60bit"
+
+    with _pytest.raises(ValueError, match="unknown hash_mode"):
+        dsir_scored_stream(docs, path, hash_mode="sha9000")
+
+    doctored = dict(meta, hash="xxhash-64")
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(doctored, fh)
+    with _pytest.raises(ValueError, match="mismatched buckets"):
+        dsir_scored_stream(docs, path)
+
+
+def test_dsir_fast_scorer_cap_path_parity():
+    """The fast kernel's vocab cap must degrade to batch-local codes
+    WITHOUT changing scores or poisoning the persistent pair table:
+    run the same batch stream through an uncapped scorer, a tightly
+    capped one, and the portable reference loop — integer-equal
+    everywhere, including batches AFTER the cap bites (where a stale
+    pair entry keyed by a recycled batch-local code would surface)."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from tern_ep_data_pipeline_spark.operators.dedup import py_tokens
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        _DsirFastScorer,
+    )
+
+    rng = random.Random(17)
+    table = {b: rng.randint(-10**12, 10**12) for b in range(512)}
+    prefix, buckets = b"dsir:", 512
+
+    def portable(texts):
+        out = []
+        for raw in texts:
+            toks = py_tokens(raw)
+            s, prev = 0, None
+            for t in toks:
+                h = int(hashlib.md5(prefix + t.encode()).hexdigest()[:15], 16)
+                lr = table.get(h % buckets)
+                if lr is not None:
+                    s += lr
+                if prev is not None:
+                    h2 = int(
+                        hashlib.md5(
+                            prefix + (prev + " " + t).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    lr2 = table.get(h2 % buckets)
+                    if lr2 is not None:
+                        s += lr2
+                prev = t
+            den = 1_000_000
+            out.append(
+                (2 * s + den) // (2 * den)
+                if s >= 0
+                else -((2 * (-s) + den) // (2 * den))
+            )
+        return out
+
+    vocab = [f"tok{i}" for i in range(400)]
+    batches = []
+    for b in range(4):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+            for _ in range(40)
+        ]
+        texts += ["", "  ", "\tx y", "solo"]
+        batches.append(pd.Series(texts))
+
+    free = _DsirFastScorer(table, prefix, buckets)
+    capped = _DsirFastScorer(table, prefix, buckets, max_vocab=50)
+    for s in batches:
+        exp = portable(s)
+        assert free.score(s).tolist() == exp
+        assert capped.score(s).tolist() == exp
+    assert len(capped.code2tok) <= 50
+    assert len(free.code2tok) > 50  # the cap actually bit
