@@ -434,16 +434,28 @@ def match_deduped_stream_sink(
 
 # ------------------------------------------------- frozen quality model
 
-def write_quality_model_artifact(weights: dict, path: str) -> dict:
+def write_quality_model_artifact(
+    weights: dict,
+    path: str,
+    spark=None,
+    versioned: bool | None = None,
+) -> dict:
     """Persist sampled-trainer quality weights
     (``quality_model.train_quality_weights_sampled``) as a frozen JSON
     artifact for streaming scorers — the second leg of the
-    frozen-model pattern next to the DSIR ratio table (r13). The write
-    is a tmp-file ``os.replace`` (atomic on POSIX), so a stream
-    construction never reads a torn model. Validates the feature-set
-    contract eagerly: ``quality_prob_expr``'s inline zip is positional,
-    so mismatched columns must fail at WRITE time, not when a stream
-    restarts at 3am."""
+    frozen-model pattern next to the DSIR ratio table (r13). Validates
+    the feature-set contract eagerly: ``quality_prob_expr``'s inline
+    zip is positional, so mismatched columns must fail at WRITE time,
+    not when a stream restarts at 3am.
+
+    Two publication modes (r14, verdict #4 — shared with the DSIR
+    ratio via ``sources.artifacts``): the default local mode is a
+    tmp-file ``os.replace`` (atomic on POSIX); ``versioned=True`` — or
+    any ``://`` path, where rename does not exist — publishes a
+    ``v=N/model.json`` payload and flips the ``_CURRENT`` pointer, so
+    refreshes are atomic on object stores too and an in-flight reader
+    finishes on its resolved version. Versioned mode needs ``spark``
+    for the path's Hadoop filesystem."""
     import json as _json
 
     from ..operators.quality_model import HEURISTIC_FEATURES
@@ -454,6 +466,27 @@ def write_quality_model_artifact(weights: dict, path: str) -> dict:
             f"HEURISTIC_FEATURES: {weights.get('cols')!r}"
         )
     payload = {k: weights[k] for k in ("cols", "mean", "std", "w", "b")}
+    if versioned is None:
+        versioned = "://" in path
+    if versioned:
+        if spark is None:
+            raise ValueError(
+                "versioned quality-model publication needs spark= (the "
+                "pointer flip goes through the path's Hadoop filesystem)"
+            )
+        from ..sources.artifacts import (
+            _write_small_file,
+            publish_artifact_version,
+        )
+
+        data = _json.dumps(payload).encode()
+        publish_artifact_version(
+            spark, path,
+            lambda vdir: _write_small_file(
+                spark, vdir + "/model.json", data
+            ),
+        )
+        return payload
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump(payload, fh)
@@ -461,9 +494,26 @@ def write_quality_model_artifact(weights: dict, path: str) -> dict:
     return payload
 
 
-def load_quality_model(path: str) -> dict:
+def load_quality_model(path: str, spark=None) -> dict:
+    """Read a frozen quality model — flat JSON file (local mode) or the
+    live version of a versioned artifact (``_CURRENT`` pointer
+    present; needs ``spark`` for non-local schemes)."""
     import json as _json
 
+    if spark is not None:
+        from ..sources.artifacts import (
+            current_artifact_version,
+            read_small_file,
+        )
+
+        if current_artifact_version(spark, path) is not None:
+            from ..sources.artifacts import current_artifact_dir
+
+            return _json.loads(
+                read_small_file(
+                    spark, current_artifact_dir(spark, path) + "/model.json"
+                )
+            )
     with open(path) as fh:
         return _json.load(fh)
 
@@ -482,7 +532,7 @@ def quality_scored_stream(
     expression over the same row)."""
     from ..operators.quality_model import quality_prob_expr
 
-    weights = load_quality_model(model_path)
+    weights = load_quality_model(model_path, spark=stream.sparkSession)
     s = stream.withColumn(
         "quality_prob", quality_prob_expr(weights, text_col)
     )
@@ -502,6 +552,7 @@ def write_dsir_ratio_artifact(
     buckets: int = 10_000,
     smoothing: float = 1.0,
     salt: str = "dsir",
+    versioned: bool | None = None,
 ) -> dict:
     """Materialise the DSIR importance log-ratio table as a FROZEN,
     atomically-swappable artifact (r12 verdict #4): at 100 TB the ratio
@@ -510,42 +561,37 @@ def write_dsir_ratio_artifact(
     persisted table — the same frozen-model pattern as
     ``quality_model`` (train offline, apply as a pure predicate).
 
-    Layout: ``{path}/ratio`` parquet (bucket, lr_pico — at most
-    ``buckets`` rows) + ``{path}/meta.json`` pinning (buckets,
-    smoothing, salt), so a scorer can refuse an artifact whose feature
-    space doesn't match its configuration. The refresh is a local-fs
-    directory swap (write tmp → rename), the compactors' pattern: a
-    live stream reads either the old table or the new one, never a
-    partial write. Object-store paths are refused like the dir-layout
-    compactors — there, write to a NEW path and repoint the stream (or
-    keep the artifact in a transactional table format).
+    Layout: a ``ratio`` parquet dir (bucket, lr_pico — at most
+    ``buckets`` rows) + ``meta.json`` pinning (buckets, smoothing,
+    salt, bucket hash), so a scorer can refuse an artifact whose
+    feature space doesn't match its configuration.
+
+    Two refresh modes (r13 verdict #3). Default local mode: a
+    directory swap (write tmp → rename, the compactors' pattern) —
+    a live stream reads either the old table or the new one, never a
+    partial write. ``versioned=True`` — or automatically for any
+    ``://`` path, where rename does not exist — publishes through
+    ``sources.artifacts``: a complete immutable ``v=N`` payload, then
+    a single-file ``_CURRENT`` pointer flip; a scorer resolves the
+    pointer once at stream construction and keeps reading its version
+    (the previous version survives pruning, so in-flight readers are
+    never torn).
     """
+    import json as _json
+
     from ..operators.sampling import dsir_logratio
 
-    if "://" in path:
-        raise NotImplementedError(
-            "write_dsir_ratio_artifact swaps directories with local-fs "
-            f"renames; {path!r} is not a local path. Write each refresh "
-            "to a new path and repoint the consumer, or store the ratio "
-            "table in a transactional table format."
-        )
+    if versioned is None:
+        versioned = "://" in path
     lr = dsir_logratio(
         raw, target, id_col, text_col,
         buckets=buckets, smoothing=smoothing, salt=salt,
     )
-    tmp = path + ".swap-new"
-    old = path + ".swap-old"
-    import shutil as _sh
-
-    _sh.rmtree(tmp, ignore_errors=True)
-    _sh.rmtree(old, ignore_errors=True)
-    lr.write.mode("overwrite").parquet(os.path.join(tmp, "ratio"))
-    n = raw.sparkSession.read.parquet(os.path.join(tmp, "ratio")).count()
+    spark = raw.sparkSession
     meta = {
         "buckets": int(buckets),
         "smoothing": float(smoothing),
         "salt": salt,
-        "n_ratio_rows": int(n),
         # the bucket hash the model was built with — a scorer whose
         # kernel computes a different hash family must refuse the
         # artifact rather than score against mismatched buckets (r13
@@ -553,24 +599,75 @@ def write_dsir_ratio_artifact(
         # the vectorised numpy fast mode) compute exactly this hash.
         "hash": "md5-60bit",
     }
-    import json as _json
 
-    with open(os.path.join(tmp, "meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    def _fill(dest: str, write_meta) -> dict:
+        lr.write.mode("overwrite").parquet(dest + "/ratio")
+        n = spark.read.parquet(dest + "/ratio").count()
+        full = dict(meta, n_ratio_rows=int(n))
+        write_meta(dest + "/meta.json", _json.dumps(full).encode())
+        return full
+
+    if versioned:
+        from ..sources.artifacts import (
+            _write_small_file,
+            publish_artifact_version,
+        )
+
+        out: dict = {}
+        publish_artifact_version(
+            spark, path,
+            lambda vdir: out.update(
+                _fill(vdir, lambda p, b: _write_small_file(spark, p, b))
+            ),
+        )
+        return out
+
+    tmp = path + ".swap-new"
+    old = path + ".swap-old"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+
+    def _local_meta(p: str, data: bytes) -> None:
+        with open(p, "wb") as fh:
+            fh.write(data)
+
+    full = _fill(tmp, _local_meta)
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(tmp, path)
     _sh.rmtree(old, ignore_errors=True)
-    return meta
+    return full
 
 
 def load_dsir_ratio(spark, path: str) -> tuple[dict, dict]:
     """(bucket -> lr_pico dict, meta) from a ratio artifact — the
     driver-side frozen model a stateless scorer closes over (≤ the
     configured bucket count of (int, int) pairs, the same size class
-    ``decontaminated_stream`` collects)."""
+    ``decontaminated_stream`` collects). Resolves the ``_CURRENT``
+    pointer when the artifact is versioned (object-store layout) —
+    ONCE, here at stream construction, so a concurrent refresh never
+    tears a running scorer."""
     import json as _json
 
+    from ..sources.artifacts import (
+        current_artifact_dir,
+        current_artifact_version,
+        read_small_file,
+    )
+
+    if current_artifact_version(spark, path) is not None:
+        vdir = current_artifact_dir(spark, path)
+        meta = _json.loads(read_small_file(spark, vdir + "/meta.json"))
+        rows = spark.read.parquet(vdir + "/ratio").collect()
+        table = {int(r["bucket"]): int(r["lr_pico"]) for r in rows}
+        if len(table) != meta.get("n_ratio_rows", len(table)):
+            raise ValueError(
+                f"DSIR ratio artifact {vdir!r} is inconsistent: meta pins "
+                f"{meta.get('n_ratio_rows')} rows, table has {len(table)}"
+            )
+        return table, meta
     with open(os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
     rows = spark.read.parquet(os.path.join(path, "ratio")).collect()

@@ -248,8 +248,18 @@ def test_dsir_ratio_artifact_roundtrip_and_swap(spark, tmp_path):
     assert not _os.path.exists(path + ".swap-new")
     assert not _os.path.exists(path + ".swap-old")
 
-    with _pytest.raises(NotImplementedError, match="local-fs"):
-        write_dsir_ratio_artifact(docs, t1, "s3a://bucket/ratio")
+    # r14 (verdict r13 #3): a ``://`` path no longer refuses — it
+    # auto-routes to the VERSIONED pointer layout (rename-free, object-
+    # store-capable; file:// drives the same Hadoop FS code path here)
+    from tern_ep_data_pipeline_spark.sources.artifacts import (
+        current_artifact_version,
+    )
+
+    uri = "file://" + str(tmp_path / "ratio_uri")
+    write_dsir_ratio_artifact(docs, t1, uri, buckets=512)
+    assert current_artifact_version(spark, uri) == 1
+    t_uri, _ = load_dsir_ratio(spark, uri)
+    assert t_uri == table
 
 
 def test_dsir_stream_scoring_matches_batch(spark, tmp_path):
