@@ -704,15 +704,17 @@ class _DsirFastScorer:
       int64 (exact — float accumulators would break the integer-equal
       parity pin past 2^53).
 
-    Steady state (vocabulary saturated — the long-running-stream shape
-    that matters at 100 TB) measures ~1.8x the portable kernel on a
-    heavy-tailed 200k-token corpus and ~34k docs/s/core; COLD batches
-    are ~0.6x portable while the pair table fills (measured, recorded
-    in the round bench artifact) — the crossover is a few batches in.
-    State is per-worker and capped: past ``max_vocab`` entries the
-    tables stop growing and later misses re-hash per batch (graceful,
-    never wrong); the portable twin's string-keyed memo grows without
-    bound, so the cap is strictly tighter than the r13 behaviour.
+    Measured (BLOOM_r14 dsir_scorer cells, end-to-end mapInPandas at
+    local[32]): 1.46x the portable twin on the 50k-doc scale corpus
+    (34.9k vs 23.8k docs/s); 1.13x on a heavy-tailed zipf 200k-vocab
+    draw where per-task partitions are small enough that most grams
+    are task-cold (in-process, the warm kernel is ~1.8x and a COLD
+    all-new-gram batch ~0.6x — the crossover is within a task's first
+    few thousand docs). State is per-TASK (an Arrow iterator closure)
+    and capped: past ``max_vocab`` entries the tables stop growing and
+    later misses re-hash per batch (graceful, never wrong); the
+    portable twin's string-keyed memo grows without bound, so the cap
+    is strictly tighter than the r13 behaviour.
     """
 
     MAX_VOCAB = 8_000_000
