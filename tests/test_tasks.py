@@ -51,9 +51,16 @@ def test_unknown_task_raises(spark):
 
 
 def test_builtin_tasks_register_and_run(spark, tmp_path, monkeypatch):
-    import tern_ep_data_pipeline_spark.tasks_builtin  # noqa: F401
+    # reload, not import: any earlier test importing tasks_builtin
+    # (test_artifacts does) leaves it in sys.modules, and the autouse
+    # registry clear would otherwise make a plain import a no-op here
+    import importlib
+
+    import tern_ep_data_pipeline_spark.tasks_builtin as builtin_mod
     from tern_ep_data_pipeline_spark import tasks as task_mod
     from tern_ep_data_pipeline_spark.__main__ import main
+
+    importlib.reload(builtin_mod)
 
     names = task_mod.registered_tasks()
     assert {"construct_l1", "construct_status_products", "parse_fast_data"} <= set(names)
