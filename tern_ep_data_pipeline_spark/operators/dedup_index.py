@@ -135,6 +135,7 @@ def match_against_index(
     max_bucket: int | None = 100_000,
     cap_stats: dict | None = None,
     bloom_fpp: float | None = None,
+    index_prune: str = "auto",
 ) -> DataFrame:
     """Classify a new batch against the index AND against itself.
 
@@ -167,14 +168,40 @@ def match_against_index(
     plan equal the default path exactly. Wide-payload indexes that DO
     pre-aggregate get the key-only two-phase probe instead
     (``bloom.WIDE_PAYLOAD_BYTES``).
+
+    ``index_prune='auto'`` (r14) additionally rescues the PAST-
+    BROADCAST-THRESHOLD regime, where the joins would shuffle the
+    corpus-sized index per batch — see :func:`_match_frames`.
     """
     ex_idx = spark.read.parquet(os.path.join(path, "exact"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
     return _match_frames(
         new_docs, ex_idx, band_idx, id_col, text_col, n, num_hashes,
         bands, hash_mode, min_band_matches, min_est_jaccard, max_bucket,
-        cap_stats, bloom_fpp,
+        cap_stats, bloom_fpp, index_prune,
     )
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int | None:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (handles the
+    '10MB' spelling); None when unreadable. -1 (broadcast disabled)
+    comes through as -1 — which correctly makes EVERY estimated index
+    'past the threshold' for the regime gate below."""
+    try:
+        v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        jvm = spark.sparkContext._jvm
+        return int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        )
+    except Exception:
+        return None
 
 
 def _match_frames(
@@ -192,6 +219,7 @@ def _match_frames(
     max_bucket: int | None,
     cap_stats: dict | None = None,
     bloom_fpp: float | None = None,
+    index_prune: str = "auto",
 ) -> DataFrame:
     """Layout-independent core of :func:`match_against_index`: the index
     arrives as two frames (parquet-dir scan or bucketed-table scan — the
@@ -205,7 +233,25 @@ def _match_frames(
     (BLOOM_r12 match cell: 6.0→8.5 s wall, shuffle UP 3.2→12.6 MB).
     The decline is published as SparkContext local property
     ``tern.bloom_prune.match`` for sinks and benches to record, and the
-    plan is EXACTLY the default path's."""
+    plan is EXACTLY the default path's.
+
+    ``index_prune`` (r14) is a DIFFERENT, regime-gated optimisation the
+    r12 measurement does not cover: past the broadcast threshold the
+    batch-keyed joins stop streaming the index through a broadcast
+    probe and SHUFFLE the corpus-sized index per batch instead
+    (measured: 223 MB/batch at a 150k-doc index, BLOOM_r14
+    match_sink_cells — the r12 cell ran in the broadcast regime where
+    there was nothing to save). ``'auto'`` engages an EXACT broadcast
+    left-semi prune of both index frames by the batch's own keys
+    (content hashes / (band, bh) — always O(batch), always
+    broadcastable) when Catalyst's index estimate exceeds the session's
+    autoBroadcastJoinThreshold; the prune is map-side, so the
+    downstream joins shuffle O(batch) survivors instead of the index.
+    Decision-identical by construction: a left-semi on the join keys
+    keeps every row that could join. ``'off'`` (the bucketed layout)
+    skips it — a bucketed scan never shuffles index-side, so there is
+    no regime to rescue. The route lands on local property
+    ``tern.match_prune``."""
     if bloom_fpp is not None:
         new_docs.sparkSession.sparkContext.setLocalProperty(
             "tern.bloom_prune.match", "declined-no-index-preagg"
@@ -226,7 +272,26 @@ def _match_frames(
             stacklevel=3,
         )
         bloom_fpp = None
+    spark = new_docs.sparkSession
+    prune = False
+    if index_prune == "auto":
+        from .memguard import plan_size_estimate
+
+        est = plan_size_estimate(band_idx)
+        thr = _broadcast_threshold_bytes(spark)
+        prune = est is not None and thr is not None and est > thr
+    elif index_prune not in ("off",):
+        raise ValueError(f"unknown index_prune {index_prune!r}")
+    spark.sparkContext.setLocalProperty(
+        "tern.match_prune", "semi" if prune else "direct"
+    )
     new_exact = _exact_table(new_docs, id_col, text_col)
+    if prune:
+        ex_idx = ex_idx.join(
+            F.broadcast(new_exact.select("content_hash").dropDuplicates()),
+            on="content_hash",
+            how="left_semi",
+        )
     exact_hits = (
         new_exact.join(
             ex_idx.select("content_hash", F.col("doc_id").alias("match_id")),
@@ -251,6 +316,15 @@ def _match_frames(
     new_bands = _band_table(
         canon_docs, id_col, text_col, n, num_hashes, bands, hash_mode
     )
+    if prune:
+        # second evaluation of the batch signatures (the key frame) —
+        # the staging cost the r12 cell measured; here it buys dropping
+        # the O(index) shuffle, which is why the gate exists
+        band_idx = band_idx.join(
+            F.broadcast(new_bands.select("band", "bh").dropDuplicates()),
+            on=["band", "bh"],
+            how="left_semi",
+        )
     cand = (
         new_bands.join(
             band_idx.select(
@@ -2728,14 +2802,16 @@ def match_against_index_bucketed(
     """Bucketed-table twin of :func:`match_against_index` — identical
     classification, but both batch-vs-index joins consume the bucketed
     scans' hash distribution instead of shuffling the index per batch
-    (``bloom_fpp``: see :func:`match_against_index`)."""
+    (``bloom_fpp``: see :func:`match_against_index`; the r14 regime
+    prune stays OFF here — a bucketed scan never shuffles index-side,
+    so there is no broadcast-threshold regime to rescue)."""
     return _match_frames(
         new_docs,
         spark.table(table_prefix + "_exact"),
         spark.table(table_prefix + "_bands"),
         id_col, text_col, n, num_hashes, bands, hash_mode,
         min_band_matches, min_est_jaccard, max_bucket, cap_stats,
-        bloom_fpp,
+        bloom_fpp, index_prune="off",
     )
 
 

@@ -374,16 +374,25 @@ def match_dedup_batch(
         # against its own fresh rows and silently append zero rows
         # (table scans re-resolve at action time; the parquet-dir read
         # only dodges this because spark.read.parquet pins its file
-        # listing eagerly).
+        # listing eagerly). The anti-joins' RIGHT sides are first
+        # broadcast-SEMI-pruned by the batch's ids: an anti-join match
+        # can only carry an id present in the batch, so the prune is
+        # decision-identical, and it keeps the right side O(batch) —
+        # broadcastable — instead of shuffling a corpus-sized id column
+        # per batch once the index outgrows the broadcast threshold
+        # (the regime BLOOM_r14 measured on the classifier joins).
+        fresh_ids = F.broadcast(fresh.select(id_col))
+        ex_ids = ex_idx.select(F.col("doc_id").alias(id_col)).join(
+            fresh_ids, on=id_col, how="left_semi"
+        )
+        bd_ids = bd_idx.select(F.col("doc_id").alias(id_col)).join(
+            fresh_ids, on=id_col, how="left_semi"
+        )
         new_exact = fresh.join(
-            ex_idx.select(F.col("doc_id").alias(id_col)),
-            on=id_col,
-            how="left_anti",
+            ex_ids, on=id_col, how="left_anti"
         ).localCheckpoint()
         new_bands = fresh.join(
-            bd_idx.select(F.col("doc_id").alias(id_col)),
-            on=id_col,
-            how="left_anti",
+            bd_ids, on=id_col, how="left_anti"
         ).localCheckpoint()
         if index_table is not None:
             append_exact_to_index_bucketed(

@@ -483,3 +483,68 @@ def test_two_phase_declines_oversized_broadcast(spark, monkeypatch):
     assert {r["k"] for r in keys.collect()} <= {
         r["k"] for r in small.select("k").collect()
     }
+
+
+def test_match_index_semi_prune_regime_gate(spark, tmp_path):
+    """r14: past the broadcast threshold the match joins would shuffle
+    the corpus-sized index per batch (BLOOM_r14 measured 223 MB/batch
+    at a 150k-doc index); index_prune='auto' then broadcast-semi-prunes
+    both index frames by the batch's own keys — decision-identical,
+    map-side, O(batch) survivors. Below the threshold the gate stays
+    direct and the plan is the untouched default."""
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    path = str(tmp_path / "pidx")
+    di.build_dedup_index(corpus, path, num_hashes=16, bands=8)
+    batch = _batch(spark, rows)
+    sc = spark.sparkContext
+
+    # small index, default threshold -> direct, same plan as prune-off
+    direct = di.match_against_index(spark, batch, path, num_hashes=16, bands=8)
+    got_direct = _sorted_rows(direct)
+    assert sc.getLocalProperty("tern.match_prune") == "direct"
+    off = di.match_against_index(
+        spark, batch, path, num_hashes=16, bands=8, index_prune="off"
+    )
+    import re as _re
+
+    strip = lambda s: _re.sub(r"#\d+L?|_\d+", "#", s)
+    assert strip(direct._jdf.queryExecution().optimizedPlan().toString()) == \
+        strip(off._jdf.queryExecution().optimizedPlan().toString())
+
+    # force the shuffle regime: threshold below the index estimate
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        pruned = di.match_against_index(
+            spark, batch, path, num_hashes=16, bands=8
+        )
+        got_pruned = _sorted_rows(pruned)
+        assert sc.getLocalProperty("tern.match_prune") == "semi"
+        plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan  # the prune is in the plan
+        assert got_pruned == got_direct  # decisions identical
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    with pytest.raises(ValueError, match="unknown index_prune"):
+        di.match_against_index(
+            spark, batch, path, num_hashes=16, bands=8, index_prune="maybe"
+        )
+
+    # the bucketed twin keeps the prune off (no index-side shuffle to
+    # rescue) and still classifies identically
+    di.build_dedup_index_bucketed(corpus, "prune_gate_bkt", num_hashes=16,
+                                  bands=8, n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        bkt = di.match_against_index_bucketed(
+            spark, batch, "prune_gate_bkt", num_hashes=16, bands=8
+        )
+        got_bkt = _sorted_rows(bkt)
+        assert sc.getLocalProperty("tern.match_prune") == "direct"
+        assert got_bkt == got_direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS prune_gate_bkt_exact")
+        spark.sql("DROP TABLE IF EXISTS prune_gate_bkt_bands")

@@ -331,12 +331,21 @@ def test_dsir_stream_scoring_matches_batch(spark, tmp_path):
     }
 
 
-def test_dsir_sink_kill_restart_exactly_once(spark, tmp_path, monkeypatch):
+import pytest as _pytest_mod
+
+
+@_pytest_mod.mark.parametrize("layout", ["flat", "versioned"])
+def test_dsir_sink_kill_restart_exactly_once(
+    spark, tmp_path, monkeypatch, layout
+):
     """r12 verdict #4's contract: kill the scoring stream mid-run (one
     committed batch), restart from the SAME checkpoint, and the output
     equals a crash-free twin — every doc scored once, identical
     weights, a retried batch replaces its own partition. Scores come
-    from the frozen artifact both before and after the restart."""
+    from the frozen artifact both before and after the restart — on
+    the flat local-swap layout AND the r14 versioned pointer layout
+    (the restart re-resolves _CURRENT; unchanged artifact -> identical
+    re-scores, the object-store story's exactly-once leg)."""
     import glob as globmod
 
     import pytest as _pytest
@@ -345,7 +354,11 @@ def test_dsir_sink_kill_restart_exactly_once(spark, tmp_path, monkeypatch):
 
     docs = _varied_corpus(spark, n=12)
     target = docs.where("doc_id % 2 = 0")
-    ratio = str(tmp_path / "ratio_kr")
+    ratio = (
+        "file://" + str(tmp_path / "ratio_kr")
+        if layout == "versioned"
+        else str(tmp_path / "ratio_kr")
+    )
     sc.write_dsir_ratio_artifact(docs, target, ratio, buckets=256)
 
     rows = docs.collect()
