@@ -122,7 +122,18 @@ def publish_artifact_version(spark, base: str, writer, keep: int = 2) -> int:
     if keep < 1:
         raise ValueError("keep must be >= 1 (the live version)")
     base = base.rstrip("/")
-    with index_lease(base + "/" + _POINTER, "publish"):
+    # the lease keys on a LOCAL path: a file:// URI must not slip
+    # through index_lease's "://" no-op (two local publishers would
+    # race to the same version number); true object-store schemes
+    # still no-op — there, refresh cadence is one scheduled task per
+    # artifact by construction (the bucketed-table layout's stance)
+    fs, jvm = _fs(spark, base)
+    juri = jvm.org.apache.hadoop.fs.Path(base).toUri()
+    scheme = juri.getScheme()
+    lease_key = (
+        (juri.getPath() or base) if scheme in (None, "file") else base
+    ) + "/" + _POINTER
+    with index_lease(lease_key, "publish"):
         cur = current_artifact_version(spark, base)
         nxt = (cur or 0) + 1
         vdir = f"{base}/v={nxt}"

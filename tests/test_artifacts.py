@@ -234,3 +234,48 @@ def test_refresh_quality_model_task(spark, tmp_path, monkeypatch):
     results = task_mod.run_task(spark, "refresh_quality_model", matrix)
     assert results[0].ok and results[0].result["version"] == 2
     assert load_quality_model(qm_dir, spark=spark) == w1  # same inputs
+
+
+def test_concurrent_publishers_serialise(spark, tmp_path):
+    """Two threads publishing simultaneously on a local base must
+    serialise through the pointer lease: versions come out distinct and
+    sequential, the final pointer names a complete payload, and no
+    version dir is torn."""
+    import threading
+
+    base = _file_uri(tmp_path / "race")
+    results = []
+    errors = []
+
+    def writer_for(tag):
+        def w(vdir):
+            local = vdir[len("file://"):]
+            os.makedirs(local, exist_ok=True)
+            import time as _t
+
+            _t.sleep(0.2)  # widen the overlap window
+            with open(os.path.join(local, "p.json"), "w") as fh:
+                json.dump({"tag": tag}, fh)
+        return w
+
+    def run(tag):
+        try:
+            results.append(
+                (tag, publish_artifact_version(spark, base, writer_for(tag)))
+            )
+        except Exception as exc:  # surface, don't swallow
+            errors.append((tag, repr(exc)))
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert sorted(v for _, v in results) == [1, 2]
+    assert current_artifact_version(spark, base) == 2
+    live = json.loads(
+        read_small_file(spark, current_artifact_dir(spark, base) + "/p.json")
+    )
+    winner = next(tag for tag, v in results if v == 2)
+    assert live == {"tag": winner}

@@ -644,3 +644,29 @@ def test_dsir_fast_scorer_cap_path_parity():
         assert capped.score(s).tolist() == exp
     assert len(capped.code2tok) <= 50
     assert len(free.code2tok) > 50  # the cap actually bit
+
+
+def test_md5np_hypothesis_property():
+    """Property pin for the vectorised MD5: byte-equality with hashlib
+    over arbitrary byte strings (any length — exercises both the
+    single-block kernel and the hashlib fallback) and arbitrary batch
+    compositions (mixed lengths in one call)."""
+    import hashlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tern_ep_data_pipeline_spark.operators.md5np import md5_hex60
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=120), max_size=40))
+    def check(msgs):
+        got = md5_hex60(msgs)
+        exp = np.array(
+            [int(hashlib.md5(m).hexdigest()[:15], 16) for m in msgs],
+            dtype=np.int64,
+        )
+        assert got.shape == exp.shape and (got == exp).all()
+
+    check()
