@@ -670,3 +670,26 @@ def test_md5np_hypothesis_property():
         assert got.shape == exp.shape and (got == exp).all()
 
     check()
+
+
+def test_dsir_fast_scorer_partitioning_invariant(spark, tmp_path):
+    """The fast kernel's per-task state (stable codes, pair tables,
+    memos) is pure CACHING — scores are a per-document function, so any
+    partitioning must produce integer-identical results (the
+    test_determinism contract applied to the scorer)."""
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        dsir_scored_stream,
+        write_dsir_ratio_artifact,
+    )
+
+    docs = _varied_corpus(spark, n=40)
+    path = str(tmp_path / "ratio_part")
+    write_dsir_ratio_artifact(docs, docs.where("doc_id % 2 = 0"), path,
+                              buckets=256)
+    layouts = [docs.coalesce(1), docs.repartition(7), docs.repartition(13)]
+    outs = [
+        {r["doc_id"]: r["logweight_micro"]
+         for r in dsir_scored_stream(df, path).collect()}
+        for df in layouts
+    ]
+    assert outs[0] == outs[1] == outs[2]
