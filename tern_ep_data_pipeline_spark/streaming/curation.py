@@ -656,8 +656,13 @@ def load_dsir_ratio(spark, path: str) -> tuple[dict, dict]:
     configured bucket count of (int, int) pairs, the same size class
     ``decontaminated_stream`` collects). Resolves the ``_CURRENT``
     pointer when the artifact is versioned (object-store layout) —
-    ONCE, here at stream construction, so a concurrent refresh never
-    tears a running scorer."""
+    ONCE, here at stream construction. After this returns, the model is
+    FULLY driver-resident (the whole table collects here), so even a
+    long-running stream outliving many refreshes cannot be torn when
+    its resolved version dir is eventually pruned: version retention
+    (``keep``) only needs to cover the construction window itself, and
+    keep=2 guarantees the version a just-read pointer names survives
+    until the NEXT publish."""
     import json as _json
 
     from ..sources.artifacts import (
