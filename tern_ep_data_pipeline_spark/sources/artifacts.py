@@ -101,6 +101,7 @@ def current_artifact_version(spark, base: str) -> int | None:
         return None
     return int(read_small_file(spark, ptr).decode().strip())
 
+
 def current_artifact_dir(spark, base: str) -> str:
     """The live version's payload directory; raises when unpublished."""
     v = current_artifact_version(spark, base)

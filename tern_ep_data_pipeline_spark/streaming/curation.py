@@ -729,9 +729,16 @@ class _DsirFastScorer:
     later misses re-hash per batch (graceful, never wrong); the
     portable twin's string-keyed memo grows without bound, so the cap
     is strictly tighter than the r13 behaviour.
+
+    The default cap sizes for many concurrent tasks per executor: 2M
+    token entries cost ~100-200 MB (Python string + pandas Index
+    overhead dominates) and 2M pair keys 32 MB (two int64 arrays), so
+    a 4-8 task executor stays under ~1 GB of scorer state; the cap
+    also bounds the per-batch merge sort of the pair table. Raise it
+    for wide-memory single-task readers, not as a default.
     """
 
-    MAX_VOCAB = 8_000_000
+    MAX_VOCAB = 2_000_000
 
     def __init__(self, table: dict, prefix: bytes, buckets: int,
                  max_vocab: int | None = None):
