@@ -1086,7 +1086,7 @@ def span_dedup_batch(
     memory_guard: bool = True,
     index_table: str | None = None,
     n_buckets: int = 32,
-    bloom_fpp: float | None = None,
+    bloom_fpp: float | str | None = None,
 ) -> DataFrame:
     """One micro-batch of incremental ExactSubstr span dedup: clean the
     batch against the gram index, then append the batch's ORIGINAL grams.
@@ -1171,7 +1171,7 @@ def _span_dedup_batch_impl(
     memory_guard: bool,
     index_table: str | None,
     n_buckets: int,
-    bloom_fpp: float | None = None,
+    bloom_fpp: float | str | None = None,
 ) -> DataFrame:
     from ..operators.dedup import release_staged, substring_dedup
     from ..operators.dedup_index import (
@@ -1214,6 +1214,35 @@ def _span_dedup_batch_impl(
             if os.path.isdir(gp) and _read_layout(gp).get("range_partitions"):
                 _recover_gram_partitions(gp)
         have_index = _dir_exists(spark, f"{index_path}/grams")
+    if bloom_fpp == "auto":
+        # regime gate (r14, the match classifier's index_prune rule
+        # applied to the gram consumer): engage the measured default
+        # prune only when the index is past the session's broadcast
+        # threshold — the regime where the pre-join O(index)
+        # aggregation shuffle dominates (BLOOM_r12/r13 sink cells:
+        # 108x/343x per-batch shuffle reduction at sf3/sf10 with the
+        # prune ON); below it the direct plan is the measured winner
+        # (the prune would pay staging for nothing). Decisions are
+        # pinned identical either way (test_bloom_prefilter), so the
+        # gate only picks between two verified plans.
+        from ..operators.dedup_index import _broadcast_threshold_bytes
+
+        thr = _broadcast_threshold_bytes(spark)
+        if not have_index or thr is None:
+            bloom_fpp = None
+        else:
+            idx_b = (
+                _table_bytes(spark, index_table)
+                if index_table is not None
+                else _dir_bytes(spark, f"{index_path}/grams")
+            )
+            bloom_fpp = 0.01 if idx_b > max(thr, 0) else None
+        spark.sparkContext.setLocalProperty(
+            "tern.span_dedup.bloom",
+            "auto:on" if bloom_fpp is not None else "auto:off",
+        )
+    elif isinstance(bloom_fpp, str):
+        raise ValueError(f"unknown bloom_fpp {bloom_fpp!r} (use 'auto')")
     # decidability FIRST: on a cluster without executor mem/core confs the
     # floor model can never fire, and the batch-bytes aggregate below is a
     # full extra scan of the micro-batch — don't pay it for a no-op check
@@ -1316,7 +1345,7 @@ def span_deduped_stream_sink(
     memory_guard: bool = True,
     index_table: str | None = None,
     n_buckets: int = 32,
-    bloom_fpp: float | None = None,
+    bloom_fpp: float | str | None = "auto",
 ):
     """Streaming ExactSubstr span dedup via ``foreachBatch``: each
     micro-batch is cleaned against the gram index, lands as parquet, and
@@ -1353,11 +1382,14 @@ def span_deduped_stream_sink(
     ``bloom_fpp`` turns on the batch-keyed Bloom prefilter on the
     per-batch index scan (``dedup_index.clean_against_gram_index``
     docs): decisions are bit-identical, the index-side pre-join
-    aggregation shrinks to ~O(batch). The right setting once the corpus
-    dwarfs a micro-batch; leave ``None`` while the index is young — the
-    filter costs one extra O(batch) gram pass plus an Arrow pass over
-    the index scan, which only pays once the index aggregation
-    dominates.
+    aggregation shrinks to ~O(batch). The prune pays once the corpus
+    dwarfs a micro-batch and costs staging while the index is young, so
+    the default is ``"auto"`` (r14): each batch engages fpp 0.01 only
+    once the index's on-disk bytes exceed the session's broadcast
+    threshold — the exact regime where the O(index) aggregation shuffle
+    starts dominating (BLOOM_r12/r13 sink cells measured both sides) —
+    and records the choice on the ``tern.span_dedup.bloom`` local
+    property. Pass a float to force, ``None`` to disable.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
