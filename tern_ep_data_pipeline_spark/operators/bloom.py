@@ -414,6 +414,14 @@ def prune_index_by_keys(
     harmless on both paths.
     """
     keys = keys_frame.select(*key_cols)
+    # the two-phase route marker is written UNCONDITIONALLY at entry
+    # (ADVICE r14): a narrow-payload call that never reaches the
+    # wide-payload branch must not leave a previous call's
+    # 'broadcast'/'declined' value readable, or benches/sinks sampling
+    # the property after a mixed call sequence record a stale route
+    index_frame.sparkSession.sparkContext.setLocalProperty(
+        "tern.bloom_prune.two_phase", "direct-narrow-payload"
+    )
     est = size_hint
     if est is None:
         from .memguard import plan_size_estimate

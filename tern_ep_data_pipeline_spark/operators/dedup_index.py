@@ -31,6 +31,7 @@ import json
 import os
 import re
 import shutil
+import socket
 import threading
 import time
 
@@ -1207,6 +1208,12 @@ class IndexLockError(RuntimeError):
     """An index-table lease is held by another live process."""
 
 
+#: This process's hostname, stamped into lease payloads so waiters on a
+#: SHARED filesystem can tell a foreign-host holder (whose pid they
+#: cannot liveness-probe) from a local one (ADVICE r14).
+_HOSTNAME = socket.gethostname()
+
+
 #: Default seconds a lease acquisition polls before failing loudly.
 #: Appends ride out a long compaction; compactors ride out short appends.
 _LEASE_WAIT_S = 60.0
@@ -1299,6 +1306,13 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
     payload = json.dumps(
         {
             "pid": os.getpid(),
+            # pid liveness (os.kill(pid, 0)) is HOST-LOCAL: on a shared
+            # filesystem a waiter on another machine cannot probe this
+            # holder. The hostname in the payload lets a foreign-host
+            # waiter recognise that and stay conservative (never
+            # reclaim) instead of misreading ESRCH as a dead holder
+            # (ADVICE r14)
+            "host": _HOSTNAME,
             "role": role,
             "ts": time.time(),
             # thread id + sequence: distinguishes two acquisitions from
@@ -1337,12 +1351,20 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
             alive = True
             if readable and pid is not None:
                 unreadable_since = None
-                try:
-                    os.kill(int(pid), 0)
-                except (ProcessLookupError, ValueError):
-                    alive = False  # dead or malformed pid — stale lease
-                except OSError:
-                    alive = True  # EPERM: the holder exists, just not ours
+                lock_host = holder.get("host")
+                if lock_host is not None and lock_host != _HOSTNAME:
+                    # foreign-host holder on a shared filesystem: its
+                    # pid cannot be probed from here — NEVER reclaim,
+                    # ride the wait and fail loudly instead (ADVICE
+                    # r14; the timeout message names the host)
+                    alive = True
+                else:
+                    try:
+                        os.kill(int(pid), 0)
+                    except (ProcessLookupError, ValueError):
+                        alive = False  # dead or malformed pid — stale
+                    except OSError:
+                        alive = True  # EPERM: holder exists, not ours
             else:  # contentless or pid-less lock
                 now = time.monotonic()
                 if unreadable_since is None:
@@ -1404,12 +1426,24 @@ def index_lease(path: str, role: str, wait_s: float | None = None):
                     unreadable_since = None
                 continue
             if time.monotonic() >= deadline:
+                foreign = (
+                    holder.get("host") not in (None, _HOSTNAME)
+                    if holder
+                    else False
+                )
                 raise IndexLockError(
                     f"index lease {lock!r} held by {holder or 'unknown'} "
                     f"(waited {wait_s:.0f}s). A compaction and a writer "
                     "cannot touch the same index table concurrently — "
                     "stop one, or remove the lock file if its holder is "
                     "known dead."
+                    + (
+                        f" The holder is on host {holder.get('host')!r} "
+                        "(liveness cannot be probed from here — verify "
+                        "on that machine before removing)."
+                        if foreign
+                        else ""
+                    )
                 ) from None
             time.sleep(0.1)
         held.add(key)
@@ -2529,14 +2563,20 @@ def _table_lease(
                     f"live pid {pid}: an old writer keyed on the raw table "
                     f"spelling is active on {table!r} and the normalised "
                     "lock cannot exclude it — upgrade or stop that writer "
-                    "before touching this table"
+                    "before touching this table. (Liveness is probed "
+                    "HOST-LOCALLY: on a shared filesystem this pid may "
+                    "belong to an unrelated local process while the real "
+                    "holder ran elsewhere — check before removing.)"
                 )
             import warnings
 
             warnings.warn(
                 f"stale legacy (pre-r12) lock {legacy + '.lock'!r} found "
                 f"(holder pid {pid} is dead): this table was written by an "
-                "old fleet — remove the file once no pre-r12 writers remain",
+                "old fleet — remove the file once no pre-r12 writers remain."
+                " (Dead-by-local-probe: on a shared filesystem a live "
+                "pre-r12 writer on ANOTHER machine looks identical — "
+                "confirm fleet-wide before trusting this verdict.)",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -2546,7 +2586,18 @@ def _table_lease(
 def _lock_holder(lock_file: str) -> tuple[int | None, bool] | None:
     """(holder pid, alive?) for an existing lock file, None when the
     file is absent. An unreadable/contentless lock reports (None,
-    False) — old layouts wrote the payload non-atomically."""
+    False) — old layouts wrote the payload non-atomically.
+
+    HOST-LOCAL limitation (ADVICE r14): ``os.kill(pid, 0)`` can only
+    probe pids of THIS machine. A payload that names a different
+    hostname (written by a post-r14 writer on another machine sharing
+    the filesystem) therefore reports alive=True unconditionally — the
+    conservative reading, since a live foreign writer misread as dead
+    would defeat the mixed-version detection in :func:`_table_lease`.
+    Payloads WITHOUT a host field (pre-r15 writers) are probed locally
+    as before; on a shared filesystem that probe can misread a live
+    foreign pre-r15 writer as dead (ESRCH) or an unrelated local pid
+    as the holder — callers' messages note this residual ambiguity."""
     try:
         with open(lock_file) as fh:
             payload = json.load(fh)
@@ -2555,6 +2606,9 @@ def _lock_holder(lock_file: str) -> tuple[int | None, bool] | None:
         return None
     except Exception:
         return (None, False)
+    host = payload.get("host")
+    if host is not None and host != _HOSTNAME:
+        return (pid, True)  # foreign host: cannot probe — assume live
     try:
         os.kill(pid, 0)
         return (pid, True)

@@ -740,6 +740,18 @@ class _DsirFastScorer:
 
     MAX_VOCAB = 2_000_000
 
+    #: Per-doc |pico sum| past which the vectorised int64 segment sums
+    #: (np.add.reduceat) and the 2*|s| micro conversion could WRAP
+    #: silently, while the portable twin's Python ints would not — a
+    #: fast/portable parity break on pathologically long documents
+    #: (ADVICE r14; |sum| near 2^63 is reachable at the 1<<24
+    #: max-doc-token scale with large ratios). Docs whose worst-case
+    #: bound (2 * ntoks * max|lr_pico|, unigrams + bigrams) exceeds
+    #: this route through :meth:`_score_doc_pyint` instead — identical
+    #: semantics in arbitrary-precision Python ints. 2^61 leaves the
+    #: micro conversion's 2*|s| + 1e6 comfortably inside int64.
+    OVERFLOW_GUARD_PICO = 1 << 61
+
     def __init__(self, table: dict, prefix: bytes, buckets: int,
                  max_vocab: int | None = None):
         import numpy as np
@@ -750,6 +762,9 @@ class _DsirFastScorer:
         self.prefix = prefix
         self.buckets = buckets
         self.max_vocab = self.MAX_VOCAB if max_vocab is None else max_vocab
+        self.max_abs_pico = max(
+            (abs(int(v)) for v in table.values()), default=0
+        )
         self.tok_index = pd.Index([], dtype=object)
         self.code2tok: list = []
         self.lr_tok = np.empty(0, dtype=np.int64)
@@ -769,6 +784,45 @@ class _DsirFastScorer:
             (self.table.get(int(b), 0) for b in bks), np.int64, len(bks)
         )
 
+    def _score_doc_pyint(self, text: str) -> int:
+        """Arbitrary-precision twin for one OVERFLOW-RISKY document —
+        the portable kernel's exact per-token loop (hashlib md5, dict
+        walk, Python-int accumulation), so parity with the portable
+        mode holds by construction where int64 cannot be trusted."""
+        import hashlib
+
+        from ..operators.dedup import py_tokens
+
+        table, prefix, buckets = self.table, self.prefix, self.buckets
+        memo: dict[str, int] = {}
+
+        def bucket_of(g: str) -> int:
+            b = memo.get(g)
+            if b is None:
+                b = int(
+                    hashlib.md5(prefix + g.encode()).hexdigest()[:15], 16
+                ) % buckets
+                memo[g] = b
+            return b
+
+        s = 0
+        prev = None
+        for t in py_tokens(text):
+            lr = table.get(bucket_of(t))
+            if lr is not None:
+                s += lr
+            if prev is not None:
+                lr2 = table.get(bucket_of(prev + " " + t))
+                if lr2 is not None:
+                    s += lr2
+            prev = t
+        den = 1_000_000
+        return (
+            (2 * s + den) // (2 * den)
+            if s >= 0
+            else -((2 * (-s) + den) // (2 * den))
+        )
+
     def score(self, texts) -> "np.ndarray":  # noqa: F821
         from ..operators.dedup import py_tokens
 
@@ -778,6 +832,23 @@ class _DsirFastScorer:
         ntoks = np.fromiter(
             (len(t) for t in toks_per_doc), dtype=np.int64, count=nd
         )  # always >= 1: py_tokens("") == [""]
+        if self.max_abs_pico:
+            # int64 wrap guard (ADVICE r14): docs long enough that the
+            # worst-case |pico sum| could exceed OVERFLOW_GUARD_PICO
+            # leave the vectorised path for the Python-int twin. The
+            # bound is exact-conservative (every gram at max|lr|), so
+            # the reroute can only be too careful, never too late.
+            nt_limit = self.OVERFLOW_GUARD_PICO // (2 * self.max_abs_pico)
+            if int(ntoks.max()) > nt_limit:
+                risky = ntoks > nt_limit
+                tl = list(texts)
+                out = np.empty(nd, dtype=np.int64)
+                safe_idx = np.nonzero(~risky)[0]
+                if len(safe_idx):
+                    out[safe_idx] = self.score([tl[i] for i in safe_idx])
+                for i in np.nonzero(risky)[0]:
+                    out[i] = self._score_doc_pyint(tl[i])
+                return out
         total = int(ntoks.sum())
         flat = np.asarray(
             [t for ts in toks_per_doc for t in ts], dtype=object

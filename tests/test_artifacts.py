@@ -236,6 +236,93 @@ def test_refresh_quality_model_task(spark, tmp_path, monkeypatch):
     assert load_quality_model(qm_dir, spark=spark) == w1  # same inputs
 
 
+def test_fencing_one_winner_one_clean_abort(spark, tmp_path, monkeypatch):
+    """r14 verdict #4: with the lock-file lease DISABLED (the true
+    object-store regime, where index_lease no-ops), two racing
+    publishers must produce one winner and one CLEAN abort — never two
+    publishers both flipping the pointer onto a torn payload. The race
+    is staged deterministically: publisher A's writer runs publisher B
+    to completion mid-publish, so A's pre-flip fencing re-read finds
+    the pointer moved and aborts with nothing changed."""
+    import contextlib
+
+    from tern_ep_data_pipeline_spark.operators import dedup_index
+    from tern_ep_data_pipeline_spark.sources.artifacts import (
+        ArtifactPublishError,
+    )
+
+    monkeypatch.setattr(
+        dedup_index, "index_lease",
+        lambda *a, **k: contextlib.nullcontext(),
+    )
+    base = _file_uri(tmp_path / "fence")
+
+    def plain_writer(tag):
+        def w(vdir):
+            local = vdir[len("file://"):]
+            os.makedirs(local, exist_ok=True)
+            with open(os.path.join(local, "p.json"), "w") as fh:
+                json.dump({"tag": tag}, fh)
+        return w
+
+    def racing_writer(vdir):
+        plain_writer("loser")(vdir)
+        # competitor B starts AND finishes while A is mid-publish
+        publish_artifact_version(spark, base, plain_writer("winner"))
+
+    with pytest.raises(ArtifactPublishError, match="aborting cleanly"):
+        publish_artifact_version(spark, base, racing_writer)
+
+    # exactly one publication stands, intact, named by a fenced pointer
+    assert current_artifact_version(spark, base) == 1
+    live = current_artifact_dir(spark, base)  # token cross-check passes
+    assert json.loads(read_small_file(spark, live + "/p.json")) == {
+        "tag": "winner"
+    }
+
+
+def test_reader_detects_torn_publication(spark, tmp_path):
+    """A pointer whose fencing token disagrees with the version dir's
+    _PUBLISHER stake is a torn publication — resolution refuses loudly
+    instead of serving a hybrid payload."""
+    from tern_ep_data_pipeline_spark.sources.artifacts import (
+        ArtifactPublishError,
+    )
+
+    root = tmp_path / "torn"
+    (root / "v=1").mkdir(parents=True)
+    (root / "v=1" / "_PUBLISHER").write_text("tok-b")
+    (root / "_CURRENT").write_text("1 tok-a")
+    base = _file_uri(root)
+    assert current_artifact_version(spark, base) == 1  # version still reads
+    with pytest.raises(ArtifactPublishError, match="torn"):
+        current_artifact_dir(spark, base)
+
+
+def test_legacy_pointer_without_token_resolves_and_upgrades(spark, tmp_path):
+    """Pre-r15 pointers carry only the version number and version dirs
+    have no _PUBLISHER stake: resolution skips the fencing cross-check,
+    and the next publish on top writes the fenced format."""
+    root = tmp_path / "legacy"
+    (root / "v=3").mkdir(parents=True)
+    (root / "v=3" / "p.txt").write_text("old")
+    (root / "_CURRENT").write_text("3")
+    base = _file_uri(root)
+    assert current_artifact_version(spark, base) == 3
+    assert current_artifact_dir(spark, base).endswith("/v=3")
+
+    def w(vdir):
+        local = vdir[len("file://"):]
+        os.makedirs(local, exist_ok=True)
+        with open(os.path.join(local, "p.txt"), "w") as fh:
+            fh.write("new")
+
+    assert publish_artifact_version(spark, base, w) == 4
+    ptr = (root / "_CURRENT").read_text().split()
+    assert ptr[0] == "4" and len(ptr) == 2  # fenced format now
+    assert (root / "v=4" / "_PUBLISHER").read_text() == ptr[1]
+
+
 def test_concurrent_publishers_serialise(spark, tmp_path):
     """Two threads publishing simultaneously on a local base must
     serialise through the pointer lease: versions come out distinct and

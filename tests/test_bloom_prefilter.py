@@ -485,6 +485,36 @@ def test_two_phase_declines_oversized_broadcast(spark, monkeypatch):
     }
 
 
+def test_two_phase_property_resets_on_narrow_payload(spark):
+    """ADVICE r14: the tern.bloom_prune.two_phase local property is
+    written UNCONDITIONALLY at prune entry — a narrow-payload (direct)
+    call after a wide-payload one must not leave the previous call's
+    'broadcast'/'declined' value readable, or a bench sampling the
+    property after a mixed sequence records a stale route."""
+    sc = spark.sparkContext
+    wide = spark.range(100).selectExpr(
+        "id as k", "cast(repeat(cast(id as string), 40) as binary) as payload"
+    )
+    narrow = spark.range(100).selectExpr("id as k", "id * 2 as v")
+    keys = spark.range(0, 100, 7).select(F.col("id").alias("k"))
+
+    bloom.prune_index_by_keys(wide, ["k"], keys, strategy="bloom").count()
+    assert sc.getLocalProperty("tern.bloom_prune.two_phase") == "broadcast"
+
+    bloom.prune_index_by_keys(narrow, ["k"], keys, strategy="bloom").count()
+    assert (
+        sc.getLocalProperty("tern.bloom_prune.two_phase")
+        == "direct-narrow-payload"
+    ), "stale two-phase route survived a narrow-payload call"
+
+    # the semi strategy never consults the wide-payload branch either
+    bloom.prune_index_by_keys(wide, ["k"], keys, strategy="semi").count()
+    assert (
+        sc.getLocalProperty("tern.bloom_prune.two_phase")
+        == "direct-narrow-payload"
+    )
+
+
 def test_match_index_semi_prune_regime_gate(spark, tmp_path):
     """r14: past the broadcast threshold the match joins would shuffle
     the corpus-sized index per batch (BLOOM_r14 measured 223 MB/batch

@@ -2462,6 +2462,64 @@ def test_index_lease_excludes_compaction_from_live_writer(
     assert not os.path.exists(lock)  # released once, by the real holder
 
 
+def test_lease_foreign_host_lock_never_reclaimed(tmp_path, monkeypatch):
+    """ADVICE r14: pid liveness (os.kill(pid, 0)) is HOST-LOCAL — on a
+    shared filesystem a lock written by another machine must be treated
+    conservatively, not reclaimed because its pid happens to be dead
+    HERE. Post-r15 payloads carry the holder's hostname: a foreign-host
+    lock reads alive (never reclaimed; the timeout names the host), a
+    same-host dead-pid lock reclaims as before, and pre-r15 payloads
+    without a host field keep the local-probe behaviour."""
+    import json
+    import os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        IndexLockError,
+        _lock_holder,
+        index_lease,
+    )
+
+    gp = str(tmp_path / "tbl")
+    lock = gp + ".lock"
+    dead_pid = 2**22 + 54321
+
+    # foreign host + (locally) dead pid: reported ALIVE, never reclaimed
+    with open(lock, "w") as fh:
+        json.dump(
+            {"pid": dead_pid, "host": "some-other-executor", "role": "append"},
+            fh,
+        )
+    assert _lock_holder(lock) == (dead_pid, True)
+    with pytest.raises(IndexLockError, match="some-other-executor"):
+        with index_lease(gp, "compact", wait_s=0.3):
+            pass
+    assert os.path.exists(lock)  # the foreign lease was not stolen
+
+    # same host + dead pid: stale — reclaimed and acquired as before
+    import socket as _socket
+
+    with open(lock, "w") as fh:
+        json.dump(
+            {"pid": dead_pid, "host": _socket.gethostname(), "role": "append"},
+            fh,
+        )
+    assert _lock_holder(lock) == (dead_pid, False)
+    with index_lease(gp, "compact", wait_s=5.0):
+        with open(lock) as fh:
+            payload = json.load(fh)
+        assert payload["pid"] == os.getpid()
+        assert payload["host"] == _socket.gethostname()  # stamped
+    assert not os.path.exists(lock)
+
+    # pre-r15 payload (no host field): local probe governs — reclaimed
+    with open(lock, "w") as fh:
+        json.dump({"pid": dead_pid, "role": "append"}, fh)
+    assert _lock_holder(lock) == (dead_pid, False)
+    with index_lease(gp, "compact", wait_s=5.0):
+        pass
+    assert not os.path.exists(lock)
+
+
 def test_two_waiter_stale_reclaim_race(tmp_path, monkeypatch):
     """VERDICT r11 #5 / ADVICE r11 #1: N threads race to reclaim ONE
     dead-pid lease. The rename-based reclaim must elect exactly one

@@ -646,6 +646,80 @@ def test_dsir_fast_scorer_cap_path_parity():
     assert len(free.code2tok) > 50  # the cap actually bit
 
 
+def test_dsir_fast_scorer_overflow_guard_parity():
+    """ADVICE r14: documents whose worst-case pico sum could wrap the
+    fast kernel's int64 accumulators reroute through the Python-int
+    twin — integer-equal to the portable loop, with safe batch-mates
+    still vectorised. Exercised two ways: the guard threshold lowered
+    so ordinary docs trip it (mixed risky/safe batch), and a genuinely
+    extreme model (|lr| near 2^62) where the UNlowered guard must fire
+    on its own — there the vectorised path would truly wrap."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from tern_ep_data_pipeline_spark.operators.dedup import py_tokens
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        _DsirFastScorer,
+    )
+
+    rng = random.Random(23)
+    prefix, buckets = b"dsir:", 64
+    table = {b: rng.randint(-10**12, 10**12) for b in range(64)}
+
+    def portable_one(raw, tbl):
+        toks = py_tokens(raw)
+        s, prev = 0, None
+        for t in toks:
+            h = int(hashlib.md5(prefix + t.encode()).hexdigest()[:15], 16)
+            lr = tbl.get(h % buckets)
+            if lr is not None:
+                s += lr
+            if prev is not None:
+                h2 = int(
+                    hashlib.md5(
+                        prefix + (prev + " " + t).encode()
+                    ).hexdigest()[:15], 16,
+                )
+                lr2 = tbl.get(h2 % buckets)
+                if lr2 is not None:
+                    s += lr2
+            prev = t
+        den = 1_000_000
+        return (
+            (2 * s + den) // (2 * den)
+            if s >= 0
+            else -((2 * (-s) + den) // (2 * den))
+        )
+
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        for _ in range(10)
+    ]
+    texts.insert(3, " ".join(rng.choice(vocab) for _ in range(40)))  # risky
+
+    # (a) lowered threshold: the 40-token doc reroutes, others stay fast
+    low = _DsirFastScorer(table, prefix, buckets)
+    low.OVERFLOW_GUARD_PICO = 2 * 20 * low.max_abs_pico  # nt_limit = 20
+    got = low.score(pd.Series(texts)).tolist()
+    assert got == [portable_one(t, table) for t in texts]
+    assert len(low.code2tok) > 0  # the safe docs did run vectorised
+
+    # (b) default guard, extreme model: one bucket's |lr| is so large
+    # that ~8 occurrences exceed int64 — the vectorised sum would wrap
+    big = dict(table)
+    hot_tok = "t7"
+    hb = int(hashlib.md5(prefix + hot_tok.encode()).hexdigest()[:15], 16)
+    big[hb % buckets] = 1 << 60
+    hot_text = " ".join([hot_tok] * 64)  # worst case >> 2^63
+    scorer = _DsirFastScorer(big, prefix, buckets)
+    exp = portable_one(hot_text, big)
+    assert exp > (1 << 63) // 1_000_000  # int64 truly insufficient
+    assert int(scorer.score(pd.Series([hot_text]))[0]) == exp
+
+
 def test_md5np_hypothesis_property():
     """Property pin for the vectorised MD5: byte-equality with hashlib
     over arbitrary byte strings (any length — exercises both the
