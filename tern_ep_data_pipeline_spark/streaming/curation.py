@@ -285,7 +285,11 @@ def match_dedup_batch(
       doc's future near-duplicates would silently classify fresh. The
       bands anti-join costs one extra doc_id-column scan of the bands
       table per batch, the same O(index-scan) class as the (band, bh)
-      probe the classifier already pays.
+      probe the classifier already pays — but ONLY on a replay: a
+      first attempt is proven first by the absence of self-hits (any
+      previously-appended doc must self-match) and skips both
+      anti-joins entirely (r14 verdict #1 — the index's doc_id columns
+      are not even scanned on the steady-state path).
 
     The whole span runs under the index lease — the exact table's dir
     (dir layout) or the prefix's ``_table_lease`` (bucketed layout,
@@ -345,7 +349,8 @@ def match_dedup_batch(
         self_hit = (F.col("status") != "fresh") & (
             F.col("match_id") == F.col("doc_id")
         )
-        matches = matches.select(
+        raw = matches.localCheckpoint()  # decide BEFORE the index moves
+        out = raw.select(
             "doc_id",
             F.when(self_hit, F.lit("fresh")).otherwise(F.col("status")).alias(
                 "status"
@@ -354,7 +359,35 @@ def match_dedup_batch(
                 self_hit, F.lit(None).cast(dict(batch.dtypes)[id_col])
             ).otherwise(F.col("match_id")).alias("match_id"),
         )
-        out = matches.localCheckpoint()  # decide BEFORE the index moves
+        # First-attempt fast path (r14 verdict #1): the per-leg
+        # anti-joins below exist ONLY to heal a replay, but they cost
+        # two full index doc_id-column scans per batch — an O(index)
+        # per-batch IO wall that dominates the sink's steady state.
+        # Whether this batch IS a replay is decided by the self-hit
+        # count, already computed: a doc this batch previously appended
+        # can only match ITSELF (ids are unique and monotonic per the
+        # index contract), and the exact leg commits before the bands
+        # leg, so absence from exact implies absence from bands. Zero
+        # self-hits therefore PROVES both anti-joins are vacuous —
+        # new_exact == new_bands == fresh — and the fast path appends
+        # directly, touching the index not at all. Any self-hit (a
+        # retried batch, however it tore) falls back to the per-leg
+        # anti-join heal, unchanged. The count is a cheap agg over the
+        # just-checkpointed decisions.
+        st = raw.agg(
+            F.sum(F.when(self_hit, 1).otherwise(0)).alias("n_self"),
+            F.sum(
+                F.when(
+                    self_hit | (F.col("status") == "fresh"), 1
+                ).otherwise(0)
+            ).alias("n_fresh"),
+        ).collect()[0]
+        # the route taken lands on a local property (the bloom gates'
+        # observability pattern) so tests and bench cells can pin it
+        _route = spark.sparkContext.setLocalProperty
+        if not st["n_fresh"]:
+            _route("tern.match_sink.append_route", "no-fresh-docs")
+            return out  # nothing accepted: no appends, no index IO
         fresh = batch.join(
             out.where(F.col("status") == "fresh").select(
                 F.col("doc_id").alias(id_col)
@@ -362,38 +395,51 @@ def match_dedup_batch(
             on=id_col,
             how="left_semi",
         )
-        if index_table is not None:
-            ex_idx = spark.table(f"{index_table}_exact")
-            bd_idx = spark.table(f"{index_table}_bands")
+        if not st["n_self"]:
+            _route("tern.match_sink.append_route", "first-attempt-fast")
+            # first attempt: both legs append exactly the fresh docs.
+            # One checkpoint feeds both appends (fresh references only
+            # the batch and the checkpointed decisions — never the
+            # index tables — so re-evaluation-against-own-appends
+            # cannot occur; the checkpoint just pins a streaming
+            # batch's source once instead of twice).
+            new_exact = new_bands = fresh.localCheckpoint()
         else:
-            ex_idx = spark.read.parquet(f"{index_path}/exact")
-            bd_idx = spark.read.parquet(f"{index_path}/bands")
-        # Per-leg idempotent appends (docstring rule 2): EACH leg
-        # anti-joins its OWN table, and BOTH frames materialise before
-        # either write — a lazy frame would re-evaluate mid-append
-        # against its own fresh rows and silently append zero rows
-        # (table scans re-resolve at action time; the parquet-dir read
-        # only dodges this because spark.read.parquet pins its file
-        # listing eagerly). The anti-joins' RIGHT sides are first
-        # broadcast-SEMI-pruned by the batch's ids: an anti-join match
-        # can only carry an id present in the batch, so the prune is
-        # decision-identical, and it keeps the right side O(batch) —
-        # broadcastable — instead of shuffling a corpus-sized id column
-        # per batch once the index outgrows the broadcast threshold
-        # (the regime BLOOM_r14 measured on the classifier joins).
-        fresh_ids = F.broadcast(fresh.select(id_col))
-        ex_ids = ex_idx.select(F.col("doc_id").alias(id_col)).join(
-            fresh_ids, on=id_col, how="left_semi"
-        )
-        bd_ids = bd_idx.select(F.col("doc_id").alias(id_col)).join(
-            fresh_ids, on=id_col, how="left_semi"
-        )
-        new_exact = fresh.join(
-            ex_ids, on=id_col, how="left_anti"
-        ).localCheckpoint()
-        new_bands = fresh.join(
-            bd_ids, on=id_col, how="left_anti"
-        ).localCheckpoint()
+            _route("tern.match_sink.append_route", "replay-per-leg-heal")
+            if index_table is not None:
+                ex_idx = spark.table(f"{index_table}_exact")
+                bd_idx = spark.table(f"{index_table}_bands")
+            else:
+                ex_idx = spark.read.parquet(f"{index_path}/exact")
+                bd_idx = spark.read.parquet(f"{index_path}/bands")
+            # Per-leg idempotent appends (docstring rule 2): EACH leg
+            # anti-joins its OWN table, and BOTH frames materialise
+            # before either write — a lazy frame would re-evaluate
+            # mid-append against its own fresh rows and silently append
+            # zero rows (table scans re-resolve at action time; the
+            # parquet-dir read only dodges this because
+            # spark.read.parquet pins its file listing eagerly). The
+            # anti-joins' RIGHT sides are first broadcast-SEMI-pruned
+            # by the batch's ids: an anti-join match can only carry an
+            # id present in the batch, so the prune is
+            # decision-identical, and it keeps the right side O(batch)
+            # — broadcastable — instead of shuffling a corpus-sized id
+            # column per batch once the index outgrows the broadcast
+            # threshold (the regime BLOOM_r14 measured on the
+            # classifier joins).
+            fresh_ids = F.broadcast(fresh.select(id_col))
+            ex_ids = ex_idx.select(F.col("doc_id").alias(id_col)).join(
+                fresh_ids, on=id_col, how="left_semi"
+            )
+            bd_ids = bd_idx.select(F.col("doc_id").alias(id_col)).join(
+                fresh_ids, on=id_col, how="left_semi"
+            )
+            new_exact = fresh.join(
+                ex_ids, on=id_col, how="left_anti"
+            ).localCheckpoint()
+            new_bands = fresh.join(
+                bd_ids, on=id_col, how="left_anti"
+            ).localCheckpoint()
         if index_table is not None:
             append_exact_to_index_bucketed(
                 new_exact, index_table, id_col, text_col,
@@ -562,6 +608,7 @@ def write_dsir_ratio_artifact(
     smoothing: float = 1.0,
     salt: str = "dsir",
     versioned: bool | None = None,
+    vocab_top_k: int = 0,
 ) -> dict:
     """Materialise the DSIR importance log-ratio table as a FROZEN,
     atomically-swappable artifact (r12 verdict #4): at 100 TB the ratio
@@ -585,10 +632,23 @@ def write_dsir_ratio_artifact(
     pointer once at stream construction and keeps reading its version
     (the previous version survives pruning, so in-flight readers are
     never torn).
+
+    ``vocab_top_k`` (r14 verdict #3) additionally ships a VOCABULARY
+    SIDECAR: the top-K grams of the RAW pool by occurrence count (the
+    distribution the scorer will see), written as a ``vocab`` parquet
+    beside the ratio table and versioned with it. The fast scorer
+    prewarms its per-task gram tables from the sidecar once per task,
+    so steady-state batches skip the md5 hashing of the corpus's hot
+    vocabulary entirely. The sidecar carries STRINGS only — every lr
+    value is always recomputed from the loaded ratio table through the
+    same kernel the lazy path uses, so parity (and tolerance of a
+    version-skewed sidecar) holds by construction. One extra
+    map-side-combinable count + top-K job at build time, amortised
+    over the model's refresh cadence.
     """
     import json as _json
 
-    from ..operators.sampling import dsir_logratio
+    from ..operators.sampling import _dsir_grams, dsir_logratio
 
     if versioned is None:
         versioned = "://" in path
@@ -596,6 +656,18 @@ def write_dsir_ratio_artifact(
         raw, target, id_col, text_col,
         buckets=buckets, smoothing=smoothing, salt=salt,
     )
+    vocab = None
+    if vocab_top_k:
+        # deterministic top-K: count desc, gram asc tiebreak (a
+        # TakeOrdered plan — map-side partial top-K, no full sort)
+        vocab = (
+            _dsir_grams(raw, id_col, text_col)
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("__g"))
+            .limit(int(vocab_top_k))
+            .select(F.col("__g").alias("gram"), "n")
+        )
     spark = raw.sparkSession
     meta = {
         "buckets": int(buckets),
@@ -613,6 +685,11 @@ def write_dsir_ratio_artifact(
         lr.write.mode("overwrite").parquet(dest + "/ratio")
         n = spark.read.parquet(dest + "/ratio").count()
         full = dict(meta, n_ratio_rows=int(n))
+        if vocab is not None:
+            vocab.write.mode("overwrite").parquet(dest + "/vocab")
+            nv = spark.read.parquet(dest + "/vocab").count()
+            full["vocab_top_k"] = int(vocab_top_k)
+            full["n_vocab_rows"] = int(nv)
         write_meta(dest + "/meta.json", _json.dumps(full).encode())
         return full
 
@@ -694,6 +771,37 @@ def load_dsir_ratio(spark, path: str) -> tuple[dict, dict]:
             "indicates a hand-edited or half-copied directory)"
         )
     return table, meta
+
+
+def load_dsir_vocab(spark, path: str) -> list | None:
+    """The gram strings of a ratio artifact's vocabulary sidecar
+    (hot-first: count desc, gram asc — the order they were ranked at
+    build time), or None when the artifact ships no sidecar. Resolves
+    the ``_CURRENT`` pointer exactly like :func:`load_dsir_ratio`.
+
+    The sidecar is advisory: it carries STRINGS only, every lr value
+    is recomputed from the loaded ratio table, so a reader that pairs
+    a v=K table with a v=K±1 sidecar (racing a refresh between the two
+    loads) still scores exactly — the skewed sidecar merely prewarms
+    slightly different grams."""
+    from ..sources.artifacts import current_artifact_version
+
+    if current_artifact_version(spark, path) is not None:
+        from ..sources.artifacts import current_artifact_dir
+
+        vdir = current_artifact_dir(spark, path)
+    else:
+        vdir = path
+    vpath = vdir.rstrip("/") + "/vocab"
+    if not _dir_exists(spark, vpath):
+        return None
+    rows = (
+        spark.read.parquet(vpath)
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .select("gram")
+        .collect()
+    )
+    return [r["gram"] for r in rows]
 
 
 class _DsirFastScorer:
@@ -783,6 +891,74 @@ class _DsirFastScorer:
         return np.fromiter(
             (self.table.get(int(b), 0) for b in bks), np.int64, len(bks)
         )
+
+    def prewarm(self, grams) -> None:
+        """Bulk-resolve a vocabulary sidecar's grams into the
+        persistent tables (r14 verdict #3) — one md5 pass at task
+        start instead of lazy per-batch misses. Unigrams (no space)
+        join the token code space; bigrams ("a b") first ensure both
+        component tokens are coded, then join the pair table keyed by
+        stable codes. Values come from :meth:`_lr_of` — the exact
+        kernel the lazy path uses — so a prewarmed scorer is
+        score-identical to a cold one by construction. Respects
+        ``max_vocab`` (hot-first sidecar order means the cap keeps the
+        hottest grams)."""
+        np, pd = self._np, self._pd
+        unis: list = []
+        pairs: list = []
+        for g in grams:
+            (pairs if " " in g else unis).append(g)
+        comp: list = []
+        for p in pairs:
+            a, _, b = p.partition(" ")
+            comp.append(a)
+            comp.append(b)
+        seen = set(self.code2tok)
+        new_toks = []
+        for t in unis + comp:
+            if t not in seen:
+                seen.add(t)
+                new_toks.append(t)
+        room = self.max_vocab - len(self.code2tok)
+        new_toks = new_toks[: max(0, room)]
+        if new_toks:
+            new_lr = self._lr_of(new_toks)
+            self.code2tok.extend(new_toks)
+            self.lr_tok = np.concatenate([self.lr_tok, new_lr])
+            self.tok_index = pd.Index(self.code2tok, dtype=object)
+        if not pairs:
+            return
+        a_codes = self.tok_index.get_indexer(
+            pd.Index([p.partition(" ")[0] for p in pairs], dtype=object)
+        )
+        b_codes = self.tok_index.get_indexer(
+            pd.Index([p.partition(" ")[2] for p in pairs], dtype=object)
+        )
+        ok = (a_codes >= 0) & (b_codes >= 0)  # cap may have cut components
+        if not ok.any():
+            return
+        keys = (a_codes[ok].astype(np.int64) << np.int64(32)) | b_codes[
+            ok
+        ].astype(np.int64)
+        ptxt = [p for p, k in zip(pairs, ok) if k]
+        ukey, first = np.unique(keys, return_index=True)
+        if len(self.pair_keys):
+            pos = np.searchsorted(self.pair_keys, ukey)
+            safe = np.minimum(pos, len(self.pair_keys) - 1)
+            fresh = self.pair_keys[safe] != ukey
+        else:
+            fresh = np.ones(len(ukey), dtype=bool)
+        room = self.max_vocab - len(self.pair_keys)
+        fresh_idx = np.nonzero(fresh)[0][: max(0, room)]
+        if not len(fresh_idx):
+            return
+        nk = ukey[fresh_idx]
+        vals = self._lr_of([ptxt[int(first[i])] for i in fresh_idx])
+        allk = np.concatenate([self.pair_keys, nk])
+        allv = np.concatenate([self.pair_lrs, vals])
+        order = np.argsort(allk, kind="stable")
+        self.pair_keys = allk[order]
+        self.pair_lrs = allv[order]
 
     def _score_doc_pyint(self, text: str) -> int:
         """Arbitrary-precision twin for one OVERFLOW-RISKY document —
@@ -975,7 +1151,12 @@ def dsir_scored_stream(
     grams across batches, and per-doc sums are one int64 scatter-add.
     ``hash_mode='portable'`` keeps the per-token loop as the parity
     twin. Integer-equal parity (fast == portable == batch scorer) is
-    pinned in tests/test_dsir.py.
+    pinned in tests/test_dsir.py. When the artifact ships a vocabulary
+    sidecar (``write_dsir_ratio_artifact(vocab_top_k=...)``), the fast
+    kernel prewarms each task's gram tables from it at construction —
+    eliminating the per-task cold-start md5 work on the corpus's hot
+    vocabulary — with scores pinned identical by construction (the
+    sidecar carries strings; values always come from the ratio table).
 
     Documents whose grams all miss the table score 0 — same weight the
     batch scorer's sum-of-nothing would produce for selection purposes.
@@ -989,6 +1170,15 @@ def dsir_scored_stream(
     if hash_mode not in ("fast", "portable"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     table, meta = load_dsir_ratio(stream.sparkSession, ratio_path)
+    # vocabulary sidecar (r14 verdict #3): loaded once at stream
+    # construction, shipped as a Spark broadcast (one copy per
+    # executor, not per task), prewarmed into each task's scorer.
+    # Strings only — correctness never depends on it (see prewarm).
+    bvocab = None
+    if hash_mode == "fast" and meta.get("n_vocab_rows"):
+        grams = load_dsir_vocab(stream.sparkSession, ratio_path)
+        if grams:
+            bvocab = stream.sparkSession.sparkContext.broadcast(grams)
     if meta.get("hash", "md5-60bit") != "md5-60bit":
         raise ValueError(
             f"DSIR ratio artifact {ratio_path!r} pins bucket hash "
@@ -1050,6 +1240,8 @@ def dsir_scored_stream(
 
     def score_fast(batches):
         scorer = _DsirFastScorer(table, prefix, buckets)
+        if bvocab is not None:
+            scorer.prewarm(bvocab.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -646,6 +646,76 @@ def test_dsir_fast_scorer_cap_path_parity():
     assert len(free.code2tok) > 50  # the cap actually bit
 
 
+def test_dsir_vocab_sidecar_prewarm_parity(spark, tmp_path):
+    """r14 verdict #3: an artifact built with vocab_top_k ships a
+    vocabulary sidecar; the fast scorer prewarms from it and scores
+    INTEGER-EQUAL to the sidecar-less fast scorer and the portable
+    twin. Also pins: sidecar content (top-K raw grams by count), meta
+    bookkeeping, absence for vocab_top_k=0, and the capped-prewarm
+    path (a tiny max_vocab must not change scores)."""
+    import pandas as pd
+
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        _DsirFastScorer,
+        dsir_scored_stream,
+        load_dsir_ratio,
+        load_dsir_vocab,
+        write_dsir_ratio_artifact,
+    )
+
+    rows = [
+        (i, f"alpha beta{i % 5} gamma{i % 3} alpha shared tail")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 2 = 0")
+
+    plain = str(tmp_path / "plain")
+    write_dsir_ratio_artifact(docs, target, plain, buckets=256)
+    assert load_dsir_vocab(spark, plain) is None
+
+    side = str(tmp_path / "side")
+    meta = write_dsir_ratio_artifact(
+        docs, target, side, buckets=256, vocab_top_k=12
+    )
+    assert meta["vocab_top_k"] == 12 and meta["n_vocab_rows"] == 12
+    grams = load_dsir_vocab(spark, side)
+    assert len(grams) == 12
+    assert grams[0] == "alpha"  # 2 occurrences/doc: the hottest gram
+    assert any(" " in g for g in grams)  # bigrams rank too
+
+    exp = {r["doc_id"]: r["logweight_micro"]
+           for r in dsir_scored_stream(docs, plain,
+                                       hash_mode="portable").collect()}
+    for path in (plain, side):
+        for mode in ("fast", "portable"):
+            got = {r["doc_id"]: r["logweight_micro"]
+                   for r in dsir_scored_stream(docs, path,
+                                               hash_mode=mode).collect()}
+            assert got == exp, (path, mode)
+
+    # prewarm unit semantics: warmed == cold == capped-warm, and the
+    # warmed scorer already knows the sidecar vocabulary
+    table, _ = load_dsir_ratio(spark, side)
+    texts = pd.Series([t for _, t in rows] + ["", "novel unseen words"])
+    cold = _DsirFastScorer(table, b"dsir:", 256)
+    warm = _DsirFastScorer(table, b"dsir:", 256)
+    warm.prewarm(grams)
+    n_warm_vocab = len(warm.code2tok)
+    assert n_warm_vocab > 0 and len(warm.pair_keys) > 0
+    capped = _DsirFastScorer(table, b"dsir:", 256, max_vocab=3)
+    capped.prewarm(grams)
+    assert len(capped.code2tok) <= 3
+    c = cold.score(texts).tolist()
+    assert warm.score(texts).tolist() == c
+    assert capped.score(texts).tolist() == c
+    # idempotent: prewarming again adds nothing and changes no score
+    n_after_score = len(warm.code2tok)
+    warm.prewarm(grams)
+    assert len(warm.code2tok) == n_after_score
+    assert warm.score(texts).tolist() == c
+
+
 def test_dsir_fast_scorer_overflow_guard_parity():
     """ADVICE r14: documents whose worst-case pico sum could wrap the
     fast kernel's int64 accumulators reroute through the Python-int

@@ -1903,6 +1903,62 @@ def test_match_dedup_batch_heals_torn_append(
     assert out2[20] == ("near", 1)
 
 
+def test_match_dedup_first_attempt_fast_path(spark, tmp_path):
+    """r14 verdict #1: a FIRST attempt (zero self-hits) appends without
+    ever scanning the index's doc_id columns — the per-leg anti-join
+    heal is replay-only. Pinned via the route property plus the
+    strongest observable: an all-duplicate batch leaves the exact
+    dir's FILE SET untouched (no empty append job), and a replay of an
+    already-appended batch routes to the heal and adds zero rows."""
+    import os as _os
+
+    from tern_ep_data_pipeline_spark.streaming import curation as cur
+
+    base = " ".join(f"fp{i}" for i in range(30))
+    idx = str(tmp_path / "midx")
+    sc = spark.sparkContext
+
+    def route():
+        return sc.getLocalProperty("tern.match_sink.append_route")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "novel first content body"), (3, base)],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r["status"]
+            for r in cur.match_dedup_batch(b1, idx).collect()}
+    assert out1 == {1: "fresh", 2: "fresh", 3: "exact"}
+    assert route() == "first-attempt-fast"
+
+    def part_files():
+        d = _os.path.join(idx, "exact")
+        return sorted(
+            f for f in _os.listdir(d) if not f.startswith(("_", "."))
+        )
+
+    before = part_files()
+    assert {r["doc_id"] for r in
+            spark.read.parquet(idx + "/exact").collect()} == {1, 2}
+
+    # all-duplicate batch: zero fresh -> zero appends, zero index IO
+    b2 = spark.createDataFrame([(10, base)], ["doc_id", "text"])
+    out2 = {r["doc_id"]: (r["status"], r["match_id"])
+            for r in cur.match_dedup_batch(b2, idx).collect()}
+    assert out2 == {10: ("exact", 1)}
+    assert route() == "no-fresh-docs"
+    assert part_files() == before, "all-dup batch must not touch the index"
+
+    # a REPLAY (docs 1/2 already indexed -> self-hits) takes the
+    # per-leg heal path and double-appends nothing
+    out_replay = {r["doc_id"]: r["status"]
+                  for r in cur.match_dedup_batch(b1, idx).collect()}
+    assert out_replay == {1: "fresh", 2: "fresh", 3: "exact"}
+    assert route() == "replay-per-leg-heal"
+    assert spark.read.parquet(idx + "/exact").count() == 2
+    bands = spark.read.parquet(idx + "/bands")
+    assert bands.count() == bands.dropDuplicates().count()
+
+
 def test_span_dedup_batch_auto_bloom_regime_gate(spark, tmp_path):
     """r14: the span sink's default bloom_fpp='auto' engages the
     measured prune only past the broadcast-threshold regime — young

@@ -1,5 +1,5 @@
 """Streaming match-dedup sink + DSIR scorer evidence cells (r13 verdict
-#2 and #1's measured cell).
+#2/#1, extended for r14 verdict #1/#5).
 
 The match-dedup sink (``streaming.curation.match_dedup_batch`` — the
 exact foreachBatch body of ``match_deduped_stream_sink``) has
@@ -7,8 +7,22 @@ correctness and exactly-once tests but, unlike the span sink, no
 BLOOM/SPILL-style per-micro-batch evidence. This tool seeds the match
 index from a corpus prefix, then drives sequential micro-batches with a
 configurable duplicate fraction and records per batch: wall, shuffle
-bytes, classification counts, index growth — on BOTH layouts (parquet
-dir and bucketed table), asserting the decisions identical in-run.
+bytes, classification counts, append route, index growth — on BOTH
+layouts (parquet dir and bucketed table), asserting the decisions
+identical in-run.
+
+Two modes:
+
+- default: ``--batches N --batch B`` detailed per-batch cells (the r14
+  BLOOM cells; used per-seed for the streaming octave), plus the DSIR
+  scorer cells.
+- ``--sweep 1000,10000,100000 --stream-docs 100000``: the SAME stream
+  of documents is driven through every batch size on both layouts
+  (duplicate construction keys on doc_id alone, so the stream content
+  is batch-size independent) and the full decision set is asserted
+  identical across every (layout, batch size) cell — the r14 verdict
+  #1 sweep. Reports docs/s and per-batch wall so the fixed per-batch
+  overhead is visible against the scaling part.
 
 The DSIR cell measures the r14 vectorised scorer (hash_mode='fast')
 against the per-token portable twin over the same documents through
@@ -20,12 +34,13 @@ Usage:
       python tools/bench_stream_match.py --dir scaledata/sf3 \
       --seed-docs 50000 --batches 3 --batch 1000 --dup-frac 0.3
 
-Prints one JSON line (merge into BLOOM_r14.json / cite in README).
+Prints one JSON line (merge into BLOOM_r15.json / cite in README).
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import shutil
@@ -39,6 +54,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_spill import stage_spill_totals  # noqa: E402
 from tern_ep_data_pipeline_spark.session import get_spark  # noqa: E402
 
+#: Duplicate construction modulus — FIXED so the stream content is a
+#: pure function of doc_id, identical across batch sizes (the sweep's
+#: decisions-identical pin depends on this).
+DUP_MOD = 1000
+
 
 def _drain(spark) -> None:
     try:
@@ -47,51 +67,15 @@ def _drain(spark) -> None:
         time.sleep(1.0)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "scaledata"
-    )
-    ap.add_argument("--dir", default=os.path.join(root, "sf3"))
-    ap.add_argument("--seed-docs", type=int, default=50_000)
-    ap.add_argument("--batches", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=1000)
-    ap.add_argument("--dup-frac", type=float, default=0.3)
-    ap.add_argument("--dsir-runs", type=int, default=3)
-    ap.add_argument("--dsir-zipf-docs", type=int, default=30_000)
-    ap.add_argument("--dsir-zipf-vocab", type=int, default=200_000)
-    ap.add_argument("--json-out", default=None)
-    args = ap.parse_args()
-
-    work = tempfile.mkdtemp(prefix="stream-match-")
-    spark = get_spark(
-        "stream-match",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.sql.warehouse.dir": os.path.join(work, "warehouse"),
-        },
-    )
+def _dedup_seed(docs, seed_docs: int):
+    """Collapse exact copies to the min-id representative — the index
+    contract wants an already-deduplicated seed corpus."""
     from pyspark.sql import functions as F
-
-    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
-    from tern_ep_data_pipeline_spark.operators.dedup_index import (
-        build_dedup_index,
-        build_dedup_index_bucketed,
-    )
-    from tern_ep_data_pipeline_spark.streaming.curation import (
-        match_dedup_batch,
-    )
-
-    docs = spark.read.parquet(
-        os.path.join(args.dir, "documents.parquet")
-    ).select("doc_id", "text")
     from pyspark.sql.window import Window
 
-    seed = docs.where(F.col("doc_id") < args.seed_docs)
-    # the index contract wants an already-deduplicated corpus: collapse
-    # exact copies to the min-id representative before seeding
-    seed = (
-        seed.withColumn(
+    return (
+        docs.where(F.col("doc_id") < seed_docs)
+        .withColumn(
             "__r",
             F.row_number().over(
                 Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -101,101 +85,156 @@ def main() -> None:
         .drop("__r")
         .localCheckpoint()
     )
-    n_seed = seed.count()
 
-    # micro-batches: fresh ids after the seed range; dup-frac of each
-    # batch's docs copy a seed doc's text (half exact, half with a
-    # 2-token suffix -> near), deterministically by id
-    base = seed.select(
-        (F.col("doc_id") % args.batch).alias("__k"),
-        F.col("text").alias("__seed_text"),
-    ).dropDuplicates(["__k"])
-    batch_frames = []
-    for b in range(args.batches):
-        lo = args.seed_docs + b * args.batch
-        part = (
-            docs.where(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + args.batch)
-            )
-            .withColumn("__k", F.col("doc_id") % args.batch)
-            .join(F.broadcast(base), "__k", "left")
-        )
-        cut = int(args.dup_frac * args.batch)
-        part = part.select(
+
+def _make_stream(docs, seed, lo: int, total: int, dup_frac: float):
+    """`total` stream docs with ids [lo, lo+total): dup_frac of them
+    copy a seed doc's text (half exact, half with a 2-token suffix ->
+    near), keyed ONLY by doc_id so the construction is batch-size
+    independent and deterministic.
+
+    Batch-invariance of the DECISIONS requires chain-freedom: the
+    sink's intra-batch pass legitimately matches a doc against any
+    lower-id batch-mate, INCLUDING mates that themselves classified as
+    duplicates (which never enter the index) — so two near-dups of the
+    same seed would classify differently same-batch vs cross-batch.
+    Exact dups are chain-safe (the lowest-id match is always the seed,
+    transitively), so they key on ``doc_id % DUP_MOD``; each NEAR dup
+    instead pairs with a UNIQUE seed mate (seed id = stream id - lo),
+    so no two stream docs are near each other and every near decision
+    resolves against the index alone — identical in every batching."""
+    from pyspark.sql import functions as F
+
+    base = seed.groupBy((F.col("doc_id") % DUP_MOD).alias("__k")).agg(
+        F.min_by("text", "doc_id").alias("__seed_text")
+    )
+    mate = seed.select(
+        F.col("doc_id").alias("__u"), F.col("text").alias("__mate_text")
+    )
+    cut = int(dup_frac * DUP_MOD)
+    return (
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + total))
+        .withColumn("__k", F.col("doc_id") % DUP_MOD)
+        .withColumn("__u", F.col("doc_id") - lo)
+        .join(F.broadcast(base), "__k", "left")
+        .join(F.broadcast(mate), "__u", "left")
+        .select(
             "doc_id",
             F.when(
-                (F.col("doc_id") % args.batch < cut // 2)
+                (F.col("doc_id") % DUP_MOD < cut // 2)
                 & F.col("__seed_text").isNotNull(),
                 F.col("__seed_text"),
             )
             .when(
-                (F.col("doc_id") % args.batch < cut)
-                & F.col("__seed_text").isNotNull(),
-                F.concat_ws(" ", F.col("__seed_text"), F.lit("zz98 zz99")),
+                (F.col("doc_id") % DUP_MOD < cut)
+                & F.col("__mate_text").isNotNull(),
+                F.concat_ws(
+                    " ", F.col("__mate_text"), F.lit("zz98"),
+                    F.concat(F.lit("zz"), F.col("doc_id")),
+                ),
             )
             .otherwise(F.col("text"))
             .alias("text"),
-        ).localCheckpoint()
-        batch_frames.append(part)
-
-    layouts = {}
-    for layout in ("dir", "bucketed"):
-        idx = os.path.join(work, f"midx_{layout}")
-        kw = (
-            {"index_table": f"bench_midx_{layout}", "n_buckets": 32}
-            if layout == "bucketed"
-            else {}
         )
-        t0 = time.time()
-        if layout == "bucketed":
-            build_dedup_index_bucketed(seed, kw["index_table"])
-        else:
-            build_dedup_index(seed, idx)
-        seed_s = round(time.time() - t0, 3)
-        release_staged(spark)
-        cells = []
-        decisions = []
-        for b, part in enumerate(batch_frames):
-            _drain(spark)
-            m0, d0, s0 = stage_spill_totals(spark)
-            t0 = time.time()
-            out = match_dedup_batch(part, idx, **kw)
-            rows = sorted(map(tuple, out.collect()))
-            wall = round(time.time() - t0, 3)
-            _drain(spark)
-            m1, d1, s1 = stage_spill_totals(spark)
-            release_staged(spark)
-            counts: dict = {}
-            for _, status, _m in rows:
-                counts[status] = counts.get(status, 0) + 1
-            decisions.append(rows)
-            cells.append(
-                {
-                    "batch_id": b,
-                    "rows": len(rows),
-                    "wall_s": wall,
-                    "shuffle_mb": round((s1 - s0) / 1e6, 1),
-                    "spill_mb": round(((m1 - m0) + (d1 - d0)) / 1e6, 1),
-                    "status_counts": counts,
-                }
-            )
-            print(f"# {layout} b{b}: {cells[-1]}", file=sys.stderr)
-        import hashlib
-
-        layouts[layout] = {
-            "seed_build_s": seed_s,
-            "batches": cells,
-            "decisions_digest": hashlib.md5(
-                repr(decisions).encode()
-            ).hexdigest()[:16],
-        }
-        layouts[layout]["_decisions"] = decisions
-
-    identical = layouts["dir"].pop("_decisions") == layouts["bucketed"].pop(
-        "_decisions"
+        .localCheckpoint()
     )
 
-    # ---- DSIR scorer cell: vectorised fast vs per-token portable ----
+
+def _build_index(spark, seed, layout: str, work: str, tag: str):
+    """Fresh index from the seed; returns (index_path, match kwargs,
+    build seconds, cleanup fn)."""
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        build_dedup_index,
+        build_dedup_index_bucketed,
+    )
+
+    idx = os.path.join(work, f"midx_{tag}")
+    kw: dict = {}
+    t0 = time.time()
+    if layout == "bucketed":
+        table = f"bench_midx_{tag}"
+        kw = {"index_table": table, "n_buckets": 32}
+        build_dedup_index_bucketed(seed, table)
+
+        def cleanup():
+            spark.sql(f"DROP TABLE IF EXISTS {table}_exact")
+            spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+    else:
+        build_dedup_index(seed, idx)
+
+        def cleanup():
+            shutil.rmtree(idx, ignore_errors=True)
+    build_s = round(time.time() - t0, 3)
+    release_staged(spark)
+    return idx, kw, build_s, cleanup
+
+
+def _drive_batches(spark, stream, lo: int, total: int, batch: int,
+                   idx: str, kw: dict, tag: str):
+    """Run the stream through the sink in `batch`-sized slices.
+    Returns (per-batch cells, decisions dict doc_id -> (status,
+    match_id), route counts)."""
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_dedup_batch,
+    )
+
+    sc = spark.sparkContext
+    cells = []
+    decisions: dict = {}
+    routes: dict = {}
+    n_batches = (total + batch - 1) // batch
+    for b in range(n_batches):
+        blo = lo + b * batch
+        part = stream.where(
+            (F.col("doc_id") >= blo) & (F.col("doc_id") < blo + batch)
+        ).localCheckpoint()
+        _drain(spark)
+        m0, d0, s0 = stage_spill_totals(spark)
+        t0 = time.time()
+        out = match_dedup_batch(part, idx, **kw)
+        rows = sorted(map(tuple, out.collect()))
+        wall = round(time.time() - t0, 3)
+        route = sc.getLocalProperty("tern.match_sink.append_route")
+        routes[route] = routes.get(route, 0) + 1
+        _drain(spark)
+        m1, d1, s1 = stage_spill_totals(spark)
+        release_staged(spark)
+        counts: dict = {}
+        for did, status, mid in rows:
+            counts[status] = counts.get(status, 0) + 1
+            decisions[did] = (status, mid)
+        cells.append(
+            {
+                "batch_id": b,
+                "rows": len(rows),
+                "wall_s": wall,
+                "shuffle_mb": round((s1 - s0) / 1e6, 1),
+                "spill_mb": round(((m1 - m0) + (d1 - d0)) / 1e6, 1),
+                "status_counts": counts,
+                "append_route": route,
+            }
+        )
+        if b < 5 or b == n_batches - 1:
+            print(f"# {tag} b{b}: {cells[-1]}", file=sys.stderr)
+    return cells, decisions, routes
+
+
+def _digest(decisions: dict) -> str:
+    return hashlib.md5(repr(sorted(decisions.items())).encode()).hexdigest()[
+        :16
+    ]
+
+
+def run_dsir_cells(spark, docs, seed, work: str, args) -> dict:
+    """DSIR scorer cells: vectorised fast vs per-token portable, on the
+    scale corpus and on a heavy-tailed zipf vocabulary."""
+    from pyspark.sql import functions as F
+
+    from tern_ep_data_pipeline_spark.operators.dedup import release_staged
     from tern_ep_data_pipeline_spark.streaming.curation import (
         dsir_scored_stream,
         write_dsir_ratio_artifact,
@@ -203,13 +242,18 @@ def main() -> None:
 
     ratio = os.path.join(work, "dsir_ratio")
     write_dsir_ratio_artifact(
-        seed, seed.where("doc_id % 3 = 0"), ratio
+        seed, seed.where("doc_id % 3 = 0"), ratio,
+        vocab_top_k=args.dsir_vocab_top_k,
     )
     score_docs = docs.where(
         F.col("doc_id") < args.seed_docs
     ).localCheckpoint()
     n_score = score_docs.count()
-    dsir: dict = {"n_docs": n_score, "runs": {}}
+    dsir: dict = {
+        "n_docs": n_score,
+        "vocab_top_k": args.dsir_vocab_top_k,
+        "runs": {},
+    }
     sums = {}
     for mode in ("portable", "fast"):
         walls = []
@@ -239,8 +283,10 @@ def main() -> None:
     # corpus has ~31 distinct tokens, so both kernels saturate on
     # Arrow/tokenisation overhead there): zipf(1.3) draw over a 200k
     # vocabulary, deterministic seed — the shape where the portable
-    # twin's per-token dict walk actually costs and the vectorised
-    # kernel's steady state shows.
+    # twin's per-token dict walk actually costs. The zipf cell's ratio
+    # artifact is built FROM a zipf-distributed sample (the realistic
+    # deployment: the model is trained on the corpus it scores), so
+    # the r15 vocab sidecar prewarm covers real vocabulary.
     import numpy as np
 
     rng = np.random.default_rng(3)
@@ -256,14 +302,24 @@ def main() -> None:
     zdf = spark.createDataFrame(
         ztexts, "doc_id long, text string"
     ).repartition(8).localCheckpoint()
-    zcell: dict = {"n_docs": zdocs, "vocab": zvocab, "runs": {}}
+    zratio = os.path.join(work, "dsir_ratio_zipf")
+    write_dsir_ratio_artifact(
+        zdf.where("doc_id % 7 < 5"), zdf.where("doc_id % 7 = 5"), zratio,
+        vocab_top_k=args.dsir_vocab_top_k,
+    )
+    zcell: dict = {
+        "n_docs": zdocs,
+        "vocab": zvocab,
+        "vocab_top_k": args.dsir_vocab_top_k,
+        "runs": {},
+    }
     zsums = {}
     for mode in ("portable", "fast"):
         walls = []
         for _ in range(args.dsir_runs):
             t0 = time.time()
             row = (
-                dsir_scored_stream(zdf, ratio, hash_mode=mode)
+                dsir_scored_stream(zdf, zratio, hash_mode=mode)
                 .agg(F.sum("logweight_micro").alias("s"))
                 .collect()[0]
             )
@@ -282,29 +338,150 @@ def main() -> None:
         2,
     )
     dsir["zipf_vocab_cell"] = zcell
+    return dsir
 
-    result = {
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "scaledata"
+    )
+    ap.add_argument("--dir", default=os.path.join(root, "sf3"))
+    ap.add_argument("--seed-docs", type=int, default=50_000)
+    ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1000)
+    ap.add_argument("--dup-frac", type=float, default=0.3)
+    ap.add_argument(
+        "--sweep", default=None,
+        help="comma-separated batch sizes; drives the SAME --stream-docs "
+        "stream through every size on both layouts and pins decisions "
+        "identical (r14 verdict #1)",
+    )
+    ap.add_argument("--stream-docs", type=int, default=100_000)
+    ap.add_argument("--skip-dsir", action="store_true")
+    ap.add_argument("--dsir-runs", type=int, default=3)
+    ap.add_argument("--dsir-zipf-docs", type=int, default=30_000)
+    ap.add_argument("--dsir-zipf-vocab", type=int, default=200_000)
+    ap.add_argument("--dsir-vocab-top-k", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="stream-match-")
+    spark = get_spark(
+        "stream-match",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.warehouse.dir": os.path.join(work, "warehouse"),
+        },
+    )
+    docs = spark.read.parquet(
+        os.path.join(args.dir, "documents.parquet")
+    ).select("doc_id", "text")
+    seed = _dedup_seed(docs, args.seed_docs)
+    n_seed = seed.count()
+    cleanups = []
+
+    result: dict = {
         "metric": "streaming_match_dedup_and_dsir_scorer",
         "dir": args.dir,
         "heap": os.environ.get("SPARK_DRIVER_MEMORY", "(default)"),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "(default)"),
         "seed_docs": n_seed,
-        "batch_docs": args.batch,
         "dup_frac": args.dup_frac,
-        "layouts": layouts,
-        "decisions_identical_across_layouts": identical,
-        "dsir_scorer": dsir,
-        "loadavg": os.getloadavg()[0],
     }
+
+    if args.sweep:
+        sizes = [int(s) for s in args.sweep.split(",")]
+        total = args.stream_docs
+        stream = _make_stream(
+            docs, seed, args.seed_docs, total, args.dup_frac
+        )
+        n_stream = stream.count()
+        sweep_cells = []
+        digests = set()
+        for layout in ("dir", "bucketed"):
+            for bs in sizes:
+                tag = f"{layout}_bs{bs}"
+                idx, kw, build_s, cleanup = _build_index(
+                    spark, seed, layout, work, tag
+                )
+                cleanups.append(cleanup)
+                t0 = time.time()
+                cells, decisions, routes = _drive_batches(
+                    spark, stream, args.seed_docs, total, bs, idx, kw, tag
+                )
+                total_wall = round(time.time() - t0, 3)
+                walls = [c["wall_s"] for c in cells]
+                sweep_cells.append(
+                    {
+                        "layout": layout,
+                        "batch_docs": bs,
+                        "n_batches": len(cells),
+                        "stream_docs": n_stream,
+                        "seed_build_s": build_s,
+                        "total_wall_s": total_wall,
+                        "docs_per_s": round(n_stream / total_wall),
+                        "batch_wall_mean_s": round(
+                            sum(walls) / len(walls), 3
+                        ),
+                        "batch_wall_min_s": min(walls),
+                        "batch_wall_max_s": max(walls),
+                        "shuffle_mb_mean": round(
+                            sum(c["shuffle_mb"] for c in cells)
+                            / len(cells), 1,
+                        ),
+                        "append_routes": routes,
+                        "decisions_digest": _digest(decisions),
+                    }
+                )
+                digests.add(_digest(decisions))
+                print(f"# sweep {tag}: {sweep_cells[-1]}", file=sys.stderr)
+        result["batch_size_sweep"] = {
+            "sizes": sizes,
+            "cells": sweep_cells,
+            "decisions_identical_across_cells": len(digests) == 1,
+        }
+    else:
+        layouts = {}
+        total = args.batches * args.batch
+        stream = _make_stream(
+            docs, seed, args.seed_docs, total, args.dup_frac
+        )
+        all_decisions = []
+        for layout in ("dir", "bucketed"):
+            idx, kw, build_s, cleanup = _build_index(
+                spark, seed, layout, work, layout
+            )
+            cleanups.append(cleanup)
+            cells, decisions, routes = _drive_batches(
+                spark, stream, args.seed_docs, total, args.batch, idx, kw,
+                layout,
+            )
+            layouts[layout] = {
+                "seed_build_s": build_s,
+                "batches": cells,
+                "append_routes": routes,
+                "decisions_digest": _digest(decisions),
+            }
+            all_decisions.append(decisions)
+        result["batch_docs"] = args.batch
+        result["layouts"] = layouts
+        result["decisions_identical_across_layouts"] = (
+            all_decisions[0] == all_decisions[1]
+        )
+
+    if not args.skip_dsir:
+        result["dsir_scorer"] = run_dsir_cells(spark, docs, seed, work, args)
+
+    result["loadavg"] = os.getloadavg()[0]
     line = json.dumps(result)
     if args.json_out:
         with open(args.json_out, "w") as fh:
             fh.write(line + "\n")
     print(line)
     shutil.rmtree(work, ignore_errors=True)
-    for layout in ("dir", "bucketed"):
-        spark.sql(f"DROP TABLE IF EXISTS bench_midx_{layout}_exact")
-        spark.sql(f"DROP TABLE IF EXISTS bench_midx_{layout}_bands")
+    for cleanup in cleanups:
+        cleanup()
 
 
 if __name__ == "__main__":
