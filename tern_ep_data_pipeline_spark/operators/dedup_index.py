@@ -660,9 +660,15 @@ def _line_count_table(
     text_col: str,
     delimiter: str,
     min_line_chars: int,
+    keep_text: bool = False,
 ) -> DataFrame:
     """(line_hash, n_docs) — per trimmed line, DISTINCT docs containing it
-    within this frame. Map-side-combinable on the 16-byte hash."""
+    within this frame. Map-side-combinable on the 16-byte hash.
+
+    ``keep_text=True`` adds ``line_bytes`` (the trimmed line, utf-8
+    BINARY — the wide-payload twin serving the boilerplate report, see
+    :func:`boilerplate_lines_report`). min-aggregated for determinism;
+    every row of one hash carries the same bytes anyway (md5 keying)."""
     import re
 
     lines = df.select(
@@ -671,10 +677,14 @@ def _line_count_table(
             F.split(F.col(text_col), re.escape(delimiter))
         ).alias("__line"),
     ).select("__id", F.trim("__line").alias("__t"))
-    return (
-        lines.where(F.length("__t") >= min_line_chars)
-        .groupBy(F.md5("__t").alias("line_hash"))
-        .agg(F.countDistinct("__id").alias("n_docs"))
+    kept = lines.where(F.length("__t") >= min_line_chars)
+    if keep_text:
+        return kept.groupBy(F.md5("__t").alias("line_hash")).agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.min(F.encode("__t", "utf-8")).alias("line_bytes"),
+        )
+    return kept.groupBy(F.md5("__t").alias("line_hash")).agg(
+        F.countDistinct("__id").alias("n_docs")
     )
 
 
@@ -686,18 +696,36 @@ def build_line_index(
     delimiter: str = "\n",
     min_line_chars: int = 1,
     range_partitions: int | None = None,
+    keep_text: bool = False,
 ) -> int:
     """Materialise the corpus line-count index (CCNet boilerplate removal,
     incremental form) next to the exact/band/chunk tables; returns the
     distinct-line count. ``range_partitions`` selects the hash-range-
     partitioned layout (see :func:`build_gram_index`) — per-partition
     count sums equal global sums because every line_hash routes to one
-    partition."""
+    partition.
+
+    ``keep_text=True`` builds the WIDE twin: each row additionally
+    carries the trimmed line's utf-8 bytes, so operators can report
+    boilerplate as human-readable text (:func:`boilerplate_lines_report`)
+    without ever re-touching the corpus. The clean path is unaffected —
+    it projects (line_hash, n_docs) and parquet column pruning never
+    reads the payload — while batch-pruned scans that DO need the
+    payload route the key-only two-phase Bloom probe in the bloom
+    regime (``bloom.WIDE_PAYLOAD_BYTES``: a binary column estimates
+    past the gate). The flag is recorded in the layout marker so
+    appends can never drift the schema."""
     lp = os.path.join(path, "lines")
     _write_ranged(
-        _line_count_table(docs, id_col, text_col, delimiter, min_line_chars),
+        _line_count_table(
+            docs, id_col, text_col, delimiter, min_line_chars, keep_text
+        ),
         lp, "line_hash", range_partitions, "overwrite",
     )
+    if keep_text:
+        layout = _read_layout(lp)
+        layout["keep_text"] = True
+        _write_layout(lp, layout)
     return docs.sparkSession.read.parquet(lp).count()
 
 
@@ -728,7 +756,13 @@ def clean_against_line_index(
     before the count sum (one extra O(batch) line pass; bit-identical
     output — ``bloom_fpp`` doc: :func:`match_against_index`).
     """
-    scan = spark.read.parquet(os.path.join(path, "lines"))
+    # project the count columns FIRST: on a keep_text (wide-twin)
+    # layout the payload must never be read for cleaning — the
+    # projection pushes into the parquet scan (column pruning), so the
+    # clean path costs the same on both layouts
+    scan = spark.read.parquet(os.path.join(path, "lines")).select(
+        "line_hash", "n_docs"
+    )
     if bloom_fpp is not None:
         from .memguard import plan_size_estimate
 
@@ -772,16 +806,99 @@ def append_to_line_index(
 ) -> None:
     """Append this batch's per-line distinct-doc counts. Counts sum across
     appends into true corpus counts because batches are doc-disjoint;
-    compact the parquet dir on the lake's schedule to bound re-reads."""
+    compact the parquet dir on the lake's schedule to bound re-reads.
+    The wide (keep_text) twin appends wide rows — the layout marker
+    decides, so one caller serves both layouts without schema drift."""
     lp = os.path.join(path, "lines")
     with index_lease(lp, "append"):
+        layout = _read_layout(lp)
         _write_ranged(
             _line_count_table(
-                accepted_docs, id_col, text_col, delimiter, min_line_chars
+                accepted_docs, id_col, text_col, delimiter, min_line_chars,
+                keep_text=bool(layout.get("keep_text")),
             ),
             lp, "line_hash",
-            _read_layout(lp).get("range_partitions"), "append",
+            layout.get("range_partitions"), "append",
         )
+
+
+def boilerplate_lines_report(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+    bloom_fpp: float | None = None,
+    prune_strategy: str = "auto",
+) -> DataFrame:
+    """What boilerplate would :func:`clean_against_line_index` strip
+    from this batch, as TEXT: one row per batch line whose combined
+    corpus+batch distinct-doc count clears ``min_docs`` — (line,
+    n_docs_total, n_docs_batch), hottest first. The operational twin of
+    the clean path: ``min_docs`` is tuned by eyeballing exactly this
+    (CCNet practice — inspect the candidate boilerplate before raising
+    or lowering the threshold; reference relevance: the human-audit
+    report surfaces of `code/network_monitoring/network_status.py:434-557`,
+    which publish what the pipeline DID for operators to inspect).
+
+    Requires the WIDE line index (``build_line_index(keep_text=True)``)
+    — the report never touches corpus text, only the batch's own lines
+    and the index payload. This is the wide-payload consumer the
+    two-phase Bloom probe serves (r14 verdict #2): with ``bloom_fpp``
+    set and a batch past the broadcast-semi budget (a backfill-sized
+    report), the prune probes a KEY-ONLY projection of the wide scan
+    and semi-joins survivors back, so line bytes never cross the Arrow
+    boundary (`bloom.prune_index_by_keys`; route observable on the
+    ``tern.bloom_prune.two_phase`` property). Smaller batches take the
+    exact broadcast semi; ``bloom_fpp=None`` scans the index whole.
+    Identical report on every route.
+    """
+    lp = os.path.join(path, "lines")
+    if not _read_layout(lp).get("keep_text"):
+        raise ValueError(
+            f"line index at {lp!r} was built without keep_text=True — "
+            "the boilerplate report needs the wide (line_bytes) twin; "
+            "rebuild with build_line_index(..., keep_text=True)"
+        )
+    batch = _line_count_table(
+        new_docs, id_col, text_col, delimiter, min_line_chars,
+        keep_text=True,
+    ).withColumnRenamed("n_docs", "n_docs_batch")
+    scan = spark.read.parquet(lp).select("line_hash", "n_docs", "line_bytes")
+    if bloom_fpp is not None:
+        from .memguard import plan_size_estimate
+
+        scan = _bloom_pruned(
+            scan,
+            ["line_hash"],
+            batch.select("line_hash"),
+            bloom_fpp,
+            strategy=prune_strategy,
+            size_hint=plan_size_estimate(new_docs),
+        )
+    corpus = scan.groupBy("line_hash").agg(
+        F.sum("n_docs").alias("__n_corpus")
+    )
+    # batch lines drive the join (O(batch) result); corpus counts come
+    # from the (possibly pruned) index side only — broadcast-hash on
+    # the batch side via the join ordering Catalyst picks for the
+    # aggregated small left
+    joined = batch.join(corpus, on="line_hash", how="left")
+    return (
+        joined.select(
+            F.decode("line_bytes", "utf-8").alias("line"),
+            (
+                F.coalesce(F.col("__n_corpus"), F.lit(0))
+                + F.col("n_docs_batch")
+            ).alias("n_docs_total"),
+            F.col("n_docs_batch"),
+        )
+        .where(F.col("n_docs_total") >= F.lit(int(min_docs)))
+        .orderBy(F.desc("n_docs_total"), F.asc("line"))
+    )
 
 
 def _gram_first_table(
@@ -1607,6 +1724,14 @@ def _rewrite_parquet_dir(
             "rewrite was being written (concurrent append). The live dir "
             "is untouched; re-run compaction with the writer stopped."
         )
+    # the layout marker describes the TABLE's contract (range routing,
+    # keep_text payload), not this file set — it must survive the swap
+    # or the next append/reader would silently treat the table as flat/
+    # narrow (surfaced by the r15 wide line-index twin, whose marker a
+    # compaction used to drop)
+    marker = os.path.join(path, "_layout.json")
+    if os.path.isfile(marker):
+        shutil.copy2(marker, os.path.join(tmp, "_layout.json"))
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
@@ -2163,16 +2288,24 @@ def compact_line_index(
     across doc-disjoint appends), made durable once. On the ranged
     layout, only partitions past ``dirty_threshold`` rewrite (per-
     partition sums equal global sums — every line_hash routes to one
-    partition)."""
+    partition). The wide (keep_text) twin keeps its payload through
+    compaction: every row of one hash carries identical bytes (md5
+    keying), so min() is exact, not a choice."""
     _require_local_path(path)
     lp = os.path.join(path, "lines")
+    keep_text = bool(_read_layout(lp).get("keep_text"))
+
+    def _agg(df: DataFrame, *keys: str) -> DataFrame:
+        aggs = [F.sum("n_docs").alias("n_docs")]
+        if keep_text:
+            aggs.append(F.min("line_bytes").alias("line_bytes"))
+        return df.groupBy(*keys).agg(*aggs)
+
     if _read_layout(lp).get("range_partitions"):
         return _compact_ranged(
             spark,
             lp,
-            lambda df: df.groupBy("line_hash", _PART_COL).agg(
-                F.sum("n_docs").alias("n_docs")
-            ),
+            lambda df: _agg(df, "line_hash", _PART_COL),
             dirty_threshold,
             "line_hash",
             wait_s=wait_s,
@@ -2182,7 +2315,7 @@ def compact_line_index(
         snapshot = _dir_bytes(lp)
         before = spark.read.parquet(lp)
         rows_before = before.count()
-        agg = before.groupBy("line_hash").agg(F.sum("n_docs").alias("n_docs"))
+        agg = _agg(before, "line_hash")
         rows_after = agg.count()
         _rewrite_parquet_dir(
             agg, lp,
@@ -2190,6 +2323,57 @@ def compact_line_index(
             snapshot_bytes=snapshot,
         )
     return {"rows_before": rows_before, "rows_after": rows_after}
+
+
+def compact_match_index(
+    spark: SparkSession,
+    path: str,
+    wait_s: float | None = None,
+) -> dict:
+    """Rewrite the match index's exact and bands tables into few, full
+    files (r14 verdict #1 / BLOOM_r15): unlike grams/chunks/lines there
+    is NO aggregation to canonicalise — rows are already unique (doc-
+    disjoint appends of per-doc exact rows and per-doc band rows) — the
+    compaction exists purely to undo per-micro-batch FILE EXPLOSION.
+    The sweep measured the cost of skipping it: at 1000-doc batches
+    every append lands a file set per leg, and after 100 batches the
+    per-batch classifier scan pays thousands of file opens — the
+    steady-state wall grows with batch COUNT, not data. Identity
+    rewrite, so decisions are trivially preserved.
+
+    LEASE PROTOCOL: the whole two-leg compaction holds the EXACT leg's
+    lease — the same single lease ``match_dedup_batch`` holds across
+    its whole heal->classify->append span. Per-leg leases would leave
+    a hole: a live batch holds only the exact lease, so a bands-only
+    compactor could rewrite the bands dir out from under the batch's
+    in-flight bands append, silently deleting it with the old dir."""
+    _require_local_path(path)
+    out: dict = {}
+    with index_lease(os.path.join(path, "exact"), "compact", wait_s=wait_s):
+        for leg in ("exact", "bands"):
+            lp = os.path.join(path, leg)
+            if not os.path.isdir(lp):
+                continue
+            recover_interrupted_compaction(lp)
+            snapshot = _dir_bytes(lp)
+            before = spark.read.parquet(lp)
+            rows = before.count()
+            files_before = sum(
+                1 for f in os.listdir(lp) if f.endswith(".parquet")
+            )
+            _rewrite_parquet_dir(
+                before, lp,
+                _compact_partitions(spark, lp, 1.0),
+                snapshot_bytes=snapshot,
+            )
+            out[leg] = {
+                "rows": rows,
+                "files_before": files_before,
+                "files_after": sum(
+                    1 for f in os.listdir(lp) if f.endswith(".parquet")
+                ),
+            }
+    return out
 
 
 # ----------------------------------------- bucketed gram-index layout
@@ -2757,9 +2941,12 @@ def _compact_bucketed(
         before = spark.table(table)
         rows_before = before.count()
         tmp = table + "_compact_tmp"
+        cols = (
+            [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+        )
         write_bucketed(
-            agg_fn(before), tmp, [bucket_col], n_buckets=resolved,
-            sort_cols=[bucket_col], mode="overwrite",
+            agg_fn(before), tmp, cols, n_buckets=resolved,
+            sort_cols=cols, mode="overwrite",
         )
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
@@ -3127,3 +3314,50 @@ def compact_line_index_bucketed(
         dirty_threshold,
         wait_s=wait_s,
     )
+
+
+def compact_match_index_bucketed(
+    spark: SparkSession,
+    table_prefix: str,
+    n_buckets: int | None = None,
+    dirty_threshold: float = 0.0,
+    wait_s: float | None = None,
+) -> dict:
+    """Identity rewrite of BOTH legs of the bucketed match index
+    (``<prefix>_exact`` bucketed by content_hash, ``<prefix>_bands`` by
+    (band, bh)) through the shared metastore-swap protocol — the
+    bucketed twin of :func:`compact_match_index`. No aggregation
+    applies (rows are unique across doc-disjoint appends); the rewrite
+    exists to collapse per-micro-batch append FILE SETS back to one
+    file set per bucket. BLOOM_r15 measured why: each bucketed append
+    lands ~n_buckets files per leg, so a 1000-doc-batch stream's
+    classifier scan degrades linearly in BATCH COUNT (33 s/batch after
+    100 batches at a 150k-doc index) until compaction resets it.
+    ``dirty_threshold`` gates on the raw-append byte fraction exactly
+    like the other bucketed compactors, so a scheduled run is cheap
+    when the table is mostly clean.
+
+    LEASE PROTOCOL: both legs rewrite under the EXACT table's lease —
+    the one lease ``match_dedup_batch`` holds across its whole span
+    (see :func:`compact_match_index` for the per-leg hole this
+    closes); the inner per-table acquisitions are same-thread
+    re-entrant no-ops for exact and harmless extras for bands."""
+    out: dict = {}
+    with _table_lease(spark, f"{table_prefix}_exact", "compact",
+                      wait_s=wait_s):
+        for leg, cols in (
+            ("exact", "content_hash"), ("bands", ["band", "bh"])
+        ):
+            table = f"{table_prefix}_{leg}"
+            if not spark.catalog.tableExists(table):
+                continue
+            out[leg] = _compact_bucketed(
+                spark,
+                table,
+                cols,
+                lambda df: df,
+                n_buckets,
+                dirty_threshold,
+                wait_s=wait_s,
+            )
+    return out

@@ -467,6 +467,7 @@ def match_deduped_stream_sink(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
     **match_kwargs,
 ):
     """Streaming exact+near dedup via ``foreachBatch``: each micro-batch
@@ -474,12 +475,33 @@ def match_deduped_stream_sink(
     (:func:`match_dedup_batch`), and its (doc_id, status, match_id)
     decisions land in an own ``batch_id=N`` parquet partition with
     overwrite — the span sink's effectively-once output pattern on top
-    of the batch operator's replay-safe index rules."""
+    of the batch operator's replay-safe index rules.
+
+    ``compact_every=N`` compacts the index after every N-th batch
+    (identity rewrite — ``compact_match_index``/``_bucketed``): each
+    append lands a file set per leg, so small batches degrade the
+    classifier scan linearly in BATCH COUNT until compaction resets it
+    (BLOOM_r15 measured 1000-doc bucketed batches drifting to
+    ~33 s/batch over 100 uncompacted appends). Runs inside foreachBatch
+    AFTER the batch's own lease span, so it serialises with the
+    stream's own appends by construction."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         match_dedup_batch(
             batch, index_path, id_col, text_col, **match_kwargs
         ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..operators.dedup_index import (
+                compact_match_index,
+                compact_match_index_bucketed,
+            )
+
+            if match_kwargs.get("index_table") is not None:
+                compact_match_index_bucketed(
+                    batch.sparkSession, match_kwargs["index_table"]
+                )
+            else:
+                compact_match_index(batch.sparkSession, index_path)
 
     return (
         stream.writeStream.foreachBatch(_process)

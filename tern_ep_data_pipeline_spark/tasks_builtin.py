@@ -166,6 +166,15 @@ def compact_dedup_indexes(spark: SparkSession, site: str) -> dict:
         di.recover_interrupted_compaction(os.path.join(root, sub))
         if os.path.isdir(os.path.join(root, sub)):
             out[sub] = fn(spark, root, wait_s=wait_s)
+    # the match index's exact/bands legs (r15): identity rewrites that
+    # undo per-micro-batch append file explosion — the measured
+    # batch-COUNT-linear classifier degradation (BLOOM_r15)
+    if os.path.isdir(os.path.join(root, "exact")) or os.path.isdir(
+        os.path.join(root, "bands")
+    ):
+        for leg in ("exact", "bands"):
+            di.recover_interrupted_compaction(os.path.join(root, leg))
+        out["match"] = di.compact_match_index(spark, root, wait_s=wait_s)
     return out
 
 

@@ -1636,6 +1636,99 @@ def test_incremental_line_index(spark, tmp_path):
     assert got["clean_text"] == "another body"
 
 
+def test_wide_line_index_boilerplate_report(spark, tmp_path):
+    """r14 verdict #2: the wide (keep_text) line-index twin and its
+    consumer. Pins: (a) the report names the boilerplate as TEXT with
+    combined corpus+batch counts, hottest first; (b) the clean path is
+    bit-identical on wide vs narrow layouts (payload never read); (c)
+    appends and compaction preserve the payload through the layout
+    marker; (d) a narrow index refuses the report loudly; (e) in the
+    bloom regime the wide payload routes the two-phase key-only probe
+    ('broadcast' on the route property) with an identical report."""
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        append_to_line_index,
+        boilerplate_lines_report,
+        build_line_index,
+        clean_against_line_index,
+        compact_line_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nfirst article body"),
+            (2, "COOKIE BANNER\nsecond article body\nALL RIGHTS RESERVED"),
+            (3, "ALL RIGHTS RESERVED\nthird body"),
+        ],
+        ["doc_id", "text"],
+    )
+    wide = str(tmp_path / "wide")
+    narrow = str(tmp_path / "narrow")
+    assert build_line_index(corpus, wide, keep_text=True) == 5
+    assert build_line_index(corpus, narrow) == 5
+
+    batch = spark.createDataFrame(
+        [
+            (10, "COOKIE BANNER\nnovel batch body"),
+            (11, "ALL RIGHTS RESERVED\nanother novel body"),
+            (12, "totally fresh text"),
+        ],
+        ["doc_id", "text"],
+    )
+    # (b) clean decisions identical across layouts
+    via_wide = sorted(
+        map(tuple, clean_against_line_index(spark, batch, wide).collect())
+    )
+    via_narrow = sorted(
+        map(tuple, clean_against_line_index(spark, batch, narrow).collect())
+    )
+    assert via_wide == via_narrow
+
+    # (a) the report: banner 2+1=3 docs, rights 2+1=3, bodies below cut
+    rep = boilerplate_lines_report(spark, batch, wide, min_docs=3).collect()
+    assert [(r["line"], r["n_docs_total"], r["n_docs_batch"]) for r in rep] \
+        == [("ALL RIGHTS RESERVED", 3, 1), ("COOKIE BANNER", 3, 1)]
+
+    # (d) narrow layout refuses loudly
+    with pytest.raises(ValueError, match="keep_text"):
+        boilerplate_lines_report(spark, batch, narrow)
+
+    # (c) append + compact keep the payload (and the counts sum)
+    append_to_line_index(batch, wide)
+    stats = compact_line_index(spark, wide)
+    assert stats["rows_after"] < stats["rows_before"]
+    cols = spark.read.parquet(wide + "/lines").columns
+    assert "line_bytes" in cols
+    rep2 = boilerplate_lines_report(
+        spark,
+        spark.createDataFrame([(20, "COOKIE BANNER\nlast body")],
+                              ["doc_id", "text"]),
+        wide, min_docs=4,
+    ).collect()
+    assert [(r["line"], r["n_docs_total"]) for r in rep2] == [
+        ("COOKIE BANNER", 4)
+    ]
+
+    # (e) bloom regime: wide payload routes the two-phase probe and the
+    # report is identical to the un-pruned one. The batch reads from
+    # parquet so the survivor-size gate has a real plan estimate (an
+    # in-memory LocalRelation estimates as unknown and the gate
+    # correctly declines to DIRECT — still exact, but not the route
+    # this pin is about).
+    sc = spark.sparkContext
+    bpath = str(tmp_path / "batch_pq")
+    batch.write.parquet(bpath)
+    batch_pq = spark.read.parquet(bpath)
+    rep_bloom = boilerplate_lines_report(
+        spark, batch_pq, wide, min_docs=3, bloom_fpp=0.01,
+        prune_strategy="bloom",
+    ).collect()
+    assert sc.getLocalProperty("tern.bloom_prune.two_phase") == "broadcast"
+    rep_plain = boilerplate_lines_report(
+        spark, batch, wide, min_docs=3
+    ).collect()
+    assert rep_bloom == rep_plain
+
+
 def test_ccnet_normalised_line_dedup(spark):
     """normalise=True hashes lines under ccnet_normalise (lowercase,
     digits->0 per char, whitespace collapse), so counter/date boilerplate

@@ -1959,6 +1959,92 @@ def test_match_dedup_first_attempt_fast_path(spark, tmp_path):
     assert bands.count() == bands.dropDuplicates().count()
 
 
+@pytest.mark.parametrize("layout", ["dir", "bucketed"])
+def test_match_index_compaction_decision_preserving(
+    spark, tmp_path, layout
+):
+    """r15 (r14 verdict #1): the match-index compactors undo per-batch
+    append file explosion without changing a single decision — an
+    identity rewrite (no aggregation exists for these tables). Pins:
+    file count shrinks (dir layout), row sets byte-identical, and a
+    post-compaction batch classifies exactly like an uncompacted twin."""
+    import os as _os
+
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        compact_match_index,
+        compact_match_index_bucketed,
+    )
+    from tern_ep_data_pipeline_spark.streaming.curation import (
+        match_dedup_batch,
+    )
+
+    base = " ".join(f"cm{i}" for i in range(30))
+    idx = str(tmp_path / "midx")
+    twin = str(tmp_path / "midx_twin")
+    kw = (
+        {"index_table": f"cmp_midx_{layout}", "n_buckets": 4}
+        if layout == "bucketed"
+        else {}
+    )
+    kw_twin = (
+        {"index_table": f"cmp_twin_{layout}", "n_buckets": 4}
+        if layout == "bucketed"
+        else {}
+    )
+    batches = [
+        spark.createDataFrame(
+            [(b * 10 + i, f"doc {b} {i} " + base + f" tail{b * 10 + i}")
+             for i in range(3)],
+            ["doc_id", "text"],
+        )
+        for b in range(4)
+    ]
+    for b in batches:
+        match_dedup_batch(b, idx, **kw)
+        match_dedup_batch(b, twin, **kw_twin)
+
+    def rows(path, table_kw):
+        if table_kw:
+            ex = spark.table(f"{table_kw['index_table']}_exact")
+            bd = spark.table(f"{table_kw['index_table']}_bands")
+        else:
+            ex = spark.read.parquet(path + "/exact")
+            bd = spark.read.parquet(path + "/bands")
+        return (sorted(map(tuple, ex.collect())),
+                sorted(map(tuple, bd.collect())))
+
+    before = rows(idx, kw)
+    if layout == "bucketed":
+        stats = compact_match_index_bucketed(spark, kw["index_table"])
+        assert set(stats) == {"exact", "bands"}
+        assert all(
+            s["rows_before"] == s["rows_after"] for s in stats.values()
+        )
+    else:
+        nf = len([f for f in _os.listdir(idx + "/exact")
+                  if f.endswith(".parquet")])
+        stats = compact_match_index(spark, idx)
+        assert stats["exact"]["files_before"] == nf
+        assert stats["exact"]["files_after"] < nf
+        assert stats["bands"]["files_after"] < stats["bands"]["files_before"]
+    assert rows(idx, kw) == before  # identity rewrite
+
+    # a post-compaction batch decides exactly like the uncompacted twin
+    probe = spark.createDataFrame(
+        [(100, "doc 0 0 " + base + " tail0"),      # exact dup of doc 0
+         (101, base + " novel probe body zz1")],   # fresh
+        ["doc_id", "text"],
+    )
+    got = sorted(map(tuple, match_dedup_batch(probe, idx, **kw).collect()))
+    exp = sorted(map(tuple,
+                     match_dedup_batch(probe, twin, **kw_twin).collect()))
+    assert got == exp
+    if layout == "bucketed":
+        for t in ("cmp_midx", "cmp_twin"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{layout}_exact")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{layout}_bands")
+
+
 def test_span_dedup_batch_auto_bloom_regime_gate(spark, tmp_path):
     """r14: the span sink's default bloom_fpp='auto' engages the
     measured prune only past the broadcast-threshold regime — young

@@ -19,10 +19,25 @@ Two modes:
 - ``--sweep 1000,10000,100000 --stream-docs 100000``: the SAME stream
   of documents is driven through every batch size on both layouts
   (duplicate construction keys on doc_id alone, so the stream content
-  is batch-size independent) and the full decision set is asserted
-  identical across every (layout, batch size) cell — the r14 verdict
-  #1 sweep. Reports docs/s and per-batch wall so the fixed per-batch
-  overhead is visible against the scaling part.
+  is batch-size independent) — the r14 verdict #1 sweep. Reports
+  docs/s and per-batch wall so the fixed per-batch overhead is
+  visible against the scaling part. Decision pins, in decreasing
+  strength: (a) HARD — at each batch size the two layouts decide
+  identically; (b) HARD — the harness-constructed duplicates (exact
+  copies and unique-mate nears, chain-free by construction) decide
+  identically across every cell; (c) REPORTED — the full decision
+  sets across batch sizes, with a counted divergence. (c) cannot be a
+  hard equality on this corpus BY THE OPERATOR'S OWN SEMANTICS: the
+  intra-batch pass deliberately matches a doc against lower-id
+  batch-mates that themselves classified as duplicates (catching
+  dup-of-dup chains for better recall), and those mates never enter
+  the index — so a chain member whose similarity to the chain ROOT
+  has decayed below the verify threshold classifies dup when it
+  shares a batch with its intermediate and fresh when it does not.
+  The generator plants ~4% near-dups whose source may itself be a
+  near-dup (tools/gen_scaledata.py), so chain-tail docs exist; the
+  sweep asserts the divergence stays in that tail (<=0.2% of stream
+  docs) and prints the count.
 
 The DSIR cell measures the r14 vectorised scorer (hash_mode='fast')
 against the per-token portable twin over the same documents through
@@ -171,13 +186,20 @@ def _build_index(spark, seed, layout: str, work: str, tag: str):
 
 
 def _drive_batches(spark, stream, lo: int, total: int, batch: int,
-                   idx: str, kw: dict, tag: str):
+                   idx: str, kw: dict, tag: str,
+                   compact_every: int = 0):
     """Run the stream through the sink in `batch`-sized slices.
     Returns (per-batch cells, decisions dict doc_id -> (status,
-    match_id), route counts)."""
+    match_id), route counts). ``compact_every=N`` runs the match-index
+    compactor after every N-th batch — the sink's own hook, identity
+    rewrite, decision-preserving."""
     from pyspark.sql import functions as F
 
     from tern_ep_data_pipeline_spark.operators.dedup import release_staged
+    from tern_ep_data_pipeline_spark.operators.dedup_index import (
+        compact_match_index,
+        compact_match_index_bucketed,
+    )
     from tern_ep_data_pipeline_spark.streaming.curation import (
         match_dedup_batch,
     )
@@ -218,7 +240,14 @@ def _drive_batches(spark, stream, lo: int, total: int, batch: int,
                 "append_route": route,
             }
         )
-        if b < 5 or b == n_batches - 1:
+        if compact_every and (b + 1) % compact_every == 0:
+            t0 = time.time()
+            if kw.get("index_table") is not None:
+                compact_match_index_bucketed(spark, kw["index_table"])
+            else:
+                compact_match_index(spark, idx)
+            cells[-1]["compact_s"] = round(time.time() - t0, 3)
+        if b < 5 or b == n_batches - 1 or "compact_s" in cells[-1]:
             print(f"# {tag} b{b}: {cells[-1]}", file=sys.stderr)
     return cells, decisions, routes
 
@@ -292,6 +321,8 @@ def run_dsir_cells(spark, docs, seed, work: str, args) -> dict:
     rng = np.random.default_rng(3)
     zvocab = args.dsir_zipf_vocab
     zdocs = args.dsir_zipf_docs
+    if not zdocs:  # octave runs repeat the scale cell only
+        return dsir
     draw = np.minimum(rng.zipf(1.3, size=zdocs * 54) - 1, zvocab - 1)
     vocab = [f"w{i}" for i in range(zvocab)]
     ztexts = [
@@ -359,6 +390,7 @@ def main() -> None:
     )
     ap.add_argument("--stream-docs", type=int, default=100_000)
     ap.add_argument("--skip-dsir", action="store_true")
+    ap.add_argument("--compact-every", type=int, default=0)
     ap.add_argument("--dsir-runs", type=int, default=3)
     ap.add_argument("--dsir-zipf-docs", type=int, default=30_000)
     ap.add_argument("--dsir-zipf-vocab", type=int, default=200_000)
@@ -397,8 +429,20 @@ def main() -> None:
             docs, seed, args.seed_docs, total, args.dup_frac
         )
         n_stream = stream.count()
+        # the harness-CONSTRUCTED duplicates (chain-free by
+        # construction — module docstring pin (b)): exact-branch docs
+        # (every DUP_MOD key has a seed representative at these seed
+        # sizes) and near-branch docs whose unique seed mate survived
+        # the seed's exact-dedup
+        seed_ids = {r["doc_id"] for r in seed.select("doc_id").collect()}
+        cut = int(args.dup_frac * DUP_MOD)
+        constructed = [
+            d for d in range(args.seed_docs, args.seed_docs + total)
+            if (d % DUP_MOD < cut // 2)
+            or (d % DUP_MOD < cut and (d - args.seed_docs) in seed_ids)
+        ]
         sweep_cells = []
-        digests = set()
+        all_dec: dict = {}
         for layout in ("dir", "bucketed"):
             for bs in sizes:
                 tag = f"{layout}_bs{bs}"
@@ -408,10 +452,12 @@ def main() -> None:
                 cleanups.append(cleanup)
                 t0 = time.time()
                 cells, decisions, routes = _drive_batches(
-                    spark, stream, args.seed_docs, total, bs, idx, kw, tag
+                    spark, stream, args.seed_docs, total, bs, idx, kw, tag,
+                    compact_every=args.compact_every,
                 )
                 total_wall = round(time.time() - t0, 3)
                 walls = [c["wall_s"] for c in cells]
+                all_dec[(layout, bs)] = decisions
                 sweep_cells.append(
                     {
                         "layout": layout,
@@ -434,12 +480,40 @@ def main() -> None:
                         "decisions_digest": _digest(decisions),
                     }
                 )
-                digests.add(_digest(decisions))
                 print(f"# sweep {tag}: {sweep_cells[-1]}", file=sys.stderr)
+        # pin (a): layouts identical at each size — HARD
+        layouts_identical = all(
+            all_dec[("dir", bs)] == all_dec[("bucketed", bs)]
+            for bs in sizes
+        )
+        assert layouts_identical, "layout decisions diverged"
+        # pin (b): constructed (chain-free) dups identical — HARD
+        con_digests = {
+            _digest({d: dec[d] for d in constructed if d in dec})
+            for dec in all_dec.values()
+        }
+        assert len(con_digests) == 1, "constructed-dup decisions diverged"
+        # pin (c): cross-size divergence counted and bounded to the
+        # corpus's near-chain tail (module docstring)
+        base_dec = all_dec[("dir", sizes[0])]
+        divergence = {}
+        for bs in sizes[1:]:
+            other = all_dec[("dir", bs)]
+            n_diff = sum(
+                1 for d, v in base_dec.items() if other.get(d) != v
+            )
+            divergence[f"bs{sizes[0]}_vs_bs{bs}"] = {
+                "n_docs_differing": n_diff,
+                "fraction": round(n_diff / max(n_stream, 1), 5),
+            }
+            assert n_diff <= 0.002 * n_stream, divergence
         result["batch_size_sweep"] = {
             "sizes": sizes,
             "cells": sweep_cells,
-            "decisions_identical_across_cells": len(digests) == 1,
+            "layouts_identical_per_size": layouts_identical,
+            "constructed_dup_decisions_identical": len(con_digests) == 1,
+            "n_constructed_dups": len(constructed),
+            "cross_size_divergence_chain_tail": divergence,
         }
     else:
         layouts = {}
@@ -455,7 +529,7 @@ def main() -> None:
             cleanups.append(cleanup)
             cells, decisions, routes = _drive_batches(
                 spark, stream, args.seed_docs, total, args.batch, idx, kw,
-                layout,
+                layout, compact_every=args.compact_every,
             )
             layouts[layout] = {
                 "seed_build_s": build_s,
