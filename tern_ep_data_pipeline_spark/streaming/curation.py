@@ -660,13 +660,23 @@ def write_dsir_ratio_artifact(
     distribution the scorer will see), written as a ``vocab`` parquet
     beside the ratio table and versioned with it. The fast scorer
     prewarms its per-task gram tables from the sidecar once per task,
-    so steady-state batches skip the md5 hashing of the corpus's hot
-    vocabulary entirely. The sidecar carries STRINGS only — every lr
-    value is always recomputed from the loaded ratio table through the
-    same kernel the lazy path uses, so parity (and tolerance of a
-    version-skewed sidecar) holds by construction. One extra
-    map-side-combinable count + top-K job at build time, amortised
-    over the model's refresh cadence.
+    so a task's EARLY batches skip the md5-and-insert work for the
+    corpus's hot vocabulary (BLOOM_r15 cold-start cell: 1.36x on a
+    fresh task's first batch, scores pinned equal). The sidecar
+    carries STRINGS only — every lr value is always recomputed from
+    the loaded ratio table through the same kernel the lazy path uses,
+    so parity (and tolerance of a version-skewed sidecar) holds by
+    construction. One extra map-side-combinable count + top-K job at
+    build time, amortised over the model's refresh cadence.
+
+    Sizing honesty (BLOOM_r15): the lazy path's miss handling is
+    already vectorised, so prewarm only buys the per-batch cold-start
+    overhead — at a 200k-gram sidecar the one-time prewarm (~0.2-0.5 s
+    per task) breaks even after a few tens of thousands of docs per
+    task. Opt in for LONG-lived tasks (the 100 TB steady state: one
+    task streams millions of docs); short exploratory jobs should
+    leave ``vocab_top_k=0`` or pass
+    ``dsir_scored_stream(use_vocab_sidecar=False)``.
     """
     import json as _json
 
@@ -817,13 +827,17 @@ def load_dsir_vocab(spark, path: str) -> list | None:
     vpath = vdir.rstrip("/") + "/vocab"
     if not _dir_exists(spark, vpath):
         return None
-    rows = (
+    # Arrow toPandas, not collect(): a 200k-row collect crosses py4j
+    # row by row (~seconds) and this load sits on the stream-
+    # construction path; the columnar transfer is ~50x faster and the
+    # session enables Arrow by default
+    pdf = (
         spark.read.parquet(vpath)
         .orderBy(F.desc("n"), F.asc("gram"))
         .select("gram")
-        .collect()
+        .toPandas()
     )
-    return [r["gram"] for r in rows]
+    return pdf["gram"].tolist()
 
 
 class _DsirFastScorer:
@@ -836,36 +850,39 @@ class _DsirFastScorer:
     token; this kernel makes the per-OCCURRENCE path pure C and spends
     Python only on genuinely NEW vocabulary:
 
-    - tokens factorise per batch (one C hash pass), then map to
-      PERSISTENT stable codes via a pandas Index probe; new tokens are
+    - tokens factorise per batch (one C hash pass over all
+      occurrences), then map to PERSISTENT stable codes via a dict
+      probe over the batch's UNIQUE tokens only; new tokens are
       md5-hashed once (``md5np.md5_hex60`` — bit-equal to hashlib, so
       fast and portable cannot diverge) and join the code space.
     - bigrams become int64 composite keys of adjacent stable codes —
-      no bigram STRING is ever built for a known pair. New pairs
-      resolve via binary search against a sorted key array; only the
-      misses materialise strings for hashing, once per pair ever.
+      no bigram STRING is ever built for a known pair. Known pairs
+      resolve from a dict keyed by the composite; only the misses
+      materialise strings for hashing, once per pair ever.
     - per-doc sums are two ``np.add.reduceat`` segment reductions over
       int64 (exact — float accumulators would break the integer-equal
       parity pin past 2^53).
 
-    Measured (BLOOM_r14 dsir_scorer cells, end-to-end mapInPandas at
-    local[32]): 1.46x the portable twin on the 50k-doc scale corpus
-    (34.9k vs 23.8k docs/s); 1.13x on a heavy-tailed zipf 200k-vocab
-    draw where per-task partitions are small enough that most grams
-    are task-cold (in-process, the warm kernel is ~1.8x and a COLD
-    all-new-gram batch ~0.6x — the crossover is within a task's first
-    few thousand docs). State is per-TASK (an Arrow iterator closure)
-    and capped: past ``max_vocab`` entries the tables stop growing and
-    later misses re-hash per batch (graceful, never wrong); the
-    portable twin's string-keyed memo grows without bound, so the cap
-    is strictly tighter than the r13 behaviour.
+    Growth is AMORTISED O(new) per batch (r15): the r14 kernel kept a
+    pandas Index and a sorted pair-key array, both rebuilt/re-sorted
+    whenever ANY new gram appeared — O(vocab) per batch, which a
+    heavy-tailed corpus (new pairs forever) pays on every batch, and
+    which the r15 vocabulary-sidecar prewarm AMPLIFIED (a prewarmed
+    200k-entry Index made every rebuild 4x dearer; the zipf cell
+    measured the prewarmed scorer SLOWER than cold). Dicts + a
+    capacity-doubling lr buffer make growth incremental, so prewarm is
+    a one-time insert and steady batches touch only their own unique
+    grams. State is per-TASK (an Arrow iterator closure) and capped:
+    past ``max_vocab`` entries the tables stop growing and later
+    misses re-hash per batch (graceful, never wrong); the portable
+    twin's string-keyed memo grows without bound, so the cap is
+    strictly tighter than the r13 behaviour.
 
     The default cap sizes for many concurrent tasks per executor: 2M
-    token entries cost ~100-200 MB (Python string + pandas Index
-    overhead dominates) and 2M pair keys 32 MB (two int64 arrays), so
-    a 4-8 task executor stays under ~1 GB of scorer state; the cap
-    also bounds the per-batch merge sort of the pair table. Raise it
-    for wide-memory single-task readers, not as a default.
+    token entries cost ~200-300 MB (Python string + dict slot
+    overhead dominates) and 2M pair-dict entries ~160 MB, so a 4-task
+    executor stays under ~2 GB of scorer state. Raise it for
+    wide-memory single-task readers, not as a default.
     """
 
     MAX_VOCAB = 2_000_000
@@ -895,11 +912,23 @@ class _DsirFastScorer:
         self.max_abs_pico = max(
             (abs(int(v)) for v in table.values()), default=0
         )
-        self.tok_index = pd.Index([], dtype=object)
-        self.code2tok: list = []
-        self.lr_tok = np.empty(0, dtype=np.int64)
-        self.pair_keys = np.empty(0, dtype=np.int64)
-        self.pair_lrs = np.empty(0, dtype=np.int64)
+        self.tok_map: dict = {}      # token -> stable code
+        self.code2tok: list = []     # stable code -> token
+        self.lr_buf = np.empty(0, dtype=np.int64)  # capacity buffer
+        self.n_tok = 0               # used prefix of lr_buf
+        self.pair_map: dict = {}     # int64 composite key -> lr pico
+
+    def _append_lr(self, vals) -> None:
+        """Append per-token lr values to the capacity-doubling buffer
+        (amortised O(new) — never a full copy per batch)."""
+        np = self._np
+        n, m = self.n_tok, len(vals)
+        if n + m > len(self.lr_buf):
+            grown = np.empty(max(4096, 2 * (n + m)), dtype=np.int64)
+            grown[:n] = self.lr_buf[:n]
+            self.lr_buf = grown
+        self.lr_buf[n:n + m] = vals
+        self.n_tok = n + m
 
     def _lr_of(self, grams: list) -> "np.ndarray":  # noqa: F821
         """pico contribution per gram string (0 when the bucket is
@@ -924,8 +953,8 @@ class _DsirFastScorer:
         kernel the lazy path uses — so a prewarmed scorer is
         score-identical to a cold one by construction. Respects
         ``max_vocab`` (hot-first sidecar order means the cap keeps the
-        hottest grams)."""
-        np, pd = self._np, self._pd
+        hottest grams). One md5 pass + dict inserts — no per-batch
+        structure is rebuilt, so prewarm cost is strictly one-time."""
         unis: list = []
         pairs: list = []
         for g in grams:
@@ -935,52 +964,37 @@ class _DsirFastScorer:
             a, _, b = p.partition(" ")
             comp.append(a)
             comp.append(b)
-        seen = set(self.code2tok)
-        new_toks = []
+        pending: dict = {}
         for t in unis + comp:
-            if t not in seen:
-                seen.add(t)
-                new_toks.append(t)
-        room = self.max_vocab - len(self.code2tok)
-        new_toks = new_toks[: max(0, room)]
+            if t not in self.tok_map and t not in pending:
+                pending[t] = None
+        room = self.max_vocab - self.n_tok
+        new_toks = list(pending)[: max(0, room)]
         if new_toks:
-            new_lr = self._lr_of(new_toks)
+            base = self.n_tok
+            self._append_lr(self._lr_of(new_toks))
+            for i, t in enumerate(new_toks):
+                self.tok_map[t] = base + i
             self.code2tok.extend(new_toks)
-            self.lr_tok = np.concatenate([self.lr_tok, new_lr])
-            self.tok_index = pd.Index(self.code2tok, dtype=object)
         if not pairs:
             return
-        a_codes = self.tok_index.get_indexer(
-            pd.Index([p.partition(" ")[0] for p in pairs], dtype=object)
-        )
-        b_codes = self.tok_index.get_indexer(
-            pd.Index([p.partition(" ")[2] for p in pairs], dtype=object)
-        )
-        ok = (a_codes >= 0) & (b_codes >= 0)  # cap may have cut components
-        if not ok.any():
-            return
-        keys = (a_codes[ok].astype(np.int64) << np.int64(32)) | b_codes[
-            ok
-        ].astype(np.int64)
-        ptxt = [p for p, k in zip(pairs, ok) if k]
-        ukey, first = np.unique(keys, return_index=True)
-        if len(self.pair_keys):
-            pos = np.searchsorted(self.pair_keys, ukey)
-            safe = np.minimum(pos, len(self.pair_keys) - 1)
-            fresh = self.pair_keys[safe] != ukey
-        else:
-            fresh = np.ones(len(ukey), dtype=bool)
-        room = self.max_vocab - len(self.pair_keys)
-        fresh_idx = np.nonzero(fresh)[0][: max(0, room)]
-        if not len(fresh_idx):
-            return
-        nk = ukey[fresh_idx]
-        vals = self._lr_of([ptxt[int(first[i])] for i in fresh_idx])
-        allk = np.concatenate([self.pair_keys, nk])
-        allv = np.concatenate([self.pair_lrs, vals])
-        order = np.argsort(allk, kind="stable")
-        self.pair_keys = allk[order]
-        self.pair_lrs = allv[order]
+        cand: dict = {}
+        tm = self.tok_map
+        for p in pairs:
+            a, _, b = p.partition(" ")
+            ca = tm.get(a)
+            cb = tm.get(b)
+            if ca is None or cb is None:  # cap cut a component token
+                continue
+            key = (ca << 32) | cb
+            if key not in self.pair_map and key not in cand:
+                cand[key] = p
+        room = self.max_vocab - len(self.pair_map)
+        items = list(cand.items())[: max(0, room)]
+        if items:
+            vals = self._lr_of([p for _, p in items])
+            for (key, _), v in zip(items, vals.tolist()):
+                self.pair_map[key] = int(v)
 
     def _score_doc_pyint(self, text: str) -> int:
         """Arbitrary-precision twin for one OVERFLOW-RISKY document —
@@ -1052,31 +1066,35 @@ class _DsirFastScorer:
             [t for ts in toks_per_doc for t in ts], dtype=object
         )
         codes, uniq = pd.factorize(flat, sort=False)
-        stable = self.tok_index.get_indexer(uniq)
+        tm = self.tok_map
+        stable = np.fromiter(
+            (tm.get(t, -1) for t in uniq), dtype=np.int64, count=len(uniq)
+        )
         new_mask = stable == -1
         codes_are_stable = True
         if new_mask.any():
-            new_toks = uniq[new_mask]
-            new_lr = self._lr_of(new_toks.tolist())
-            if len(self.code2tok) + len(new_toks) <= self.max_vocab:
-                self.code2tok.extend(new_toks.tolist())
-                self.lr_tok = np.concatenate([self.lr_tok, new_lr])
-                self.tok_index = pd.Index(self.code2tok, dtype=object)
-                stable = self.tok_index.get_indexer(uniq)
-                uni_occ = self.lr_tok[stable[codes]]
+            new_toks = uniq[new_mask].tolist()
+            new_lr = self._lr_of(new_toks)
+            base = self.n_tok
+            stable = stable.copy()
+            stable[new_mask] = base + np.arange(
+                len(new_toks), dtype=np.int64
+            )
+            if base + len(new_toks) <= self.max_vocab:
+                self._append_lr(new_lr)
+                for i, t in enumerate(new_toks):
+                    tm[t] = base + i
+                self.code2tok.extend(new_toks)
+                uni_occ = self.lr_buf[: self.n_tok][stable[codes]]
             else:
                 # capped: batch-local codes — usable for THIS batch's
                 # sums and pair keys, but they must never persist (the
                 # same code would mean a different token next batch)
                 codes_are_stable = False
-                ext_lr = np.concatenate([self.lr_tok, new_lr])
-                stable = stable.copy()
-                stable[new_mask] = len(self.code2tok) + np.arange(
-                    len(new_toks), dtype=np.int64
-                )
+                ext_lr = np.concatenate([self.lr_buf[:base], new_lr])
                 uni_occ = ext_lr[stable[codes]]
         else:
-            uni_occ = self.lr_tok[stable[codes]]
+            uni_occ = self.lr_buf[: self.n_tok][stable[codes]]
         sc = stable[codes].astype(np.int64)
         starts = np.zeros(nd, dtype=np.int64)
         np.cumsum(ntoks[:-1], out=starts[1:])
@@ -1090,36 +1108,32 @@ class _DsirFastScorer:
             keep = np.ones(total - 1, dtype=bool)
             keep[starts[1:] - 1] = False
             ukey, inv = np.unique(k[keep], return_inverse=True)
-            pos = np.searchsorted(self.pair_keys, ukey)
-            if len(self.pair_keys):
-                safe = np.minimum(pos, len(self.pair_keys) - 1)
-                found = self.pair_keys[safe] == ukey
-            else:
-                found = np.zeros(len(ukey), dtype=bool)
-            lr_u = np.empty(len(ukey), dtype=np.int64)
-            if found.any():
-                lr_u[found] = self.pair_lrs[pos[found]]
-            miss = ~found
-            if miss.any():
-                nk = ukey[miss]
+            pm = self.pair_map
+            got = [pm.get(x) for x in ukey.tolist()]
+            lr_u = np.fromiter(
+                (v if v is not None else 0 for v in got),
+                dtype=np.int64, count=len(got),
+            )
+            miss_idx = [i for i, v in enumerate(got) if v is None]
+            if miss_idx:
+                nk = ukey[miss_idx]
                 # pair strings exist only HERE — once per new pair
                 c2t = self.code2tok
                 if not codes_are_stable:
-                    c2t = c2t + uniq[new_mask].tolist()
+                    c2t = c2t + new_toks
                 gs = [
                     c2t[int(x >> 32)] + " " + c2t[int(x & 0xFFFFFFFF)]
                     for x in nk
                 ]
                 vals_new = self._lr_of(gs)
-                lr_u[miss] = vals_new
-                if codes_are_stable and (
-                    len(self.pair_keys) + len(nk) <= self.max_vocab
-                ):
-                    allk = np.concatenate([self.pair_keys, nk])
-                    allv = np.concatenate([self.pair_lrs, vals_new])
-                    order = np.argsort(allk, kind="stable")
-                    self.pair_keys = allk[order]
-                    self.pair_lrs = allv[order]
+                lr_u[np.asarray(miss_idx, dtype=np.int64)] = vals_new
+                if codes_are_stable:
+                    room = self.max_vocab - len(pm)
+                    if room > 0:
+                        for x, v in zip(
+                            nk[:room].tolist(), vals_new[:room].tolist()
+                        ):
+                            pm[x] = v
             bstarts = np.zeros(nd, dtype=np.int64)
             np.cumsum(nbig[:-1], out=bstarts[1:])
             # reduceat over pair-OWNING docs only: zero-pair docs make
@@ -1145,6 +1159,7 @@ def dsir_scored_stream(
     text_col: str = "text",
     min_logweight_micro: int | None = None,
     hash_mode: str = "fast",
+    use_vocab_sidecar: bool = True,
 ) -> DataFrame:
     """Score each streaming document against a frozen DSIR ratio
     artifact: adds ``logweight_micro`` (exact integer micro-log units,
@@ -1197,7 +1212,11 @@ def dsir_scored_stream(
     # executor, not per task), prewarmed into each task's scorer.
     # Strings only — correctness never depends on it (see prewarm).
     bvocab = None
-    if hash_mode == "fast" and meta.get("n_vocab_rows"):
+    if (
+        use_vocab_sidecar
+        and hash_mode == "fast"
+        and meta.get("n_vocab_rows")
+    ):
         grams = load_dsir_vocab(stream.sparkSession, ratio_path)
         if grams:
             bvocab = stream.sparkSession.sparkContext.broadcast(grams)

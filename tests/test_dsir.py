@@ -702,7 +702,7 @@ def test_dsir_vocab_sidecar_prewarm_parity(spark, tmp_path):
     warm = _DsirFastScorer(table, b"dsir:", 256)
     warm.prewarm(grams)
     n_warm_vocab = len(warm.code2tok)
-    assert n_warm_vocab > 0 and len(warm.pair_keys) > 0
+    assert n_warm_vocab > 0 and len(warm.pair_map) > 0
     capped = _DsirFastScorer(table, b"dsir:", 256, max_vocab=3)
     capped.prewarm(grams)
     assert len(capped.code2tok) <= 3

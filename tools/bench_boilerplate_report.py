@@ -55,6 +55,7 @@ def main() -> None:
     ap.add_argument("--index-docs", type=int, default=50_000)
     ap.add_argument("--batch-docs", type=int, default=20_000)
     ap.add_argument("--min-docs", type=int, default=3)
+    ap.add_argument("--line-tokens", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -74,10 +75,11 @@ def main() -> None:
     ).select("doc_id", "text")
     # synthetic docs are space-joined single lines; split them into
     # multi-token pseudo-lines so the line table has realistic shape
+    n = args.line_tokens
     lined = docs.select(
         "doc_id",
         F.regexp_replace(
-            "text", r"((\S+\s+){7}\S+)\s+", r"$1\n"
+            "text", r"((\S+\s+){%d}\S+)\s+" % (n - 1), r"$1\n"
         ).alias("text"),
     )
     corpus = lined.where(F.col("doc_id") < args.index_docs)
