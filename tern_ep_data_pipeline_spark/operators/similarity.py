@@ -150,20 +150,120 @@ def ann_lsh_topk(
     )
 
 
+def _near_dup_pairs_kernel(threshold: float):
+    """Per-block pandas kernel for :func:`embedding_near_dup_pairs`
+    (``mode='arrow'``): all-pairs cosine with the EXACT floating-point
+    semantics of the JVM expression form, so the two modes are
+    value-identical by construction, not by luck —
+
+    - elements widen to float64 first (``x.cast("double")``),
+    - the dot/norm accumulate SEQUENTIALLY over dims in ascending order
+      (the ``aggregate`` fold's order): one fused multiply-add per dim
+      via ``acc += V[:, d] * W[:, d]``-style elementwise ops, never a
+      BLAS GEMM (whose pairwise summation reorders the adds),
+    - ``cosine = dot / (na * nb)`` with that exact operation order.
+
+    Pairs whose raw cosine clears ``threshold - 1e-6`` are emitted; the
+    caller re-applies the exact ``round(_, 6) >= threshold`` filter in
+    the JVM, so the guard only bounds Arrow output volume. Vectors of
+    unequal length pair to NULL under ``zip_with`` (dropped by the JVM
+    filter), so the kernel computes within equal-length groups only.
+    """
+    guard = threshold - 1e-6
+
+    def kern(pdf):
+        out_a, out_b, out_raw = [], [], []
+        ids_all = pdf["__id"]
+        vecs = pdf["__v"]
+        ok = vecs.notna()
+        lens = vecs[ok].map(len)
+        for _L, sub in pdf[ok].groupby(lens, sort=False):
+            sub = sub.sort_values("__id", kind="mergesort")
+            n = len(sub)
+            if n < 2:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in sub["__v"]])
+            ids = sub["__id"].to_numpy()
+            D = V.shape[1]
+            acc = np.zeros(n)
+            for d in range(D):
+                acc += V[:, d] * V[:, d]
+            nrm = np.sqrt(acc)
+            # chunk rows so the (chunk x n) pair matrix stays ~16 MB
+            chunk = max(1, min(n, 2_000_000 // max(n, 1)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i0 in range(0, n, chunk):
+                    i1 = min(n, i0 + chunk)
+                    dot = np.zeros((i1 - i0, n))
+                    for d in range(D):
+                        dot += np.multiply.outer(V[i0:i1, d], V[:, d])
+                    cos = dot / np.multiply.outer(nrm[i0:i1], nrm)
+                    ia, jb = np.nonzero(
+                        (ids[i0:i1, None] < ids[None, :]) & (cos >= guard)
+                    )
+                    out_a.append(ids[i0:i1][ia])
+                    out_b.append(ids[jb])
+                    out_raw.append(cos[ia, jb])
+        if out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "__raw": np.concatenate(out_raw),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": ids_all.iloc[:0],
+                "id_b": ids_all.iloc[:0],
+                "__raw": pd.Series([], dtype="float64"),
+            }
+        )
+
+    return kern
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    mode: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Within-block self-join (pass an LSH bucket / shard key at scale; an
-    unblocked cross join is refused implicitly by requiring ``block_col``
-    for big inputs). Norms are precomputed once per side so the join
-    evaluates only the dot product per pair.
+    Within-block pairing (pass an LSH bucket / shard key at scale; an
+    unblocked run is refused implicitly by requiring ``block_col`` for
+    big inputs).
+
+    ``mode='arrow'`` (default, r15): one ``applyInPandas`` per block runs
+    the all-pairs cosine as vectorised numpy with the JVM expression
+    form's exact float semantics (see :func:`_near_dup_pairs_kernel`) —
+    the interpreted ``aggregate``/``zip_with`` lambda paid ~D interpreted
+    expression evaluations PER PAIR (measured r15: 2.3-3.4 s at sf0.1 =
+    ~13M lambda steps), and the self-join shipped every vector twice.
+    The kernel ships each vector once (no staged persist, no self-join
+    exchanges) and pays native flops. ``mode='expr'`` keeps the pure-JVM
+    form; both modes are pinned value-identical in tests.
     """
+    if mode == "arrow":
+        base = df.select(
+            (F.col(block_col) if block_col else F.lit(0)).alias("__block"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        id_type = df.schema[id_col].dataType.simpleString()
+        out = base.groupBy("__block").applyInPandas(
+            _near_dup_pairs_kernel(threshold),
+            schema=f"id_a {id_type}, id_b {id_type}, __raw double",
+        )
+        return (
+            out.withColumn("cosine_sim", F.round(F.col("__raw"), 6))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+
     def build() -> DataFrame:
         return df.select(
             *(

@@ -442,7 +442,9 @@ def tfidf_top_terms(
     at real corpus sizes the term table is Zipf-small after a
     ``min_df``-style cut, and AQE broadcasts it; N is a scalar broadcast.
     """
-    toks = df.select(
+    from .dedup import _fanout
+
+    toks = _fanout(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -544,7 +546,14 @@ def gram_hash_frame(
 
     A document shorter than ``n`` tokens contributes one gram folding all
     its tokens — the same boundary rule as ``dedup.shingles_of``.
+
+    Fans out by id first (r15): the gram kernel is a fan-out stage and must
+    not inherit the scan's partitioning (README invariant — one parquet row
+    group serialised the whole Arrow gram pass onto one core).
     """
+    from .dedup import _fanout
+
+    df = _fanout(df, id_col)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, gh bigint"
 
@@ -573,10 +582,13 @@ def gram_hash_frame(
 def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram, c): every n-token-gram occurrence counted (NOT distinct —
     repetition metrics need multiplicity). Same slice construction as
-    ``dedup.shingles_of`` so gram boundaries agree across operators."""
-    from .dedup import tokens
+    ``dedup.shingles_of`` so gram boundaries agree across operators.
+    Fans out by id before the explode (README fan-out invariant, r15)."""
+    from .dedup import _fanout, tokens
 
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    toks = _fanout(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("__t") - (n - 1), F.lit(1))
     )

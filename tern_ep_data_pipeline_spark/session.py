@@ -22,6 +22,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the pandas-interop edges (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Per-call DataFrame debug-origin capture costs 2-3 extra py4j round
+    # trips on EVERY Column/DataFrame API call (measured r15: doc_profile_b's
+    # build alone makes 5399 py4j calls with it on, 2359 with it off).
+    # Driver plan-build time is real wall time on every query (README
+    # round-8 lesson); production turns the debug tracer off.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # The driver testdata stores some timestamps as parquet TIMESTAMP(NANOS);
     # read them as long nanos and convert explicitly (sources.tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

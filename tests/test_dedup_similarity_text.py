@@ -272,6 +272,59 @@ def test_chunk_frame_tail_and_short_doc(spark):
     assert d2[0]["__chunk"] == "x x x x"
 
 
+def test_near_dup_pairs_arrow_equals_expr(spark, sf_dir):
+    """The r15 numpy all-pairs kernel (mode='arrow') must be VALUE-identical
+    to the JVM aggregate/zip_with form (mode='expr') — the kernel replays the
+    fold's exact float semantics (widen-then-multiply, dims-sequential adds,
+    dot/(na*nb)), so this holds bit-for-bit, not within a tolerance."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for th in (0.3, 0.95):
+        a = sorted(
+            map(
+                tuple,
+                similarity.embedding_near_dup_pairs(
+                    emb, "vec_id", "embedding", block_col="label",
+                    threshold=th, mode="arrow",
+                ).collect(),
+            )
+        )
+        e = sorted(
+            map(
+                tuple,
+                similarity.embedding_near_dup_pairs(
+                    emb, "vec_id", "embedding", block_col="label",
+                    threshold=th, mode="expr",
+                ).collect(),
+            )
+        )
+        assert a == e, f"threshold={th}: arrow/expr pair sets differ"
+        dedup.release_staged(spark)
+    # kernel-only edges the expr form cannot reach (ANSI divide-by-zero on
+    # zero norms; ragged lengths pair to NULL under zip_with => dropped):
+    # double arrays, a null vector, an empty vector, a zero vector, an
+    # odd-length vector — only the well-formed near pairs come out
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.01], 0),
+        (3, None, 0),
+        (4, [], 0),
+        (5, [1.0, 0.0, 0.0], 0),
+        (6, [0.0, 0.0], 0),
+        (7, [1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    got = sorted(
+        map(
+            tuple,
+            similarity.embedding_near_dup_pairs(
+                df, "vec_id", "embedding", block_col="label",
+                threshold=0.5, mode="arrow",
+            ).collect(),
+        )
+    )
+    assert got == [(1, 2, 0.99995), (1, 7, 1.0), (2, 7, 0.99995)]
+
+
 def test_semantic_dedup_within_cluster(spark):
     rows = [
         # cluster 0: 10/11 near-identical, 12 orthogonal-ish
