@@ -3425,73 +3425,88 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = F.lit(None).cast("string")
     nd = F.lit(None).cast("double")
 
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2,
-        hash_mode="portable",
-    )
-    # staged: the cluster table feeds both the cc listing and the
-    # leak-free split branch (union branches get no common-subplan reuse)
-    cluster_frame = dedup._stage(dedup_clusters(pairs))
-    cc = cluster_frame.select(
-        F.lit("cc").alias("part"),
-        F.col("node").cast("string").alias("key"),
-        F.col("component").cast("string").alias("val_s"),
-        nd.alias("val_d"),
-    )
-
-    split = sampling.leak_free_split(docs, "doc_id", cluster_frame).select(
-        F.lit("split").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("split").alias("val_s"),
-        nd.alias("val_d"),
-    )
-
-    bucket = sampling.hash_bucket(F.col("doc_id"), salt="smp")
-    sample = (
-        docs.withColumn("bucket", bucket)
-        .where(F.col("bucket") < 2000)
-        .select(
-            F.lit("sample").alias("part"),
-            F.col("doc_id").cast("string").alias("key"),
-            ns.alias("val_s"),
-            F.col("bucket").cast("double").alias("val_d"),
+    def _b_cc_split() -> list[DataFrame]:
+        pairs = dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2,
+            hash_mode="portable",
         )
-    )
+        # staged: the cluster table feeds both the cc listing and the
+        # leak-free split branch (union branches get no common-subplan reuse)
+        cluster_frame = dedup._stage(dedup_clusters(pairs))
+        cc = cluster_frame.select(
+            F.lit("cc").alias("part"),
+            F.col("node").cast("string").alias("key"),
+            F.col("component").cast("string").alias("val_s"),
+            nd.alias("val_d"),
+        )
+        split = sampling.leak_free_split(docs, "doc_id", cluster_frame).select(
+            F.lit("split").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("split").alias("val_s"),
+            nd.alias("val_d"),
+        )
+        return [cc, split]
 
-    injected = F.concat(
-        F.lit("contact u"),
-        F.col("doc_id").cast("string"),
-        F.lit("@ex.com or call 555-123-4567 "),
-        F.col("text"),
-    )
-    pii = docs.select(
-        F.lit("pii").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.md5(text.scrub_pii(injected)).alias("val_s"),
-        text.pii_hits(injected).cast("double").alias("val_d"),
-    )
+    def _b_sample() -> list[DataFrame]:
+        bucket = sampling.hash_bucket(F.col("doc_id"), salt="smp")
+        return [
+            docs.withColumn("bucket", bucket)
+            .where(F.col("bucket") < 2000)
+            .select(
+                F.lit("sample").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                ns.alias("val_s"),
+                F.col("bucket").cast("double").alias("val_d"),
+            )
+        ]
 
-    budget = sampling.budget_select(
-        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], "n_chars", 2000
-    ).select(
-        F.lit("budget").alias("part"),
-        F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string")).alias(
-            "key"
-        ),
-        ns.alias("val_s"),
-        F.col("cum_weight").cast("double").alias("val_d"),
-    )
+    def _b_pii() -> list[DataFrame]:
+        injected = F.concat(
+            F.lit("contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com or call 555-123-4567 "),
+            F.col("text"),
+        )
+        return [
+            docs.select(
+                F.lit("pii").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.md5(text.scrub_pii(injected)).alias("val_s"),
+                text.pii_hits(injected).cast("double").alias("val_d"),
+            )
+        ]
 
-    tfidf = text.tfidf_top_terms(docs, "doc_id", "text", k=3).select(
-        F.lit("tfidf").alias("part"),
-        F.concat(
-            F.col("doc_id").cast("string"), F.lit("#"), F.col("rank").cast("string")
-        ).alias("key"),
-        F.col("term").alias("val_s"),
-        F.col("tfidf").alias("val_d"),
-    )
+    def _b_budget() -> list[DataFrame]:
+        return [
+            sampling.budget_select(
+                docs, "source", [F.col("n_chars").desc(), F.col("doc_id")],
+                "n_chars", 2000,
+            ).select(
+                F.lit("budget").alias("part"),
+                F.concat(
+                    F.col("source"), F.lit("#"), F.col("doc_id").cast("string")
+                ).alias("key"),
+                ns.alias("val_s"),
+                F.col("cum_weight").cast("double").alias("val_d"),
+            )
+        ]
 
-    rep = text.repetition_stats(docs, "doc_id", "text").select(
+    def _b_tfidf() -> list[DataFrame]:
+        return [
+            text.tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+                F.lit("tfidf").alias("part"),
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("rank").cast("string"),
+                ).alias("key"),
+                F.col("term").alias("val_s"),
+                F.col("tfidf").alias("val_d"),
+            )
+        ]
+
+    def _b_rep() -> list[DataFrame]:
+        return [text.repetition_stats(docs, "doc_id", "text").select(
         F.col("doc_id"),
         F.explode(
             F.array(
@@ -3510,9 +3525,10 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ns.alias("val_s"),
         F.col("m.v").alias("val_d"),
-    )
+    )]
 
-    decon = text.contamination_hits(
+    def _b_decon() -> list[DataFrame]:
+        return [text.contamination_hits(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
         "doc_id",
@@ -3539,70 +3555,100 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ns.alias("val_s"),
         F.col("m.v").alias("val_d"),
-    )
+    )]
 
-    mix = sampling.temperature_sample(
-        docs, "doc_id", "source", alpha=0.5, total=2000, salt="mix"
-    ).select(
-        F.lit("mix").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("source").alias("val_s"),
-        nd.alias("val_d"),
-    )
+    def _b_mix() -> list[DataFrame]:
+        return [
+            sampling.temperature_sample(
+                docs, "doc_id", "source", alpha=0.5, total=2000, salt="mix"
+            ).select(
+                F.lit("mix").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("source").alias("val_s"),
+                nd.alias("val_d"),
+            )
+        ]
 
-    pack = sampling.pack_sequences(
-        docs, "doc_id", "n_chars", seq_len=4096, group_cols=("source",)
-    ).select(
-        F.lit("pack").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.concat(
-            F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
-        ).alias("val_s"),
-        F.col("seq_offset").cast("double").alias("val_d"),
-    )
+    def _b_pack() -> list[DataFrame]:
+        return [
+            sampling.pack_sequences(
+                docs, "doc_id", "n_chars", seq_len=4096, group_cols=("source",)
+            ).select(
+                F.lit("pack").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.concat(
+                    F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
+                ).alias("val_s"),
+                F.col("seq_offset").cast("double").alias("val_d"),
+            )
+        ]
 
-    seqs = sampling.materialise_sequences(
-        docs, "doc_id", "text", "n_chars", seq_len=4096, group_cols=("source",)
-    ).select(
-        F.lit("seqs").alias("part"),
-        F.concat(
-            F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
-        ).alias("key"),
-        F.md5(F.col("seq_text")).alias("val_s"),
-        F.col("seq_weight").cast("double").alias("val_d"),
-    )
+    def _b_seqs() -> list[DataFrame]:
+        return [
+            sampling.materialise_sequences(
+                docs, "doc_id", "text", "n_chars", seq_len=4096,
+                group_cols=("source",),
+            ).select(
+                F.lit("seqs").alias("part"),
+                F.concat(
+                    F.col("source"), F.lit("#"), F.col("seq_index").cast("string")
+                ).alias("key"),
+                F.md5(F.col("seq_text")).alias("val_s"),
+                F.col("seq_weight").cast("double").alias("val_d"),
+            )
+        ]
 
-    dsir = sampling.importance_resample(
-        docs, docs.where(F.col("lang") == "en"), 100, buckets=10_000,
-        target_subset_of_raw=True,
-    ).select(
-        F.lit("dsir").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.concat_ws(
-            ":", F.col("logweight_micro"), F.col("key_micro")
-        ).alias("val_s"),
-        nd.alias("val_d"),
-    )
+    def _b_dsir() -> list[DataFrame]:
+        return [
+            sampling.importance_resample(
+                docs, docs.where(F.col("lang") == "en"), 100, buckets=10_000,
+                target_subset_of_raw=True,
+            ).select(
+                F.lit("dsir").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.concat_ws(
+                    ":", F.col("logweight_micro"), F.col("key_micro")
+                ).alias("val_s"),
+                nd.alias("val_d"),
+            )
+        ]
 
-    dsir_ext = sampling.importance_resample(
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where((F.col("doc_id") % 2 == 1) & (F.col("lang") == "en")),
-        100,
-        buckets=10_000,
-    ).select(
-        F.lit("dsir_ext").alias("part"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.concat_ws(
-            ":", F.col("logweight_micro"), F.col("key_micro")
-        ).alias("val_s"),
-        nd.alias("val_d"),
-    )
+    def _b_dsir_ext() -> list[DataFrame]:
+        return [
+            sampling.importance_resample(
+                docs.where(F.col("doc_id") % 2 == 0),
+                docs.where((F.col("doc_id") % 2 == 1) & (F.col("lang") == "en")),
+                100,
+                buckets=10_000,
+            ).select(
+                F.lit("dsir_ext").alias("part"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.concat_ws(
+                    ":", F.col("logweight_micro"), F.col("key_micro")
+                ).alias("val_s"),
+                nd.alias("val_d"),
+            )
+        ]
 
-    out = cc
-    for branch in (
-        split, sample, pii, budget, tfidf, rep, decon, mix, pack, seqs, dsir,
-        dsir_ext,
-    ):
+    # Build the 13 branches on a small driver thread pool (r15): branch
+    # construction is dominated by py4j round trips (which release the
+    # GIL on the socket wait, so threads genuinely overlap) plus the cc
+    # branch's eager pair-pipeline materialisation inside
+    # connected_components — serially that is 3-4 s of build wall at
+    # sf0.1 before the first byte of execution. The union composes the
+    # completed branches in the SAME fixed order as the old sequential
+    # build, so the plan (and the result) is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = [
+        _b_cc_split, _b_sample, _b_pii, _b_budget, _b_tfidf, _b_rep,
+        _b_decon, _b_mix, _b_pack, _b_seqs, _b_dsir, _b_dsir_ext,
+    ]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        parts = [df for fut in futs for df in fut.result()]
+    out = parts[0]
+    for branch in parts[1:]:
         out = out.unionByName(branch)
     return out
 

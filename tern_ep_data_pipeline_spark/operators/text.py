@@ -622,22 +622,74 @@ def repetition_stats(
     is a plain groupBy. All-integer counts, so the fractions are
     bit-reproducible in any engine (round 6).
 
-    ``hash_mode='fast'`` (default, the 100 TB path) aggregates over 64-bit
-    gram hashes from :func:`gram_hash_frame` — the metrics only need gram
-    equality, and an external SQL oracle reproduces the same fractions by
-    counting over gram STRINGS (the equality classes agree up to 2^-64
-    collisions). ``'portable'`` keeps the expression-built gram strings for
-    debugging what a class contains.
+    ``hash_mode='fast'`` (default, the 100 TB path) computes both metrics
+    in ONE fused Arrow pass (r15): the metrics are document-LOCAL, so the
+    old shape — two gram frames, four shuffled aggregations, one join —
+    paid corpus shuffles for per-row math. The kernel shares one
+    tokenisation across both gram sizes (:func:`_doc_gram_hashes`, the
+    same 64-bit equality classes), emits the four exact integer counts,
+    and the fractions divide/round in the JVM with the identical
+    ``round(num / sum, 6)`` expression — bit-equal to the aggregated
+    form, pinned in tests. Zero shuffles beyond the fan-out repartition;
+    an external SQL oracle reproduces the fractions by counting gram
+    STRINGS (equality classes agree up to 2^-64 collisions).
+    ``'portable'`` keeps the expression-built gram strings for debugging
+    what a class contains.
     """
+    if hash_mode == "fast":
+        from .dedup import _fanout, py_tokens
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema = (
+            f"{id_col} {id_type}, __ctop bigint, __ttop bigint,"
+            " __cdup bigint, __tdup bigint"
+        )
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            memo: dict[str, int] = {}
+            for pdf in batches:
+                ids, ct, tt, cd, td = [], [], [], [], []
+                for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
+                    toks = py_tokens(raw)
+                    a_top = _doc_gram_hashes(raw, n_top, memo, False, toks=toks)
+                    a_dup = _doc_gram_hashes(raw, n_dup, memo, False, toks=toks)
+                    _, c2 = np.unique(a_top, return_counts=True)
+                    _, c3 = np.unique(a_dup, return_counts=True)
+                    ids.append(doc_id)
+                    ct.append(int(c2.max()))
+                    tt.append(len(a_top))
+                    cd.append(int(c3[c3 > 1].sum()))
+                    td.append(len(a_dup))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "__ctop": ct,
+                        "__ttop": tt,
+                        "__cdup": cd,
+                        "__tdup": td,
+                    }
+                )
+
+        stats = (
+            _fanout(df, id_col)
+            .select(id_col, text_col)
+            .mapInPandas(run, schema=schema)
+        )
+        return stats.select(
+            F.col(id_col),
+            F.round(
+                F.col("__ctop").cast("double") / F.col("__ttop"), 6
+            ).alias(f"top{n_top}_gram_frac"),
+            F.round(
+                F.col("__cdup").cast("double") / F.col("__tdup"), 6
+            ).alias(f"dup{n_dup}_gram_frac"),
+        )
+
     def frac(n: int, mode: str, out: str) -> DataFrame:
-        if hash_mode == "fast":
-            occ = (
-                gram_hash_frame(df, id_col, text_col, n)
-                .groupBy(id_col, "gh")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-        else:
-            occ = _gram_occurrences(df, id_col, text_col, n)
+        occ = _gram_occurrences(df, id_col, text_col, n)
         num = (
             F.max("c")
             if mode == "top"
