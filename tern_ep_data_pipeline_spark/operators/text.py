@@ -783,9 +783,14 @@ def unigram_logprob(
     splits the hot stopwords) and averages per document. All constants
     (T, V) ride in as broadcast one-row frames, no collect.
     """
-    from .dedup import tokens
+    from .dedup import _fanout, tokens
 
-    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    # fan-outs before every token explode (r15 README invariant): all three
+    # corpus passes are order-independent (exact integer/picolog sums), so
+    # the repartition cannot change the result
+    occ = _fanout(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
 
     # Every derived frame below is built from a FRESH projection: reusing one
     # plan object on both sides of a join (vocab + vocab.agg, or occ + its
@@ -793,7 +798,9 @@ def unigram_logprob(
     # reports the shared columns as ambiguous references.
     def fresh_tokens(name: str) -> DataFrame:
         src = model_df if model_df is not None else df
-        return src.select(F.explode(tokens(F.col(text_col))).alias(name))
+        return _fanout(src, text_col).select(
+            F.explode(tokens(F.col(text_col))).alias(name)
+        )
 
     vocab = fresh_tokens("__t").groupBy("__t").agg(
         F.count(F.lit(1)).alias("__c")
