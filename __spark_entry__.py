@@ -3431,8 +3431,11 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_mode="portable",
         )
         # staged: the cluster table feeds both the cc listing and the
-        # leak-free split branch (union branches get no common-subplan reuse)
-        cluster_frame = dedup._stage(dedup_clusters(pairs))
+        # leak-free split branch (union branches get no common-subplan
+        # reuse). lazy_small (r15): the union-find runs inside the plan at
+        # action time — overlapped with the other 12 branches — instead of
+        # eagerly materialising the whole pair pipeline at build
+        cluster_frame = dedup._stage(dedup_clusters(pairs, lazy_small=True))
         cc = cluster_frame.select(
             F.lit("cc").alias("part"),
             F.col("node").cast("string").alias("key"),

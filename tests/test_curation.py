@@ -77,6 +77,31 @@ def test_dedup_clusters_canonical_keep(spark):
     assert keep == {5, 2}  # canonical = min id per cluster
 
 
+def test_dedup_clusters_lazy_small_equals_eager(spark):
+    """The r15 in-plan union-find (lazy_small=True) must return exactly
+    the eager adaptive path's rows: chain, star, duplicate/reversed
+    edges, self-loops, and the empty graph."""
+    import pytest
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        [(5, 1), (5, 2), (5, 3), (9, 8), (7, 6), (6, 5)],
+        [(2, 1), (1, 2), (3, 3)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        eager = sorted(map(tuple, dedup_clusters(df).collect()))
+        lazy = sorted(map(tuple, dedup_clusters(df, lazy_small=True).collect()))
+        assert eager == lazy, edges
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty, lazy_small=True).collect() == []
+    # the loud guard: past max_edges the kernel raises instead of
+    # silently building a huge single-task table
+    big = spark.range(50).selectExpr("id as id_a", "id + 1 as id_b")
+    with pytest.raises(Exception, match="lazy_small"):
+        dedup_clusters(big, lazy_small=True, max_edges=10).collect()
+
+
 # ------------------------------------------------------------- sampling
 
 def test_hash_sample_deterministic_and_sized(spark):
