@@ -460,6 +460,11 @@ def main() -> None:
         "stream-match",
         extra_conf={
             "spark.ui.enabled": "true",
+            # the shuffle cells diff a RUNNING total over completed stages;
+            # the default 1000-stage UI store evicts mid-sweep on 100-batch
+            # cells, making later diffs (and their mean) drift negative —
+            # keep every stage resident for the life of the run
+            "spark.ui.retainedStages": "100000",
             "spark.sql.warehouse.dir": os.path.join(work, "warehouse"),
         },
     )
