@@ -3470,8 +3470,11 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@ex.com or call 555-123-4567 "),
             F.col("text"),
         )
+        # fan out: the scrub's regex chain is the branch's whole cost and
+        # would otherwise run on the split-deficient scan's single task;
+        # row-local projection, so partitioning cannot change the result
         return [
-            docs.select(
+            dedup._fanout(docs, "doc_id").select(
                 F.lit("pii").alias("part"),
                 F.col("doc_id").cast("string").alias("key"),
                 F.md5(text.scrub_pii(injected)).alias("val_s"),
