@@ -356,7 +356,7 @@ def line_dedup_frame(
     ``min_docs``, a tiny fraction of distinct lines. The rebuild is a
     per-document sort of its own collected lines, never a global sort.
     """
-    lines = _fanout(df, id_col).select(
+    lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), re.escape(delimiter))).alias(
             "__pos", "__line"
@@ -1074,11 +1074,9 @@ def _gram_pos_frame_fast(
     gram hashes (same kernel as ``text.gram_hash_frame``) with positions;
     the duplicated-span DECISIONS are pinned equal to the portable mode
     (collisions ~birthday(2^64) merge two random grams, tolerated by
-    design, same discipline as MinHash's fast mode). Fans out by id first
-    (r15 README fan-out invariant)."""
+    design, same discipline as MinHash's fast mode)."""
     from .text import _doc_gram_hashes
 
-    df = _fanout(df, id_col)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, __pos int, __g bigint"
     L = min_tokens
@@ -1193,13 +1191,8 @@ def substring_dedup(
     if index_firsts is not None and index_raw is not None:
         raise ValueError("pass index_firsts OR index_raw, not both")
 
-    # fanned out before staging (r15 README fan-out invariant): the gram
-    # explode and the per-token posexplode below both read this staged
-    # frame, and a split-deficient scan would serialise them onto one core
     toks = _stage(
-        _fanout(df, id_col).select(
-            F.col(id_col), tokens(F.col(text_col)).alias("__t")
-        )
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
     )
     if mode == "portable":
         grams = _gram_pos_frame_portable(toks, id_col, L)

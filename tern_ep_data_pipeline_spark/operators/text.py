@@ -783,14 +783,13 @@ def unigram_logprob(
     splits the hot stopwords) and averages per document. All constants
     (T, V) ride in as broadcast one-row frames, no collect.
     """
-    from .dedup import _fanout, tokens
+    from .dedup import tokens
 
-    # fan-outs before every token explode (r15 README invariant): all three
-    # corpus passes are order-independent (exact integer/picolog sums), so
-    # the repartition cannot change the result
-    occ = _fanout(df, id_col).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    )
+    # NOT fanned out (r15, measured): the token explodes here feed joins
+    # and aggregations whose own exchanges already redistribute the work;
+    # adding repartitions cost more stage barriers than the serial explode
+    # they fixed (doc_profile_b min-of-4 2.27 s -> 2.99 s with them in).
+    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
 
     # Every derived frame below is built from a FRESH projection: reusing one
     # plan object on both sides of a join (vocab + vocab.agg, or occ + its
@@ -798,9 +797,7 @@ def unigram_logprob(
     # reports the shared columns as ambiguous references.
     def fresh_tokens(name: str) -> DataFrame:
         src = model_df if model_df is not None else df
-        return _fanout(src, text_col).select(
-            F.explode(tokens(F.col(text_col))).alias(name)
-        )
+        return src.select(F.explode(tokens(F.col(text_col))).alias(name))
 
     vocab = fresh_tokens("__t").groupBy("__t").agg(
         F.count(F.lit(1)).alias("__c")
