@@ -126,7 +126,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, _nanos_to_ntz(c))
-    return _fanout_if_split_deficient(spark, df, path)
+    # NOT wired to _fanout_if_split_deficient (r15, measured BOTH ways):
+    # the split-deficit repartition won +12% on the lineitem family in a
+    # healthy-box interleaved A/B (pricing_summary 1.154 -> 1.018 s
+    # min-of-4) but LOST 40% under host-degraded IO (1.222 -> 1.746 s,
+    # same data, same code, hours apart) — the extra exchange's cost
+    # tracks box health while the serial-scan cost it removes does not.
+    # A coin-flip dependent on the bench host's state is not a win;
+    # the helper stays for callers that KNOW their environment.
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
