@@ -2609,15 +2609,16 @@ def q_doc_profile_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the five row-local operators (token stats, quality ratios, lang ID,
     # fingerprint, BPE counts) stack into ONE map-only projection via their
-    # column builders — zero joins where the r6 fused suite had five
-    tcol = F.col("text")
-    row = docs.select(
+    # column builders — zero joins where the r6 fused suite had five.
+    # SQL-twin strings (r16): one selectExpr parse instead of ~1100 py4j
+    # round trips; plan-equal to the Column form (tests/test_sqltwins.py)
+    row = docs.selectExpr(
         "doc_id",
-        *text.token_stat_cols(tcol, micro=True),
-        *text.quality_ratio_cols(tcol, micro=True),
-        *text.lang_id_cols(tcol, counts_cast="bigint"),
-        *text.fingerprint_cols(tcol),
-        *text.bpe_stat_cols(tcol, micro=True),
+        *text.token_stat_sqls("text"),
+        *text.quality_ratio_sqls("text"),
+        *text.lang_id_sqls("text", "bigint"),
+        *text.fingerprint_sqls("text"),
+        *text.bpe_stat_sqls("text"),
     )
     d = dedup.exact_dedup_groups(docs, "doc_id", "text")
     ch = dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=10, micro=True)
@@ -3464,21 +3465,21 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     def _b_pii() -> list[DataFrame]:
-        injected = F.concat(
-            F.lit("contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@ex.com or call 555-123-4567 "),
-            F.col("text"),
+        # SQL-twin strings (r16 build batching): plan-equal to the Column
+        # form (tests/test_sqltwins.py pins the scrub/hits twins)
+        injected = (
+            "concat('contact u', CAST(doc_id AS STRING), "
+            "'@ex.com or call 555-123-4567 ', text)"
         )
         # fan out: the scrub's regex chain is the branch's whole cost and
         # would otherwise run on the split-deficient scan's single task;
         # row-local projection, so partitioning cannot change the result
         return [
-            dedup._fanout(docs, "doc_id").select(
-                F.lit("pii").alias("part"),
-                F.col("doc_id").cast("string").alias("key"),
-                F.md5(text.scrub_pii(injected)).alias("val_s"),
-                text.pii_hits(injected).cast("double").alias("val_d"),
+            dedup._fanout(docs, "doc_id").selectExpr(
+                "'pii' AS part",
+                "CAST(doc_id AS STRING) AS key",
+                f"md5({text.scrub_pii_sql(injected)}) AS val_s",
+                f"CAST({text.pii_hits_sql(injected)} AS DOUBLE) AS val_d",
             )
         ]
 

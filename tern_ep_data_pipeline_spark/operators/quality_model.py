@@ -81,18 +81,23 @@ def heuristic_feature_frame(
     stays on the RAW builders deliberately: it is the portable integer
     contract hash-pinned against the DuckDB oracle SQL, whose expressions
     carry the same NULL semantics."""
-    from .text import quality_ratio_cols, token_count, token_stat_cols
+    from .text import (
+        _sql_token_count,
+        quality_ratio_sqls,
+        token_stat_sqls,
+    )
 
-    t = F.col(text_col)
     if micro:
-        return df.select(
-            F.col(id_col),
-            *quality_ratio_cols(t, micro=True),
-            token_count(t).cast("bigint").alias("n_tokens"),
-            # avg_token_len_micro is token_stat_cols' third builder
-            token_stat_cols(t, micro=True)[2],
+        # SQL-twin strings (r16): one selectExpr parse instead of ~550 py4j
+        # round trips; plan-equal to the Column form (tests/test_sqltwins.py)
+        return df.selectExpr(
+            id_col,
+            *quality_ratio_sqls(text_col),
+            f"CAST({_sql_token_count(text_col)} AS BIGINT) AS n_tokens",
+            # avg_token_len_micro is token_stat_sqls' third builder
+            token_stat_sqls(text_col)[2],
         )
-    return df.select(F.col(id_col), *_feature_exprs(t))
+    return df.select(F.col(id_col), *_feature_exprs(F.col(text_col)))
 
 
 def heuristic_pipeline(label_col: str = "label") -> Pipeline:

@@ -410,18 +410,19 @@ def _dsir_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokenise+md5+explode onto ONE core: measured 2.3-3.7 s per gram pass
     at sf0.1, twice per ``importance_resample`` call). Counts are exact
     integers, so the result is partition-independent."""
-    from .dedup import _fanout, tokens
+    from .dedup import _fanout
+    from .text import _sql_tokens
 
-    toks = _fanout(df, id_col).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    # SQL-twin strings (r16): plan-equal to the r15 Column form, pinned in
+    # tests/test_sqltwins.py; one selectExpr parse per projection.
+    toks = _fanout(df, id_col).selectExpr(
+        id_col, f"{_sql_tokens(text_col)} AS __t"
     )
-    bigrams = F.transform(
-        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("__t"), i + F.lit(2))),
+    bigrams = (
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+        "(__x, __i) -> concat_ws(' ', __x, element_at(__t, __i + 2)))"
     )
-    return toks.select(
-        F.col(id_col), F.explode(F.concat(F.col("__t"), bigrams)).alias("__g")
-    )
+    return toks.selectExpr(id_col, f"explode(concat(__t, {bigrams})) AS __g")
 
 
 def dsir_logratio(
@@ -478,26 +479,28 @@ def _dsir_logratio_from_counts(
     fewer scheduler round-trips.  Full outer, then filter to raw
     buckets: a target-only bucket contributes to the TARGET total even
     though no raw document can reference it."""
-    from pyspark.sql import Window
+    from .text import _sql_double
 
-    a = float(smoothing)
-    w = Window.partitionBy()
+    # SQL-twin strings (r16): plan-equal to the r15 Column form, pinned in
+    # tests/test_sqltwins.py.
+    a_ = _sql_double(smoothing)
     # full outer cannot broadcast; hint shuffle-hash so the <= buckets-row
     # join never falls to sort-merge (the plan gate pins 0 SMJ repo-wide)
-    joined = raw_b.join(tgt_b.hint("shuffle_hash"), on="bucket", how="full").select(
+    joined = raw_b.join(tgt_b.hint("shuffle_hash"), on="bucket", how="full").selectExpr(
         "bucket",
         "__cr",
         "__ct",
-        F.sum("__cr").over(w).cast("double").alias("__Tr"),
-        F.sum("__ct").over(w).cast("double").alias("__Tt"),
+        "CAST(sum(__cr) OVER () AS DOUBLE) AS __Tr",
+        "CAST(sum(__ct) OVER () AS DOUBLE) AS __Tt",
     ).where(F.col("__cr").isNotNull())
-    denom = F.lit(a) * F.lit(float(buckets))
-    lr = F.log(
-        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
-        / (F.col("__Tt") + denom)
-    ) - F.log((F.col("__cr") + F.lit(a)) / (F.col("__Tr") + denom))
-    return joined.select(
-        "bucket", F.round(lr * F.lit(1.0e12)).cast("long").alias("lr_pico")
+    denom = f"{a_} * {_sql_double(buckets)}"
+    lr = (
+        f"(ln((coalesce(__ct, 0) + {a_}) / (__Tt + {denom})) - "
+        f"ln((__cr + {a_}) / (__Tr + {denom})))"
+    )
+    return joined.selectExpr(
+        "bucket",
+        f"CAST(round({lr} * {_sql_double(1.0e12)}) AS LONG) AS lr_pico",
     )
 
 
@@ -542,10 +545,12 @@ def importance_resample(
     construction.  Do NOT set it for an external target corpus.
     """
     from .dedup import _stage
-    from .sketch import portable_hash
-    from .text import half_away_div
+    from .sketch import portable_hash_sql
+    from .text import _sql_double, _sql_half_away_div
 
-    bcol = (portable_hash(F.col("__g"), salt) % buckets).alias("bucket")
+    # Expressions ride as SQL-twin strings (r16 build batching): plan-equal
+    # to the r15 Column form, pinned in tests/test_sqltwins.py.
+    bucket_sql = f"({portable_hash_sql('__g', salt)} % {buckets}) AS bucket"
     # staged: ONE gram-bucket occurrence frame feeds the ratio table's
     # raw marginal, the subset target marginal, and the per-document
     # scoring.  Deliberately NOT pre-aggregated to (id, bucket, c): with
@@ -556,9 +561,9 @@ def importance_resample(
     # actually combines.  Σ_b c_b·lr_b == Σ_occurrences lr_bucket(occ),
     # so summing per occurrence is the same exact integer.
     gb = _stage(
-        _dsir_grams(raw, id_col, text_col).select(F.col(id_col), bcol)
+        _dsir_grams(raw, id_col, text_col).selectExpr(id_col, bucket_sql)
     )
-    raw_b = gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    raw_b = gb.groupBy("bucket").agg(F.expr("count(1) AS __cr"))
     if target_subset_of_raw:
         tgt_b = (
             gb.join(
@@ -567,35 +572,41 @@ def importance_resample(
                 how="left_semi",
             )
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__ct"))
+            .agg(F.expr("count(1) AS __ct"))
         )
     else:
         tgt_b = (
             _dsir_grams(target, id_col, text_col)
-            .select(bcol)
+            .selectExpr(bucket_sql)
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__ct"))
+            .agg(F.expr("count(1) AS __ct"))
         )
     lr = _dsir_logratio_from_counts(raw_b, tgt_b, buckets, smoothing)
     scored = (
         gb.join(F.broadcast(lr), on="bucket")
         .groupBy(id_col)
-        .agg(F.sum(F.col("lr_pico").cast("decimal(38,0)")).alias("__s"))
+        .agg(F.expr("sum(CAST(lr_pico AS DECIMAL(38,0))) AS __s"))
     )
-    u = (portable_hash(F.col(id_col), f"{salt}-g") + F.lit(0.5)) / F.lit(
-        float(1 << 60)
+    u = (
+        f"(({portable_hash_sql(id_col, f'{salt}-g')} + 0.5D) / "
+        f"{_sql_double(float(1 << 60))})"
     )
-    g_pico = F.round(-F.log(-F.log(u)) * F.lit(1.0e12)).cast("long")
+    g_pico = (
+        f"CAST(round((- ln((- ln({u})))) * {_sql_double(1.0e12)}) AS LONG)"
+    )
     keyed = scored.withColumn(
-        "__key", (F.col("__s") + g_pico.cast("decimal(38,0)")).cast("decimal(38,0)")
+        "__key",
+        F.expr(
+            f"CAST(__s + CAST({g_pico} AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ),
     )
-    mega = F.lit(1_000_000).cast("decimal(38,0)")
+    mega = "CAST(1000000 AS DECIMAL(38,0))"
     return (
         keyed.orderBy(F.col("__key").desc(), F.col(id_col))
         .limit(k)
-        .select(
-            F.col(id_col),
-            half_away_div(F.col("__s"), mega).alias("logweight_micro"),
-            half_away_div(F.col("__key"), mega).alias("key_micro"),
+        .selectExpr(
+            id_col,
+            f"{_sql_half_away_div('__s', mega)} AS logweight_micro",
+            f"{_sql_half_away_div('__key', mega)} AS key_micro",
         )
     )

@@ -26,6 +26,16 @@ from pyspark.sql import functions as F
 _KMV_DOMAIN = float(1 << 60)
 
 
+def portable_hash_sql(col_sql: str, salt: str = "kmv") -> str:
+    """SQL twin of :func:`portable_hash` (plan-equal, r16 build batching;
+    pinned in tests/test_sqltwins.py). ``col_sql`` must be an atomic or
+    parenthesized SQL expression."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}:', "
+        f"CAST({col_sql} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
 def portable_hash(col, salt: str = "kmv"):
     """Uniform 60-bit integer from md5(salt:value) — same construction the
     portable MinHash/sampling paths use; reproducible in any engine."""

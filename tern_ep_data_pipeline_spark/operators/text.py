@@ -208,6 +208,148 @@ def bpe_token_stats(
     return df.select(F.col(id_col), *bpe_stat_cols(F.col(text_col), micro))
 
 
+# --------------------------------------------------- SQL-string twins (r16)
+#
+# Driver-side plan construction is real wall time on every query (~8.7 s of
+# the ~33 s all-query bench total measured at round-16 start), and it is
+# dominated by py4j round trips: every Column method call is one JVM round
+# trip, so a builder like ``quality_ratio_cols`` pays ~400 calls per use.
+# These twins emit the SAME expressions as SQL strings — one ``selectExpr``
+# parse replaces hundreds of round trips (the idiom ``minhash_signatures``
+# already uses). Each twin is pinned PLAN-EQUAL to its Column form in
+# tests/test_sqltwins.py via Catalyst's own ``sameResult`` (canonicalized
+# plan equality), so the physical plan — and therefore the result — cannot
+# drift between the two forms.
+
+_SQL_WS = r"'\\s+'"
+
+
+def _sql_str(s: str) -> str:
+    """A SQL string literal whose parsed value is exactly ``s``."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_double(x: float) -> str:
+    """A SQL DOUBLE literal bit-identical to ``F.lit(float(x))``."""
+    return repr(float(x)) + "D"
+
+
+def _sql_tokens(t: str) -> str:
+    return f"split(trim({t}), {_SQL_WS})"
+
+
+def _sql_token_count(t: str) -> str:
+    return (
+        f"(CASE WHEN length(trim({t})) = 0 THEN 0 "
+        f"ELSE size({_sql_tokens(t)}) END)"
+    )
+
+
+def _sql_half_away_div(num: str, den: str) -> str:
+    """SQL twin of :func:`half_away_div` — operands MUST be parenthesized
+    (or atomic) expressions; the CASE branches reproduce the Column form's
+    tree exactly (unary minus placement matters for plan equality)."""
+    two = "CAST(2 AS BIGINT)"
+    return (
+        f"CAST((CASE WHEN {num} >= 0 "
+        f"THEN div({two} * {num} + {den}, {two} * {den}) "
+        f"ELSE -div({two} * (- {num}) + {den}, {two} * {den}) END) AS BIGINT)"
+    )
+
+
+def _sql_micro_ratio(n: str, d: str) -> str:
+    n64 = f"CAST({n} AS BIGINT)"
+    d64 = f"CAST({d} AS BIGINT)"
+    num = f"(CAST(1000000 AS BIGINT) * {n64})"
+    return f"(CASE WHEN {d64} > 0 THEN {_sql_half_away_div(num, d64)} END)"
+
+
+def _sql_count_in_set(t: str, words: tuple[str, ...]) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return f"size(filter({_sql_tokens(t)}, __t -> array_contains({arr}, __t)))"
+
+
+def token_stat_sqls(t: str) -> list[str]:
+    """SQL twin of ``token_stat_cols(F.col(t), micro=True)``."""
+    n_tok = _sql_token_count(t)
+    nonws = rf"length(regexp_replace(trim({t}), {_SQL_WS}, ''))"
+    return [
+        f"CAST(length({t}) AS BIGINT) AS n_chars",
+        f"CAST({n_tok} AS BIGINT) AS n_tokens",
+        f"{_sql_micro_ratio(nonws, n_tok)} AS avg_token_len_micro",
+    ]
+
+
+def quality_ratio_sqls(t: str) -> list[str]:
+    """SQL twin of ``quality_ratio_cols(F.col(t), micro=True)``."""
+    n_chars = f"length({t})"
+    n_tok = _sql_token_count(t)
+    n_stop = _sql_count_in_set(t, STOPWORDS_EN)
+    # the Column form's punct pattern r"[.,;:!?'\"()]" contains a LITERAL
+    # backslash before the double-quote (harmless in Java regex); it must
+    # be byte-identical here for plan equality: \' -> ' and \\ -> \
+    punct_pat = "'[.,;:!?\\'\\\\\"()]'"
+    n_punct = f"({n_chars} - length(regexp_replace({t}, {punct_pat}, '')))"
+    n_digit = f"({n_chars} - length(regexp_replace({t}, '[0-9]', '')))"
+    n_upper = f"({n_chars} - length(regexp_replace({t}, '[A-Z]', '')))"
+    zero = "CAST(0 AS BIGINT)"
+    return [
+        f"coalesce({_sql_micro_ratio(n_stop, n_tok)}, {zero})"
+        " AS stopword_ratio_micro",
+        f"coalesce({_sql_micro_ratio(n_punct, n_chars)}, {zero})"
+        " AS punct_ratio_micro",
+        f"coalesce({_sql_micro_ratio(n_digit, n_chars)}, {zero})"
+        " AS digit_ratio_micro",
+        f"coalesce({_sql_micro_ratio(n_upper, n_chars)}, {zero})"
+        " AS upper_ratio_micro",
+    ]
+
+
+def lang_id_sqls(t: str, counts_cast: str | None = None) -> list[str]:
+    """SQL twin of ``lang_id_cols(F.col(t), counts_cast)``."""
+    counts = {
+        lang: _sql_count_in_set(t, words) for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    pred = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = f"(CASE WHEN {counts[lang]} = {best} THEN '{lang}' ELSE {pred} END)"
+    pred = f"(CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END)"
+    cols = [
+        (
+            f"CAST({counts[lang]} AS {counts_cast.upper()}) AS n_{lang}"
+            if counts_cast
+            else f"{counts[lang]} AS n_{lang}"
+        )
+        for lang in LANG_MARKERS
+    ]
+    cols.append(f"{pred} AS pred_lang")
+    return cols
+
+
+def fingerprint_sqls(t: str) -> list[str]:
+    """SQL twin of ``fingerprint_cols(F.col(t))``."""
+    norm = f"regexp_replace(lower(trim({t})), {_SQL_WS}, ' ')"
+    return [
+        f"md5({norm}) AS fingerprint_md5",
+        f"xxhash64({norm}) AS fingerprint64",
+    ]
+
+
+def bpe_stat_sqls(t: str) -> list[str]:
+    """SQL twin of ``bpe_stat_cols(F.col(t), micro=True)``."""
+    n_ws = _sql_token_count(t)
+    pat = BPE_SPLIT_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    n_bpe = f"regexp_count({t}, '{pat}')"
+    zero = "CAST(0 AS BIGINT)"
+    return [
+        f"CAST({n_ws} AS BIGINT) AS n_ws_tokens",
+        f"CAST({n_bpe} AS BIGINT) AS n_bpe_tokens",
+        f"coalesce({_sql_micro_ratio(f'length({t})', n_bpe)}, {zero})"
+        " AS chars_per_bpe_micro",
+    ]
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -424,6 +566,24 @@ def pii_hits(col: Column) -> Column:
     return hits
 
 
+def scrub_pii_sql(t: str) -> str:
+    """SQL twin of :func:`scrub_pii` (plan-equal; tests/test_sqltwins.py)."""
+    out = t
+    for pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, {_sql_str(pat)}, '{token}')"
+    return out
+
+
+def pii_hits_sql(t: str) -> str:
+    """SQL twin of :func:`pii_hits` (plan-equal; tests/test_sqltwins.py)."""
+    hits = "0"
+    scrubbed = t
+    for pat, token in PII_PATTERNS:
+        hits = f"{hits} + size(regexp_extract_all({scrubbed}, {_sql_str(pat)}, 0))"
+        scrubbed = f"regexp_replace({scrubbed}, {_sql_str(pat)}, '{token}')"
+    return f"({hits})"
+
+
 # ---------------------------------------------------------------- TF-IDF
 
 def tfidf_top_terms(
@@ -444,17 +604,21 @@ def tfidf_top_terms(
     """
     from .dedup import _fanout
 
-    toks = _fanout(df, id_col).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # SQL-twin strings (r16): plan-equal to the r15 Column form, pinned in
+    # tests/test_sqltwins.py; ~200 py4j round trips collapse to a handful.
+    toks = (
+        _fanout(df, id_col)
+        .selectExpr(id_col, f"explode({_sql_tokens(text_col)}) AS term")
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.expr("count(1) AS tf"))
     # document frequency from the (doc, term) aggregate, not a second pass
     # over the tokens: tf already holds one row per distinct (doc, term),
     # so a plain count per term IS count_distinct(doc) — and both branches
     # now share the same underlying exchange (ReuseExchange) instead of
     # tokenising the corpus twice.
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.expr("count(1) AS df"))
+    n_docs = df.selectExpr(f"count(DISTINCT {id_col}) AS n")
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
@@ -465,12 +629,10 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            F.col(id_col),
+        .selectExpr(
+            id_col,
             "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
-            ).alias("tfidf"),
+            "round(tf * ln(n / df), 6) AS tfidf",
             "rank",
         )
     )
@@ -783,13 +945,15 @@ def unigram_logprob(
     splits the hot stopwords) and averages per document. All constants
     (T, V) ride in as broadcast one-row frames, no collect.
     """
-    from .dedup import tokens
-
+    # Expressions ride as SQL-twin strings (r16): one selectExpr parse per
+    # projection instead of ~390 py4j round trips per build; plan-equal to
+    # the r15 Column form (pinned in tests/test_sqltwins.py).
+    #
     # NOT fanned out (r15, measured): the token explodes here feed joins
     # and aggregations whose own exchanges already redistribute the work;
     # adding repartitions cost more stage barriers than the serial explode
     # they fixed (doc_profile_b min-of-4 2.27 s -> 2.99 s with them in).
-    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    occ = df.selectExpr(id_col, f"explode({_sql_tokens(text_col)}) AS __t")
 
     # Every derived frame below is built from a FRESH projection: reusing one
     # plan object on both sides of a join (vocab + vocab.agg, or occ + its
@@ -797,37 +961,30 @@ def unigram_logprob(
     # reports the shared columns as ambiguous references.
     def fresh_tokens(name: str) -> DataFrame:
         src = model_df if model_df is not None else df
-        return src.select(F.explode(tokens(F.col(text_col))).alias(name))
+        return src.selectExpr(f"explode({_sql_tokens(text_col)}) AS {name}")
 
-    vocab = fresh_tokens("__t").groupBy("__t").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    vocab = fresh_tokens("__t").groupBy("__t").agg(F.expr("count(1) AS __c"))
     totals = fresh_tokens("__ta").agg(
-        F.count(F.lit(1)).cast("double").alias("__T"),
-        F.count_distinct("__ta").alias("__V"),
+        F.expr("CAST(count(1) AS DOUBLE) AS __T"),
+        F.expr("count(DISTINCT __ta) AS __V"),
     )
     totals2 = fresh_tokens("__tb").agg(
-        F.count(F.lit(1)).cast("double").alias("__T2"),
-        F.count_distinct("__tb").alias("__V2"),
+        F.expr("CAST(count(1) AS DOUBLE) AS __T2"),
+        F.expr("count(DISTINCT __tb) AS __V2"),
     )
-    a = float(smoothing)
+    a_ = _sql_double(smoothing)
     # fold the constants into the vocab side (plus the one-row unseen-token
     # default) so the corpus-side join is a single left join on the token.
     # Column references are QUALIFIED (v./tt.): Spark 4's analyzer dedups
     # expression ids across the twin token subtrees, which makes bare string
     # references ambiguous even when each child exposes the name once.
     vl = vocab.alias("v").crossJoin(F.broadcast(totals.alias("tt")))
-    vocab_lp = vl.select(
-        F.col("v.__t").alias("__t"),
-        F.log(
-            (F.col("v.__c") + F.lit(a))
-            / (F.col("tt.__T") + F.lit(a) * (F.col("tt.__V") + 1))
-        ).alias("__lp"),
+    vocab_lp = vl.selectExpr(
+        "v.__t AS __t",
+        f"ln((v.__c + {a_}) / (tt.__T + {a_} * (tt.__V + 1))) AS __lp",
     )
-    unseen = totals2.select(
-        F.log(F.lit(a) / (F.col("__T2") + F.lit(a) * (F.col("__V2") + 1))).alias(
-            "__lp0"
-        )
+    unseen = totals2.selectExpr(
+        f"ln({a_} / (__T2 + {a_} * (__V2 + 1))) AS __lp0"
     )
     # shuffle-hash, not sort-merge: the vocabulary is the smaller side but
     # still too big to broadcast at corpus scale; hashing it beats sorting
@@ -835,7 +992,7 @@ def unigram_logprob(
     scored = (
         occ.join(vocab_lp.hint("shuffle_hash"), on="__t", how="left")
         .crossJoin(F.broadcast(unseen))
-        .select(F.col(id_col), F.coalesce("__lp", "__lp0").alias("__lp"))
+        .selectExpr(id_col, "coalesce(__lp, __lp0) AS __lp")
     )
     # Order-independent aggregation: double `avg` is not associative, so the
     # 6th decimal of a document sitting ~1e-11 from a rounding boundary can
@@ -845,22 +1002,28 @@ def unigram_logprob(
     # divide/round once at the end. The sum rides in decimal(38,0) so a
     # billion-token document cannot overflow a 64-bit long.
     scored = scored.withColumn(
-        "__lpq", F.round(F.col("__lp") * F.lit(1.0e12)).cast("decimal(38,0)")
+        "__lpq",
+        F.expr(
+            f"CAST(round(__lp * {_sql_double(1.0e12)}) AS DECIMAL(38,0))"
+        ),
     )
     if micro:
         # Fully integer output path: avg in micro-log units =
         # round_half_away(sum_picolog / (count * 1e6)) — decimal(38,0) sum,
         # integral div, no double anywhere after the per-token quantisation.
-        den = (F.count(F.lit(1)) * F.lit(1_000_000)).cast("decimal(38,0)")
+        den = "CAST((count(1) * 1000000) AS DECIMAL(38,0))"
         return scored.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_scored_tokens"),
-            half_away_div(F.sum("__lpq"), den).alias("avg_logprob_micro"),
+            F.expr("count(1) AS n_scored_tokens"),
+            F.expr(
+                f"{_sql_half_away_div('sum(__lpq)', den)} AS avg_logprob_micro"
+            ),
         )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_scored_tokens"),
-        F.round(
-            F.sum("__lpq").cast("double") / F.count(F.lit(1)) / F.lit(1.0e12), 6
-        ).alias("avg_logprob"),
+        F.expr("count(1) AS n_scored_tokens"),
+        F.expr(
+            "round(CAST(sum(__lpq) AS DOUBLE) / count(1) / "
+            f"{_sql_double(1.0e12)}, 6) AS avg_logprob"
+        ),
     )
 
 
