@@ -3435,8 +3435,18 @@ def q_llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leak-free split branch (union branches get no common-subplan
         # reuse). lazy_small (r15): the union-find runs inside the plan at
         # action time — overlapped with the other 12 branches — instead of
-        # eagerly materialising the whole pair pipeline at build
-        cluster_frame = dedup._stage(dedup_clusters(pairs, lazy_small=True))
+        # eagerly materialising the whole pair pipeline at build.
+        # corpus_rows (r16): parquet-footer row count routes the cc branch
+        # to the DISTRIBUTED loop at build time when the corpus outgrows
+        # the one-task union-find, instead of erroring mid-action
+        from tern_ep_data_pipeline_spark.sources.tables import table_rows
+
+        cluster_frame = dedup._stage(
+            dedup_clusters(
+                pairs, lazy_small=True,
+                corpus_rows=table_rows(sf_dir, "documents"),
+            )
+        )
         cc = cluster_frame.select(
             F.lit("cc").alias("part"),
             F.col("node").cast("string").alias("key"),

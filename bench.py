@@ -162,13 +162,23 @@ def main() -> None:
 
     def time_set(
         names: list[str], n_runs: int = 2
-    ) -> tuple[dict[str, float], dict[str, float]]:
-        """Per-query (min-of-N, min-of-first-2) — the second value keeps
-        totals comparable with rounds benched before the min-of-4 switch
-        (2026-08-13, commit 6b5e314): run order is identical, so
-        min-of-first-2 IS what best-of-2 would have reported."""
+    ) -> tuple[dict[str, float], dict[str, float], dict[str, dict[str, float]]]:
+        """Per-query (min-of-N, min-of-first-2, build/exec split) — the
+        second value keeps totals comparable with rounds benched before the
+        min-of-4 switch (2026-08-13, commit 6b5e314): run order is
+        identical, so min-of-first-2 IS what best-of-2 would have reported.
+
+        The split (r16, VERDICT r15 #7) is ADDITIVE instrumentation: the
+        timed window per run is unchanged (t0 .. count() returns); a single
+        intermediate timestamp after the q_* builder returns divides it into
+        ``build_s`` (driver-side plan construction) and ``exec_s`` (job
+        execution), reported for the run that achieved the min total — at
+        sf0.1 the headline queries are overhead-bound (the r15 scaling block:
+        8 cores beat 32), so without this split driver-side wins are
+        invisible in the wall-clock number."""
         out: dict[str, float] = {}
         out2: dict[str, float] = {}
+        split: dict[str, dict[str, float]] = {}
         for name in names:
             load_samples.append(os.getloadavg()[0])
             mhz = _cpu_mhz()
@@ -176,23 +186,32 @@ def main() -> None:
                 mhz_samples.append(mhz)
             fn = getattr(entrymod, f"q_{name}")
             runs = []
+            builds = []
             for _ in range(n_runs):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                t_built = time.time()
+                n = df.count()
                 runs.append(time.time() - t0)
+                builds.append(t_built - t0)
                 # each timed run owns its caches: no cross-run cache reuse
                 # (the doc'd no-caching methodology), no storage pile-up
                 release_staged(spark)
-            out[name] = round(min(runs), 3)
+            best = min(range(n_runs), key=runs.__getitem__)
+            out[name] = round(runs[best], 3)
             out2[name] = round(min(runs[:2]), 3)
+            split[name] = {
+                "build_s": round(builds[best], 3),
+                "exec_s": round(runs[best] - builds[best], 3),
+            }
             print(
                 f"# {name}: {out[name]:.2f}s best-of-{len(runs)} ({n} rows)",
                 file=sys.stderr,
             )
-        return out, out2
+        return out, out2, split
 
-    timings, timings2 = time_set(HEADLINE, n_runs=4)
-    extended, _ = time_set(EXTENDED)
+    timings, timings2, split_h = time_set(HEADLINE, n_runs=4)
+    extended, _, split_e = time_set(EXTENDED)
 
     # quiet-run during-load gate (VERDICT r11 #7): when
     # SPARK_GRAFT_BENCH_QUIET_GATE is set (the quiet-twin methodology),
@@ -228,6 +247,11 @@ def main() -> None:
                 # with BENCH_r01/BENCH_r02 totals
                 "value_best_of_2": round(sum(timings2.values()), 3),
                 "queries_best_of_2": timings2,
+                # ADDITIVE build/exec split (r16): same timed window, one
+                # extra timestamp between builder return and count() — the
+                # driver-overhead attribution the sf0.1 wall-clock cannot
+                # show (see time_set docstring)
+                "queries_split": {**split_h, **split_e},
                 # box load context: loadavg_start is sampled BEFORE the
                 # warm-up burn — it is the foreign-load attribution
                 # signal. The during-samples have ALWAYS included

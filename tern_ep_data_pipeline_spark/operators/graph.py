@@ -293,12 +293,18 @@ def connected_components(
             _exit_tight_run(edges.sparkSession)
 
 
+#: Integral-type widening order for the lazy kernel's output schema.
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     lazy_small: bool = False,
     max_edges: int = 200_000,
+    corpus_rows: int | None = None,
+    lazy_rows_cap: int = 100_000,
 ) -> DataFrame:
     """Cluster assignment from near-dup pairs: ``(node, component)`` with
     the canonical (min-id) member as the component id. Keep one doc per
@@ -313,20 +319,51 @@ def dedup_clusters(
     work to action time where the scheduler overlaps it with everything
     else. Semantics are identical — union-by-min keeps every tree's root
     equal to its component minimum at all times, so the result is
-    edge-order independent — and the kernel raises LOUDLY past
-    ``max_edges`` instead of silently building a huge driver-side table
-    (callers with possibly-large graphs keep the default adaptive path,
-    which routes big inputs to the distributed loop instead of failing).
-    The ``repartition(1)`` keeps the upstream pair pipeline parallel; only
-    the microseconds-of-CPU union-find runs on the one task.
+    edge-order independent. The ``repartition(1)`` keeps the upstream pair
+    pipeline parallel; only the microseconds-of-CPU union-find runs on the
+    one task.
+
+    Scale routing (r16, VERDICT r15 #3): ``corpus_rows`` — a CHEAP
+    build-time upper bound on the node count (e.g. the corpus row count
+    from parquet footer metadata, ``sources.tables.table_rows``; never a
+    ``count()``, which would materialise the pipeline the lazy form
+    exists to defer) — routes graphs whose node set could exceed
+    ``lazy_rows_cap`` to the distributed path INSTEAD of failing at
+    action time. The kernel's memory is O(nodes) <= O(corpus_rows), so
+    the gate bounds the one-task state directly. A lazy caller that
+    declares no ``corpus_rows`` keeps the loud ``max_edges`` guard as the
+    last-resort backstop against silently building a huge single-task
+    table.
     """
+    if lazy_small and corpus_rows is not None:
+        if corpus_rows > lazy_rows_cap:
+            lazy_small = False  # big graph: distributed loop, not one task
+        else:
+            # node count bounded by the corpus: the edge-count backstop
+            # can only misfire (quadratic pair pipelines are capped
+            # upstream by the LSH bucket guards); disable it so a dense
+            # small graph degrades to a slower task, never an ERROR
+            max_edges = None
     if not lazy_small:
         return connected_components(pairs, src=id_a, dst=id_b)
 
     import pandas as pd
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    t = e.schema[0].dataType.simpleString()
+    ta = e.schema[0].dataType.simpleString()
+    tb = e.schema[1].dataType.simpleString()
+    # widen to the common type when the two edge columns differ (ADVICE
+    # r15: deriving both output columns from id_a alone misstates the
+    # schema for e.g. int/bigint edges)
+    if ta == tb:
+        t = ta
+    elif ta in _INT_WIDTH and tb in _INT_WIDTH:
+        t = ta if _INT_WIDTH[ta] >= _INT_WIDTH[tb] else tb
+    else:
+        raise TypeError(
+            f"dedup_clusters(lazy_small=True) needs compatible edge column "
+            f"types, got {id_a}: {ta}, {id_b}: {tb}"
+        )
 
     def run(batches):
         parent: dict = {}
@@ -340,15 +377,25 @@ def dedup_clusters(
             return r
 
         n = 0
-        last = None
         for pdf in batches:
-            last = pdf
+            # drop null edges up front (ADVICE r15): a null id would
+            # TypeError inside the comparisons below, and nulls carry no
+            # cluster information (the expr-path equi-joins drop them too)
+            pdf = pdf.dropna(subset=["a", "b"])
+            for c in ("a", "b"):
+                # a batch that HELD nulls arrives float64 (pandas'
+                # nullable-int coercion); restore exact ints for the
+                # union-find's ordering (ids <= 2^53 survive the float
+                # round-trip exactly — null edges are out-of-contract
+                # input, tolerated, not precision-guaranteed)
+                if t in _INT_WIDTH and pdf[c].dtype.kind == "f":
+                    pdf[c] = pdf[c].astype("int64")
             n += len(pdf)
-            if n > max_edges:
+            if max_edges is not None and n > max_edges:
                 raise RuntimeError(
                     f"dedup_clusters(lazy_small=True) saw > {max_edges} "
-                    "edges — use the default adaptive path for graphs "
-                    "this size"
+                    "edges — pass corpus_rows (build-time routing) or use "
+                    "the default adaptive path for graphs this size"
                 )
             for a, b in zip(pdf["a"].to_list(), pdf["b"].to_list()):
                 parent.setdefault(a, a)
@@ -358,15 +405,14 @@ def dedup_clusters(
                     if rb < ra:
                         ra, rb = rb, ra
                     parent[rb] = ra
-        if last is None:
-            yield pd.DataFrame({"node": [], "component": []})
-            return
+        # build from the accumulated PYTHON values (exact ints — never a
+        # pandas dtype carried from a batch, which coerces to float64 when
+        # any batch held nulls and corrupts large ids; ADVICE r15): Arrow
+        # casts to the declared integral schema exactly
         yield pd.DataFrame(
             {
-                "node": pd.Series(list(parent), dtype=last["a"].dtype),
-                "component": pd.Series(
-                    [find(x) for x in parent], dtype=last["a"].dtype
-                ),
+                "node": list(parent),
+                "component": [find(x) for x in parent],
             }
         )
 

@@ -145,6 +145,36 @@ def _fanout_if_split_deficient(spark: SparkSession, df: DataFrame, path: str) ->
 _LOAD_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
+#: (path, mtime) -> parquet metadata row count (footer read, no Spark job).
+_ROWS_CACHE: dict[tuple[str, float], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a testdata table from parquet FOOTER metadata —
+    ~1 ms, no Spark job, no scan. Used for build-time routing decisions
+    (e.g. graph.dedup_clusters' lazy-vs-distributed gate) where running a
+    count() would defeat the lazy build being routed. None when the
+    footprint cannot be inspected (non-local path, no pyarrow)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (path, _path_mtime(path))
+        hit = _ROWS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        _ROWS_CACHE[key] = n
+        return n
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalised timestamp types."""
     path = os.path.join(sf_dir, f"{name}.parquet")

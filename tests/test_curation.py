@@ -95,11 +95,47 @@ def test_dedup_clusters_lazy_small_equals_eager(spark):
         assert eager == lazy, edges
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty, lazy_small=True).collect() == []
-    # the loud guard: past max_edges the kernel raises instead of
-    # silently building a huge single-task table
+    # the loud guard: past max_edges an UNROUTED lazy caller (no
+    # corpus_rows) raises instead of silently building a huge single-task
+    # table
     big = spark.range(50).selectExpr("id as id_a", "id + 1 as id_b")
     with pytest.raises(Exception, match="lazy_small"):
         dedup_clusters(big, lazy_small=True, max_edges=10).collect()
+
+
+def test_dedup_clusters_lazy_routing_scale_safe(spark):
+    """r16 (VERDICT r15 #3): the build-time route replaces the >cap
+    RuntimeError. A >max_edges edge set with corpus_rows past the lazy cap
+    routes to the DISTRIBUTED path and returns correct components instead
+    of raising; a small-corpus declaration disables the edge backstop so a
+    dense small graph degrades, never errors."""
+    big = spark.range(50).selectExpr("id as id_a", "id + 1 as id_b")
+    expected = sorted(map(tuple, dedup_clusters(big).collect()))
+    # corpus_rows > lazy_rows_cap: distributed fallback, no raise
+    routed = dedup_clusters(
+        big, lazy_small=True, max_edges=10,
+        corpus_rows=1_000, lazy_rows_cap=100,
+    )
+    assert sorted(map(tuple, routed.collect())) == expected
+    # corpus_rows <= cap: stays lazy AND the max_edges backstop is off
+    # (node count is what bounds the one-task state, and it is declared)
+    lazy = dedup_clusters(
+        big, lazy_small=True, max_edges=10,
+        corpus_rows=51, lazy_rows_cap=100,
+    )
+    assert sorted(map(tuple, lazy.collect())) == expected
+
+
+def test_dedup_clusters_lazy_null_edges_and_mixed_types(spark):
+    """ADVICE r15: null edges are dropped (not a TypeError), and int/bigint
+    edge columns widen to the common type in the declared schema."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5)], "id_a int, id_b bigint"
+    )
+    out = dedup_clusters(df, lazy_small=True)
+    assert dict(out.dtypes) == {"node": "bigint", "component": "bigint"}
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, 1), (2, 1), (5, 1)]
 
 
 # ------------------------------------------------------------- sampling

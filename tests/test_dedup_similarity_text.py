@@ -299,10 +299,13 @@ def test_near_dup_pairs_arrow_equals_expr(spark, sf_dir):
         )
         assert a == e, f"threshold={th}: arrow/expr pair sets differ"
         dedup.release_staged(spark)
-    # kernel-only edges the expr form cannot reach (ANSI divide-by-zero on
-    # zero norms; ragged lengths pair to NULL under zip_with => dropped):
-    # double arrays, a null vector, an empty vector, a zero vector, an
-    # odd-length vector — only the well-formed near pairs come out
+    # degenerate edges, aligned across modes (r16): a null vector, an
+    # empty vector, a ZERO vector (filtered in both modes — the expr fold
+    # previously raised ANSI divide-by-zero), an odd-length vector (pairs
+    # to NULL under zip_with => dropped), a NULL id, and a NULL block key
+    # (pairs with nothing — the equi-join semantics, now enforced in
+    # arrow mode too; ADVICE r15) — only the well-formed near pairs come
+    # out, identically in BOTH modes
     rows = [
         (1, [1.0, 0.0], 0),
         (2, [1.0, 0.01], 0),
@@ -311,18 +314,57 @@ def test_near_dup_pairs_arrow_equals_expr(spark, sf_dir):
         (5, [1.0, 0.0, 0.0], 0),
         (6, [0.0, 0.0], 0),
         (7, [1.0, 0.0], 0),
+        (None, [1.0, 0.0], 0),
+        (8, [1.0, 0.0], None),
+        (9, [1.0, 0.001], None),
     ]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
-    got = sorted(
+    expected = [(1, 2, 0.99995), (1, 7, 1.0), (2, 7, 0.99995)]
+    for mode in ("arrow", "expr"):
+        got = sorted(
+            map(
+                tuple,
+                similarity.embedding_near_dup_pairs(
+                    df, "vec_id", "embedding", block_col="label",
+                    threshold=0.5, mode=mode,
+                ).collect(),
+            )
+        )
+        assert got == expected, mode
+        dedup.release_staged(spark)
+
+
+def test_near_dup_pairs_block_cap_routes_oversized(spark, sf_dir):
+    """r16 (VERDICT r15 #4): blocks larger than max_block_rows route
+    through the expression self-join instead of one pandas group, with the
+    pair set unchanged — bounding per-task memory on skewed LSH buckets."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # skew the blocks: fold every label to 2 values so one block far
+    # exceeds a tiny cap while the other stays under it
+    skewed = emb.selectExpr(
+        "vec_id", "embedding", "CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS label"
+    )
+    uncapped = sorted(
         map(
             tuple,
             similarity.embedding_near_dup_pairs(
-                df, "vec_id", "embedding", block_col="label",
-                threshold=0.5, mode="arrow",
+                skewed, "vec_id", "embedding", block_col="label",
+                threshold=0.3, mode="arrow", max_block_rows=None,
             ).collect(),
         )
     )
-    assert got == [(1, 2, 0.99995), (1, 7, 1.0), (2, 7, 0.99995)]
+    dedup.release_staged(spark)
+    capped_df = similarity.embedding_near_dup_pairs(
+        skewed, "vec_id", "embedding", block_col="label",
+        threshold=0.3, mode="arrow", max_block_rows=50,
+    )
+    # the oversized block really does take the expr branch: the plan
+    # carries the self-join union alongside the pandas kernel
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan and "Union" in plan
+    capped = sorted(map(tuple, capped_df.collect()))
+    assert capped == uncapped
+    dedup.release_staged(spark)
 
 
 def test_semantic_dedup_within_cluster(spark):
