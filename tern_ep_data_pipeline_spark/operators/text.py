@@ -1027,6 +1027,63 @@ def unigram_logprob(
     )
 
 
+def _winnow_pair_counts_kernel(id_type: str):
+    """Per-task kernel for ``winnow_containment_pairs(pair_mode='arrow')``:
+    turns each fingerprint bucket's SORTED id array into its id pairs via
+    vectorised upper-triangle indexing (arrays grouped by length so each
+    group is one numpy matrix op), then pre-counts duplicate pairs locally
+    (lexsort + run-length) so the Arrow transfer and the downstream
+    aggregation carry one row per DISTINCT pair per task, not one per
+    shared fingerprint."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            by_len: dict[int, list] = {}
+            for a in pdf["__ids"]:
+                if len(a) >= 2:
+                    by_len.setdefault(len(a), []).append(a)
+            outs_a, outs_b = [], []
+            for m, group in by_len.items():
+                mat = np.asarray(group)
+                iu, ju = np.triu_indices(m, k=1)
+                outs_a.append(mat[:, iu].ravel())
+                outs_b.append(mat[:, ju].ravel())
+            if not outs_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        "__c": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            a = np.concatenate(outs_a)
+            b = np.concatenate(outs_b)
+            # arrays are sorted ascending, so i<j gives id_a <= id_b; a
+            # duplicate id inside one bucket (out-of-contract input) would
+            # yield an equal pair — drop it like the join's strict <
+            keep = a < b
+            a, b = a[keep], b[keep]
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            change = np.empty(len(a), dtype=bool)
+            if len(a):
+                change[0] = True
+                np.logical_or(
+                    a[1:] != a[:-1], b[1:] != b[:-1], out=change[1:]
+                )
+            starts = np.nonzero(change)[0]
+            counts = np.diff(np.append(starts, len(a)))
+            yield pd.DataFrame(
+                {"id_a": a[starts], "id_b": b[starts], "__c": counts}
+            )
+
+    return run
+
+
 def winnow_containment_pairs(
     fps: DataFrame,
     id_col: str = "doc_id",
@@ -1034,7 +1091,16 @@ def winnow_containment_pairs(
     min_shared: int = 2,
     max_bucket: int | None = 100_000,
     cap_stats: dict | None = None,
+    pair_mode: str = "join",
 ) -> DataFrame:
+    # pair_mode='arrow' (r16, VERDICT r15 #6 — measured and DECLINED as the
+    # default): replaces the fp self-join with sorted-id bucket arrays + a
+    # numpy upper-triangle pair kernel with per-task pre-counting. Pair set
+    # pinned identical (67,294 pairs at sf0.1); interleaved min-of-4 A/B on
+    # the full suite shape measured join 2.009 s vs arrow 2.044 s — the fp
+    # join is NOT the bottleneck at bench scale (the staged fp table is
+    # persisted, so the join's two probe reads are cheap). Kept as a tested
+    # option for corpora where the two-sided pair shuffle dominates.
     """Pairwise overlap scoring from winnowing fingerprints — the MOSS
     consumer (Schleimer et al. '03 §5): two documents' shared selected
     fingerprints estimate how much text they have in common, and
@@ -1081,15 +1147,39 @@ def winnow_containment_pairs(
     else:
         base = _stage(base)
     totals = base.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
-    a = base.select(F.col("__id").alias("id_a"), "__fp")
-    b = base.select(F.col("__id").alias("id_b"), "__fp")
-    shared = (
-        a.join(b, on="__fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    if pair_mode == "arrow":
+        # r16 (VERDICT r15 #6): the fp self-join materialised every shared
+        # fingerprint as a join row (~8M at sf0.1) through two probe-side
+        # reads plus a corpus-wide (id_a, id_b) aggregation. Collect each
+        # bucket's sorted id array instead (reusing the cap window's
+        # fp-keyed exchange), emit pairs in one numpy pass, and pre-count
+        # per task so the pair aggregation combines pre-shrunk partials.
+        # n_shared is IDENTICAL by construction: per bucket, the join
+        # yields each (a<b) pair once, exactly the upper triangle of the
+        # sorted array.
+        id_type = fps.schema[id_col].dataType.simpleString()
+        buckets = base.groupBy("__fp").agg(
+            F.sort_array(F.collect_list("__id")).alias("__ids")
+        )
+        pair_counts = buckets.select("__ids").mapInPandas(
+            _winnow_pair_counts_kernel(id_type),
+            schema=f"id_a {id_type}, id_b {id_type}, __c bigint",
+        )
+        shared = (
+            pair_counts.groupBy("id_a", "id_b")
+            .agg(F.sum("__c").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
+    else:
+        a = base.select(F.col("__id").alias("id_a"), "__fp")
+        b = base.select(F.col("__id").alias("id_b"), "__fp")
+        shared = (
+            a.join(b, on="__fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
     ta = totals.select(F.col("__id").alias("id_a"), F.col("__total").alias("__ta"))
     tb = totals.select(F.col("__id").alias("id_b"), F.col("__total").alias("__tb"))
     return (

@@ -479,6 +479,40 @@ def test_winnow_containment_pairs(spark):
     assert not any(3 in k for k in out)
 
 
+def test_winnow_containment_pair_modes_identical(spark, sf_dir):
+    """The r16 numpy pair kernel (pair_mode='arrow') must reproduce the fp
+    self-join's rows exactly — n_shared is the upper triangle of each
+    bucket's sorted id array, per bucket, summed. (Declined as the default
+    on an interleaved A/B — join 2.009 s vs arrow 2.044 s at sf0.1 — but
+    kept as a tested option; see the operator comment.)"""
+    from tern_ep_data_pipeline_spark.operators.dedup import _stage, release_staged
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = _stage(
+        text.winnowing_fingerprints(
+            docs, "doc_id", "text", k=8, window=4, hash_mode="portable"
+        )
+    )
+    j = sorted(
+        map(
+            tuple,
+            text.winnow_containment_pairs(
+                fps, "doc_id", "fingerprint", max_bucket=50
+            ).collect(),
+        )
+    )
+    a = sorted(
+        map(
+            tuple,
+            text.winnow_containment_pairs(
+                fps, "doc_id", "fingerprint", max_bucket=50, pair_mode="arrow"
+            ).collect(),
+        )
+    )
+    assert j == a and len(j) > 0
+    release_staged(spark)
+
+
 def test_substring_dedup_semantics(spark):
     """ExactSubstr rendition: the global-first occurrence of a duplicated
     8-token span survives, every other occurrence (cross-doc AND within-
