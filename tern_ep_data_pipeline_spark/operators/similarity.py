@@ -252,7 +252,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     threshold: float = 0.95,
     mode: str = "arrow",
-    max_block_rows: int | None = 65536,
+    max_block_rows: int | None | str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
@@ -278,15 +278,29 @@ def embedding_near_dup_pairs(
     previously raised ANSI DIVIDE_BY_ZERO where the kernel dropped NaN).
 
     ``max_block_rows`` (r16, VERDICT r15 #4) bounds the arrow kernel's
-    per-task memory on skewed blocks: a window count over the SAME
-    block-key exchange the groupBy needs anyway routes blocks larger than
-    the cap through the expression self-join (which streams and spills)
-    instead of materialising the whole block in one pandas group — the
-    same oversized-bucket guard MinHash applies. Both branches produce
-    the identical pair set (the kernel replays the fold's float
-    semantics), so the split is invisible in the result. ``None``
-    disables the guard (single-group semantics, r15 shape).
+    per-task memory on skewed blocks: a NARROW per-block count (only the
+    block column is scanned) finds oversized block keys, which broadcast
+    to an anti/semi split — blocks past the cap route through the
+    expression self-join (which streams and spills) instead of
+    materialising the whole block in one pandas group, the same
+    oversized-bucket guard MinHash applies. Both branches produce the
+    identical pair set (the kernel replays the fold's float semantics),
+    so the split is invisible in the result (pinned in tests).
+
+    ``'auto'`` (default) makes the guard SCALE-ADAPTIVE: the split's
+    fixed cost is ~6 extra (empty) AQE stages — measured +0.37 s on the
+    0.85 s sf0.1 bench query, pure scheduling, while at corpus scale it
+    is noise — so the guard engages at 65,536 rows per block only when
+    Catalyst's plan-time size estimate for the input exceeds 1 GiB (or
+    is unavailable — unknown size fails toward memory safety), and
+    stays out of small plans entirely. Pass an int to force the cap, or
+    ``None`` to disable (single-group semantics, the r15 shape).
     """
+    if mode == "arrow" and max_block_rows == "auto":
+        from .memguard import plan_size_estimate
+
+        est = plan_size_estimate(df)
+        max_block_rows = 65536 if (est is None or est > (1 << 30)) else None
     if mode == "arrow":
         base = df.select(
             (F.col(block_col) if block_col else F.lit(0)).alias("__block"),
@@ -303,13 +317,21 @@ def embedding_near_dup_pairs(
         if max_block_rows is None:
             out = base.groupBy("__block").applyInPandas(kern, schema=schema)
         else:
-            w = Window.partitionBy("__block")
-            counted = base.withColumn("__bn", F.count(F.lit(1)).over(w))
-            small = counted.where(F.col("__bn") <= max_block_rows).drop("__bn")
+            # oversized-block keys via a NARROW count (only the block
+            # column is scanned — column pruning reaches the parquet
+            # scan), broadcast to an anti/semi split of the vector rows:
+            # the vectors themselves are never shuffled or sorted for the
+            # routing decision, only for the kernel's own group exchange
+            over = (
+                base.groupBy("__block")
+                .agg(F.expr("count(1) AS __bn"))
+                .where(F.col("__bn") > max_block_rows)
+                .select("__block")
+            )
+            small = base.join(F.broadcast(over), on="__block", how="left_anti")
             out = small.groupBy("__block").applyInPandas(kern, schema=schema)
             big = (
-                counted.where(F.col("__bn") > max_block_rows)
-                .drop("__bn")
+                base.join(F.broadcast(over), on="__block", how="left_semi")
                 .where(F.col("__v").isNotNull() & F.col("__id").isNotNull())
                 .withColumn("__n", norm(F.col("__v")))
                 .where(F.col("__n") != 0.0)
